@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.Det._
+
+/** Join operators from SURVEY §2.3 on the testdata star schema.
+  *
+  * Scale notes: dimension joins (region/nation/supplier/part at sf-scale
+  * thousands of rows vs billions of lineitems) are explicitly
+  * `broadcast()`-hinted — at 100 TB the fact side never shuffles for them.
+  * Fact-fact joins (orders⋈lineitem) shuffle on the join key, which is the
+  * natural co-partition key; with bucketed storage both sides would be
+  * shuffle-free. The as-of join is the window rewrite SURVEY J11 calls
+  * for: one shuffle + sort instead of a per-row correlated subquery.
+  */
+object JoinQueries {
+
+  /** J1/J6-style — broadcast dimension joins two levels deep:
+    * customer ⋈ nation ⋈ region (left, as in the reference's mapping
+    * joins int_quickbooks__customer_company_mapping.sql:73-97). */
+  val j1BroadcastDims: Q = Q.sql(
+    "j1_broadcast_dim_join",
+    """SELECT c.c_custkey, c.c_name, n.n_name AS nation_name,
+      |       r.r_name AS region_name
+      |FROM customer c
+      |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+      |ORDER BY c.c_custkey""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val n = broadcast(Tables.nation(s, d))
+    val r = broadcast(Tables.region(s, d))
+    c.join(n, c("c_nationkey") === n("n_nationkey"), "left")
+      .join(r, n("n_regionkey") === r("r_regionkey"), "left")
+      .select(col("c_custkey"), col("c_name"),
+        col("n_name").as("nation_name"), col("r_name").as("region_name"))
+      .orderBy("c_custkey")
+  }
+
+  /** J7-style — fact ⋈ bridge inner join + rollup: revenue per nation via
+    * orders ⋈ customer (fct_company_orders.sql:42-44 shape). */
+  val j7FactBridge: Q = Q.sql(
+    "j7_fact_bridge_join",
+    """SELECT c.c_nationkey,
+      |  CAST(SUM(CAST((o.o_totalprice) AS DECIMAL(38,6))) AS DOUBLE) AS nation_revenue,
+      |  COUNT(*) AS order_count,
+      |  COUNT(DISTINCT o.o_custkey) AS customer_count
+      |FROM orders o
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY c.c_nationkey
+      |ORDER BY c.c_nationkey""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val c = broadcast(Tables.customer(s, d))
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(
+        dsum(col("o_totalprice")).as("nation_revenue"),
+        count(lit(1)).as("order_count"),
+        countDistinct(col("o_custkey")).as("customer_count"))
+      .orderBy("c_nationkey")
+  }
+
+  /** J8 — FULL OUTER matching with COALESCEd key, match-status CASE and
+    * amount delta (int_unified__order_matching.sql:25-56). Orders vs the
+    * lineitem-derived order totals play the two systems. */
+  val j8FullOuterMatch: Q = Q.sql(
+    "j8_full_outer_match",
+    """WITH li AS (
+      |  SELECT l_orderkey,
+      |    CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(38,6))) AS DOUBLE) AS li_amount
+      |  FROM lineitem GROUP BY l_orderkey
+      |)
+      |SELECT COALESCE(o.o_orderkey, li.l_orderkey) AS order_key,
+      |  CASE WHEN o.o_orderkey IS NULL THEN 'lineitem_only'
+      |       WHEN li.l_orderkey IS NULL THEN 'orders_only'
+      |       ELSE 'matched' END AS match_status,
+      |  o.o_totalprice, li.li_amount,
+      |  CASE WHEN o.o_orderkey IS NOT NULL AND li.l_orderkey IS NOT NULL
+      |       THEN ABS(o.o_totalprice - li.li_amount) END AS amount_delta
+      |FROM orders o
+      |FULL OUTER JOIN li ON o.o_orderkey = li.l_orderkey
+      |ORDER BY order_key""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("li_amount"))
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "full_outer")
+      .select(
+        coalesce(col("o_orderkey"), col("l_orderkey")).as("order_key"),
+        when(col("o_orderkey").isNull, "lineitem_only")
+          .when(col("l_orderkey").isNull, "orders_only")
+          .otherwise("matched").as("match_status"),
+        col("o_totalprice"), col("li_amount"),
+        when(col("o_orderkey").isNotNull && col("l_orderkey").isNotNull,
+          abs(col("o_totalprice") - col("li_amount"))).as("amount_delta"))
+      .orderBy("order_key")
+  }
+
+  /** J11 — as-of join via the idiomatic window rewrite (SURVEY §2.3 J11):
+    * for each event, the value of that user's most recent prior (or same-ts)
+    * 'signup' event — `last(x, ignoreNulls)` over an unbounded-preceding
+    * frame replaces the correlated MAX-date subquery
+    * (fct_product_pricing_history.sql:300-306). */
+  val j11AsOf: Q = Q.sql(
+    "j11_asof_join",
+    """SELECT event_id, user_id, event_type, value,
+      |  LAST_VALUE(CASE WHEN event_type = 'signup' THEN value END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS UNBOUNDED PRECEDING) AS asof_signup_value
+      |FROM events
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("asof_signup_value",
+        last(when(col("event_type") === "signup", col("value")),
+          ignoreNulls = true).over(w))
+      .select("event_id", "user_id", "event_type", "value",
+        "asof_signup_value")
+      .orderBy("event_id")
+  }
+
+  /** J12 — decorrelated attribution windows: one range-conditioned join +
+    * conditional aggregation replaces 6 correlated subqueries
+    * (fct_trade_show_leads.sql:107-170). Per customer: revenue within
+    * 30/90/365 days after their first order. */
+  val j12AttributionWindows: Q = Q.sql(
+    "j12_attribution_windows",
+    """WITH firsts AS (
+      |  SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS first_date
+      |  FROM orders GROUP BY o_custkey
+      |)
+      |SELECT f.o_custkey, CAST(f.first_date AS VARCHAR) AS first_date,
+      |  CAST(SUM(CAST((CASE WHEN CAST(o.o_orderdate AS DATE) <= f.first_date + 30 THEN o.o_totalprice ELSE 0 END) AS DECIMAL(38,6))) AS DOUBLE) AS revenue_30d,
+      |  CAST(SUM(CAST((CASE WHEN CAST(o.o_orderdate AS DATE) <= f.first_date + 90 THEN o.o_totalprice ELSE 0 END) AS DECIMAL(38,6))) AS DOUBLE) AS revenue_90d,
+      |  CAST(SUM(CAST((CASE WHEN CAST(o.o_orderdate AS DATE) <= f.first_date + 365 THEN o.o_totalprice ELSE 0 END) AS DECIMAL(38,6))) AS DOUBLE) AS revenue_365d,
+      |  COUNT(*) AS total_orders
+      |FROM firsts f
+      |JOIN orders o ON o.o_custkey = f.o_custkey
+      |GROUP BY f.o_custkey, f.first_date
+      |ORDER BY f.o_custkey""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val firsts = o.groupBy(col("o_custkey").as("f_custkey"))
+      .agg(min(col("o_orderdate").cast("date")).as("first_date"))
+    val od = col("o_orderdate").cast("date")
+    firsts.join(o, col("f_custkey") === col("o_custkey"))
+      .groupBy(col("f_custkey").as("o_custkey"), col("first_date"))
+      .agg(
+        dsum(when(od <= date_add(col("first_date"), 30),
+          col("o_totalprice")).otherwise(0)).as("revenue_30d"),
+        dsum(when(od <= date_add(col("first_date"), 90),
+          col("o_totalprice")).otherwise(0)).as("revenue_90d"),
+        dsum(when(od <= date_add(col("first_date"), 365),
+          col("o_totalprice")).otherwise(0)).as("revenue_365d"),
+        count(lit(1)).as("total_orders"))
+      .withColumn("first_date", col("first_date").cast("string"))
+      .orderBy("o_custkey")
+  }
+
+  /** J13 — CROSS JOIN against a 1-row broadcast aggregate
+    * (fct_dso_metrics.sql:58-70): each nation's share of global revenue. */
+  val j13CrossAgg: Q = Q.sql(
+    "j13_cross_join_agg",
+    """WITH total AS (
+      |  SELECT CAST(SUM(CAST((o_totalprice) AS DECIMAL(38,6))) AS DOUBLE) AS global_revenue
+      |  FROM orders
+      |), per_cust AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST((o_totalprice) AS DECIMAL(38,6))) AS DOUBLE) AS cust_revenue
+      |  FROM orders GROUP BY o_custkey
+      |)
+      |SELECT p.o_custkey, p.cust_revenue, t.global_revenue,
+      |       p.cust_revenue / t.global_revenue AS revenue_share
+      |FROM per_cust p CROSS JOIN total t
+      |ORDER BY p.o_custkey""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val total = o.agg(dsum(col("o_totalprice")).as("global_revenue"))
+    val perCust = o.groupBy(col("o_custkey"))
+      .agg(dsum(col("o_totalprice")).as("cust_revenue"))
+    perCust.crossJoin(broadcast(total))
+      .withColumn("revenue_share",
+        col("cust_revenue") / col("global_revenue"))
+      .orderBy("o_custkey")
+  }
+
+  /** S5-adjacent — left_anti (NOT EXISTS): customers with no orders; the
+    * merge sink's key-subtraction primitive (SURVEY §2.3 closing note). */
+  val jAntiSemi: Q = Q.sql(
+    "j_anti_semi",
+    """SELECT
+      |  (SELECT COUNT(*) FROM customer c
+      |     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+      |  AS customers_without_orders,
+      |  (SELECT COUNT(*) FROM customer c
+      |     WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+      |  AS customers_with_orders""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("customers_without_orders"))
+    val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("customers_with_orders"))
+    anti.crossJoin(semi)
+  }
+
+  val all: Seq[Q] = Seq(j1BroadcastDims, j7FactBridge, j8FullOuterMatch,
+    j11AsOf, j12AttributionWindows, j13CrossAgg, jAntiSemi)
+}

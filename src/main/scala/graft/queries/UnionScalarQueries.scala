@@ -1,0 +1,329 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import graft.Tables
+import graft.functions.Det._
+import graft.functions.Fns
+
+/** Union/projection operators (SURVEY §2.2, §2.6) and the scalar function
+  * surface (§2.7/§2.8), exercised on the testdata tables.
+  */
+object UnionScalarQueries {
+
+  /** P1/U1 — source-union + column alignment: two differently-shaped
+    * projections unioned by name with NULL pads and a source tag
+    * (base_quickbooks__order_items.sql:1-173). High/low-priority orders
+    * play the invoice/sales-receipt roles; each side has a column the
+    * other lacks. */
+  val p1UnionAlign: Q = Q.sql(
+    "p1_union_align",
+    """SELECT * FROM (
+      |  SELECT o_orderkey, o_custkey, o_totalprice, 'urgent' AS source_type,
+      |         o_orderpriority AS priority_detail,
+      |         CAST(NULL AS VARCHAR) AS status_detail
+      |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_totalprice, 'standard' AS source_type,
+      |         CAST(NULL AS VARCHAR) AS priority_detail,
+      |         o_orderstatus AS status_detail
+      |  FROM orders WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |) ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val urgent = o.filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        lit("urgent").as("source_type"),
+        col("o_orderpriority").as("priority_detail"))
+    val standard = o.filter(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        lit("standard").as("source_type"),
+        col("o_orderstatus").as("status_detail"))
+    urgent.unionByName(standard, allowMissingColumns = true)
+      .orderBy("o_orderkey")
+  }
+
+  /** P2+P3 — derived tri-state flag + SELECT * EXCEPT re-projection
+    * (stg_quickbooks__order_items_tax_status.sql). */
+  val p2p3FlagExcept: Q = Q.sql(
+    "p2_flag_and_star_except",
+    """SELECT p_partkey, p_name, p_brand, p_size,
+      |  CASE WHEN LOWER(p_type) LIKE '%anodized%' THEN TRUE
+      |       WHEN LOWER(p_type) LIKE '%polished%' THEN FALSE
+      |       ELSE NULL END AS is_anodized
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    val p = Tables.part(s, d)
+    val flagged = p.withColumn("is_anodized",
+      when(lower(col("p_type")).contains("anodized"), lit(true))
+        .when(lower(col("p_type")).contains("polished"), lit(false))
+        .otherwise(lit(null).cast("boolean")))
+    Fns.starExcept(flagged, Seq("p_type", "p_retailprice"))
+      .orderBy("p_partkey")
+  }
+
+  /** A15/U1 — multi-level summary UNION ALL with analysis_level tag and
+    * NULL-padded columns (dim_accounts_receivable_aging.sql:52-150). */
+  val a15MultiLevel: Q = Q.sql(
+    "a15_multilevel_union",
+    """SELECT * FROM (
+      |  SELECT 'order' AS analysis_level, o_orderkey AS entity_key,
+      |         o_custkey,
+      |         CAST(o_totalprice AS DOUBLE) AS amount,
+      |         CAST(NULL AS BIGINT) AS order_count
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'customer' AS analysis_level, o_custkey AS entity_key,
+      |         CAST(NULL AS BIGINT) AS o_custkey,
+      |         CAST(SUM(CAST((o_totalprice) AS DECIMAL(38,6))) AS DOUBLE) AS amount,
+      |         COUNT(*) AS order_count
+      |  FROM orders GROUP BY o_custkey
+      |  UNION ALL
+      |  SELECT 'total' AS analysis_level, CAST(0 AS BIGINT) AS entity_key,
+      |         CAST(NULL AS BIGINT) AS o_custkey,
+      |         CAST(SUM(CAST((o_totalprice) AS DECIMAL(38,6))) AS DOUBLE) AS amount,
+      |         COUNT(*) AS order_count
+      |  FROM orders
+      |) ORDER BY analysis_level, entity_key""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val detail = o.select(
+      lit("order").as("analysis_level"),
+      col("o_orderkey").as("entity_key"),
+      col("o_custkey"),
+      col("o_totalprice").cast(DoubleType).as("amount"))
+    val byCust = o.groupBy(col("o_custkey").as("entity_key"))
+      .agg(dsum(col("o_totalprice")).as("amount"),
+        count(lit(1)).as("order_count"))
+      .withColumn("analysis_level", lit("customer"))
+    val total = o.agg(dsum(col("o_totalprice")).as("amount"),
+      count(lit(1)).as("order_count"))
+      .select(lit("total").as("analysis_level"),
+        lit(0L).as("entity_key"), col("amount"), col("order_count"))
+    detail
+      .unionByName(byCust, allowMissingColumns = true)
+      .unionByName(total, allowMissingColumns = true)
+      .orderBy("analysis_level", "entity_key")
+  }
+
+  /** U2 — UNION DISTINCT of two extracts (domain_consolidation.py:317). */
+  val u2UnionDistinct: Q = Q.sql(
+    "u2_union_distinct",
+    """SELECT nk FROM (
+      |  SELECT c_nationkey AS nk FROM customer
+      |  UNION
+      |  SELECT s_nationkey AS nk FROM supplier
+      |) ORDER BY nk""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+      .union(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))
+      .distinct()
+      .orderBy("nk")
+  }
+
+  /** §2.7 string functions — SPLIT_PART (PG ''-on-missing semantics),
+    * INITCAP, LEFT/substring, LENGTH, CONCAT_WS, NULLIF(TRIM()), REPLACE,
+    * regexp_extract on part names/brands. */
+  val fString: Q = Q.sql(
+    "f_string_functions",
+    """SELECT p_partkey,
+      |  COALESCE(SPLIT_PART(p_name, ' ', 1), '') AS first_word,
+      |  COALESCE(SPLIT_PART(p_name, ' ', 9), '') AS ninth_word_empty,
+      |  UPPER(p_brand) AS brand_upper,
+      |  LEFT(p_name, 10) AS name_left10,
+      |  LENGTH(p_name) AS name_len,
+      |  CONCAT_WS('-', p_brand, CAST(p_size AS VARCHAR)) AS brand_size,
+      |  REPLACE(p_brand, '#', '_') AS brand_clean,
+      |  REGEXP_EXTRACT(p_type, '(\w+)$', 1) AS last_type_word,
+      |  NULLIF(TRIM(p_name), '') AS name_nullif
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      Fns.splitPart(col("p_name"), " ", 1).as("first_word"),
+      Fns.splitPart(col("p_name"), " ", 9).as("ninth_word_empty"),
+      upper(col("p_brand")).as("brand_upper"),
+      substring(col("p_name"), 1, 10).as("name_left10"),
+      length(col("p_name")).as("name_len"),
+      concat_ws("-", col("p_brand"), col("p_size").cast("string"))
+        .as("brand_size"),
+      regexp_replace(col("p_brand"), "#", "_").as("brand_clean"),
+      regexp_extract(col("p_type"), "(\\w+)$", 1).as("last_type_word"),
+      Fns.nullifBlank(col("p_name")).as("name_nullif"))
+      .orderBy("p_partkey")
+  }
+
+  /** §2.7 hash/key functions — MD5 and the dbt surrogate-key recipe,
+    * byte-identical across engines. */
+  val fHash: Q = Q.sql(
+    "f_surrogate_key",
+    """SELECT c_custkey,
+      |  MD5(CONCAT_WS('|', c_name, c_mktsegment)) AS plain_md5,
+      |  MD5(CONCAT_WS('-',
+      |    COALESCE(CAST(c_custkey AS VARCHAR), '_dbt_utils_surrogate_key_null_'),
+      |    COALESCE(CAST(c_mktsegment AS VARCHAR), '_dbt_utils_surrogate_key_null_')))
+      |    AS surrogate_key,
+      |  CONCAT('gen_', LEFT(MD5(LOWER(CONCAT_WS('|', c_name, c_mktsegment))), 16))
+      |    AS generated_id
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).select(
+      col("c_custkey"),
+      md5(concat_ws("|", col("c_name"), col("c_mktsegment"))).as("plain_md5"),
+      Fns.surrogateKey(col("c_custkey"), col("c_mktsegment"))
+        .as("surrogate_key"),
+      Fns.generatedLeadId(col("c_name"), col("c_mktsegment"))
+        .as("generated_id"))
+      .orderBy("c_custkey")
+  }
+
+  /** §2.7 date functions — datediff, date_add, date_trunc, extract,
+    * add_months, greatest/least (SURVEY date/time list). As-of date
+    * injected for determinism (§7.4 #5). */
+  val fDate: Q = Q.sql(
+    "f_date_functions",
+    """SELECT o_orderkey,
+      |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+      |  DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '1998-08-11') AS days_outstanding,
+      |  CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS due_date,
+      |  CAST(CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS VARCHAR) AS order_month,
+      |  CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
+      |  CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS order_quarter,
+      |  CAST(GREATEST(CAST(o_orderdate AS DATE), DATE '1997-01-01') AS VARCHAR) AS clamped_date,
+      |  CAST(CAST(o_orderdate AS DATE) >= DATE '1998-08-11' - INTERVAL 365 DAYS AS BOOLEAN) AS in_last_year
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val od = col("o_orderdate").cast("date")
+    val asOf = to_date(lit("1998-08-11"))
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      od.cast("string").as("order_date"),
+      datediff(asOf, od).as("days_outstanding"),
+      date_add(od, 30).cast("string").as("due_date"),
+      date_trunc("month", col("o_orderdate")).cast("date").cast("string")
+        .as("order_month"),
+      year(col("o_orderdate")).cast("long").as("order_year"),
+      quarter(col("o_orderdate")).cast("long").as("order_quarter"),
+      greatest(od, to_date(lit("1997-01-01"))).cast("string")
+        .as("clamped_date"),
+      (od >= date_sub(asOf, 365)).as("in_last_year"))
+      .orderBy("o_orderkey")
+  }
+
+  /** §2.8 — safe numeric parsing of dirty strings ('$1,234.50', '12%'),
+    * built from existing columns so the oracle sees identical inputs
+    * (pipelines/shared/utils.py:105-137). */
+  val fSafeNumeric: Q = Q.sql(
+    "f_safe_numeric",
+    """WITH dirty AS (
+      |  SELECT o_orderkey,
+      |    CONCAT('$', CAST(o_totalprice AS VARCHAR)) AS dollar_str,
+      |    CONCAT(CAST(o_orderkey % 100 AS VARCHAR), '%') AS pct_str,
+      |    o_orderstatus AS not_a_number
+      |  FROM orders
+      |)
+      |SELECT o_orderkey,
+      |  COALESCE(TRY_CAST(REGEXP_REPLACE(dollar_str, '[,$%\s]', '', 'g') AS DOUBLE), 0.0) AS parsed_dollars,
+      |  COALESCE(TRY_CAST(REGEXP_REPLACE(pct_str, '[,$%\s]', '', 'g') AS DOUBLE), 0.0) AS parsed_pct,
+      |  COALESCE(TRY_CAST(REGEXP_REPLACE(not_a_number, '[,$%\s]', '', 'g') AS DOUBLE), 0.0) AS parsed_default
+      |FROM dirty
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val dirty = Tables.orders(s, d).select(
+      col("o_orderkey"),
+      concat(lit("$"), col("o_totalprice").cast("string")).as("dollar_str"),
+      concat((col("o_orderkey") % 100).cast("string"), lit("%")).as("pct_str"),
+      col("o_orderstatus").as("not_a_number"))
+    dirty.select(
+      col("o_orderkey"),
+      Fns.safeNumeric(col("dollar_str")).as("parsed_dollars"),
+      Fns.safeNumeric(col("pct_str")).as("parsed_pct"),
+      Fns.safeNumeric(col("not_a_number")).as("parsed_default"))
+      .orderBy("o_orderkey")
+  }
+
+  /** S5 — merge/upsert semantics: new snapshot overrides old by PK, old
+    * non-colliding rows survive (DLT write_disposition="merge",
+    * pipelines/quickbooks/pipeline.py:301-306). "Old" = orders before
+    * 1998-01-01, "new" = orders from 1997-07-01; overlap keys take the
+    * new side. Expressed via the same row_number-keep-latest the
+    * MergeWriter uses. */
+  val s5MergeUpsert: Q = Q.sql(
+    "s5_merge_upsert",
+    """WITH old AS (
+      |  SELECT o_orderkey, o_totalprice, 'old' AS batch FROM orders
+      |  WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+      |), new AS (
+      |  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, 'new' AS batch
+      |  FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1997-07-01'
+      |), unioned AS (
+      |  SELECT *, 1 AS pri FROM new
+      |  UNION ALL
+      |  SELECT *, 2 AS pri FROM old
+      |)
+      |SELECT o_orderkey, o_totalprice, batch FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY pri) AS rn
+      |  FROM unioned
+      |) WHERE rn = 1
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val od = col("o_orderdate").cast("date")
+    val oldB = o.filter(od < to_date(lit("1998-01-01")))
+      .select(col("o_orderkey"), col("o_totalprice"), lit("old").as("batch"))
+    val newB = o.filter(od >= to_date(lit("1997-07-01")))
+      .select(col("o_orderkey"),
+        (col("o_totalprice") * 2).as("o_totalprice"), lit("new").as("batch"))
+    graft.operators.MergeUpsert.upsert(oldB, newB, Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
+  /** I1 — incremental append semantics: only rows newer than the target's
+    * max snapshot key are appended
+    * (int_quickbooks__inventory_history.sql:7-12,58-64). */
+  val i1Incremental: Q = Q.sql(
+    "i1_incremental_filter",
+    """WITH target AS (
+      |  SELECT * FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+      |), incoming AS (
+      |  SELECT * FROM orders
+      |)
+      |SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date, o_totalprice
+      |FROM incoming
+      |WHERE CAST(o_orderdate AS DATE) > (SELECT MAX(CAST(o_orderdate AS DATE)) FROM target)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val od = col("o_orderdate").cast("date")
+    val target = o.filter(od < to_date(lit("1998-01-01")))
+      .select(od.as("order_date"))
+    graft.operators.MergeUpsert
+      .incrementalNewRows(target, "order_date",
+        o.select(col("o_orderkey"), od.as("order_date"), col("o_totalprice")))
+      .withColumn("order_date", col("order_date").cast("string"))
+      .orderBy("o_orderkey")
+  }
+
+  /** A17-style — monthly channel rollup over the events stream table
+    * (mart_marketing_performance.sql:13-36). */
+  val a17EventRollup: Q = Q.sql(
+    "a17_event_channel_rollup",
+    """SELECT CAST(CAST(DATE_TRUNC('month', ts) AS DATE) AS VARCHAR) AS event_month, event_type,
+      |  COUNT(DISTINCT user_id) AS unique_users,
+      |  COUNT(*) AS event_count,
+      |  CAST(SUM(CAST((value) AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+      |  CAST(SUM(CAST((value) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS avg_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY event_month, event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(
+        date_trunc("month", col("ts")).cast("date").cast("string")
+          .as("event_month"),
+        col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("unique_users"),
+        count(lit(1)).as("event_count"),
+        dsum(col("value")).as("total_value"),
+        davg(col("value")).as("avg_value"))
+      .orderBy("event_month", "event_type")
+  }
+
+  val all: Seq[Q] = Seq(p1UnionAlign, p2p3FlagExcept, a15MultiLevel,
+    u2UnionDistinct, fString, fHash, fDate, fSafeNumeric, s5MergeUpsert,
+    i1Incremental, a17EventRollup)
+}
