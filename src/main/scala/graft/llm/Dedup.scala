@@ -1,0 +1,126 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * fuzziness: exact, MinHash+LSH banding, SimHash, exact n-gram Jaccard
+  * verification. All deterministic and engine-portable: the hash family
+  * is `md5(seed || value)` (hex-string min), so an external SQL oracle
+  * computes identical signatures.
+  *
+  * Scale shape (the part that matters at 100 TB):
+  *  - exact: one groupBy on the 128-bit digest — uniform keys, perfect
+  *    map-side combine.
+  *  - MinHash/LSH: per-doc signatures are a scan + explode + groupBy(doc)
+  *    (shuffle ∝ shingle count); candidate generation is a groupBy on
+  *    band keys — only docs sharing a band collide, so the pair blow-up
+  *    is bounded by bucket sizes, never O(n²). A hot bucket (boilerplate
+  *    docs) is the skew risk; cap bucket size or salt in production.
+  *  - Jaccard verify runs only on LSH candidates.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical = min id per content digest. Returns
+    * (id, content_fp, canonical_id, is_duplicate). */
+  def exact(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val fp = md5(lower(trim(text)))
+    val w = Window.partitionBy(col("content_fp"))
+    df.select(id.as("doc_id"), fp.as("content_fp"))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("dup_group_size", count(lit(1)).over(w))
+      .withColumn("is_duplicate", col("doc_id") =!= col("canonical_id"))
+  }
+
+  /** MinHash signature column k-seeded over a shingle array:
+    * sig_k = MIN(md5(seed_k || shingle)). Deterministic, portable. */
+  def minhash(shingleCol: Column, seed: String): Column =
+    array_min(transform(shingleCol, s => md5(concat(lit(seed), s))))
+
+  /** Per-doc banded MinHash signatures: one row per (doc, band) with a
+    * single band key = md5 of the band's concatenated min-hashes.
+    * `bands × rowsPerBand` seeds. */
+  def minhashBands(docs: DataFrame, id: Column, shingleCol: Column,
+                   bands: Int, rowsPerBand: Int): DataFrame = {
+    val sigs: Seq[Column] = (0 until bands * rowsPerBand)
+      .map(k => minhash(shingleCol, s"mh$k|"))
+    val bandKeys: Seq[Column] = (0 until bands).map { b =>
+      val slice = sigs.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
+      struct(lit(b).as("band"), md5(concat_ws("|", slice: _*)).as("band_key"))
+    }
+    docs.select(id.as("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.band_key").as("band_key"))
+  }
+
+  /** LSH candidate pairs (a < b): docs sharing any band bucket. */
+  def lshCandidates(bandsDf: DataFrame): DataFrame = {
+    val l = bandsDf.select(col("band"), col("band_key"),
+      col("doc_id").as("doc_a"))
+    val r = bandsDf.select(col("band"), col("band_key"),
+      col("doc_id").as("doc_b"))
+    l.join(r, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact Jaccard similarity over distinct shingles for candidate
+    * pairs. `shingled` must have (doc_id, shingle) distinct rows. */
+  def jaccardVerify(candidates: DataFrame, shingled: DataFrame): DataFrame = {
+    val sizes = shingled.groupBy("doc_id")
+      .agg(count(lit(1)).as("set_size"))
+    val inter = candidates
+      .join(shingled.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("shingle", "sh_a"), Seq("doc_a"))
+      .join(shingled.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("shingle", "sh_b"), Seq("doc_b"))
+      .filter(col("sh_a") === col("sh_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("intersection_size"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("set_size", "size_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("set_size", "size_b"), Seq("doc_b"))
+      .withColumn("union_size",
+        col("size_a") + col("size_b") - col("intersection_size"))
+      .withColumn("jaccard",
+        col("intersection_size").cast("double") / col("union_size"))
+  }
+
+  /** SimHash signature as a 32-char '0'/'1' string: bit i is the sign of
+    * the sum over tokens of ±1, where +1 iff hex digit i of md5(token)
+    * has its high bit set (digit in 8..f). Portable to any engine with
+    * md5 + substring. */
+  def simhashBits(toks: Column): Column = {
+    val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f").map(lit(_))
+    val bitCols = (1 to 32).map { i =>
+      val votes = aggregate(
+        transform(toks, t =>
+          when(substring(md5(t), i, 1).isin(highHex: _*), 1).otherwise(-1)),
+        lit(0), (acc, x) => acc + x)
+      when(votes > 0, "1").otherwise("0")
+    }
+    concat(bitCols: _*)
+  }
+
+  /** Distributed SimHash: same signature as [[simhashBits]] but computed
+    * from exploded (doc_id, token) rows — md5 evaluated once per token
+    * (the array form above gets inlined 32× by project-collapsing), and
+    * the per-bit votes become 32 conditional sums in ONE groupBy(doc_id)
+    * aggregate. This is the form to use on real corpora. */
+  def simhashFromTokens(tokenRows: DataFrame): DataFrame = {
+    val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f").map(lit(_))
+    val h = md5(col("token"))
+    val votes = (1 to 32).map { i =>
+      sum(when(substring(h, i, 1).isin(highHex: _*), 1).otherwise(-1))
+        .as(s"v$i")
+    }
+    tokenRows.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        concat((1 to 32).map(i =>
+          when(col(s"v$i") > 0, "1").otherwise("0")): _*).as("simhash"))
+  }
+}

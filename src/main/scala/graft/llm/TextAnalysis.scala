@@ -1,0 +1,94 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, language ID (marker-word heuristic), quality scoring,
+  * and document fingerprinting. All pure Column expressions — codegen'd,
+  * no UDFs, embarrassingly parallel (per-row map, zero shuffles), so the
+  * plans are scan-shaped at any scale.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens with empties dropped (mirrors a BPE-ish pre-split). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Word-level n-gram shingles, 1-based positions, guarded for short
+    * docs (ANSI-safe: sequence() is only built when size >= n). */
+  def shingles(toks: Column, n: Int): Column = {
+    val idx = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    transform(idx, i =>
+      concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
+  }
+
+  private val stopwords =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "for", "on", "with")
+
+  /** Marker-word sets for the n-gram-heuristic language ID. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "a"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  /** Count of tokens that appear in `words`. */
+  def markerHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+
+  /** Predicted language: arg-max marker hits, ties broken by language
+    * code order, 'und' when nothing matches. */
+  def langId(toks: Column): Column = {
+    val hits = langMarkers.map { case (code, ws) => (code, markerHits(toks, ws)) }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldRight(lit("und"): Column) { case ((code, h), acc) =>
+      when(h === best && best > 0, code).otherwise(acc)
+    }
+  }
+
+  /** Quality-scoring feature columns + composite score in [0,1]:
+    * token volume, punctuation density, stopword ratio, lexical
+    * diversity — the standard cheap pre-filters for web corpora. */
+  def withQuality(df: DataFrame, text: Column): DataFrame = {
+    val toks = tokens(text)
+    df.withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_chars_measured", length(text).cast("long"))
+      .withColumn("avg_token_len",
+        when(size(toks) > 0,
+          length(regexp_replace(text, "\\s", "")).cast("double") / size(toks))
+          .otherwise(lit(0.0)))
+      .withColumn("punct_ratio",
+        when(length(text) > 0,
+          (length(text) - length(regexp_replace(text, "[\\.,;:!\\?]", "")))
+            .cast("double") / length(text))
+          .otherwise(lit(0.0)))
+      .withColumn("stopword_ratio",
+        when(size(toks) > 0,
+          markerHits(toks, stopwords).cast("double") / size(toks))
+          .otherwise(lit(0.0)))
+      .withColumn("distinct_token_ratio",
+        when(size(toks) > 0,
+          size(array_distinct(toks)).cast("double") / size(toks))
+          .otherwise(lit(0.0)))
+      .withColumn("quality_score",
+        least(lit(1.0), col("n_tokens").cast("double") / 50.0) * 0.4
+          + (lit(1.0) - col("punct_ratio")) * 0.2
+          + col("stopword_ratio") * 0.2
+          + col("distinct_token_ratio") * 0.2)
+  }
+
+  /** Content fingerprints: exact (md5 of normalized text), bag (md5 of
+    * sorted distinct tokens — word-order-insensitive), and min-shingle
+    * (min md5 over 3-gram shingles — the 1-hash MinHash). */
+  def withFingerprints(df: DataFrame, text: Column): DataFrame = {
+    val toks = tokens(text)
+    val sh = shingles(toks, 3)
+    df.withColumn("content_fp", md5(lower(trim(text))))
+      .withColumn("bag_fp",
+        md5(concat_ws(" ", sort_array(array_distinct(toks)))))
+      .withColumn("minshingle_fp",
+        array_min(transform(sh, s => md5(s))))
+  }
+}

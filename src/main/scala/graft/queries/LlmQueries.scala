@@ -1,0 +1,362 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+
+/** Training-data-pipeline operators (builder-prompt first-class set):
+  * text analysis, dedup family, similarity search, multimodal plumbing —
+  * all over the documents/embeddings tables, oracle-checked where
+  * SQL-expressible.
+  */
+object LlmQueries {
+
+  private val toksSql =
+    """list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)"""
+
+  /** Text analysis — token counting (whitespace + length stats). */
+  val tTokens: Q = Q.sql(
+    "t_text_tokens",
+    s"""WITH t AS (
+      |  SELECT doc_id, text, $toksSql AS toks FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CAST(length(text) AS BIGINT) AS n_chars_measured,
+      |  CASE WHEN len(toks) > 0
+      |       THEN CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(toks)
+      |       ELSE 0.0 END AS avg_token_len
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = TA.tokens(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars_measured"),
+      when(size(toks) > 0,
+        length(regexp_replace(col("text"), "\\s", "")).cast("double")
+          / size(toks)).otherwise(0.0).as("avg_token_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Text analysis — n-gram/marker-word language ID heuristic. */
+  val tLangId: Q = {
+    val markerSql = TA.langMarkers.map { case (code, ws) =>
+      val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter(toks, x -> list_contains($lst, x))) AS BIGINT) AS ${code}_hits"
+    }.mkString(",\n      |  ")
+    Q.sql(
+      "t_text_langid",
+      s"""WITH t AS (
+        |  SELECT doc_id, lang, $toksSql AS toks FROM documents
+        |), h AS (
+        |  SELECT doc_id, lang, $markerSql
+        |  FROM t
+        |), b AS (
+        |  SELECT *, GREATEST(en_hits, es_hits, de_hits, fr_hits) AS best FROM h
+        |)
+        |SELECT doc_id, lang AS labeled_lang, en_hits, es_hits, de_hits, fr_hits,
+        |  CASE WHEN best = 0 THEN 'und'
+        |       WHEN en_hits = best THEN 'en'
+        |       WHEN es_hits = best THEN 'es'
+        |       WHEN de_hits = best THEN 'de'
+        |       ELSE 'fr' END AS predicted_lang
+        |FROM b ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = TA.tokens(col("text"))
+      val withHits = Tables.documents(s, d).select(
+        Seq(col("doc_id"), col("lang").as("labeled_lang")) ++
+          TA.langMarkers.map { case (code, ws) =>
+            TA.markerHits(toks, ws).cast("long").as(s"${code}_hits")
+          }: _*)
+      val best = greatest(col("en_hits"), col("es_hits"), col("de_hits"),
+        col("fr_hits"))
+      withHits.withColumn("predicted_lang",
+        when(best === 0, "und")
+          .when(col("en_hits") === best, "en")
+          .when(col("es_hits") === best, "es")
+          .when(col("de_hits") === best, "de")
+          .otherwise("fr"))
+        .orderBy("doc_id")
+    }
+  }
+
+  /** Text analysis — quality scoring (length/punct/stopword/diversity). */
+  val tQuality: Q = Q.sql(
+    "t_text_quality",
+    s"""WITH t AS (
+      |  SELECT doc_id, text, $toksSql AS toks FROM documents
+      |), f AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CASE WHEN length(text) > 0
+      |         THEN CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS DOUBLE) / length(text)
+      |         ELSE 0.0 END AS punct_ratio,
+      |    CASE WHEN len(toks) > 0
+      |         THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','an','of','and','to','in','is','for','on','with'], x))) AS DOUBLE) / len(toks)
+      |         ELSE 0.0 END AS stopword_ratio,
+      |    CASE WHEN len(toks) > 0
+      |         THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+      |         ELSE 0.0 END AS distinct_token_ratio
+      |  FROM t
+      |)
+      |SELECT doc_id, n_tokens, punct_ratio, stopword_ratio, distinct_token_ratio,
+      |  LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.4
+      |    + (1.0 - punct_ratio) * 0.2 + stopword_ratio * 0.2
+      |    + distinct_token_ratio * 0.2 AS quality_score
+      |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+    TA.withQuality(Tables.documents(s, d), col("text"))
+      .select("doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
+        "distinct_token_ratio", "quality_score")
+      .orderBy("doc_id")
+  }
+
+  /** Text analysis — document fingerprinting (exact / bag / min-shingle). */
+  val tFingerprint: Q = Q.sql(
+    "t_text_fingerprint",
+    s"""WITH t AS (
+      |  SELECT doc_id, text, $toksSql AS toks FROM documents
+      |), s AS (
+      |  SELECT doc_id, text, toks,
+      |    list_transform(generate_series(1, len(toks) - 2),
+      |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS sh
+      |  FROM t
+      |)
+      |SELECT doc_id,
+      |  md5(lower(trim(text))) AS content_fp,
+      |  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS bag_fp,
+      |  list_min(list_transform(sh, x -> md5(x))) AS minshingle_fp
+      |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+    TA.withFingerprints(Tables.documents(s, d), col("text"))
+      .select("doc_id", "content_fp", "bag_fp", "minshingle_fp")
+      .orderBy("doc_id")
+  }
+
+  /** Dedup — exact (hash-groupBy): canonical id + group size per digest. */
+  val ddExact: Q = Q.sql(
+    "dd_exact_dedup",
+    """WITH fp AS (
+      |  SELECT doc_id, md5(lower(trim(text))) AS content_fp FROM documents
+      |)
+      |SELECT doc_id, content_fp,
+      |  MIN(doc_id) OVER (PARTITION BY content_fp) AS canonical_id,
+      |  COUNT(*) OVER (PARTITION BY content_fp) AS dup_group_size,
+      |  doc_id <> MIN(doc_id) OVER (PARTITION BY content_fp) AS is_duplicate
+      |FROM fp ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Dedup.exact(Tables.documents(s, d), col("doc_id"), col("text"))
+      .orderBy("doc_id")
+  }
+
+  /** Dedup — MinHash + LSH banding (4 bands × 2 rows, md5-seeded) with
+    * exact n-gram-Jaccard verification of the candidates; emits pairs
+    * with jaccard >= 0.8. Covers both the minhash-LSH and ngram-jaccard
+    * operators end-to-end. */
+  val ddMinhashLsh: Q = Q.sql(
+    "dd_minhash_lsh_jaccard",
+    s"""WITH t AS (
+      |  SELECT doc_id, $toksSql AS toks FROM documents
+      |), s AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(1, len(toks) - 2),
+      |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS sh
+      |  FROM t
+      |), bands AS (
+      |  SELECT doc_id, b AS band,
+      |    md5(concat_ws('|',
+      |      list_min(list_transform(sh, x -> md5('mh' || CAST(b*2 AS VARCHAR) || '|' || x))),
+      |      list_min(list_transform(sh, x -> md5('mh' || CAST(b*2+1 AS VARCHAR) || '|' || x))))) AS band_key
+      |  FROM s CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      |  FROM bands a JOIN bands c USING (band, band_key)
+      |  WHERE a.doc_id < c.doc_id
+      |), shd AS (
+      |  SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM s
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id
+      |), inter AS (
+      |  SELECT doc_a, doc_b, COUNT(*) AS intersection_size
+      |  FROM cand
+      |  JOIN shd x ON x.doc_id = doc_a
+      |  JOIN shd y ON y.doc_id = doc_b AND y.shingle = x.shingle
+      |  GROUP BY doc_a, doc_b
+      |)
+      |SELECT doc_a, doc_b, intersection_size,
+      |  sa.n + sb.n - intersection_size AS union_size,
+      |  CAST(intersection_size AS DOUBLE) / (sa.n + sb.n - intersection_size) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE CAST(intersection_size AS DOUBLE) / (sa.n + sb.n - intersection_size) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val toks = TA.tokens(col("text"))
+    val withShingles = docs.select(col("doc_id"),
+      TA.shingles(toks, 3).as("sh"))
+    val bands = Dedup.minhashBands(withShingles, col("doc_id"), col("sh"),
+      bands = 4, rowsPerBand = 2)
+    val candidates = Dedup.lshCandidates(bands)
+    val shingled = withShingles
+      .select(col("doc_id"), explode(col("sh")).as("shingle")).distinct()
+    Dedup.jaccardVerify(candidates, shingled)
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b", "intersection_size", "union_size", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Dedup — SimHash signatures (32-bit, md5-vote construction),
+    * computed the distributed way (explode + one groupBy). */
+  val ddSimhash: Q = {
+    val highHex = "('8','9','a','b','c','d','e','f')"
+    val votes = (1 to 32).map(i =>
+      s"SUM(CASE WHEN substr(md5(token), $i, 1) IN $highHex THEN 1 ELSE -1 END) AS v$i")
+      .mkString(",\n      |    ")
+    val bits = (1 to 32).map(i =>
+      s"CASE WHEN v$i > 0 THEN '1' ELSE '0' END").mkString(" || ")
+    Q.sql(
+      "dd_simhash",
+      s"""WITH t AS (
+        |  SELECT doc_id, $toksSql AS toks FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(toks) AS token FROM t
+        |), v AS (
+        |  SELECT doc_id,
+        |    $votes
+        |  FROM tok GROUP BY doc_id
+        |)
+        |SELECT doc_id, $bits AS simhash
+        |FROM v ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tokenRows = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TA.tokens(col("text"))).as("token"))
+      Dedup.simhashFromTokens(tokenRows).orderBy("doc_id")
+    }
+  }
+
+  // Integer-quantized scores (see Similarity scaladoc): float→double,
+  // ×1e6, away-from-zero round, BIGINT sums — exact in both engines.
+  private val qq = "CAST(ROUND(CAST(%s AS DOUBLE) * 1000000) AS BIGINT)"
+  private val dotSql =
+    s"SUM(${qq.format("qv")} * ${qq.format("cv")})"
+  private val normSql =
+    s"""SELECT vec_id AS id,
+      |    SQRT(CAST(SUM(${qq.format("v")} * ${qq.format("v")}) AS DOUBLE)) AS norm
+      |  FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings)
+      |  GROUP BY vec_id""".stripMargin
+
+  /** Similarity — brute-force cosine top-5 for the first 10 query
+    * vectors, decimal-exact dot products, deterministic tie-break. */
+  val annBruteForce: Q = Q.sql(
+    "ann_cosine_topk",
+    s"""WITH qe AS (
+      |  SELECT vec_id AS query_id, unnest(embedding) AS qv,
+      |         unnest(generate_series(1, len(embedding))) AS pos
+      |  FROM embeddings WHERE vec_id < 10
+      |), ce AS (
+      |  SELECT vec_id AS cand_id, unnest(embedding) AS cv,
+      |         unnest(generate_series(1, len(embedding))) AS pos
+      |  FROM embeddings
+      |), dots AS (
+      |  SELECT query_id, cand_id, $dotSql AS dot
+      |  FROM qe JOIN ce USING (pos)
+      |  WHERE query_id <> cand_id
+      |  GROUP BY query_id, cand_id
+      |), norms AS (
+      |  $normSql
+      |), scored AS (
+      |  SELECT query_id, cand_id,
+      |         CAST(dot AS DOUBLE) / (qn.norm * cn.norm) AS cosine
+      |  FROM dots
+      |  JOIN norms qn ON qn.id = query_id
+      |  JOIN norms cn ON cn.id = cand_id
+      |)
+      |SELECT query_id, cand_id, cosine, rank FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, cand_id) AS rank
+      |  FROM scored
+      |) WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < 10), emb, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Similarity — sign-bucket LSH top-5 (every vector as query; the
+    * bounded-candidate scale path). */
+  val annLsh: Q = Q.sql(
+    "ann_lsh_topk",
+    s"""WITH bucketed AS (
+      |  SELECT vec_id, embedding,
+      |    ${(0 until 6).map(i =>
+          s"(CASE WHEN embedding[${i + 1}] >= 0 THEN '1' ELSE '0' END)")
+          .mkString(" || ")} AS bucket
+      |  FROM embeddings
+      |), cand AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.bucket
+      |  FROM bucketed q JOIN bucketed c USING (bucket)
+      |  WHERE q.vec_id <> c.vec_id
+      |), qe AS (
+      |  SELECT vec_id AS query_id, unnest(embedding) AS qv,
+      |         unnest(generate_series(1, len(embedding))) AS pos
+      |  FROM bucketed
+      |), ce AS (
+      |  SELECT vec_id AS cand_id, unnest(embedding) AS cv,
+      |         unnest(generate_series(1, len(embedding))) AS pos
+      |  FROM bucketed
+      |), dots AS (
+      |  SELECT cand.query_id, cand.cand_id, cand.bucket, $dotSql AS dot
+      |  FROM cand
+      |  JOIN qe ON qe.query_id = cand.query_id
+      |  JOIN ce ON ce.cand_id = cand.cand_id AND ce.pos = qe.pos
+      |  GROUP BY cand.query_id, cand.cand_id, cand.bucket
+      |), norms AS (
+      |  $normSql
+      |), scored AS (
+      |  SELECT query_id, cand_id, bucket,
+      |         CAST(dot AS DOUBLE) / (qn.norm * cn.norm) AS cosine
+      |  FROM dots
+      |  JOIN norms qn ON qn.id = query_id
+      |  JOIN norms cn ON cn.id = cand_id
+      |)
+      |SELECT query_id, cand_id, bucket, cosine, rank FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, cand_id) AS rank
+      |  FROM scored
+      |) WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.signLshTopK(emb, emb.select("vec_id"), k = 5, bits = 6)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Multimodal — binary-column plumbing: typed media table with opaque
+    * payloads + metadata (schema/partitioning side is the real part). */
+  val mmBinary: Q = Q.sql(
+    "mm_binary_plumbing",
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |       WHEN doc_id % 3 = 1 THEN 'audio'
+      |       ELSE 'video' END AS media_type,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+      |  ascii(substr(text, 1, 1)) AS first_byte,
+      |  source AS origin
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Multimodal.asMediaTable(Tables.documents(s, d))
+      .select(col("doc_id"), col("media_type"),
+        octet_length(col("payload")).cast("long").as("payload_bytes"),
+        ascii(substring(decode(col("payload"), "UTF-8"), 1, 1))
+          .as("first_byte"),
+        col("meta.origin").as("origin"))
+      .orderBy("doc_id")
+  }
+
+  /** Multimodal — stubbed decode + feature extraction through
+    * mapPartitions (rows-only check: not SQL-expressible). */
+  val mmFeatures: Q = Q.rowsOnly("mm_decode_features") { (s, d) =>
+    Multimodal.decodeAndFeaturize(
+      Multimodal.asMediaTable(Tables.documents(s, d)))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(tTokens, tLangId, tQuality, tFingerprint, ddExact,
+    ddMinhashLsh, ddSimhash, annBruteForce, annLsh, mmBinary, mmFeatures)
+}
