@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens drops empties; shingles guard short docs (ANSI-safe)") {
+    val df = Seq("a b  c", "x", "", "one two three four").toDF("text")
+    val got = df.select(size(TA.tokens($"text")).as("n"),
+      size(TA.shingles(TA.tokens($"text"), 3)).as("sh"))
+      .as[(Int, Int)].collect()
+    assert(got.toSeq == Seq((3, 1), (1, 0), (0, 0), (4, 2)))
+  }
+
+  test("exact dedup groups identical normalized text") {
+    val df = Seq((1L, "Hello World"), (2L, "hello world"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exact(df, $"doc_id", $"text")
+      .orderBy("doc_id")
+      .select("doc_id", "canonical_id", "is_duplicate")
+      .as[(Long, Long, Boolean)].collect()
+    assert(got.toSeq == Seq((1L, 1L, false), (2L, 1L, true),
+      (3L, 3L, false)))
+  }
+
+  test("LSH candidates: identical docs collide in every band, disjoint docs never") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely different words appear in this one here now"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TA.shingles(TA.tokens($"text"), 3).as("sh"))
+    val bands = Dedup.minhashBands(docs, $"doc_id", $"sh", 4, 2)
+    val cands = Dedup.lshCandidates(bands)
+      .as[(Long, Long)].collect().toSet
+    assert(cands == Set((1L, 2L)))
+  }
+
+  test("jaccardVerify computes exact set jaccard") {
+    val cand = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val shingled = Seq((1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "b"), (2L, "c"), (2L, "d")).toDF("doc_id", "shingle")
+    val got = Dedup.jaccardVerify(cand, shingled)
+      .select("intersection_size", "union_size", "jaccard")
+      .as[(Long, Long, Double)].head()
+    assert(got == ((2L, 4L, 0.5)))
+  }
+
+  test("simhash: distributed form agrees with array-expression form") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta"))
+      .toDF("doc_id", "text")
+    val arrayForm = df.select($"doc_id",
+      Dedup.simhashBits(TA.tokens($"text")).as("simhash"))
+      .as[(Long, String)].collect().toMap
+    val distForm = Dedup.simhashFromTokens(
+      df.select($"doc_id", explode(TA.tokens($"text")).as("token")))
+      .as[(Long, String)].collect().toMap
+    assert(arrayForm == distForm)
+    assert(arrayForm(1L).length == 32)
+    assert(arrayForm(1L).forall(c => c == '0' || c == '1'))
+  }
+
+  test("bruteForceTopK ranks by cosine, excludes self, deterministic ties") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)),   // query
+      (2L, Seq(1.0f, 0.0f)),   // identical → cosine 1
+      (3L, Seq(0.0f, 1.0f)),   // orthogonal → cosine 0
+      (4L, Seq(-1.0f, 0.0f)))  // opposite → cosine -1
+      .toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id" === 1), vecs, k = 3)
+      .select("cand_id", "rank").as[(Long, Int)].collect().toSeq
+    assert(got == Seq((2L, 1), (3L, 2), (4L, 3)))
+  }
+
+  test("signLshTopK only pairs within a sign bucket") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 1.0f)), (2L, Seq(2.0f, 3.0f)),     // bucket '11'
+      (3L, Seq(-1.0f, 1.0f)))                            // bucket '01'
+      .toDF("vec_id", "embedding")
+    val got = Similarity.signLshTopK(vecs, vecs.select("vec_id"),
+      k = 5, bits = 2)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (2L, 1L)))
+  }
+
+  test("multimodal decode stub is deterministic and schema-stable") {
+    val docs = Tables.documents(spark, sf).limit(50)
+    val media = Multimodal.asMediaTable(docs)
+    val f1 = Multimodal.decodeAndFeaturize(media).orderBy("doc_id").collect()
+    val f2 = Multimodal.decodeAndFeaturize(media).orderBy("doc_id").collect()
+    assert(f1.sameElements(f2))
+    assert(f1.length == 50)
+    assert(Multimodal.decodeAndFeaturize(media).schema ==
+      Multimodal.featureSchema)
+  }
+
+  test("langId picks marker-argmax with fixed tie order") {
+    val df = Seq("the cat and the dog", "el perro de la casa y que",
+      "zzz qqq").toDF("text")
+    val got = df.select(TA.langId(TA.tokens($"text"))).as[String].collect()
+    assert(got.toSeq == Seq("en", "es", "und"))
+  }
+}
