@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.Det._
+
+/** Batch twins of the streaming windowing operators (tumbling windows,
+  * gap-based sessionization) — same logical semantics the
+  * [[graft.streaming.EventStream]] module runs incrementally; expressed
+  * in batch form here so the DuckDB oracle can check them.
+  */
+object StreamingQueries {
+
+  /** Tumbling 1-hour windows per event type (epoch-aligned, the same
+    * alignment Spark's window() uses). */
+  val stTumbling: Q = Q.sql(
+    "st_tumbling_window",
+    """SELECT CAST(DATE_TRUNC('hour', ts) AS VARCHAR) AS window_start,
+      |       event_type,
+      |       COUNT(*) AS event_count,
+      |  CAST(SUM(CAST((value) AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(
+        window(col("ts"), "1 hour")("start").cast("string")
+          .as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("event_count"),
+        dsum(col("value")).as("total_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** Gap-based sessionization (30-min inactivity): lag → new-session
+    * flag → running session index → per-session rollup. Identical
+    * lag/cumsum formulation on both engines (the streaming module uses
+    * native session_window; this is the deterministic batch twin). */
+  val stSessions: Q = Q.sql(
+    "st_session_windows",
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+      |         WHEN FLOOR(EPOCH(ts)) - FLOOR(EPOCH(LAG(ts) OVER w)) >= 1800 THEN 1
+      |         ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged
+      |)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  COUNT(*) AS event_count,
+      |  CAST(DATE_TRUNC('second', MIN(ts)) AS VARCHAR) AS session_start,
+      |  CAST(DATE_TRUNC('second', MAX(ts)) AS VARCHAR) AS session_end,
+      |  CAST(FLOOR(EPOCH(MAX(ts))) - FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS duration_sec,
+      |  CAST(SUM(CAST((value) AS DECIMAL(38,6))) AS DOUBLE) AS session_value
+      |FROM sess
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val flagged = Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull, 1)
+          .when(unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))
+            >= 1800, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy(col("user_id"), col("session_id").cast("long").as("session_id"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        date_trunc("second", min(col("ts"))).cast("string")
+          .as("session_start"),
+        date_trunc("second", max(col("ts"))).cast("string")
+          .as("session_end"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+          .cast("long").as("duration_sec"),
+        dsum(col("value")).as("session_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val all: Seq[Q] = Seq(stTumbling, stSessions)
+}

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.Row
+
+/** Structured Streaming over the events table shape. The reference is
+  * pure nightly batch (SURVEY §2.9: no watermarks/windows exist there),
+  * so this module is the forward-looking streaming surface: file-source
+  * ingestion, watermarked tumbling windows, and session windows — the
+  * three primitives a streaming variant of the pipeline needs.
+  *
+  * Scale: file-source streaming partitions work by file; tumbling/session
+  * aggregation state is keyed by (window, key) and bounded by the
+  * watermark — at cluster scale state lives in the state store per
+  * shuffle partition; nothing here is driver-resident.
+  */
+object EventStream {
+
+  /** Schema of events.parquet with ts as raw nanos (see Tables.events —
+    * the parquet type is TIMESTAMP(NANOS)). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream of events with normalized timestamp. */
+  def readEvents(spark: SparkSession, path: String): DataFrame =
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(path)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+
+  /** Watermarked tumbling-window counts/sums per event type. */
+  def tumblingAgg(events: DataFrame, window: String = "1 hour",
+                  watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("event_count"),
+        sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("event_count"), col("total_value"))
+
+  /** Native session windows (30-minute inactivity gap) per user. */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+                 watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("event_count"),
+        sum(col("value")).as("session_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("event_count"), col("session_value"))
+
+  /** Memory-sink writer for tests/demos. */
+  def toMemorySink(df: DataFrame, name: String,
+                   complete: Boolean): DataStreamWriter[Row] = {
+    val w = df.writeStream.format("memory").queryName(name)
+    if (complete) w.outputMode("complete") else w.outputMode("append")
+  }
+}
