@@ -34,22 +34,30 @@ object Dedup {
   }
 
   /** MinHash signature column k-seeded over a shingle array:
-    * sig_k = MIN(md5(seed_k || shingle)). Deterministic, portable. */
+    * sig_k = MIN(md5(seed_k || shingle)). Deterministic, portable.
+    * NOTE: array-expression form — higher-order functions are interpreted
+    * (not codegen'd) and project-collapsing re-inlines the shingle
+    * construction per seed; prefer [[minhashBands]]' row form on real
+    * corpora. */
   def minhash(shingleCol: Column, seed: String): Column =
     array_min(transform(shingleCol, s => md5(concat(lit(seed), s))))
 
-  /** Per-doc banded MinHash signatures: one row per (doc, band) with a
-    * single band key = md5 of the band's concatenated min-hashes.
-    * `bands × rowsPerBand` seeds. */
-  def minhashBands(docs: DataFrame, id: Column, shingleCol: Column,
+  /** Per-doc banded MinHash signatures from exploded (doc_id, shingle)
+    * rows: one codegen'd hash-aggregate computes all `bands×rowsPerBand`
+    * min-hashes (min over the shingle SET == min over the multiset, so
+    * distinct rows are fine), then each doc explodes into one row per
+    * band with band_key = md5 of the band's concatenated min-hashes. */
+  def minhashBands(shingleRows: DataFrame,
                    bands: Int, rowsPerBand: Int): DataFrame = {
-    val sigs: Seq[Column] = (0 until bands * rowsPerBand)
-      .map(k => minhash(shingleCol, s"mh$k|"))
-    val bandKeys: Seq[Column] = (0 until bands).map { b =>
-      val slice = sigs.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
+    val sigs = (0 until bands * rowsPerBand).map(k =>
+      min(md5(concat(lit(s"mh$k|"), col("shingle")))).as(s"sig$k"))
+    val sigDf = shingleRows.groupBy("doc_id").agg(sigs.head, sigs.tail: _*)
+    val bandKeys = (0 until bands).map { b =>
+      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(k => col(s"sig$k"))
       struct(lit(b).as("band"), md5(concat_ws("|", slice: _*)).as("band_key"))
     }
-    docs.select(id.as("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+    sigDf.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"),
         col("bk.band_key").as("band_key"))
   }
@@ -70,12 +78,12 @@ object Dedup {
   def jaccardVerify(candidates: DataFrame, shingled: DataFrame): DataFrame = {
     val sizes = shingled.groupBy("doc_id")
       .agg(count(lit(1)).as("set_size"))
+    // `shingle` is part of the second join's key: the intersection is an
+    // equi-join on (doc, shingle), NOT a per-pair cross of both shingle
+    // sets filtered afterwards — that would be |A|·|B| rows per pair.
     val inter = candidates
-      .join(shingled.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("shingle", "sh_a"), Seq("doc_a"))
-      .join(shingled.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("shingle", "sh_b"), Seq("doc_b"))
-      .filter(col("sh_a") === col("sh_b"))
+      .join(shingled.toDF("doc_a", "shingle"), Seq("doc_a"))
+      .join(shingled.toDF("doc_b", "shingle"), Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("intersection_size"))
     inter

@@ -188,14 +188,15 @@ object LlmQueries {
       |WHERE CAST(intersection_size AS DOUBLE) / (sa.n + sb.n - intersection_size) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val toks = TA.tokens(col("text"))
-    val withShingles = docs.select(col("doc_id"),
-      TA.shingles(toks, 3).as("sh"))
-    val bands = Dedup.minhashBands(withShingles, col("doc_id"), col("sh"),
-      bands = 4, rowsPerBand = 2)
+    // Consumed 4× downstream (signatures, both intersection sides,
+    // set sizes) — cache instead of re-tokenizing + re-shuffling each
+    // time. At corpus scale this is the materialized shingle table.
+    val shingled = TA.shingleRows(docs, col("doc_id"), col("text"), 3)
+      .distinct()
+      .cache()
+    val bands = Dedup.minhashBands(shingled, bands = 4, rowsPerBand = 2)
+      .cache() // both sides of the candidate self-join read it
     val candidates = Dedup.lshCandidates(bands)
-    val shingled = withShingles
-      .select(col("doc_id"), explode(col("sh")).as("shingle")).distinct()
     Dedup.jaccardVerify(candidates, shingled)
       .filter(col("jaccard") >= 0.8)
       .select("doc_a", "doc_b", "intersection_size", "union_size", "jaccard")

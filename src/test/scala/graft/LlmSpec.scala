@@ -31,8 +31,10 @@ class LlmSpec extends SparkSpec {
       (2L, "the quick brown fox jumps over the lazy dog today"),
       (3L, "completely different words appear in this one here now"))
       .toDF("doc_id", "text")
-      .select($"doc_id", TA.shingles(TA.tokens($"text"), 3).as("sh"))
-    val bands = Dedup.minhashBands(docs, $"doc_id", $"sh", 4, 2)
+      .select($"doc_id",
+        explode(TA.shingles(TA.tokens($"text"), 3)).as("shingle"))
+      .distinct()
+    val bands = Dedup.minhashBands(docs, 4, 2)
     val cands = Dedup.lshCandidates(bands)
       .as[(Long, Long)].collect().toSet
     assert(cands == Set((1L, 2L)))
