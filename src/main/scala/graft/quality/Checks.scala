@@ -1,0 +1,61 @@
+package graft.quality
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Generic data-quality checks — the dbt schema-test surface (`unique`,
+  * `not_null`, `accepted_values`, `unique_combination_of_columns`,
+  * SURVEY §5.1) plus the Python framework's row-count/completeness/
+  * freshness checks (pipelines/shared/data_quality.py:17-233). Each
+  * check returns the violating row count (0 = pass) so callers can
+  * collect results without throwing mid-run, like the reference's
+  * non-fatal post-run checks (orchestrator.py:466-504).
+  */
+object Checks {
+
+  final case class Result(check: String, table: String, violations: Long) {
+    def passed: Boolean = violations == 0
+  }
+
+  def unique(df: DataFrame, table: String, column: String): Result =
+    Result(s"unique($column)", table,
+      df.groupBy(col(column)).count().filter(col("count") > 1).count())
+
+  def uniqueCombination(df: DataFrame, table: String,
+                        columns: Seq[String]): Result =
+    Result(s"unique_combination(${columns.mkString(",")})", table,
+      df.groupBy(columns.map(col): _*).count()
+        .filter(col("count") > 1).count())
+
+  def notNull(df: DataFrame, table: String, column: String): Result =
+    Result(s"not_null($column)", table,
+      df.filter(col(column).isNull).count())
+
+  def acceptedValues(df: DataFrame, table: String, column: String,
+                     values: Seq[String]): Result =
+    Result(s"accepted_values($column)", table,
+      df.filter(col(column).isNotNull &&
+        !col(column).isin(values.map(lit(_)): _*)).count())
+
+  def nonEmpty(df: DataFrame, table: String): Result =
+    Result("non_empty", table, if (df.isEmpty) 1L else 0L)
+
+  /** Column completeness must be >= threshold (data_quality.py:96-130). */
+  def completeness(df: DataFrame, table: String, column: String,
+                   threshold: Double): Result = {
+    val row = df.agg(
+      count(col(column)).cast("double").as("present"),
+      count(lit(1)).cast("double").as("total")).head()
+    val ratio = if (row.getDouble(1) == 0) 1.0
+      else row.getDouble(0) / row.getDouble(1)
+    Result(f"completeness($column>=$threshold%.2f)", table,
+      if (ratio >= threshold) 0L else 1L)
+  }
+
+  def runAll(results: Seq[Result]): Seq[Result] = {
+    results.filterNot(_.passed).foreach(r =>
+      System.err.println(s"[quality] FAIL ${r.table}.${r.check}: " +
+        s"${r.violations} violations"))
+    results
+  }
+}

@@ -1,0 +1,141 @@
+package graft.ref
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Deterministic reference-shaped raw fixtures (FIXTURES.md): the DLT
+  * conventions are reproduced — NULLs as '', metadata columns present —
+  * and the fixture cases cover the load-bearing rules: semicolon email
+  * lists, amazon-marketplace/individual/fastenal domains, name suffixes,
+  * blank country + state codes, S-prefixed credit-card invoices
+  * (Webgility test), Amazon/OEM/Distributor classes, percent-string
+  * amounts, multi-line orders, item snapshots across dates, carton
+  * phrases, kit/master suffixes.
+  */
+object RefFixtures {
+
+  def rawCustomers(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      // id, customer, company, main_email, cc_email, city, state, country, rep, terms, balance, created
+      ("C001", "Acme Industrial End User", "Acme Industrial",
+        "buyer@acme.com;backup@acme.com", "cc@acme.com",
+        "Columbus", "OH", "", "RW", "Net 30", "1200.50", "2023-01-10"),
+      ("C002", "Acme Industrial", "",
+        "ops@acme.com", "", "Columbus", "OH", "USA", "RW", "Net 30",
+        "300.00", "2023-02-11"),
+      ("C003", "Bolt Supply Customer", "Bolt Supply House",
+        "orders@boltsupply.ca", "", "Calgary", "AB", "", "JS", "Net 60",
+        "requested", "2023-03-02"),
+      ("C004", "Jane Smith", "", "jane.smith@gmail.com", "",
+        "Austin", "TX", "", "JS", "", "0.00", "2023-04-20"),
+      ("C005", "Amazon Marketplace Buyer", "",
+        "x1@marketplace.amazon.com", "", "", "", "", "", "",
+        "0.00", "2023-05-05"),
+      ("C006", "Fastenal Store 42", "Fastenal Company",
+        "store42@stores.fastenal.com", "", "Winona", "MN", "US", "RW",
+        "Net 30", "5000.00", "2023-01-15"),
+      ("C007", "Bolt Supply House client", "",
+        "purchasing@boltsupply.ca", "", "Calgary", "AB", "Canada", "JS",
+        "Net 60", "750.25", "2023-06-01"))
+      .toDF("quick_books_internal_id", "customer_name", "company_name",
+        "main_email", "cc_email", "billing_address_city",
+        "billing_address_state", "billing_address_country", "sales_rep",
+        "terms", "current_balance", "created_date")
+      .withColumn("load_date",
+        org.apache.spark.sql.functions.lit("2024-06-01"))
+      .withColumn("snapshot_date",
+        org.apache.spark.sql.functions.lit("seed"))
+      .withColumn("is_seed", org.apache.spark.sql.functions.lit(true))
+  }
+
+  def rawItems(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      // id, name, type, sales_desc, price, cost, qoh, um, status, snapshot, load
+      ("I001", "01-6310.AK4", "Inventory Part",
+        "Asphalt anchor, 72 anchors per carton", "14.50", "6.20", "500",
+        "ea", "Active", "2024-05-01", "2024-05-01"),
+      ("I001b", "01-6310.AK4", "Inventory Part",
+        "Asphalt anchor, 72 anchors per carton", "15.00", "6.40", "480",
+        "ea", "Active", "2024-06-01", "2024-06-01"),
+      ("I002", "01-6310.MST", "Inventory Part",
+        "Master 6 6-packs", "80.00", "38.00", "60", "ea", "Active",
+        "2024-06-01", "2024-06-01"),
+      ("I003", "02-8100.3SK", "Inventory Part",
+        "Surface mount kit, 36 for EPX2", "45.00", "21.00", "120", "kit",
+        "Active", "2024-06-01", "2024-06-01"),
+      ("I004", "EPX2-KIT", "Assembly",
+        "Epoxy cartridge kit", "29.00", "12.00", "200", "kit", "Active",
+        "2024-06-01", "2024-06-01"),
+      ("I005", "SHIPPING", "Service", "Freight", "0.00", "0.00", "",
+        "", "Active", "2024-06-01", "2024-06-01"))
+      .toDF("quick_books_internal_id", "item_name", "item_type",
+        "sales_description", "sales_price", "purchase_cost",
+        "quantity_on_hand", "u_m", "status", "snapshot_date", "load_date")
+  }
+
+  def rawInvoices(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      // invoice_no, date, customer, product, desc, qty, rate, amount(product_service__amount), status, tax_code, class, terms, total, rep, city, state, country
+      ("INV-1001", "2024-06-10", "Acme Industrial End User",
+        "01-6310.AK4", "Anchors", "10", "15.00", "150.00", "Open", "Tax",
+        "", "Net 30", "231.00", "RW", "Columbus", "OH", "USA"),
+      ("INV-1001", "2024-06-10", "Acme Industrial End User",
+        "EPX2-KIT", "Epoxy kit", "2", "29.00", "58.00", "Open", "Tax",
+        "", "Net 30", "231.00", "RW", "Columbus", "OH", "USA"),
+      ("INV-1001", "2024-06-10", "Acme Industrial End User",
+        "SHIPPING", "Freight", "1", "23.00", "23.00", "Open", "Non",
+        "", "Net 30", "231.00", "RW", "Columbus", "OH", "USA"),
+      ("S-2001", "2024-05-20", "Jane Smith",
+        "01-6310.AK4", "Anchors", "4", "15.00", "60.00", "Paid", "Non",
+        "", "Credit Card", "60.00", "JS", "Austin", "TX", ""),
+      ("INV-1002", "2024-03-15", "Bolt Supply Customer",
+        "01-6310.MST", "Master pack", "5", "80.00", "400.00", "Open",
+        "Non", "Distributor", "Net 60", "400.00", "JS", "Calgary", "AB",
+        "Canada"),
+      ("INV-1003", "2023-11-02", "Fastenal Store 42",
+        "02-8100.3SK", "Kits", "12", "45.00", "540.00", "Paid", "Non",
+        "OEM", "Net 30", "540.00", "RW", "Winona", "MN", "US"),
+      ("INV-1004", "2024-01-25", "Acme Industrial",
+        "01-6310.AK4", "Anchors", "20", "14.50", "12%", "Partially Paid",
+        "Tax", "EXPORT", "Net 30", "290.00", "RW", "Columbus", "OH",
+        "USA"))
+      .toDF("invoice_no", "invoice_date", "customer", "product_service",
+        "product_service_description", "product_service_quantity",
+        "product_service_rate", "product_service__amount", "status",
+        "customer_sales_tax_code", "class", "terms", "total_amount",
+        "sales_rep", "billing_address_city", "billing_address_state",
+        "billing_address_country")
+  }
+
+  def rawSalesReceipts(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      // receipt_no, date, customer, product, desc, qty, rate, amount, payment_method, tax_code, class, total, rep, city, state
+      ("SR-3001", "2024-06-05", "Jane Smith", "EPX2-KIT", "Epoxy kit",
+        "1", "29.00", "29.00", "Credit Card", "Non", "", "29.00", "JS",
+        "Austin", "TX"),
+      ("SR-3002", "2024-04-18", "Amazon Marketplace Buyer",
+        "01-6310.AK4", "Anchors", "2", "16.00", "32.00", "Amazon", "Non",
+        "Amazon FBA", "32.00", "", "", ""),
+      ("SR-3003", "2024-06-20", "Acme Industrial", "01-6310.AK4",
+        "Anchors", "6", "15.00", "90.00", "PayPal", "Tax", "", "90.00",
+        "RW", "Columbus", "OH"))
+      .toDF("sales_receipt_no", "sales_receipt_date", "customer",
+        "product_service", "product_service_description",
+        "product_service_quantity", "product_service_rate",
+        "product_service_amount", "payment_method",
+        "customer_sales_tax_code", "class", "total_amount", "sales_rep",
+        "billing_address_city", "billing_address_state")
+  }
+
+  def inputs(spark: SparkSession): ModelDag.RawInputs =
+    ModelDag.RawInputs(
+      customers = rawCustomers(spark),
+      items = rawItems(spark),
+      invoices = rawInvoices(spark),
+      salesReceipts = rawSalesReceipts(spark),
+      explicitNameMappings =
+        Map("Bolt Supply Customer" -> "Bolt Supply House"))
+}
