@@ -1,0 +1,46 @@
+package graft.tools
+
+import graft.{Sessions, SparkEntry}
+
+/** Physical-plan audit over every registered query: flags missing
+  * broadcast opportunities, full-column scans, and codegen gaps.
+  * Heuristics, not gates — output is for the engineer to eyeball.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val only = args.drop(1).headOption
+    val spark = Sessions.local("8")
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.registry
+      .filter(q => only.forall(_ == q.name))
+      .foreach { q =>
+        val plan = try {
+          val df = q.build(spark, d)
+          // collect() runs df's OWN QueryExecution (count()/write wrap a
+          // new one and leave this adaptive plan non-final, which hides
+          // the codegen stage markers). sf0.001 outputs are small.
+          df.collect()
+          df.queryExecution.executedPlan.toString
+        } catch { case e: Throwable => s"ERROR: ${e.getMessage}" }
+        val lines = plan.linesIterator.toSeq
+        def count(p: String) = lines.count(_.contains(p))
+        val flags = Seq(
+          if (count("SortMergeJoin") > 0)
+            Some(s"sortMergeJoin=${count("SortMergeJoin")}") else None,
+          if (count("BroadcastHashJoin") > 0)
+            Some(s"broadcast=${count("BroadcastHashJoin")}") else None,
+          if (count("Exchange") > 0)
+            Some(s"exchanges=${count("Exchange")}") else None,
+          if (count("PushedFilters: [") > count("PushedFilters: []"))
+            Some("pushedFilters") else None,
+          // codegen stages print as "*(n) Op" in plan toString
+          if (plan.contains("WholeStageCodegen") || plan.contains("*("))
+            None
+          else Some("NO-CODEGEN")).flatten
+        println(f"${q.name}%-28s ${flags.mkString(" ")}")
+        if (only.isDefined) println(plan)
+      }
+    spark.stop()
+  }
+}
