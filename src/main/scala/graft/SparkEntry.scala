@@ -15,7 +15,8 @@ object SparkEntry {
   /** All registered queries, grouped by SURVEY §2 section. */
   def registry: Seq[Q] =
     AggQueries.all ++ WindowQueries.all ++ JoinQueries.all ++
-      UnionScalarQueries.all ++ LlmQueries.all ++ StreamingQueries.all
+      UnionScalarQueries.all ++ LlmQueries.all ++ StreamingQueries.all ++
+      RefOpQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
