@@ -3,55 +3,44 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.plans.QuantDot
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`).
   *
-  * Baseline: brute-force cosine top-k — explode embeddings to
-  * (id, pos, val) rows, equi-join query-side to corpus-side on `pos`,
-  * aggregate dot products. Scores are computed over per-dimension
-  * integer quantization (`round(double(v) * 1e6)` as long): float→double
-  * widening, the multiply, and away-from-zero tie rounding are identical
-  * in every engine, and the integer sums are exact — so scores and
-  * rankings are bit-reproducible across engines (decimal casts of floats
-  * are NOT: DuckDB rounds them through float arithmetic). Quantization
-  * error is ~1e-6 on a unit-scale cosine — irrelevant for neighbor
-  * ranking, and applied identically to both sides of every comparison.
+  * Scoring uses the codegen'd [[graft.plans.QuantDot]] expression:
+  * per-dimension integer quantization (`round(double(v)*1e6)` as long)
+  * summed in a tight per-row loop. Integer math makes scores
+  * bit-reproducible across engines (decimal casts of floats are not),
+  * and the custom expression keeps pair scoring scan-shaped — the
+  * composable explode-on-position/join/re-aggregate alternative
+  * shuffles O(pairs × dims) rows.
   *
-  * Scale path: brute force is O(|Q|·|C|); [[signLshTopK]] bounds
-  * candidates by bucketing on the sign pattern of the leading dimensions
-  * — a degenerate but real random-hyperplane LSH (axis-aligned
-  * hyperplanes); production would use seeded random hyperplanes +
-  * multi-probe, same plan shape: groupBy bucket, join within bucket. An
-  * IVF variant = k-means centroids as buckets.
+  * Scale path: brute force is O(|Q|·|C|) with the query side broadcast;
+  * [[signLshTopK]] bounds candidates by bucketing on the sign pattern of
+  * the leading dimensions — a degenerate but real random-hyperplane LSH
+  * (axis-aligned hyperplanes); production would use seeded random
+  * hyperplanes + multi-probe, same plan shape: bucket equi-join, score
+  * within bucket. An IVF variant = k-means centroids as buckets.
   */
 object Similarity {
 
-  /** Deterministic integer quantization of a float/double value. */
-  def quant(c: Column): Column =
-    round(c.cast("double") * 1000000).cast("long")
-
-  /** (id, pos, qval) exploded + quantized view of an embeddings frame. */
-  def exploded(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
-    emb.select(col(idCol).as("id"),
-        posexplode(col(vecCol)).as(Seq("pos", "v")))
-      .select(col("id"), col("pos"), quant(col("v")).as("qval"))
-
-  /** Exact integer squared-norms per id (÷1e12 deferred to the caller's
-    * double math). */
-  def sqNorms(expl: DataFrame): DataFrame =
-    expl.groupBy("id")
-      .agg(sum(col("qval") * col("qval")).as("sqnorm"))
-
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  private def scoreAndRank(pairs: DataFrame, k: Int,
+                           extraCols: Seq[String]): DataFrame = {
+    val dot = expr("graft_quant_dot(q_vec, c_vec)")
+    val qSq = expr("graft_quant_dot(q_vec, q_vec)")
+    val cSq = expr("graft_quant_dot(c_vec, c_vec)")
+    val scored = pairs
+      .withColumn("cosine",
+        dot.cast("double") /
+          (sqrt(qSq.cast("double")) * sqrt(cSq.cast("double"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+      .select((Seq("query_id", "cand_id") ++ extraCols ++
+        Seq("cosine", "rank")).map(col): _*)
   }
-
-  private def cosine(dot: Column, sqA: Column, sqB: Column): Column =
-    dot.cast("double") / (sqrt(sqA.cast("double")) * sqrt(sqB.cast("double")))
 
   /** Brute-force cosine top-k of `queries` against `corpus` (both
     * (id, vec) frames), excluding self-matches. Deterministic ranking:
@@ -59,23 +48,13 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
-    val q = exploded(queries, idCol, vecCol)
-      .toDF("query_id", "pos", "qv")
-    val c = exploded(corpus, idCol, vecCol)
-      .toDF("cand_id", "pos", "cv")
-    val dots = q.join(c, Seq("pos"))
+    QuantDot.register(queries.sparkSession)
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
+    val pairs = broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("cand_id"))
-      .groupBy("query_id", "cand_id")
-      .agg(sum(col("qv") * col("cv")).as("dot"))
-    val qn = sqNorms(exploded(queries, idCol, vecCol))
-      .toDF("query_id", "q_sqnorm")
-    val cn = sqNorms(exploded(corpus, idCol, vecCol))
-      .toDF("cand_id", "c_sqnorm")
-    val scored = dots.join(broadcast(qn), Seq("query_id"))
-      .join(cn, Seq("cand_id"))
-      .withColumn("cosine",
-        cosine(col("dot"), col("q_sqnorm"), col("c_sqnorm")))
-    rankTopK(scored, k).select("query_id", "cand_id", "cosine", "rank")
+    scoreAndRank(pairs, k, Seq.empty)
   }
 
   /** Sign-pattern bucket key over the first `bits` dimensions. */
@@ -84,32 +63,20 @@ object Similarity {
       when(element_at(col(vecCol), i + 1) >= 0, "1").otherwise("0")): _*)
 
   /** LSH-bucketed cosine top-k: candidates limited to the query's sign
-    * bucket. Recall < 1 by construction; this is the scale path. */
+    * bucket (bucket equi-join carries both vectors; scoring is a
+    * per-row expression). Recall < 1 by construction; the scale path. */
   def signLshTopK(emb: DataFrame, queryIds: DataFrame, k: Int, bits: Int,
                   idCol: String = "vec_id",
                   vecCol: String = "embedding"): DataFrame = {
+    QuantDot.register(emb.sparkSession)
     val bucketed = emb.withColumn("bucket", signBucket(vecCol, bits))
-    val qs = bucketed.join(broadcast(queryIds), Seq(idCol))
-    // Candidate pairs FIRST (bucket equi-join); dot products only for
-    // them — that's the point of the bucketing.
-    val qb = qs.select(col(idCol).as("query_id"), col("bucket"))
-    val cb = bucketed.select(col(idCol).as("cand_id"), col("bucket"))
-    val candPairs = qb.join(cb, Seq("bucket"))
+    val q = bucketed.join(broadcast(queryIds), Seq(idCol))
+      .select(col(idCol).as("query_id"), col("bucket"),
+        col(vecCol).as("q_vec"))
+    val c = bucketed.select(col(idCol).as("cand_id"), col("bucket"),
+      col(vecCol).as("c_vec"))
+    val pairs = q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("cand_id"))
-    val q = exploded(qs, idCol, vecCol).toDF("query_id", "pos", "qv")
-    val c = exploded(bucketed, idCol, vecCol).toDF("cand_id", "pos", "cv")
-    val dots = candPairs
-      .join(q, Seq("query_id"))
-      .join(c, Seq("cand_id", "pos"))
-      .groupBy("query_id", "cand_id", "bucket")
-      .agg(sum(col("qv") * col("cv")).as("dot"))
-    val n = sqNorms(exploded(bucketed, idCol, vecCol))
-    val scored = dots
-      .join(broadcast(n.toDF("query_id", "q_sqnorm")), Seq("query_id"))
-      .join(n.toDF("cand_id", "c_sqnorm"), Seq("cand_id"))
-      .withColumn("cosine",
-        cosine(col("dot"), col("q_sqnorm"), col("c_sqnorm")))
-    rankTopK(scored, k)
-      .select("query_id", "cand_id", "bucket", "cosine", "rank")
+    scoreAndRank(pairs, k, Seq("bucket"))
   }
 }
