@@ -1,6 +1,7 @@
 package graft.ref
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Deterministic topological runner for the reference's model DAG
   * (SURVEY §3.2) — stages 1-3 of the orchestrator collapsed into one
@@ -19,6 +20,9 @@ object ModelDag {
       items: DataFrame,
       invoices: DataFrame,
       salesReceipts: DataFrame,
+      shopifyOrders: Option[DataFrame] = None,
+      shopifyFulfillments: Option[DataFrame] = None,
+      tradeShowLeads: Option[DataFrame] = None,
       individualDomains: Seq[String] = Seq("gmail.com", "yahoo.com",
         "hotmail.com", "outlook.com", "aol.com"),
       explicitNameMappings: Map[String, String] = Map.empty)
@@ -66,6 +70,32 @@ object ModelDag {
       "company_consolidation",
       Intermediate.companyConsolidation(mapping, revenue))
 
+    // ---- contacts (legacy path) ----
+    val contacts = cat.saveTable("intermediate", "customer_contacts",
+      Contacts.customerContacts(stgCustomers))
+    val personMapping = cat.saveTable("intermediate",
+      "customer_person_mapping",
+      Contacts.personMapping(contacts,
+        mapping.select("customer_id", "company_domain_key")))
+    val dimContacts = cat.saveTable("mart", "dim_customer_contacts",
+      Contacts.dimCustomerContacts(personMapping))
+
+    // ---- shopify (optional source; writes the intermediate the
+    //      fct_orders guard looks for) ----
+    raw.shopifyOrders.foreach { rawSh =>
+      val stg = cat.saveTable("staging", "shopify_orders",
+        Shopify.orders(rawSh))
+      val attr = cat.saveTable("staging", "shopify_order_attribution",
+        Shopify.orderAttribution(stg, "asphaltanchors.com"))
+      val fulfill = raw.shopifyFulfillments
+        .getOrElse(cat.spark.emptyDataFrame)
+      cat.saveTable("intermediate", "shopify_orders_enriched",
+        Shopify.ordersEnriched(stg, fulfill, attr)
+          .select(col("order_number"), col("fulfillment_status"),
+            col("tracking_number"), col("utm_source"), col("utm_medium"),
+            col("utm_campaign"), col("total_price")))
+    }
+
     // ---- marts (tables) ----
     val shopify =
       if (cat.exists("intermediate", "shopify_orders_enriched"))
@@ -90,7 +120,57 @@ object ModelDag {
     val periodMetrics = cat.saveTable("mart", "mart_company_period_metrics",
       Marts.companyPeriodMetrics(companyOrders, AsOfDate))
 
+    // ---- time-series & pricing marts ----
+    val timeSeries = cat.saveTable("mart", "fct_company_orders_time_series",
+      TimeSeries.companyOrdersTimeSeries(companyOrders))
+    val unitSales = cat.saveTable("mart", "mart_product_unit_sales",
+      TimeSeries.productUnitSales(fctLineItems))
+    val pricing = cat.saveTable("mart", "fct_product_pricing_history",
+      TimeSeries.pricingHistory(typed, stgItems))
+    val inventory = cat.saveTable("intermediate", "inventory_history",
+      stgItems.select("item_name", "snapshot_date", "quantity_on_hand",
+        "sales_price").distinct())
+
+    // ---- unified order matching (after shopify + orders) ----
+    val matching = shopify.map { sh =>
+      cat.saveTable("intermediate", "order_matching",
+        Shopify.orderMatching(
+          cat.load("staging", "shopify_orders"), orders))
+    }
+
+    // ---- trade shows (mart-reads-mart: after fct_companies +
+    //      fct_company_orders, SURVEY §3.2 wrinkle #2) ----
+    val tradeShowOut = raw.tradeShowLeads.map { rawLeads =>
+      val stgLeads = cat.saveTable("staging", "trade_show_leads",
+        TradeShows.leads(rawLeads, raw.individualDomains))
+      val matched = cat.saveTable("intermediate",
+        "leads_with_company_match",
+        TradeShows.leadsWithCompanyMatch(stgLeads, stgDomainMapping,
+          fctCompanies))
+      val fctLeads = cat.saveTable("mart", "fct_trade_show_leads",
+        TradeShows.fctLeads(matched, companyOrders))
+      val perf = cat.saveTable("mart", "fct_trade_show_performance",
+        TradeShows.showPerformance(fctLeads))
+      Map("staging.trade_show_leads" -> stgLeads,
+        "intermediate.leads_with_company_match" -> matched,
+        "mart.fct_trade_show_leads" -> fctLeads,
+        "mart.fct_trade_show_performance" -> perf)
+    }.getOrElse(Map.empty)
+
+    tradeShowOut ++
+      matching.map("intermediate.order_matching" -> _).toMap ++
+      (if (cat.exists("intermediate", "shopify_orders_enriched"))
+        Map("intermediate.shopify_orders_enriched" ->
+          cat.load("intermediate", "shopify_orders_enriched"))
+      else Map.empty) ++
     Map(
+      "intermediate.customer_contacts" -> contacts,
+      "intermediate.customer_person_mapping" -> personMapping,
+      "mart.dim_customer_contacts" -> dimContacts,
+      "mart.fct_company_orders_time_series" -> timeSeries,
+      "mart.mart_product_unit_sales" -> unitSales,
+      "mart.fct_product_pricing_history" -> pricing,
+      "intermediate.inventory_history" -> inventory,
       "raw.domain_mapping" -> domainMappingRaw,
       "raw.customer_name_mapping" -> nameMappingRaw,
       "staging.customers" -> stgCustomers,

@@ -20,7 +20,14 @@ object RefDemo {
         Seq(("S-2001", "FULFILLED", "1Z999")).toDF(
           "order_number", "fulfillment_status", "tracking_number"))
     }
-    val out = ModelDag.run(cat, RefFixtures.inputs(spark))
+    val baseInputs = RefFixtures.inputs(spark)
+    // --minimal drops the optional sources: exercises the absent-source
+    // branches (guarded fct_orders join, no trade-show models).
+    val inputs = if (args.contains("--minimal"))
+      baseInputs.copy(shopifyOrders = None, shopifyFulfillments = None,
+        tradeShowLeads = None)
+    else baseInputs
+    val out = ModelDag.run(cat, inputs)
     out.toSeq.sortBy(_._1).foreach { case (name, df) =>
       println(f"[ref] $name%-45s ${df.count()}%5d rows")
     }

@@ -130,12 +130,64 @@ object RefFixtures {
         "billing_address_city", "billing_address_state")
   }
 
+  def rawShopifyOrders(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      // id, order_number, created_at, total, subtotal, discounts, fin_status, fulfill, email, landing_site, referring_site, test, source_name, _dlt_id
+      (9001L, 2001, "2024-05-20T10:00:00Z", "60.00", "55.00", "0.00",
+        "paid", "fulfilled", "jane.smith@gmail.com",
+        "/products/anchor?utm_source=google+ads&utm_medium=cpc&utm_campaign=spring+sale",
+        "https://www.google.com/", false, "web", "dlt_a"),
+      (9002L, 2002, "2024-06-01T09:30:00Z", "120.00", "120.00", "10.00",
+        "paid", "", "buyer@acme.com",
+        "/checkout/thank_you?utm_source=direct", "https://asphaltanchors.com/p",
+        false, "web", "dlt_b"),
+      (9003L, 2003, "2024-06-02T11:00:00Z", "45.00", "45.00", "0.00",
+        "pending", "", "x@y.com", "/products/kit",
+        "https://pay.shopify.com/r", false, "web", "dlt_c"),
+      (9004L, 2004, "2024-06-03T12:00:00Z", "999.00", "999.00", "0.00",
+        "paid", "fulfilled", "test@test.com", "/products/anchor", "",
+        true, "web", "dlt_d")) // test order → excluded
+      .toDF("id", "order_number", "created_at", "total_price",
+        "subtotal_price", "total_discounts", "financial_status",
+        "fulfillment_status", "email", "landing_site", "referring_site",
+        "test", "source_name", "_dlt_id")
+  }
+
+  def rawShopifyFulfillments(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("f1", "dlt_a", "success", "1Z999", "2024-05-21T08:00:00Z"),
+      ("f2", "dlt_a", "success", "1Z999-2", "2024-05-22T08:00:00Z"))
+      .toDF("id", "_dlt_parent_id", "status", "tracking_number",
+        "created_at")
+  }
+
+  def rawTradeShowLeads(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      // lead_id, first, last, company, email, created, show_name, show_date
+      ("L001", "Pat", "Jones", "Acme Industrial", "buyer@acme.com",
+        "2024-01-16", "World of Asphalt", "2024-01-15"),
+      ("", "Sam", "Lee", "", "sam.lee@gmail.com",
+        "2024-01-15", "World of Asphalt", "2024-01-15"),
+      ("L003", "Pat", "Jones", "Acme Industrial", "buyer@acme.com",
+        "2024-03-02", "ConExpo", "2024-03-01"), // dup email, later → dropped
+      ("", "Ana", "Diaz", "New Prospect Co", "ana@newprospect.io",
+        "2024-03-01", "ConExpo", "2024-03-01"))
+      .toDF("lead_id", "first_name", "last_name", "company", "email",
+        "created", "show_name", "show_date")
+  }
+
   def inputs(spark: SparkSession): ModelDag.RawInputs =
     ModelDag.RawInputs(
       customers = rawCustomers(spark),
       items = rawItems(spark),
       invoices = rawInvoices(spark),
       salesReceipts = rawSalesReceipts(spark),
+      shopifyOrders = Some(rawShopifyOrders(spark)),
+      shopifyFulfillments = Some(rawShopifyFulfillments(spark)),
+      tradeShowLeads = Some(rawTradeShowLeads(spark)),
       explicitNameMappings =
         Map("Bolt Supply Customer" -> "Bolt Supply House"))
 }

@@ -11,10 +11,11 @@ import graft.quality.Checks
   */
 class RefPipelineSpec extends SparkSpec {
 
-  private lazy val out: Map[String, org.apache.spark.sql.DataFrame] = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_wh_spec")
-    ModelDag.run(new Catalog(spark, wh.toString), RefFixtures.inputs(spark))
-  }
+  private lazy val warehouse: String =
+    java.nio.file.Files.createTempDirectory("graft_wh_spec").toString
+
+  private lazy val out: Map[String, org.apache.spark.sql.DataFrame] =
+    ModelDag.run(new Catalog(spark, warehouse), RefFixtures.inputs(spark))
 
   test("schema tests: unique + not_null + accepted_values on marts") {
     val orders = out("mart.fct_orders")
@@ -118,5 +119,109 @@ class RefPipelineSpec extends SparkSpec {
     val dso = out("mart.fct_dso_metrics")
     assert(dso.count() == 3)
     assert(dso.select("total_ar").distinct().count() == 1)
+  }
+
+  test("singular: no email appears twice per company in person mapping") {
+    // tests/test_contact_email_deduplication.sql:8-13
+    val dupes = out("intermediate.customer_person_mapping")
+      .groupBy("company_domain_key", "email").count()
+      .filter(col("count") > 1)
+    assert(dupes.count() == 0)
+  }
+
+  test("singular: amazon-marketplace emails filtered from contacts") {
+    // tests/test_contact_amazon_marketplace_filtering.sql:9-26
+    Seq("intermediate.customer_contacts", "mart.dim_customer_contacts")
+      .foreach { t =>
+        assert(out(t).filter(col("email")
+          .endsWith("@marketplace.amazon.com")).count() == 0, t)
+      }
+  }
+
+  test("shopify: test orders excluded, guard join lands fulfillment on S-2001") {
+    val o = out("mart.fct_orders").filter(col("order_number") === "S-2001")
+      .select("fulfillment_status", "tracking_number").head()
+    assert(o.getString(0) == "fulfilled")
+    assert(o.getString(1) == "1Z999-2", "max tracking over 2 fulfillments")
+  }
+
+  test("shopify attribution: UTM decode, checkout exclusion, referrer nulling") {
+    val attr = spark.read.parquet(
+      s"$warehouse/staging/shopify_order_attribution")
+    val g = attr.filter(col("order_number") === "S-2001").head()
+    assert(g.getAs[String]("utm_source") == "google ads")
+    assert(g.getAs[String]("utm_campaign") == "spring sale")
+    assert(g.getAs[String]("referrer") == "https://www.google.com/")
+    assert(attr.filter(col("order_number") === "S-2002").count() == 0,
+      "/checkout landing excluded")
+    val pay = attr.filter(col("order_number") === "S-2003").head()
+    assert(pay.getAs[String]("referrer") == null,
+      "pay.shopify.com referrer nulled")
+  }
+
+  test("unified matching: full outer with coalesced key and statuses") {
+    val m = out("intermediate.order_matching")
+    val statuses = m.groupBy("match_status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(statuses("matched") == 1) // S-2001 on both sides
+    assert(statuses("shopify_only") == 2) // S-2002, S-2003 (test excluded)
+    assert(statuses("quickbooks_only") == 7)
+    val matched = m.filter(col("match_status") === "matched").head()
+    assert(matched.getAs[Double]("amount_delta") == 0.0)
+  }
+
+  test("trade shows: dedup keeps earliest non-generated lead per email") {
+    val leads = out("staging.trade_show_leads")
+    assert(leads.count() == 3)
+    val acme = leads.filter(col("email") === "buyer@acme.com").head()
+    assert(acme.getAs[String]("lead_id") == "L001")
+    assert(leads.filter(col("lead_id").startsWith("gen_")).count() == 2)
+  }
+
+  test("trade shows: J12 rewrite preserves rows and computes windows") {
+    val fct = out("mart.fct_trade_show_leads")
+    assert(fct.count() == 3, "unmatched leads keep their row (no drop)")
+    val acme = fct.filter(col("email") === "buyer@acme.com").head()
+    assert(math.abs(acme.getAs[Double]("revenue_30d") - 34.8) < 1e-9)
+    assert(math.abs(acme.getAs[Double]("revenue_all_time") - 355.8) < 1e-9)
+    assert(acme.getAs[Int]("days_to_conversion") == 10)
+    val unmatched = fct.filter(col("email") === "ana@newprospect.io").head()
+    assert(unmatched.getAs[Double]("revenue_all_time") == 0.0,
+      "NULL-key lead keeps zero revenue, not dropped (SURVEY §7.4 #3)")
+  }
+
+  test("pricing history: as-of list price fills forward from snapshots") {
+    val ph = out("mart.fct_product_pricing_history")
+      .filter(col("product_service") === "01-6310.AK4")
+      .orderBy("price_date")
+      .select("price_date", "effective_list_price").collect()
+    val byDate = ph.map(r =>
+      r.getDate(0).toString -> Option(r.get(1))).toMap
+    assert(byDate("2024-01-25").isEmpty, "no snapshot before first order")
+    assert(byDate("2024-05-20").contains(14.50))
+    assert(byDate("2024-06-10").contains(15.00))
+  }
+
+  test("inventory incremental appends only newer snapshots, fails on drift") {
+    import graft.ref.TimeSeries
+    val inv = out("intermediate.inventory_history")
+    val existing = inv.filter(col("snapshot_date") < "2024-06-01")
+    val fresh = TimeSeries.inventoryHistoryIncrement(existing, inv)
+    assert(fresh.count() ==
+      inv.filter(col("snapshot_date") > "2024-05-01").count())
+    intercept[IllegalArgumentException] {
+      TimeSeries.inventoryHistoryIncrement(
+        existing.withColumnRenamed("sales_price", "price"), inv)
+    }
+  }
+
+  test("time series: lag-based QoQ present once a company has 2 quarters") {
+    val ts = out("mart.fct_company_orders_time_series")
+    val acme = ts.filter(col("company_domain_key") === "acme.com")
+      .orderBy("yr", "qtr").collect()
+    assert(acme.length >= 2)
+    assert(acme.head.getAs[Double]("prev_q_revenue") == null ||
+      acme.head.isNullAt(acme.head.fieldIndex("prev_q_revenue")))
+    assert(!acme(1).isNullAt(acme(1).fieldIndex("prev_q_revenue")))
   }
 }
