@@ -23,6 +23,7 @@ object ModelDag {
       shopifyOrders: Option[DataFrame] = None,
       shopifyFulfillments: Option[DataFrame] = None,
       tradeShowLeads: Option[DataFrame] = None,
+      enrichmentJsonlPath: Option[String] = None,
       individualDomains: Seq[String] = Seq("gmail.com", "yahoo.com",
         "hotmail.com", "outlook.com", "aol.com"),
       explicitNameMappings: Map[String, String] = Map.empty)
@@ -107,8 +108,17 @@ object ModelDag {
       Marts.fctProducts(itemsEnriched))
     val fctLineItems = cat.saveTable("mart", "fct_order_line_items",
       Marts.fctOrderLineItems(typed, fctProducts))
+    val fctCompaniesBase = Marts.fctCompanies(consolidation)
     val fctCompanies = cat.saveTable("mart", "fct_companies",
-      Marts.fctCompanies(consolidation))
+      raw.enrichmentJsonlPath match {
+        case Some(path) =>
+          val rawEnrich = cat.saveTable("raw", "company_enrichment",
+            Enrichment.readJsonl(cat.spark, path))
+          val stgEnrich = cat.saveTable("staging", "company_enrichment",
+            Enrichment.staging(rawEnrich))
+          Enrichment.enrichCompanies(fctCompaniesBase, stgEnrich)
+        case None => fctCompaniesBase
+      })
     val bridge = cat.saveTable("mart", "bridge_customer_company",
       Marts.bridgeCustomerCompany(mapping))
     val companyOrders = cat.saveTable("mart", "fct_company_orders",

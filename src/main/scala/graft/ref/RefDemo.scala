@@ -25,7 +25,7 @@ object RefDemo {
     // branches (guarded fct_orders join, no trade-show models).
     val inputs = if (args.contains("--minimal"))
       baseInputs.copy(shopifyOrders = None, shopifyFulfillments = None,
-        tradeShowLeads = None)
+        tradeShowLeads = None, enrichmentJsonlPath = None)
     else baseInputs
     val out = ModelDag.run(cat, inputs)
     out.toSeq.sortBy(_._1).foreach { case (name, df) =>

@@ -215,6 +215,20 @@ class RefPipelineSpec extends SparkSpec {
     }
   }
 
+  test("enrichment JSONL lands on fct_companies with guarded casts") {
+    val c = out("mart.fct_companies")
+    val acme = c.filter(col("company_domain_key") === "acme.com").head()
+    assert(acme.getAs[String]("industry") == "Construction")
+    assert(acme.getAs[String]("description") ==
+      "Asphalt anchoring products", "enriched description preferred")
+    assert(acme.getAs[Int]("founded_year") == 1998)
+    val bolt = c.filter(col("company_domain_key") === "boltsupply.ca").head()
+    assert(bolt.isNullAt(bolt.fieldIndex("founded_year")),
+      "'' founded_year stays NULL via guard")
+    assert(bolt.getAs[String]("description") == "fasteners",
+      "falls back to base description when enriched is ''")
+  }
+
   test("time series: lag-based QoQ present once a company has 2 quarters") {
     val ts = out("mart.fct_company_orders_time_series")
     val acme = ts.filter(col("company_domain_key") === "acme.com")
