@@ -13,7 +13,11 @@ object Bench {
       case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        // Queries that cache intermediates must not tax later queries'
+        // storage memory (observed run-to-run variance otherwise).
+        spark.catalog.clearCache()
+        name -> t
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
