@@ -96,6 +96,23 @@ object Fns {
       .otherwise("United States")
   }
 
+  /** `country_category(...)` (macros/country_normalization.sql:23-29):
+    * US / Canada / International from the already-normalized primary
+    * country. Note the reference's `normalize_country(b,c,s,s)` COALESCE
+    * is moot — `_infer_country_from_address` never returns NULL (its ELSE
+    * is 'United States'), so billing inference always wins; primary
+    * country is therefore exactly [[normalizeCountry]] of the billing
+    * pair. */
+  def countryCategory(primaryCountry: Column): Column =
+    when(primaryCountry === "United States", "United States")
+      .when(primaryCountry === "Canada", "Canada")
+      .otherwise("International")
+
+  /** `region(...)` (macros/country_normalization.sql:31-36). */
+  def regionOf(primaryCountry: Column): Column =
+    when(primaryCountry.isin("United States", "Canada"), "North America")
+      .otherwise("International")
+
   /** Customer-name normalization (domain_consolidation.py:102-132): strip
     * `End User`/`Customer`/`Client` suffixes (case-insensitive), collapse
     * whitespace, drop trailing commas/spaces. */

@@ -36,13 +36,26 @@ object Multimodal {
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("channels", IntegerType),
-    StructField("features", ArrayType(FloatType))))
+    StructField("features", ArrayType(FloatType)),
+    StructField("features_q", ArrayType(LongType))))
 
   /** STUB decoder: a real implementation would call an image/audio codec
     * here (`???` in spirit); this deterministic fake derives "decoded"
     * dimensions and a 4-dim feature vector from the bytes so tests have
     * stable expectations. Runs per-partition — the batch boundary where
-    * a vectorized codec (or `mapInPandas` in PySpark) would sit. */
+    * a vectorized codec (or `mapInPandas` in PySpark) would sit.
+    *
+    * Alongside the float `features` it emits `features_q`: the same
+    * signal computed purely in INTEGER space (`byte*10000 + nBytes`).
+    * Downstream checks compare `features_q`, never the floats — float32
+    * arithmetic is not bit-reproducible across engines, integers are
+    * (same rule as llm/Similarity.scala's quantized dot products).
+    *
+    * Note the deliberate Tungsten exit: `.rdd.mapPartitions` leaves
+    * whole-stage codegen for the codec batch boundary (the JVM analogue
+    * of `mapInPandas`). That cost is confined to this one stage; callers
+    * get a DataFrame with a declared schema back, so everything
+    * downstream re-enters codegen. */
   def decodeAndFeaturize(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val rdd = media.select("doc_id", "media_type", "payload").rdd
@@ -56,11 +69,13 @@ object Multimodal {
           val width = 64 + (n % 577)
           val height = 64 + ((n * 31) % 419)
           val channels = if (mt == "audio") 1 else 3
-          val features = Array.tabulate(4) { i =>
+          val qs = Array.tabulate(4) { i =>
             val b = if (n > i) payload(i) & 0xff else 0
-            (b.toFloat / 255.0f) + n.toFloat / 10000.0f
+            b.toLong * 10000L + n
           }
-          Row(id, mt, n.toLong, width, height, channels, features.toSeq)
+          val features = qs.map(q => q.toFloat / 10000.0f)
+          Row(id, mt, n.toLong, width, height, channels, features.toSeq,
+            qs.toSeq)
         }
       }
     spark.createDataFrame(rdd, featureSchema)

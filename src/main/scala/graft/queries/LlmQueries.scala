@@ -351,10 +351,39 @@ object LlmQueries {
   }
 
   /** Multimodal — stubbed decode + feature extraction through
-    * mapPartitions (rows-only check: not SQL-expressible). */
-  val mmFeatures: Q = Q.rowsOnly("mm_decode_features") { (s, d) =>
+    * mapPartitions. Oracle-checked on the INTEGER-space feature columns
+    * (`features_q[i]` = byte*10000+n; float features are not
+    * cross-engine reproducible — see Multimodal scaladoc). Document text
+    * is ASCII in this corpus, so DuckDB's per-character `ascii(substr)`
+    * equals the per-byte view Spark decodes. */
+  val mmFeatures: Q = Q.sql(
+    "mm_decode_features",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio'
+      |         ELSE 'video' END AS media_type,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+      |    text
+      |  FROM documents
+      |)
+      |SELECT doc_id, media_type, payload_bytes,
+      |  CAST(64 + payload_bytes % 577 AS INTEGER) AS width,
+      |  CAST(64 + (payload_bytes * 31) % 419 AS INTEGER) AS height,
+      |  CAST(CASE WHEN media_type = 'audio' THEN 1 ELSE 3 END AS INTEGER) AS channels,
+      |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) * 10000 + payload_bytes AS f0_q,
+      |  CAST(ascii(substr(text, 2, 1)) AS BIGINT) * 10000 + payload_bytes AS f1_q,
+      |  CAST(ascii(substr(text, 3, 1)) AS BIGINT) * 10000 + payload_bytes AS f2_q,
+      |  CAST(ascii(substr(text, 4, 1)) AS BIGINT) * 10000 + payload_bytes AS f3_q
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
     Multimodal.decodeAndFeaturize(
       Multimodal.asMediaTable(Tables.documents(s, d)))
+      .select(col("doc_id"), col("media_type"), col("payload_bytes"),
+        col("width"), col("height"), col("channels"),
+        element_at(col("features_q"), 1).as("f0_q"),
+        element_at(col("features_q"), 2).as("f1_q"),
+        element_at(col("features_q"), 3).as("f2_q"),
+        element_at(col("features_q"), 4).as("f3_q"))
       .orderBy("doc_id")
   }
 

@@ -53,6 +53,36 @@ object Staging {
       nb("snapshot_date").as("snapshot_date"),
       col("load_date"))
 
+  /** Optional order-item columns (base_quickbooks__order_items.sql:1-173,
+    * int_quickbooks__orders.sql:27-74): present in the full QuickBooks
+    * export, but tolerated as absent via the optional-columns macro
+    * (macros/optional_columns.sql:6-22) so thin raws keep working. */
+  private def optionalOrderCols(raw: DataFrame): Seq[Column] = {
+    import org.apache.spark.sql.types.{StringType, DoubleType}
+    def s(n: String): Column =
+      Fns.nullifBlank(Fns.firstExistingColumnOrNull(raw, Seq(n), StringType))
+        .as(n)
+    def d(n: String): Column =
+      Fns.nullifBlank(Fns.firstExistingColumnOrNull(raw, Seq(n), StringType))
+        .cast("date").as(n)
+    def num(n: String): Column =
+      (if (raw.columns.contains(n)) Fns.safeNumeric(col(n))
+       else lit(null).cast(DoubleType)).as(n)
+    Seq(
+      d("due_date"),
+      s("billing_address_line_1"), s("billing_address_line_2"),
+      s("billing_address_line_3"), s("billing_address_postal_code"),
+      s("shipping_address_line_1"), s("shipping_address_line_2"),
+      s("shipping_address_line_3"), s("shipping_address_city"),
+      s("shipping_address_state"), s("shipping_address_postal_code"),
+      s("shipping_address_country"),
+      s("shipping_method"), d("ship_date"),
+      s("memo"), s("message_to_customer"), s("currency"),
+      num("exchange_rate"), num("total_tax"),
+      s("transaction_id"), s("quickbooks_internal_id"), s("external_id"),
+      d("created_date"), d("modified_date"))
+  }
+
   /** base_quickbooks__order_items (base_quickbooks__order_items.sql:1-173):
     * invoices ∪ sales receipts with per-source renames, hardcoded
     * status/payment_method, NULL pads for columns absent on one side. */
