@@ -12,8 +12,16 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   *
   * Fix: do the *reduction* in fixed-point decimal — casting each addend
   * double → DECIMAL(38,6) is an order-independent, correctly-rounded,
-  * engine-identical operation (no double is ever an exact decimal tie, so
-  * HALF_UP vs HALF_EVEN can't diverge), and decimal addition is exact.
+  * engine-identical operation, and decimal addition is exact.
+  *
+  * TIE CAVEAT (learned from a9_company_products): the cast IS
+  * tie-sensitive — Spark rounds HALF_UP, DuckDB HALF_EVEN — and a double
+  * CAN be an exact x.xxxxxx5 tie when it came from dividing a short
+  * decimal by a power of two (e.g. price/32 has a terminating 7-digit
+  * expansion). Products/sums of short decimals are safe (either exact at
+  * ≤6dp or non-terminating); AVOID feeding power-of-two divisions into
+  * dsum/davg — restructure the expression (multiply instead) so addends
+  * are never exact ties.
   * The final cast back to double is again correctly rounded and identical
   * in both engines. Every scalar double op *before* the cast (e.g.
   * `price * (1 - discount)`) is a deterministic IEEE op evaluated

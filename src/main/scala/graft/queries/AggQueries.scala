@@ -266,7 +266,194 @@ object AggQueries {
         col("freshness_max_date"))
   }
 
-  val all: Seq[Q] = Seq(q1PricingSummary, a1OrderRollup, a2CustomerRevenue,
+  /** dim_company_health (dim_company_health.sql:14-297) — the full
+    * activity/archetype/health-score battery, driven through the actual
+    * `Marts.dimCompanyHealth` model over company-orders synthesized from
+    * the orders table (customer plays the consolidated company,
+    * order priority plays the per-order product-diversity attr).
+    * As-of date pinned to the corpus max order date. */
+  val aCompanyHealth: Q = {
+    val A = "DATE '2001-08-01'"
+    def w(days: Int) = s"order_date >= $A - $days"
+    def notW(days: Int) = s"order_date < $A - $days"
+    val ratio = "(revenue_last_year / NULLIF(revenue_prior_year, 0) * 0.6" +
+      " + orders_last_year / NULLIF(orders_prior_year, 0) * 0.4)"
+    Q.sql(
+      "a_company_health",
+      s"""WITH co AS (
+        |  SELECT o_custkey AS company, CAST(o_orderdate AS DATE) AS order_date,
+        |         o_totalprice AS amt, o_orderpriority AS dp
+        |  FROM orders
+        |), activity AS (
+        |  SELECT company,
+        |    COUNT(*) AS total_orders,
+        |    COUNT(DISTINCT EXTRACT(YEAR FROM order_date)) AS active_years,
+        |    MAX(order_date) AS last_order_date,
+        |    MIN(order_date) AS first_order_date,
+        |    ${sqlDsum("amt")} AS total_revenue,
+        |    ${sqlDavg("amt")} AS avg_order_value,
+        |    CAST(SUM(CASE WHEN ${w(90)} THEN 1 ELSE 0 END) AS BIGINT) AS orders_last_90_days,
+        |    ${sqlDsum(s"CASE WHEN ${w(90)} THEN amt ELSE 0 END")} AS revenue_last_90_days,
+        |    CAST(SUM(CASE WHEN ${w(365)} THEN 1 ELSE 0 END) AS BIGINT) AS orders_last_year,
+        |    CAST(SUM(CASE WHEN ${w(730)} AND ${notW(365)} THEN 1 ELSE 0 END) AS BIGINT) AS orders_prior_year,
+        |    ${sqlDsum(s"CASE WHEN ${w(365)} THEN amt ELSE 0 END")} AS revenue_last_year,
+        |    ${sqlDsum(s"CASE WHEN ${w(730)} AND ${notW(365)} THEN amt ELSE 0 END")} AS revenue_prior_year,
+        |    COUNT(DISTINCT dp) AS product_diversity_score
+        |  FROM co GROUP BY company
+        |), arch AS (
+        |  SELECT *,
+        |    total_orders / GREATEST((last_order_date - first_order_date) / 365.0, 0.1) AS orders_per_year
+        |  FROM activity
+        |), arch2 AS (
+        |  SELECT *,
+        |    CASE WHEN avg_order_value >= 5000 AND orders_per_year < 8 THEN 'HVLF'
+        |         WHEN orders_per_year >= 12 THEN 'HF' ELSE 'REG' END AS customer_archetype,
+        |    PERCENT_RANK() OVER (ORDER BY total_revenue) AS revenue_percentile,
+        |    CASE WHEN total_orders >= 3
+        |         THEN (last_order_date - first_order_date) / NULLIF(total_orders - 1, 0)
+        |         ELSE 90 END AS avg_order_interval_days,
+        |    $A - last_order_date AS days_since_last_order
+        |  FROM arch
+        |), trend AS (
+        |  SELECT *,
+        |    CASE WHEN days_since_last_order <= 30 THEN 'Highly Active'
+        |         WHEN days_since_last_order <= 90 THEN 'Active'
+        |         WHEN days_since_last_order <= 180 THEN 'Moderately Active'
+        |         WHEN days_since_last_order <= 365 THEN 'Dormant'
+        |         ELSE 'Inactive' END AS activity_status,
+        |    CASE WHEN orders_per_year >= 12 THEN 'Monthly+'
+        |         WHEN orders_per_year >= 6 THEN 'Bi-Monthly'
+        |         WHEN orders_per_year >= 4 THEN 'Quarterly'
+        |         WHEN orders_per_year >= 2 THEN 'Bi-Annual'
+        |         WHEN orders_per_year >= 1 THEN 'Annual'
+        |         ELSE 'Sporadic' END AS order_frequency_category,
+        |    CASE WHEN orders_prior_year = 0 AND orders_last_year > 0 THEN 'New Customer'
+        |         WHEN orders_prior_year > 0 AND orders_last_year = 0 THEN 'Lost Customer'
+        |         WHEN orders_last_year > orders_prior_year * 1.2 THEN 'Growing'
+        |         WHEN orders_last_year < orders_prior_year * 0.8 THEN 'Declining'
+        |         ELSE 'Stable' END AS growth_trend_direction,
+        |    CASE WHEN orders_prior_year = 0 AND orders_last_year > 0 THEN 'New Customer'
+        |         WHEN orders_prior_year > 0 AND orders_last_year = 0 THEN 'Lost Customer'
+        |         WHEN revenue_prior_year > 0 THEN
+        |           CASE WHEN $ratio >= 1.15 THEN 'Growing'
+        |                WHEN $ratio <= 0.85 THEN 'Declining'
+        |                ELSE 'Stable' END
+        |         ELSE 'Stable' END AS combined_growth_trend,
+        |    CASE WHEN revenue_last_90_days > avg_order_value * 2 THEN 'High Engagement'
+        |         WHEN orders_last_90_days > 0 THEN 'Medium Engagement'
+        |         WHEN days_since_last_order <= 180 THEN 'Low Engagement'
+        |         ELSE 'No Recent Engagement' END AS engagement_level
+        |  FROM arch2
+        |), bits AS (
+        |  SELECT *,
+        |    CASE WHEN customer_archetype = 'HVLF' THEN
+        |           CASE WHEN days_since_last_order <= avg_order_interval_days * 0.8 THEN 35
+        |                WHEN days_since_last_order <= avg_order_interval_days * 1.1 THEN 30
+        |                WHEN days_since_last_order <= avg_order_interval_days * 1.3 THEN 22
+        |                WHEN days_since_last_order <= avg_order_interval_days * 1.6 THEN 15
+        |                WHEN days_since_last_order <= 365 THEN 9
+        |                ELSE 0 END
+        |         ELSE
+        |           CASE WHEN days_since_last_order <= 30 THEN 35
+        |                WHEN days_since_last_order <= 90 THEN 26
+        |                WHEN days_since_last_order <= 180 THEN 18
+        |                WHEN days_since_last_order <= 365 THEN 9
+        |                ELSE 0 END END AS rec_c,
+        |    CASE WHEN customer_archetype = 'HVLF' THEN
+        |           CASE WHEN orders_per_year >= 4 THEN 25
+        |                WHEN orders_per_year >= 2 THEN 21
+        |                WHEN orders_per_year >= 1 THEN 17 ELSE 8 END
+        |         WHEN customer_archetype = 'HF' THEN
+        |           CASE WHEN orders_per_year >= 12 THEN 25
+        |                WHEN orders_per_year >= 8 THEN 21
+        |                WHEN orders_per_year >= 6 THEN 17 ELSE 8 END
+        |         ELSE
+        |           CASE WHEN orders_per_year >= 12 THEN 25
+        |                WHEN orders_per_year >= 6 THEN 21
+        |                WHEN orders_per_year >= 4 THEN 17
+        |                WHEN orders_per_year >= 2 THEN 13
+        |                WHEN orders_per_year >= 1 THEN 8 ELSE 4 END END AS freq_c,
+        |    CASE WHEN combined_growth_trend = 'Growing' THEN 20
+        |         WHEN combined_growth_trend = 'New Customer' THEN 15
+        |         WHEN combined_growth_trend = 'Stable' THEN 10
+        |         WHEN combined_growth_trend = 'Declining' THEN 5
+        |         ELSE 0 END AS g_c,
+        |    CASE WHEN revenue_percentile >= 0.9 THEN 10
+        |         WHEN revenue_percentile >= 0.75 THEN 8
+        |         WHEN revenue_percentile >= 0.5 THEN 6
+        |         WHEN revenue_percentile >= 0.25 THEN 4
+        |         ELSE 2 END AS r_c,
+        |    CASE WHEN engagement_level = 'High Engagement' THEN 10
+        |         WHEN engagement_level = 'Medium Engagement' THEN 7
+        |         WHEN engagement_level = 'Low Engagement' THEN 3
+        |         ELSE 0 END AS e_c
+        |  FROM trend
+        |), scored AS (
+        |  SELECT *,
+        |    CAST(LEAST(100, rec_c + freq_c + g_c + r_c + e_c) AS INTEGER) AS health_score
+        |  FROM bits
+        |)
+        |SELECT company, total_orders, active_years,
+        |  CAST(last_order_date AS VARCHAR) AS last_order_date,
+        |  CAST(first_order_date AS VARCHAR) AS first_order_date,
+        |  total_revenue, avg_order_value, orders_last_90_days,
+        |  revenue_last_90_days, orders_last_year, orders_prior_year,
+        |  revenue_last_year, revenue_prior_year, product_diversity_score,
+        |  orders_per_year, customer_archetype, revenue_percentile,
+        |  avg_order_interval_days, days_since_last_order, activity_status,
+        |  order_frequency_category, growth_trend_direction,
+        |  combined_growth_trend, engagement_level, health_score,
+        |  CASE WHEN health_score >= 80 THEN 'Excellent Health'
+        |       WHEN health_score >= 60 THEN 'Good Health'
+        |       WHEN health_score >= 40 THEN 'Fair Health'
+        |       WHEN health_score >= 20 THEN 'Poor Health'
+        |       ELSE 'Critical Health' END AS health_category,
+        |  CASE WHEN days_since_last_order > 365 THEN TRUE
+        |       WHEN growth_trend_direction = 'Lost Customer' THEN TRUE
+        |       WHEN orders_last_year = 0 AND orders_prior_year > 0 THEN TRUE
+        |       ELSE FALSE END AS at_risk_flag,
+        |  CASE WHEN growth_trend_direction = 'Growing' AND health_score >= 70 THEN TRUE
+        |       WHEN engagement_level = 'High Engagement' THEN TRUE
+        |       WHEN orders_per_year >= 6 AND avg_order_value > 1000 THEN TRUE
+        |       ELSE FALSE END AS growth_opportunity_flag
+        |FROM scored
+        |ORDER BY company""".stripMargin) { (s, d) =>
+      import graft.ref.Marts
+      val co = Tables.orders(s, d).select(
+        col("o_custkey").as("company_domain_key"),
+        col("o_orderdate").cast("date").as("order_date"),
+        col("o_totalprice").as("order_amount"),
+        col("o_orderpriority").as("distinct_products"))
+      val fc = co.select(col("company_domain_key")).distinct()
+        .withColumn("company_name",
+          concat(lit("Company "), col("company_domain_key").cast("string")))
+        .withColumn("domain_type", lit("corporate"))
+        .withColumn("business_size_category", lit("Single Location"))
+        .withColumn("revenue_category", lit("n/a"))
+      Marts.dimCompanyHealth(co, fc, "2001-08-01")
+        .select(
+          col("company_domain_key").as("company"),
+          col("total_orders"), col("active_years"),
+          col("last_order_date").cast("string").as("last_order_date"),
+          col("first_order_date").cast("string").as("first_order_date"),
+          col("total_revenue"), col("avg_order_value"),
+          col("orders_last_90_days"), col("revenue_last_90_days"),
+          col("orders_last_year"), col("orders_prior_year"),
+          col("revenue_last_year"), col("revenue_prior_year"),
+          col("product_diversity_score"), col("orders_per_year"),
+          col("customer_archetype"), col("revenue_percentile"),
+          col("avg_order_interval_days"), col("days_since_last_order"),
+          col("activity_status"), col("order_frequency_category"),
+          col("growth_trend_direction"), col("combined_growth_trend"),
+          col("engagement_level"), col("health_score"),
+          col("health_category"), col("at_risk_flag"),
+          col("growth_opportunity_flag"))
+        .orderBy("company")
+    }
+  }
+
+  val all: Seq[Q] = Seq(q1PricingSummary, aCompanyHealth, a1OrderRollup,
+    a2CustomerRevenue,
     a3StringAgg, a4Mode, a7PeriodMetrics, a12MultiGrain, a13MarginGrains,
     a18Quality)
 }

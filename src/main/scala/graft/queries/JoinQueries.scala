@@ -159,6 +159,78 @@ object JoinQueries {
       .orderBy("o_custkey")
   }
 
+  /** J5 — orders ⋈ primary company contacts (fct_orders.sql:75-86,206):
+    * the contact dim is rank-1-filtered per company (here: nation plays
+    * the consolidated company), then LEFT-joined into the order fact by
+    * customer key and broadcast — order rows whose customer is not the
+    * company's primary contact keep NULL contact fields, exactly like
+    * the reference's fct_orders. */
+  val j5OrderContact: Q = Q.sql(
+    "j5_order_contact_join",
+    """WITH contacts AS (
+      |  SELECT c_custkey, c_nationkey, c_acctbal,
+      |    unnest([lower(replace(c_name, ' ', '')) || '@corp.com',
+      |            lower(c_mktsegment) || '.team@corp.com']) AS email,
+      |    unnest(generate_series(1, 2)) AS email_position
+      |  FROM customer
+      |), ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey
+      |      ORDER BY c_acctbal DESC, c_custkey, email_position) AS rn
+      |  FROM contacts
+      |), primary_contacts AS (
+      |  SELECT c_custkey,
+      |    email AS primary_contact_email,
+      |    UPPER(LEFT(COALESCE(SPLIT_PART(SPLIT_PART(email, '@', 1), '.', 1), ''), 1))
+      |      || LOWER(SUBSTR(COALESCE(SPLIT_PART(SPLIT_PART(email, '@', 1), '.', 1), ''), 2))
+      |      AS primary_contact_name,
+      |    MD5(CONCAT_WS('-',
+      |      COALESCE(CAST(c_custkey AS VARCHAR), '_dbt_utils_surrogate_key_null_'),
+      |      COALESCE(CAST(email AS VARCHAR), '_dbt_utils_surrogate_key_null_')))
+      |      AS primary_contact_id
+      |  FROM ranked WHERE rn = 1
+      |)
+      |SELECT o.o_orderkey, o.o_custkey,
+      |  CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS order_date,
+      |  o.o_totalprice AS total_amount,
+      |  o.o_orderstatus = 'F' AS is_paid,
+      |  p.primary_contact_id, p.primary_contact_name, p.primary_contact_email,
+      |  p.primary_contact_email IS NOT NULL AS has_primary_contact
+      |FROM orders o
+      |LEFT JOIN primary_contacts p ON o.o_custkey = p.c_custkey
+      |ORDER BY o.o_orderkey""".stripMargin) { (s, d) =>
+    import graft.functions.Fns
+    val c = Tables.customer(s, d)
+    val contacts = c.select(col("c_custkey"), col("c_nationkey"),
+      col("c_acctbal"),
+      posexplode(array(
+        concat(lower(regexp_replace(col("c_name"), " ", "")),
+          lit("@corp.com")),
+        concat(lower(col("c_mktsegment")), lit(".team@corp.com"))))
+        .as(Seq("pos0", "email")))
+      .withColumn("email_position", col("pos0") + 1)
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"),
+        col("email_position"))
+    val primary = contacts
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("c_custkey").as("pc_custkey"),
+        col("email").as("primary_contact_email"),
+        initcap(Fns.splitPart(Fns.splitPart(col("email"), "@", 1), ".", 1))
+          .as("primary_contact_name"),
+        Fns.surrogateKey(col("c_custkey"), col("email"))
+          .as("primary_contact_id"))
+    val o = Tables.orders(s, d)
+    o.join(broadcast(primary), o("o_custkey") === col("pc_custkey"), "left")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("date").cast("string").as("order_date"),
+        col("o_totalprice").as("total_amount"),
+        (col("o_orderstatus") === "F").as("is_paid"),
+        col("primary_contact_id"), col("primary_contact_name"),
+        col("primary_contact_email"),
+        col("primary_contact_email").isNotNull.as("has_primary_contact"))
+      .orderBy("o_orderkey")
+  }
+
   /** J13 — CROSS JOIN against a 1-row broadcast aggregate
     * (fct_dso_metrics.sql:58-70): each nation's share of global revenue. */
   val j13CrossAgg: Q = Q.sql(
@@ -205,6 +277,6 @@ object JoinQueries {
     anti.crossJoin(semi)
   }
 
-  val all: Seq[Q] = Seq(j1BroadcastDims, j7FactBridge, j8FullOuterMatch,
-    j11AsOf, j12AttributionWindows, j13CrossAgg, jAntiSemi)
+  val all: Seq[Q] = Seq(j1BroadcastDims, j5OrderContact, j7FactBridge,
+    j8FullOuterMatch, j11AsOf, j12AttributionWindows, j13CrossAgg, jAntiSemi)
 }

@@ -140,5 +140,174 @@ object RefOpQueries {
       .orderBy("c_custkey")
   }
 
-  val all: Seq[Q] = Seq(p5Country, p7EmailSplit, fJsonBuild)
+  /** P8 + fixed contact pipeline — the email-parsing →
+    * name-enrichment → quality-scoring chain (int_contact_email_parsing
+    * → int_contact_name_enrichment → int_contact_quality_scoring)
+    * over contacts synthesized from customer attributes. Proves the
+    * score ∈ [0,100] battery columns, the classification CASEs, and the
+    * position-free stable email_contact_id
+    * (tests/test_contact_pipeline_data_integrity.sql:7-67). */
+  val p8ContactScoring: Q = {
+    import graft.ref.ContactsFixed
+    Q.sql(
+      "p8_contact_quality_scoring",
+      """WITH src AS (
+        |  SELECT c_custkey,
+        |    lower(replace(c_name, ' ', '')) || '@corp.com;' ||
+        |      lower(c_mktsegment) || '.team@corp.com' ||
+        |      CASE WHEN c_custkey % 7 = 0 THEN ';seller@marketplace.amazon.com' ELSE '' END
+        |      AS main_email,
+        |    CASE WHEN c_custkey % 3 = 0 THEN 'cc.' || lower(c_mktsegment) || '@corp.com' END AS cc_email,
+        |    CASE WHEN c_custkey % 2 = 0 THEN 'Pat' END AS first_name,
+        |    CASE WHEN c_custkey % 4 = 2 THEN 'Lee' END AS last_name,
+        |    CASE WHEN c_custkey % 10 = 0 THEN 'Dr' END AS name_title,
+        |    CASE WHEN c_custkey % 5 = 0 THEN 'Buyer' END AS job_title,
+        |    CASE WHEN c_custkey % 3 <> 0 THEN '555-' || CAST(c_custkey % 10000 AS VARCHAR) END AS main_phone,
+        |    CASE WHEN c_custkey % 2 = 1 THEN CAST(c_nationkey AS VARCHAR) || ' Main St' END AS billing_address_line_1,
+        |    c_acctbal AS current_balance,
+        |    CASE WHEN c_custkey % 7 <> 0 THEN 'Active' END AS customer_status
+        |  FROM customer
+        |), mainx AS (
+        |  SELECT * EXCLUDE (e, pos), trim(e) AS individual_email,
+        |    pos AS email_position, 'main' AS email_source
+        |  FROM (SELECT *, unnest(string_split(main_email, ';')) AS e,
+        |        unnest(generate_series(1, len(string_split(main_email, ';')))) AS pos
+        |        FROM src) s
+        |  WHERE trim(e) != ''
+        |), ccx AS (
+        |  SELECT * EXCLUDE (e, pos), trim(e) AS individual_email,
+        |    pos AS email_position, 'cc' AS email_source
+        |  FROM (SELECT *, unnest(string_split(coalesce(cc_email, ''), ';')) AS e,
+        |        unnest(generate_series(1, len(string_split(coalesce(cc_email, ''), ';')))) AS pos
+        |        FROM src) s
+        |  WHERE trim(e) != ''
+        |), allx AS (
+        |  SELECT * FROM mainx UNION ALL SELECT * FROM ccx
+        |), valid AS (
+        |  SELECT * FROM allx
+        |  WHERE individual_email LIKE '%@%'
+        |    AND SPLIT_PART(individual_email, '@', 2) != ''
+        |    AND SPLIT_PART(individual_email, '@', 1) != ''
+        |    AND NOT lower(individual_email) LIKE '%@marketplace.amazon.com'
+        |), deduped AS (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY c_custkey, lower(individual_email)
+        |    ORDER BY CASE WHEN email_source = 'main' THEN 1 ELSE 2 END,
+        |             email_position) AS r
+        |  FROM valid
+        |), contacts AS (
+        |  SELECT *,
+        |    CASE WHEN email_source = 'main' AND email_position = 1 THEN 'primary'
+        |         WHEN email_source = 'main' THEN 'additional_main'
+        |         ELSE 'cc' END AS contact_priority,
+        |    MD5(CONCAT_WS('-',
+        |      COALESCE(CAST(c_custkey AS VARCHAR), '_dbt_utils_surrogate_key_null_'),
+        |      COALESCE(individual_email, '_dbt_utils_surrogate_key_null_'),
+        |      COALESCE(email_source, '_dbt_utils_surrogate_key_null_'))) AS email_contact_id,
+        |    SPLIT_PART(SPLIT_PART(individual_email, '@', 1), '.', 1) AS tok1,
+        |    SPLIT_PART(SPLIT_PART(individual_email, '@', 1), '.', 2) AS tok2
+        |  FROM deduped WHERE r = 1
+        |), named AS (
+        |  SELECT *,
+        |    CASE WHEN contact_priority = 'primary' AND first_name IS NOT NULL THEN first_name
+        |         WHEN tok1 != '' THEN UPPER(LEFT(tok1, 1)) || LOWER(SUBSTR(tok1, 2)) END AS dfirst,
+        |    CASE WHEN contact_priority = 'primary' AND last_name IS NOT NULL THEN last_name
+        |         WHEN tok2 != '' THEN UPPER(LEFT(tok2, 1)) || LOWER(SUBSTR(tok2, 2)) END AS dlast
+        |  FROM contacts
+        |), named2 AS (
+        |  SELECT *,
+        |    CASE WHEN dfirst IS NOT NULL AND dlast IS NOT NULL THEN trim(dfirst || ' ' || dlast)
+        |         WHEN dfirst IS NOT NULL THEN dfirst
+        |         WHEN dlast IS NOT NULL THEN dlast END AS full_name,
+        |    CASE WHEN contact_priority = 'primary' AND first_name IS NOT NULL AND last_name IS NOT NULL THEN 'original_complete'
+        |         WHEN contact_priority = 'primary' AND (first_name IS NOT NULL OR last_name IS NOT NULL) THEN 'original_partial'
+        |         WHEN tok2 != '' THEN 'email_derived_complete'
+        |         WHEN tok1 != '' THEN 'email_derived_partial'
+        |         ELSE 'minimal' END AS name_quality,
+        |    CASE WHEN contact_priority = 'primary' AND (first_name IS NOT NULL OR last_name IS NOT NULL) THEN 'quickbooks_original'
+        |         WHEN tok1 != '' THEN 'email_derived' ELSE 'none' END AS name_source,
+        |    CASE WHEN contact_priority = 'primary' THEN main_phone END AS p_phone,
+        |    CASE WHEN contact_priority = 'primary' THEN billing_address_line_1 END AS p_addr
+        |  FROM named
+        |), scored AS (
+        |  SELECT *,
+        |    CAST(25 +
+        |      CASE WHEN full_name IS NOT NULL THEN 20 ELSE 0 END +
+        |      CASE WHEN p_phone IS NOT NULL THEN 15 ELSE 0 END +
+        |      CASE WHEN job_title IS NOT NULL THEN 10 ELSE 0 END +
+        |      CASE WHEN p_addr IS NOT NULL THEN 10 ELSE 0 END +
+        |      CASE WHEN name_quality IN ('original_complete', 'email_derived_complete') THEN 10 ELSE 5 END +
+        |      CASE WHEN name_title IS NOT NULL THEN 5 ELSE 0 END AS INTEGER) AS completeness_score
+        |  FROM named2
+        |)
+        |SELECT c_custkey AS customer_id, individual_email, email_source,
+        |  email_position, contact_priority, full_name, name_quality,
+        |  name_source, completeness_score,
+        |  CASE WHEN completeness_score >= 75 THEN 'complete'
+        |       WHEN completeness_score >= 50 THEN 'good'
+        |       WHEN completeness_score >= 25 THEN 'partial'
+        |       ELSE 'minimal' END AS contact_data_quality,
+        |  CASE WHEN contact_priority = 'primary' AND completeness_score >= 75 THEN 'high_value_contact'
+        |       WHEN completeness_score >= 75 THEN 'complete_contact'
+        |       WHEN completeness_score >= 50 THEN 'email_contact'
+        |       WHEN p_phone IS NOT NULL AND completeness_score >= 40 THEN 'phone_contact'
+        |       ELSE 'basic_contact' END AS contact_tier,
+        |  'email' AS primary_contact_method,
+        |  customer_status IS NOT NULL AS email_marketable,
+        |  CASE WHEN contact_priority = 'primary' AND completeness_score >= 75 AND current_balance > 1000 THEN 'high_engagement'
+        |       WHEN completeness_score >= 60 THEN 'medium_engagement'
+        |       WHEN completeness_score >= 40 THEN 'low_engagement'
+        |       ELSE 'minimal_engagement' END AS engagement_potential,
+        |  email_contact_id
+        |FROM scored
+        |ORDER BY customer_id, individual_email""".stripMargin) { (s, d) =>
+      val k = col("c_custkey")
+      val src = Tables.customer(s, d).select(
+        k.cast("string").as("customer_id"),
+        col("c_name").as("customer_name"),
+        lit(null).cast("string").as("company_name"),
+        concat(
+          lower(regexp_replace(col("c_name"), " ", "")), lit("@corp.com;"),
+          lower(col("c_mktsegment")), lit(".team@corp.com"),
+          when(k % 7 === 0, ";seller@marketplace.amazon.com").otherwise(""))
+          .as("main_email"),
+        when(k % 3 === 0,
+          concat(lit("cc."), lower(col("c_mktsegment")), lit("@corp.com")))
+          .as("cc_email"),
+        when(k % 2 === 0, "Pat").as("first_name"),
+        when(k % 4 === 2, "Lee").as("last_name"),
+        when(k % 10 === 0, "Dr").as("name_title"),
+        when(k % 5 === 0, "Buyer").as("job_title"),
+        when(k % 3 =!= 0,
+          concat(lit("555-"), (k % 10000).cast("string"))).as("main_phone"),
+        lit(null).cast("string").as("alt_phone"),
+        lit(null).cast("string").as("work_phone"),
+        lit(null).cast("string").as("mobile_phone"),
+        lit(null).cast("string").as("fax"),
+        when(k % 2 === 1,
+          concat(col("c_nationkey").cast("string"), lit(" Main St")))
+          .as("billing_address_line_1"),
+        lit(null).cast("string").as("billing_address_city"),
+        lit(null).cast("string").as("billing_address_state"),
+        lit(null).cast("string").as("billing_address_postal_code"),
+        lit(null).cast("string").as("customer_type"),
+        col("c_acctbal").as("current_balance"),
+        when(k % 7 =!= 0, "Active").as("customer_status"),
+        lit(null).cast("date").as("created_date"),
+        k.as("ck"))
+      val scored = ContactsFixed.qualityScoring(
+        ContactsFixed.nameEnrichment(ContactsFixed.emailParsing(src)))
+      scored.select(
+        col("ck").as("customer_id"),
+        col("individual_email"), col("email_source"), col("email_position"),
+        col("contact_priority"), col("full_name"), col("name_quality"),
+        col("name_source"), col("completeness_score"),
+        col("contact_data_quality"), col("contact_tier"),
+        col("primary_contact_method"), col("email_marketable"),
+        col("engagement_potential"), col("email_contact_id"))
+        .orderBy("customer_id", "individual_email")
+    }
+  }
+
+  val all: Seq[Q] = Seq(p5Country, p7EmailSplit, p8ContactScoring, fJsonBuild)
 }

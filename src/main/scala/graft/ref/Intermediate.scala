@@ -18,6 +18,8 @@ object Intermediate {
     * Amazon-classed orders are Amazon, remaining invoices are Invoice.
     * Segment from the order's class (OEM/Distributor/EXPORT). */
   def orders(typedItems: DataFrame): DataFrame = {
+    // Optional columns (int_quickbooks__orders.sql:27-74) may be absent
+    // on thin raws; MAX(NULL) pads them when Staging nulled them out.
     val rolled = typedItems
       .groupBy(col("order_number"))
       .agg(
@@ -32,10 +34,65 @@ object Intermediate {
         max(col("billing_country")).as("billing_country"),
         bool_or(coalesce(col("is_tax_exempt"), lit(false)))
           .as("any_tax_exempt"),
+        bool_or(coalesce(col("is_tax_exempt"), lit(false)))
+          .as("is_tax_exempt"),
         sum(col("line_amount")).as("order_amount"),
         max(col("total_amount")).as("total_amount"),
-        count(lit(1)).as("line_count"))
+        count(lit(1)).as("line_count"),
+        // Reference surface (int_quickbooks__orders.sql:27-79)
+        max(col("due_date")).as("due_date"),
+        max(col("customer_sales_tax_code")).as("customer_sales_tax_code"),
+        max(col("total_tax")).as("total_tax"),
+        max(col("billing_address_line_1")).as("billing_address_line_1"),
+        max(col("billing_address_line_2")).as("billing_address_line_2"),
+        max(col("billing_address_line_3")).as("billing_address_line_3"),
+        max(col("billing_city")).as("billing_address_city"),
+        max(col("billing_state")).as("billing_address_state"),
+        max(col("billing_address_postal_code"))
+          .as("billing_address_postal_code"),
+        max(col("billing_country")).as("billing_address_country_raw"),
+        max(col("shipping_address_line_1")).as("shipping_address_line_1"),
+        max(col("shipping_address_line_2")).as("shipping_address_line_2"),
+        max(col("shipping_address_line_3")).as("shipping_address_line_3"),
+        max(col("shipping_address_city")).as("shipping_address_city"),
+        max(col("shipping_address_state")).as("shipping_address_state"),
+        max(col("shipping_address_postal_code"))
+          .as("shipping_address_postal_code"),
+        max(col("shipping_address_country"))
+          .as("shipping_address_country_raw"),
+        max(col("shipping_method")).as("shipping_method"),
+        max(col("ship_date")).as("ship_date"),
+        max(col("memo")).as("memo"),
+        max(col("message_to_customer")).as("message_to_customer"),
+        max(col("currency")).as("currency"),
+        max(col("exchange_rate")).as("exchange_rate"),
+        max(col("transaction_id")).as("transaction_id"),
+        max(col("quickbooks_internal_id")).as("quickbooks_internal_id"),
+        max(col("external_id")).as("external_id"),
+        max(col("created_date")).as("created_date"),
+        max(col("modified_date")).as("modified_date"),
+        sum(col("product_service_amount")).as("total_line_items_amount"),
+        count(lit(1)).as("item_count"))
     rolled
+      // Country macro family over the rolled-up raw address fields
+      // (int_quickbooks__orders.sql:86-103). The macro's billing
+      // inference never returns NULL, so primary == billing (see
+      // Fns.countryCategory scaladoc).
+      .withColumn("billing_address_country",
+        Fns.normalizeCountry(col("billing_address_country_raw"),
+          col("billing_address_state")))
+      .withColumn("shipping_address_country",
+        Fns.normalizeCountry(col("shipping_address_country_raw"),
+          col("shipping_address_state")))
+      .withColumn("primary_country",
+        Fns.normalizeCountry(col("billing_address_country_raw"),
+          col("billing_address_state")))
+      .withColumn("country_category",
+        Fns.countryCategory(col("primary_country")))
+      .withColumn("region", Fns.regionOf(col("primary_country")))
+      // Null-critical-field filter (int_quickbooks__orders.sql:163-170)
+      .filter(col("order_date").isNotNull && col("total_amount").isNotNull &&
+        col("order_number").isNotNull && trim(col("order_number")) =!= "")
       .withColumn("sales_channel",
         when(upper(coalesce(col("order_class"), lit("")))
           .contains("AMAZON"), "Amazon")
@@ -100,6 +157,33 @@ object Intermediate {
             / col("sales_price") * 100, 2)))
   }
 
+  /** int_quickbooks__material_type (int_quickbooks__material_type.sql):
+    * W1 dedup to latest snapshot per item, then the pattern-match CASE
+    * assigning a material type from the item code. */
+  def materialType(stagedItems: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("item_name"))
+      .orderBy(col("load_date").desc, col("snapshot_date").desc)
+    val stainless = Seq("01-6318.7SK", "01-6315.3SK", "01-6315.3SK-2",
+      "01-6358.5SK", "01-6358.5SK-2")
+    val adhesives = Seq("82-5002.K", "82-5002.010", "82-6002")
+    val plastic = Seq("01-7014", "01-7014-FBA", "01-7625.L")
+    val zincMisc = Seq("01-7011.PST", "01-7010-FBA", "01-7010", "01-7013")
+    stagedItems
+      .filter(col("item_name").isNotNull && col("item_name") =!= "")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("item_name"), col("sales_description"),
+        when(col("item_name").isin(stainless: _*), "Stainless Steel")
+          .when(col("item_name").startsWith("01-63") &&
+            !col("item_name").endsWith("-D"), "Zinc Plated")
+          .when(col("item_name").endsWith("-D"), "Dacromet")
+          .when(col("item_name").isin(adhesives: _*), "Adhesives")
+          .when(col("item_name").isin(plastic: _*), "Plastic")
+          .when(col("item_name").isin(zincMisc: _*), "Zinc Plated")
+          .when(col("item_name").startsWith("01-8003"), "Tools")
+          .otherwise("Uncategorized").as("material_type"))
+  }
+
   /** int_quickbooks__customer_company_mapping
     * (int_quickbooks__customer_company_mapping.sql:73-97): customers ⋈
     * domain_mapping (main + cc) ⋈ name_mapping, all broadcast left
@@ -161,9 +245,33 @@ object Intermediate {
         countDistinct(col("customer_id")).as("distinct_customer_count"),
         sum(col("current_balance")).as("total_balance"),
         sum(coalesce(col("total_revenue"), lit(0.0))).as("total_revenue"),
+        sum(coalesce(col("order_count"), lit(0L))).as("total_orders"),
+        min(col("first_order_date")).as("first_order_date"),
+        max(col("last_order_date")).as("latest_order_date"),
         substring(array_join(sort_array(
           collect_set(col("normalized_customer_name"))), " | "), 1, 500)
           .as("all_customer_names"))
+      // Business/revenue classification + activity flags
+      // (int_quickbooks__company_consolidation.sql:144-198). The
+      // domain_type is recoverable from the key shape (Fns.domainType).
+      .withColumn("domain_type",
+        Fns.domainType(col("company_domain_key")))
+      .withColumn("business_size_category",
+        when(col("domain_type") === "individual", "Individual Customer")
+          .when(col("customer_count") === 1, "Single Location")
+          .when(col("customer_count").between(2, 5), "Small Multi-Location")
+          .when(col("customer_count").between(6, 20),
+            "Medium Multi-Location")
+          .otherwise("Large Multi-Location"))
+      .withColumn("revenue_category",
+        when(col("total_revenue") >= 100000, "High Value ($100K+)")
+          .when(col("total_revenue") >= 25000, "Medium Value ($25K-$100K)")
+          .when(col("total_revenue") >= 5000, "Growing Value ($5K-$25K)")
+          .when(col("total_revenue") > 0, "Low Value (<$5K)")
+          .otherwise("No Revenue"))
+      .withColumn("has_revenue", col("total_revenue") > 0)
+      .withColumn("is_multi_location", col("customer_count") > 1)
+      .withColumn("is_corporate", col("domain_type") === "corporate")
     // MODE() WITHIN GROUP country: deterministic argmax via pre-count
     val countryCounts = rep
       .filter(col("billing_country").isNotNull)

@@ -1,7 +1,7 @@
 package graft.ref
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Deterministic topological runner for the reference's model DAG
   * (SURVEY §3.2) — stages 1-3 of the orchestrator collapsed into one
@@ -64,6 +64,8 @@ object ModelDag {
       Intermediate.customerRevenue(orders))
     val itemsEnriched = cat.saveTable("intermediate", "items_enriched",
       Intermediate.itemsEnriched(stgItems))
+    val materialType = cat.saveTable("intermediate", "material_type",
+      Intermediate.materialType(stgItems))
     val mapping = cat.saveTable("intermediate", "customer_company_mapping",
       Intermediate.customerCompanyMapping(stgCustomers, stgDomainMapping,
         stgNameMapping))
@@ -81,6 +83,24 @@ object ModelDag {
     val dimContacts = cat.saveTable("mart", "dim_customer_contacts",
       Contacts.dimCustomerContacts(personMapping))
 
+    // ---- contacts (fixed path — runs ALONGSIDE legacy, SURVEY §3.2
+    //      wrinkle #3) ----
+    val cleanContacts = cat.saveView("staging", "customer_contacts_clean",
+      Staging.customerContactsClean(raw.customers))
+    val emailParsed = cat.saveTable("intermediate", "contact_email_parsing",
+      ContactsFixed.emailParsing(cleanContacts))
+    val namesEnriched = cat.saveTable("intermediate",
+      "contact_name_enrichment", ContactsFixed.nameEnrichment(emailParsed))
+    val qualityScored = cat.saveTable("intermediate",
+      "contact_quality_scoring", ContactsFixed.qualityScoring(namesEnriched))
+    val personMappingFixed = cat.saveTable("intermediate",
+      "customer_person_mapping_fixed",
+      ContactsFixed.personMappingFixed(qualityScored, mapping))
+    val dimContactsFixed = cat.saveTable("mart",
+      "dim_customer_contacts_fixed",
+      ContactsFixed.dimCustomerContactsFixed(personMappingFixed,
+        consolidation))
+
     // ---- shopify (optional source; writes the intermediate the
     //      fct_orders guard looks for) ----
     raw.shopifyOrders.foreach { rawSh =>
@@ -93,8 +113,11 @@ object ModelDag {
       cat.saveTable("intermediate", "shopify_orders_enriched",
         Shopify.ordersEnriched(stg, fulfill, attr)
           .select(col("order_number"), col("fulfillment_status"),
-            col("tracking_number"), col("utm_source"), col("utm_medium"),
-            col("utm_campaign"), col("total_price")))
+            col("tracking_number"), col("tracking_company"),
+            col("fulfilled_at"), col("utm_source"), col("utm_medium"),
+            col("utm_campaign"), col("landing_site"), col("referring_site"),
+            col("acquisition_channel"), col("has_discount"),
+            col("total_price")))
     }
 
     // ---- marts (tables) ----
@@ -102,10 +125,20 @@ object ModelDag {
       if (cat.exists("intermediate", "shopify_orders_enriched"))
         Some(cat.load("intermediate", "shopify_orders_enriched"))
       else None
+    // J5: primary-company-contact projection joined into fct_orders
+    // (fct_orders.sql:75-86,206) — small dim, broadcast inside.
+    val primaryContacts = dimContacts
+      .filter(col("is_primary_company_contact"))
+      .select(col("customer_name").as("customer"),
+        col("contact_key").as("primary_contact_id"),
+        col("derived_first_name").as("primary_contact_name"),
+        col("email").as("primary_contact_email"),
+        lit(null).cast("string").as("primary_contact_phone"),
+        col("email_source").as("primary_contact_role"))
     val fctOrders = cat.saveTable("mart", "fct_orders",
-      Marts.fctOrders(orders, shopify))
+      Marts.fctOrders(orders, shopify, Some(primaryContacts)))
     val fctProducts = cat.saveTable("mart", "fct_products",
-      Marts.fctProducts(itemsEnriched))
+      Marts.fctProducts(itemsEnriched, Some(materialType)))
     val fctLineItems = cat.saveTable("mart", "fct_order_line_items",
       Marts.fctOrderLineItems(typed, fctProducts))
     val fctCompaniesBase = Marts.fctCompanies(consolidation)
@@ -123,6 +156,15 @@ object ModelDag {
       Marts.bridgeCustomerCompany(mapping))
     val companyOrders = cat.saveTable("mart", "fct_company_orders",
       Marts.fctCompanyOrders(fctLineItems, bridge))
+    val companyHealth = cat.saveTable("mart", "dim_company_health",
+      Marts.dimCompanyHealth(companyOrders, fctCompanies, AsOfDate))
+    val companyProducts = cat.saveTable("mart", "fct_company_products",
+      Marts.fctCompanyProducts(fctLineItems, bridge, fctProducts,
+        fctCompanies, AsOfDate))
+    val periodSpending = cat.saveTable("mart",
+      "mart_product_company_period_spending",
+      Marts.productCompanyPeriodSpending(companyProducts, fctLineItems,
+        bridge, AsOfDate))
     val aging = cat.saveTable("mart", "dim_accounts_receivable_aging",
       Marts.arAging(fctOrders, AsOfDate))
     val dso = cat.saveTable("mart", "fct_dso_metrics",
@@ -177,6 +219,12 @@ object ModelDag {
       "intermediate.customer_contacts" -> contacts,
       "intermediate.customer_person_mapping" -> personMapping,
       "mart.dim_customer_contacts" -> dimContacts,
+      "staging.customer_contacts_clean" -> cleanContacts,
+      "intermediate.contact_email_parsing" -> emailParsed,
+      "intermediate.contact_name_enrichment" -> namesEnriched,
+      "intermediate.contact_quality_scoring" -> qualityScored,
+      "intermediate.customer_person_mapping_fixed" -> personMappingFixed,
+      "mart.dim_customer_contacts_fixed" -> dimContactsFixed,
       "mart.fct_company_orders_time_series" -> timeSeries,
       "mart.mart_product_unit_sales" -> unitSales,
       "mart.fct_product_pricing_history" -> pricing,
@@ -197,6 +245,10 @@ object ModelDag {
       "mart.fct_companies" -> fctCompanies,
       "mart.bridge_customer_company" -> bridge,
       "mart.fct_company_orders" -> companyOrders,
+      "mart.dim_company_health" -> companyHealth,
+      "intermediate.material_type" -> materialType,
+      "mart.fct_company_products" -> companyProducts,
+      "mart.mart_product_company_period_spending" -> periodSpending,
       "mart.dim_accounts_receivable_aging" -> aging,
       "mart.fct_dso_metrics" -> dso,
       "mart.mart_company_period_metrics" -> periodMetrics)

@@ -46,6 +46,20 @@ object RefFixtures {
       .withColumn("snapshot_date",
         org.apache.spark.sql.functions.lit("seed"))
       .withColumn("is_seed", org.apache.spark.sql.functions.lit(true))
+      // Contact-pipeline optional columns (fixed path): names/phones/
+      // titles on a couple of customers, '' elsewhere per DLT.
+      .withColumn("first_name", org.apache.spark.sql.functions.expr(
+        """CASE quick_books_internal_id WHEN 'C001' THEN 'Pat'
+          |  WHEN 'C004' THEN 'Jane' ELSE '' END""".stripMargin))
+      .withColumn("last_name", org.apache.spark.sql.functions.expr(
+        """CASE quick_books_internal_id WHEN 'C001' THEN 'Jones'
+          |  WHEN 'C004' THEN 'Smith' ELSE '' END""".stripMargin))
+      .withColumn("job_title", org.apache.spark.sql.functions.expr(
+        "CASE quick_books_internal_id WHEN 'C001' THEN 'Purchasing Manager' ELSE '' END"))
+      .withColumn("main_phone", org.apache.spark.sql.functions.expr(
+        "CASE quick_books_internal_id WHEN 'C001' THEN '614-555-0101' ELSE '' END"))
+      .withColumn("status", org.apache.spark.sql.functions.expr(
+        "CASE WHEN quick_books_internal_id IN ('C001','C002','C004','C006') THEN 'Active' ELSE '' END"))
   }
 
   def rawItems(spark: SparkSession): DataFrame = {
@@ -107,6 +121,29 @@ object RefFixtures {
         "customer_sales_tax_code", "class", "terms", "total_amount",
         "sales_rep", "billing_address_city", "billing_address_state",
         "billing_address_country")
+      // Optional order columns (fct_orders surface): added via
+      // withColumn to keep the tuple width under 22. INV-1004 is
+      // deliberately backdated (due before order date).
+      .withColumn("due_date", org.apache.spark.sql.functions.expr(
+        """CASE invoice_no WHEN 'INV-1001' THEN '2024-07-10'
+          |  WHEN 'INV-1004' THEN '2024-01-10' ELSE '' END""".stripMargin))
+      .withColumn("memo", org.apache.spark.sql.functions.expr(
+        "CASE invoice_no WHEN 'INV-1001' THEN 'Rush order' ELSE '' END"))
+      .withColumn("shipping_address_line_1",
+        org.apache.spark.sql.functions.expr(
+          "CASE invoice_no WHEN 'INV-1001' THEN '12 Dock St' ELSE '' END"))
+      .withColumn("shipping_address_city",
+        org.apache.spark.sql.functions.expr(
+          "CASE invoice_no WHEN 'INV-1001' THEN 'Columbus' ELSE '' END"))
+      .withColumn("shipping_address_state",
+        org.apache.spark.sql.functions.expr(
+          "CASE invoice_no WHEN 'INV-1001' THEN 'OH' ELSE '' END"))
+      .withColumn("shipping_method", org.apache.spark.sql.functions.expr(
+        "CASE invoice_no WHEN 'INV-1001' THEN 'UPS Ground' ELSE '' END"))
+      .withColumn("total_tax", org.apache.spark.sql.functions.expr(
+        "CASE invoice_no WHEN 'INV-1001' THEN '23.10' ELSE '0' END"))
+      .withColumn("currency",
+        org.apache.spark.sql.functions.lit("USD"))
   }
 
   def rawSalesReceipts(spark: SparkSession): DataFrame = {
@@ -157,10 +194,10 @@ object RefFixtures {
   def rawShopifyFulfillments(spark: SparkSession): DataFrame = {
     import spark.implicits._
     Seq(
-      ("f1", "dlt_a", "success", "1Z999", "2024-05-21T08:00:00Z"),
-      ("f2", "dlt_a", "success", "1Z999-2", "2024-05-22T08:00:00Z"))
+      ("f1", "dlt_a", "success", "1Z999", "UPS", "2024-05-21T08:00:00Z"),
+      ("f2", "dlt_a", "success", "1Z999-2", "UPS", "2024-05-22T08:00:00Z"))
       .toDF("id", "_dlt_parent_id", "status", "tracking_number",
-        "created_at")
+        "tracking_company", "created_at")
   }
 
   def rawTradeShowLeads(spark: SparkSession): DataFrame = {

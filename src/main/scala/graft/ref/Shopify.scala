@@ -57,21 +57,46 @@ object Shopify {
   }
 
   /** Fulfillment child rows collapsed to order grain (A5,
-    * int_shopify__orders_enriched.sql:13-21), joined back (J9). */
+    * int_shopify__orders_enriched.sql:13-21), joined back (J9), plus the
+    * reference's derived enrichment fields — acquisition_channel,
+    * has_discount, has_tracking
+    * (int_shopify__orders_enriched.sql:46-70). */
   def ordersEnriched(stagedOrders: DataFrame,
                      fulfillments: DataFrame,
                      attribution: DataFrame): DataFrame = {
-    val fulfillAgg = fulfillments
-      .groupBy(col("_dlt_parent_id").as("_dlt_id"))
-      .agg(
-        max(col("status")).as("fulfillment_latest_status"),
-        max(col("tracking_number")).as("tracking_number"),
-        max(to_timestamp(col("created_at"))).as("fulfilled_at"))
+    val fulfillAgg =
+      if (fulfillments.columns.contains("_dlt_parent_id")) {
+        val hasCompany = fulfillments.columns.contains("tracking_company")
+        fulfillments
+          .groupBy(col("_dlt_parent_id").as("_dlt_id"))
+          .agg(
+            max(col("status")).as("fulfillment_latest_status"),
+            max(col("tracking_number")).as("tracking_number"),
+            (if (hasCompany) max(col("tracking_company"))
+             else max(lit(null).cast("string"))).as("tracking_company"),
+            max(to_timestamp(col("created_at"))).as("fulfilled_at"))
+      } else // fulfillment source absent: null-padded order-grain shell
+        stagedOrders.select(col("_dlt_id"),
+          lit(null).cast("string").as("fulfillment_latest_status"),
+          lit(null).cast("string").as("tracking_number"),
+          lit(null).cast("string").as("tracking_company"),
+          lit(null).cast("timestamp").as("fulfilled_at")).limit(0)
+    val ref = lower(coalesce(col("referrer"), lit("")))
     stagedOrders
       .join(fulfillAgg, Seq("_dlt_id"), "left")
       .join(attribution.select(col("shopify_order_id"), col("utm_source"),
         col("utm_medium"), col("utm_campaign"), col("referrer"),
         col("landing_page")), Seq("shopify_order_id"), "left")
+      .withColumn("acquisition_channel",
+        when(col("utm_source").isNotNull, "Paid")
+          .when(ref.contains("google") || ref.contains("bing") ||
+            ref.contains("duckduckgo"), "Organic Search")
+          .when(col("referrer").isNotNull, "Referral")
+          .when(col("source_name") === "web", "Direct")
+          .otherwise("Unknown"))
+      .withColumn("has_discount",
+        coalesce(col("total_discounts"), lit(0.0)) > 0)
+      .withColumn("has_tracking", col("tracking_number").isNotNull)
   }
 
   /** int_unified__order_matching (int_unified__order_matching.sql:25-56):

@@ -38,6 +38,37 @@ object Staging {
       Fns.safeNumeric(col("current_balance")).as("current_balance"),
       nb("created_date").cast("date").as("created_date"))
 
+  /** stg_quickbooks__customer_contacts_clean
+    * (stg_quickbooks__customer_contacts_clean.sql:18-44, P8): the
+    * contact-facing cleanup staging — every contact field trimmed and
+    * ''→NULL. Name/phone/title columns are optional on thin raws
+    * (macros/optional_columns.sql pattern); audit timestamps
+    * (processed_at) are deliberately dropped per the determinism rules. */
+  def customerContactsClean(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.StringType
+    def o(n: String): Column =
+      Fns.nullifBlank(Fns.firstExistingColumnOrNull(raw, Seq(n), StringType))
+        .as(n)
+    raw.select(
+      nb("quick_books_internal_id").as("customer_id"),
+      nb("customer_name").as("customer_name"),
+      nb("company_name").as("company_name"),
+      nb("main_email").as("main_email"),
+      nb("cc_email").as("cc_email"),
+      o("first_name"), o("last_name"), o("name_title"), o("job_title"),
+      o("main_phone"), o("alt_phone"), o("work_phone"), o("mobile_phone"),
+      o("fax"),
+      o("billing_address_line_1"),
+      nb("billing_address_city").as("billing_address_city"),
+      nb("billing_address_state").as("billing_address_state"),
+      o("billing_address_postal_code"),
+      o("customer_type"),
+      Fns.safeNumeric(col("current_balance")).as("current_balance"),
+      Fns.nullifBlank(Fns.firstExistingColumnOrNull(raw, Seq("status"),
+        StringType)).as("customer_status"),
+      nb("created_date").cast("date").as("created_date"))
+  }
+
   /** stg_quickbooks__items (stg_quickbooks__items.sql:6-53). */
   def items(raw: DataFrame): DataFrame =
     raw.select(
@@ -87,7 +118,7 @@ object Staging {
     * invoices ∪ sales receipts with per-source renames, hardcoded
     * status/payment_method, NULL pads for columns absent on one side. */
   def baseOrderItems(invoices: DataFrame, receipts: DataFrame): DataFrame = {
-    val inv = invoices.select(
+    val inv = invoices.select(Seq(
       nb("invoice_no").as("order_number"),
       nb("invoice_date").cast("date").as("order_date"),
       nb("customer").as("customer"),
@@ -107,8 +138,8 @@ object Staging {
       nb("billing_address_city").as("billing_city"),
       nb("billing_address_state").as("billing_state"),
       nb("billing_address_country").as("billing_country"),
-      lit("invoice").as("source_type"))
-    val rec = receipts.select(
+      lit("invoice").as("source_type")) ++ optionalOrderCols(invoices): _*)
+    val rec = receipts.select(Seq(
       nb("sales_receipt_no").as("order_number"),
       nb("sales_receipt_date").cast("date").as("order_date"),
       nb("customer").as("customer"),
@@ -128,7 +159,8 @@ object Staging {
       nb("billing_address_city").as("billing_city"),
       nb("billing_address_state").as("billing_state"),
       lit(null).cast("string").as("billing_country"),
-      lit("sales_receipt").as("source_type"))
+      lit("sales_receipt").as("source_type")) ++
+      optionalOrderCols(receipts): _*)
     inv.unionByName(rec, allowMissingColumns = true)
   }
 

@@ -108,6 +108,33 @@ class RefPipelineSpec extends SparkSpec {
     assert(mst)
   }
 
+  test("company products: metrics, MODE rep, material type, periods") {
+    // acme.com × 01-6310.AK4 → INV-1001 (150.00), INV-1004 (12% of
+    // 20×14.50 = 34.80), SR-3003 (90.00); all sales_rep RW.
+    val cp = out("mart.fct_company_products")
+      .filter(col("company_domain_key") === "acme.com" &&
+        col("product_service") === "01-6310.AK4").head()
+    assert(cp.getAs[Long]("total_transactions") == 3)
+    assert(math.abs(cp.getAs[Double]("total_amount_spent") - 274.8) < 1e-9)
+    assert(cp.getAs[String]("primary_sales_rep") == "RW")
+    assert(cp.getAs[String]("material_type") == "Zinc Plated")
+    assert(cp.getAs[Long]("recent_transactions") == 2,
+      "INV-1004 (Jan) outside the 90d window of the 2024-06-30 as-of")
+    assert(cp.getAs[String]("buyer_status") == "Active Buyer")
+    val ps = out("mart.mart_product_company_period_spending")
+      .filter(col("company_domain_key") === "acme.com" &&
+        col("product_service") === "01-6310.AK4")
+    val allTime = ps.filter(col("period_type") === "all_time").head()
+    assert(math.abs(allTime.getAs[Double]("total_amount_spent") - 274.8)
+      < 1e-9)
+    val t30 = ps.filter(col("period_type") === "trailing_30d").head()
+    assert(math.abs(t30.getAs[Double]("total_amount_spent") - 240.0) < 1e-9)
+    // zero-spend periods are filtered (mart_...spending.sql:150-153)
+    assert(out("mart.mart_product_company_period_spending")
+      .filter(col("product_service") === "01-6310.MST" &&
+        col("period_type") === "trailing_30d").count() == 0)
+  }
+
   test("AR aging has three analysis levels and open orders only") {
     val aging = out("mart.dim_accounts_receivable_aging")
     val levels = aging.select("analysis_level").distinct()
@@ -138,11 +165,102 @@ class RefPipelineSpec extends SparkSpec {
       }
   }
 
+  test("fixed contacts: pipeline integrity battery") {
+    // tests/test_contact_pipeline_data_integrity.sql:7-67
+    val scored = out("intermediate.contact_quality_scoring")
+    assert(scored.filter(col("completeness_score") < 0 ||
+      col("completeness_score") > 100).count() == 0, "score in [0,100]")
+    val pm = out("intermediate.customer_person_mapping_fixed")
+    // exactly one primary per company; primary == rank 1
+    val primaries = pm.groupBy("company_domain_key")
+      .agg(sum(when(col("is_primary_company_contact"), 1).otherwise(0))
+        .as("n"))
+    assert(primaries.filter(col("n") =!= 1).count() == 0)
+    assert(pm.filter(col("is_primary_company_contact") =!=
+      (col("company_contact_rank") === 1)).count() == 0)
+    // cross-customer email dedup: every lower(email) appears once
+    assert(pm.groupBy(lower(col("main_email"))).count()
+      .filter(col("count") > 1).count() == 0)
+    // C001's primary contact scores the full original-name battery:
+    // 25 email + 20 name + 15 phone + 10 title + 10 complete-name + 0
+    // addr + 0 addl + 0 name_title = 80 → complete / high_value / high
+    val buyer = scored.filter(col("individual_email") === "buyer@acme.com")
+      .head()
+    assert(buyer.getAs[Int]("completeness_score") == 80)
+    assert(buyer.getAs[String]("full_name") == "Pat Jones")
+    assert(buyer.getAs[String]("name_quality") == "original_complete")
+    assert(buyer.getAs[String]("contact_data_quality") == "complete")
+    assert(buyer.getAs[String]("contact_tier") == "high_value_contact")
+    assert(buyer.getAs[String]("engagement_potential") == "high_engagement")
+    // backup@acme.com is additional_main → email-derived name
+    val backup = scored
+      .filter(col("individual_email") === "backup@acme.com").head()
+    assert(backup.getAs[String]("contact_priority") == "additional_main")
+    assert(backup.getAs[String]("full_name") == "Backup")
+    assert(backup.getAs[String]("name_source") == "email_derived")
+  }
+
+  test("fixed contacts: surrogate keys are stable under email re-ordering") {
+    // tests/test_contact_surrogate_key_stability.sql:8-36 — the fixed
+    // ids hash (customer, email, source) WITHOUT position, so swapping
+    // the main-email list order must not change any id.
+    import graft.ref.{ContactsFixed, Staging}
+    val swapped = RefFixtures.rawCustomers(spark)
+      .withColumn("main_email",
+        when(col("quick_books_internal_id") === "C001",
+          "backup@acme.com;buyer@acme.com")
+          .otherwise(col("main_email")))
+    def ids(raw: org.apache.spark.sql.DataFrame): Set[String] =
+      ContactsFixed.emailParsing(Staging.customerContactsClean(raw))
+        .select("email_contact_id").collect().map(_.getString(0)).toSet
+    assert(ids(RefFixtures.rawCustomers(spark)) == ids(swapped))
+  }
+
+  test("fixed contacts: dim joins company context with stable dim key") {
+    val dim = out("mart.dim_customer_contacts_fixed")
+    val buyer = dim.filter(col("primary_email") === "buyer@acme.com").head()
+    assert(buyer.getAs[String]("company_name") == "Acme Industrial")
+    assert(buyer.getAs[Boolean]("is_primary_company_contact"))
+    assert(buyer.getAs[String]("contact_role") == "primary_contact")
+    // JSON card emits null fields explicitly (ignoreNullFields=false)
+    assert(buyer.getAs[String]("additional_contact_methods")
+      .contains("\"alt_phone\":null"))
+  }
+
   test("shopify: test orders excluded, guard join lands fulfillment on S-2001") {
     val o = out("mart.fct_orders").filter(col("order_number") === "S-2001")
       .select("fulfillment_status", "tracking_number").head()
     assert(o.getString(0) == "fulfilled")
     assert(o.getString(1) == "1Z999-2", "max tracking over 2 fulfillments")
+  }
+
+  test("J5: fct_orders carries primary-contact, flag and enrichment surface") {
+    // Company acme.com's primary contact is buyer@acme.com (C001, main,
+    // position 1) — so C001's order gets contact fields and C002's does
+    // not, exactly like the reference join on source_customer_name.
+    val o = out("mart.fct_orders")
+      .filter(col("order_number") === "INV-1001").head()
+    assert(o.getAs[String]("primary_contact_email") == "buyer@acme.com")
+    assert(o.getAs[String]("primary_contact_name") == "Buyer")
+    assert(!o.getAs[Boolean]("is_paid"))
+    assert(!o.getAs[Boolean]("is_backdated"))
+    assert(o.getAs[String]("shipping_method") == "UPS Ground")
+    assert(o.getAs[String]("shipping_address") == "12 Dock St")
+    assert(o.getAs[String]("primary_country") == "United States")
+    assert(o.getAs[String]("region") == "North America")
+    assert(math.abs(o.getAs[Double]("effective_tax_rate") - 10.0) < 1e-9)
+    val o4 = out("mart.fct_orders")
+      .filter(col("order_number") === "INV-1004").head()
+    assert(o4.isNullAt(o4.fieldIndex("primary_contact_email")),
+      "non-primary customer's order keeps NULL contact fields")
+    assert(o4.getAs[Boolean]("is_backdated"))
+    val s = out("mart.fct_orders")
+      .filter(col("order_number") === "S-2001").head()
+    assert(s.getAs[String]("acquisition_channel") == "Paid")
+    assert(s.getAs[String]("tracking_company") == "UPS")
+    assert(!s.getAs[Boolean]("shopify_has_discount"))
+    assert(s.getAs[String]("sales_channel_source") == "Shopify")
+    assert(s.getAs[Boolean]("is_paid"))
   }
 
   test("shopify attribution: UTM decode, checkout exclusion, referrer nulling") {
