@@ -309,5 +309,62 @@ object RefOpQueries {
     }
   }
 
-  val all: Seq[Q] = Seq(p5Country, p7EmailSplit, p8ContactScoring, fJsonBuild)
+  /** P14 — Shopify products ⋈ variants through the actual
+    * `Shopify.products` model (stg_shopify__products.sql:12-52): active
+    * parents only, SKU'd children only, INNER join on the DLT parent
+    * id. part plays the product catalog, lineitem plays the variant
+    * child rows. */
+  val p14ProductsVariants: Q = Q.sql(
+    "p14_shopify_products_variants",
+    """WITH p AS (
+      |  SELECT p_partkey AS product_id, p_name AS product_title,
+      |    p_brand AS vendor, p_type AS product_type,
+      |    'active' AS product_status, p_brand AS tags,
+      |    'pd' || CAST(p_partkey AS VARCHAR) AS dlt
+      |  FROM part WHERE p_size % 3 <> 0
+      |), v AS (
+      |  SELECT l_orderkey * 10 + l_linenumber AS variant_id,
+      |    'v' || CAST(l_linenumber AS VARCHAR) AS variant_title,
+      |    CASE WHEN l_linenumber = 7 THEN ''
+      |         ELSE 'SKU-' || CAST(l_partkey AS VARCHAR) || '-' || CAST(l_suppkey AS VARCHAR)
+      |         END AS sku,
+      |    l_extendedprice AS variant_price,
+      |    l_quantity AS inventory_quantity,
+      |    'pd' || CAST(l_partkey AS VARCHAR) AS dlt
+      |  FROM lineitem
+      |)
+      |SELECT product_id, product_title, vendor, product_type,
+      |  product_status, tags, variant_id, variant_title, sku,
+      |  variant_price, inventory_quantity
+      |FROM v JOIN p USING (dlt)
+      |WHERE sku != ''
+      |ORDER BY variant_id""".stripMargin) { (s, d) =>
+    import graft.ref.Shopify
+    val rawProducts = Tables.part(s, d).select(
+      col("p_partkey").as("id"),
+      col("p_name").as("title"),
+      col("p_brand").as("vendor"),
+      col("p_type").as("product_type"),
+      when(col("p_size") % 3 =!= 0, "active").otherwise("archived")
+        .as("status"),
+      col("p_brand").as("tags"),
+      lit(null).cast("string").as("created_at"),
+      lit(null).cast("string").as("updated_at"),
+      concat(lit("pd"), col("p_partkey").cast("string")).as("_dlt_id"))
+    val rawVariants = Tables.lineitem(s, d).select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+      concat(lit("v"), col("l_linenumber").cast("string")).as("title"),
+      when(col("l_linenumber") === 7, "")
+        .otherwise(concat(lit("SKU-"), col("l_partkey").cast("string"),
+          lit("-"), col("l_suppkey").cast("string"))).as("sku"),
+      col("l_extendedprice").as("price"),
+      col("l_quantity").as("inventory_quantity"),
+      concat(lit("pd"), col("l_partkey").cast("string"))
+        .as("_dlt_parent_id"))
+    Shopify.products(rawProducts, rawVariants)
+      .orderBy("variant_id")
+  }
+
+  val all: Seq[Q] = Seq(p5Country, p7EmailSplit, p8ContactScoring,
+    p14ProductsVariants, fJsonBuild)
 }

@@ -22,6 +22,9 @@ object ModelDag {
       salesReceipts: DataFrame,
       shopifyOrders: Option[DataFrame] = None,
       shopifyFulfillments: Option[DataFrame] = None,
+      shopifyCustomers: Option[DataFrame] = None,
+      shopifyProducts: Option[DataFrame] = None,
+      shopifyVariants: Option[DataFrame] = None,
       tradeShowLeads: Option[DataFrame] = None,
       enrichmentJsonlPath: Option[String] = None,
       individualDomains: Seq[String] = Seq("gmail.com", "yahoo.com",
@@ -110,14 +113,26 @@ object ModelDag {
         Shopify.orderAttribution(stg, "asphaltanchors.com"))
       val fulfill = raw.shopifyFulfillments
         .getOrElse(cat.spark.emptyDataFrame)
-      cat.saveTable("intermediate", "shopify_orders_enriched",
-        Shopify.ordersEnriched(stg, fulfill, attr)
-          .select(col("order_number"), col("fulfillment_status"),
-            col("tracking_number"), col("tracking_company"),
-            col("fulfilled_at"), col("utm_source"), col("utm_medium"),
-            col("utm_campaign"), col("landing_site"), col("referring_site"),
-            col("acquisition_channel"), col("has_discount"),
-            col("total_price")))
+      val enriched = cat.saveTable("intermediate",
+        "shopify_orders_enriched",
+        Shopify.ordersEnriched(stg, fulfill, attr))
+      // ---- marketing spine (P13/P14/A6 + attribution marts) ----
+      raw.shopifyCustomers.foreach { rawCust =>
+        val stgCust = cat.saveTable("staging", "shopify_customers",
+          Shopify.customers(rawCust))
+        val custEnrich = cat.saveTable("intermediate",
+          "shopify_customer_enrichment",
+          Shopify.customerEnrichment(stgCust, enriched))
+        cat.saveTable("mart", "fct_customer_marketing",
+          Shopify.fctCustomerMarketing(custEnrich, AsOfDate))
+      }
+      for { p <- raw.shopifyProducts; v <- raw.shopifyVariants }
+        cat.saveTable("staging", "shopify_products",
+          Shopify.products(p, v))
+      val attribution = cat.saveTable("mart", "fct_order_attribution",
+        Shopify.fctOrderAttribution(enriched))
+      cat.saveTable("mart", "mart_marketing_performance",
+        Shopify.martMarketingPerformance(attribution))
     }
 
     // ---- marts (tables) ----
@@ -211,10 +226,15 @@ object ModelDag {
 
     tradeShowOut ++
       matching.map("intermediate.order_matching" -> _).toMap ++
-      (if (cat.exists("intermediate", "shopify_orders_enriched"))
-        Map("intermediate.shopify_orders_enriched" ->
-          cat.load("intermediate", "shopify_orders_enriched"))
-      else Map.empty) ++
+      Seq(("intermediate", "shopify_orders_enriched"),
+        ("staging", "shopify_customers"), ("staging", "shopify_products"),
+        ("intermediate", "shopify_customer_enrichment"),
+        ("mart", "fct_customer_marketing"),
+        ("mart", "fct_order_attribution"),
+        ("mart", "mart_marketing_performance"))
+        .filter { case (sch, n) => cat.exists(sch, n) }
+        .map { case (sch, n) => s"$sch.$n" -> cat.load(sch, n) }
+        .toMap ++
     Map(
       "intermediate.customer_contacts" -> contacts,
       "intermediate.customer_person_mapping" -> personMapping,

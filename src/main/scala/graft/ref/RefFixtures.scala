@@ -189,6 +189,74 @@ object RefFixtures {
         "subtotal_price", "total_discounts", "financial_status",
         "fulfillment_status", "email", "landing_site", "referring_site",
         "test", "source_name", "_dlt_id")
+      // Marketing-spine optional columns
+      .withColumn("customer_id", org.apache.spark.sql.functions.expr(
+        """CASE id WHEN 9001 THEN 701 WHEN 9002 THEN 702
+          |  WHEN 9003 THEN 703 ELSE 704 END""".stripMargin))
+      .withColumn("total_tax", org.apache.spark.sql.functions.expr(
+        "CASE id WHEN 9001 THEN '4.80' ELSE '0.00' END"))
+      .withColumn("buyer_accepts_marketing",
+        org.apache.spark.sql.functions.expr("id IN (9001, 9002)"))
+      .withColumn("user_agent",
+        org.apache.spark.sql.functions.lit("Mozilla/5.0"))
+  }
+
+  def rawShopifyCustomers(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      // id, email, first, last, phone, consent_state, opt_in, consent_at, sms_state, verified, orders_count, total_spent, company, addr1, city, prov, zip, country
+      (701L, "jane.smith@gmail.com", "Jane", "Smith", "512-555-0100",
+        "subscribed", "single_opt_in", "2024-01-05T00:00:00Z",
+        "not_subscribed", true, 3, "149.00", "", "9 Oak Ln", "Austin",
+        "TX", "78701", "US"),
+      (702L, "buyer@acme.com", "Pat", "Jones", "",
+        "not_subscribed", "", "", "subscribed", true, 1, "120.00",
+        "Acme Industrial", "1 Industrial Way", "Columbus", "OH", "43004",
+        "US"),
+      (703L, "x@y.com", "", "", "", "subscribed", "confirmed_opt_in",
+        "2024-02-02T00:00:00Z", "not_subscribed", false, 0, "0.00",
+        "", "", "", "", "", ""))
+      .toDF("id", "email", "first_name", "last_name", "phone",
+        "email_marketing_consent__state",
+        "email_marketing_consent__opt_in_level",
+        "email_marketing_consent__consent_updated_at",
+        "sms_marketing_consent__state", "verified_email", "orders_count",
+        "total_spent", "default_address__company",
+        "default_address__address1", "default_address__city",
+        "default_address__province_code", "default_address__zip",
+        "default_address__country_code")
+      .withColumn("created_at",
+        org.apache.spark.sql.functions.lit("2023-06-01T00:00:00Z"))
+      .withColumn("updated_at",
+        org.apache.spark.sql.functions.lit("2024-06-01T00:00:00Z"))
+  }
+
+  def rawShopifyProducts(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      // id, title, vendor, type, status, tags, created, updated, _dlt_id
+      (501L, "SP10 Asphalt Anchor", "AAI", "anchor", "active",
+        "anchor,asphalt", "2023-01-01T00:00:00Z", "2024-01-01T00:00:00Z",
+        "pd_a"),
+      (502L, "EPX2 Epoxy", "AAI", "adhesive", "active", "epoxy",
+        "2023-02-01T00:00:00Z", "2024-02-01T00:00:00Z", "pd_b"),
+      (503L, "Retired Widget", "AAI", "misc", "archived", "",
+        "2020-01-01T00:00:00Z", "2021-01-01T00:00:00Z", "pd_c"))
+      .toDF("id", "title", "vendor", "product_type", "status", "tags",
+        "created_at", "updated_at", "_dlt_id")
+  }
+
+  def rawShopifyVariants(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      // id, title, sku, price, inventory_quantity, _dlt_parent_id
+      (6001L, "Single", "01-6310.AK4", "15.00", 480, "pd_a"),
+      (6002L, "Carton of 72", "01-6310.C72", "899.00", 20, "pd_a"),
+      (6003L, "Kit", "EPX2-KIT", "29.00", 200, "pd_b"),
+      (6004L, "No SKU", "", "10.00", 5, "pd_b"),   // dropped: blank sku
+      (6005L, "Orphan", "ZZZ-1", "1.00", 1, "pd_c")) // dropped: inactive
+      .toDF("id", "title", "sku", "price", "inventory_quantity",
+        "_dlt_parent_id")
   }
 
   def rawShopifyFulfillments(spark: SparkSession): DataFrame = {
@@ -236,6 +304,9 @@ object RefFixtures {
       salesReceipts = rawSalesReceipts(spark),
       shopifyOrders = Some(rawShopifyOrders(spark)),
       shopifyFulfillments = Some(rawShopifyFulfillments(spark)),
+      shopifyCustomers = Some(rawShopifyCustomers(spark)),
+      shopifyProducts = Some(rawShopifyProducts(spark)),
+      shopifyVariants = Some(rawShopifyVariants(spark)),
       tradeShowLeads = Some(rawTradeShowLeads(spark)),
       enrichmentJsonlPath = Some(enrichmentJsonl()),
       explicitNameMappings =

@@ -277,6 +277,32 @@ class RefPipelineSpec extends SparkSpec {
       "pay.shopify.com referrer nulled")
   }
 
+  test("shopify marketing spine: products join, enrichment, marts") {
+    val prod = out("staging.shopify_products")
+    assert(prod.count() == 3,
+      "blank-sku variant and inactive-parent variant both dropped")
+    assert(prod.filter(col("sku") === "ZZZ-1").count() == 0)
+    val jane = out("intermediate.shopify_customer_enrichment")
+      .filter(col("customer_id") === 701).head()
+    assert(jane.getAs[Long]("shopify_order_count") == 1)
+    assert(jane.getAs[Boolean]("is_email_subscriber"))
+    assert(!jane.getAs[Boolean]("is_sms_subscriber"))
+    val janeM = out("mart.fct_customer_marketing")
+      .filter(col("customer_id") === 701).head()
+    assert(janeM.getAs[String]("full_name") == "Jane Smith")
+    assert(janeM.getAs[String]("customer_segment") == "Low Value")
+    val attr = out("mart.fct_order_attribution")
+    assert(attr.count() == 3, "test order excluded")
+    val paid = attr.filter(col("order_number") === "S-2001").head()
+    assert(paid.getAs[String]("utm_source") == "google ads")
+    assert(paid.getAs[String]("acquisition_channel") == "Paid")
+    val mp = out("mart.mart_marketing_performance")
+    assert(mp.count() == 2, "May/Paid + June/Direct-organic buckets")
+    val direct = mp.filter(col("acquisition_channel") === "Direct").head()
+    assert(direct.getAs[Long]("order_count") == 2)
+    assert(direct.getAs[Double]("opt_in_rate") == 50.0)
+  }
+
   test("unified matching: full outer with coalesced key and statuses") {
     val m = out("intermediate.order_matching")
     val statuses = m.groupBy("match_status").count().collect()
