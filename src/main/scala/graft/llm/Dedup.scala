@@ -62,15 +62,45 @@ object Dedup {
         col("bk.band_key").as("band_key"))
   }
 
-  /** LSH candidate pairs (a < b): docs sharing any band bucket. */
-  def lshCandidates(bandsDf: DataFrame): DataFrame = {
-    val l = bandsDf.select(col("band"), col("band_key"),
-      col("doc_id").as("doc_a"))
-    val r = bandsDf.select(col("band"), col("band_key"),
-      col("doc_id").as("doc_b"))
-    l.join(r, Seq("band", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+  /** LSH candidate pairs (a < b): docs sharing any band bucket.
+    *
+    * Skew protection (the 100 TB hot-bucket guard): a viral boilerplate
+    * string puts millions of docs in ONE band bucket, and the all-pairs
+    * self-join of that bucket is quadratic. With `maxBucketSize` set,
+    * oversized buckets emit only CHAIN pairs (each doc with its
+    * successor in deterministic doc_id order) — linear in bucket size,
+    * and for dedup purposes lossless: if the bucket really is one
+    * near-dup cluster, adjacent pairs already connect the component for
+    * any downstream connected-components/canonical-id step. Normal-size
+    * buckets keep exact all-pairs semantics, so results on healthy data
+    * are unchanged. */
+  def lshCandidates(bandsDf: DataFrame,
+                    maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val allPairsOf = (df: DataFrame) => {
+      val l = df.select(col("band"), col("band_key"),
+        col("doc_id").as("doc_a"))
+      val r = df.select(col("band"), col("band_key"),
+        col("doc_id").as("doc_b"))
+      l.join(r, Seq("band", "band_key"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+    }
+    val base =
+      if (maxBucketSize == Int.MaxValue) allPairsOf(bandsDf)
+      else {
+        val bw = Window.partitionBy(col("band"), col("band_key"))
+        val ow = bw.orderBy(col("doc_id"))
+        val sized = bandsDf
+          .withColumn("bucket_size", count(lit(1)).over(bw))
+        val small = sized.filter(col("bucket_size") <= maxBucketSize)
+          .drop("bucket_size")
+        val bigChain = sized.filter(col("bucket_size") > maxBucketSize)
+          .withColumn("doc_b", lead(col("doc_id"), 1).over(ow))
+          .filter(col("doc_b").isNotNull)
+          .select(col("doc_id").as("doc_a"), col("doc_b"))
+        allPairsOf(small).unionByName(bigChain)
+      }
+    base.distinct()
   }
 
   /** Exact Jaccard similarity over distinct shingles for candidate

@@ -64,7 +64,9 @@ object Similarity {
 
   /** LSH-bucketed cosine top-k: candidates limited to the query's sign
     * bucket (bucket equi-join carries both vectors; scoring is a
-    * per-row expression). Recall < 1 by construction; the scale path. */
+    * per-row expression). Recall < 1 by construction. Degenerate
+    * axis-aligned hyperplanes — kept as the simple baseline; the
+    * production path is [[randomHyperplaneLshTopK]]. */
   def signLshTopK(emb: DataFrame, queryIds: DataFrame, k: Int, bits: Int,
                   idCol: String = "vec_id",
                   vecCol: String = "embedding"): DataFrame = {
@@ -78,5 +80,86 @@ object Similarity {
     val pairs = q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("cand_id"))
     scoreAndRank(pairs, k, Seq("bucket"))
+  }
+
+  private val highHex =
+    Seq("8", "9", "a", "b", "c", "d", "e", "f").map(lit(_))
+
+  /** Seeded random-hyperplane (Rademacher ±1) bucket signatures,
+    * computed from exploded (id, pos, value) rows: bit j of the bucket
+    * is the sign of Σ_d sgn(seed,j,d)·q(v_d), where sgn is a ±1 drawn
+    * from md5(seed|j|pos) and q is the integer quantization
+    * (round(double(v)·1e6)) — integer sums, so signatures are exact and
+    * engine-portable. ONE codegen'd hash aggregate computes all `bits`
+    * sums (same shape as SimHash's 32 conditional sums); no interpreted
+    * higher-order functions. */
+  def rademacherBuckets(emb: DataFrame, bits: Int, seed: String,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val rows = emb.select(col(idCol),
+      posexplode(col(vecCol)).as(Seq("pos", "v")))
+    val q = round(col("v").cast("double") * 1e6).cast("long")
+    def sgn(j: Int): Column =
+      when(substring(md5(concat(lit(s"rh$seed|$j|"),
+        col("pos").cast("string"))), 1, 1).isin(highHex: _*), 1L)
+        .otherwise(-1L)
+    val sums = (0 until bits).map(j => sum(q * sgn(j)).as(s"s$j"))
+    rows.groupBy(col(idCol))
+      .agg(sums.head, sums.tail: _*)
+      .select(col(idCol),
+        concat((0 until bits).map(j =>
+          when(col(s"s$j") >= 0, "1").otherwise("0")): _*).as("bucket"))
+  }
+
+  /** Bit-flip probes of a bucket string: the bucket itself (p=0) plus
+    * each single-bit flip (p=1..bits). */
+  private def probeExprs(bucket: Column, bits: Int): Seq[Column] =
+    (0 to bits).map {
+      case 0 => bucket
+      case p =>
+        concat(
+          substring(bucket, 1, p - 1),
+          when(substring(bucket, p, 1) === "1", "0").otherwise("1"),
+          substring(bucket, p + 1, bits - p))
+    }
+
+  /** Production ANN path (the scale-hardened variant of
+    * [[signLshTopK]]): seeded random hyperplanes instead of axis signs,
+    * single-bit-flip MULTI-PROBE on the query side (recall back without
+    * more tables), and a deterministic PER-BUCKET CANDIDATE CAP (first
+    * `maxBucketSize` ids per bucket) so one hot bucket — real embedding
+    * distributions concentrate mass in few sign patterns — can never go
+    * quadratic: pairs per query ≤ (bits+1)·maxBucketSize regardless of
+    * corpus skew. Probe-duplicate pairs are deduped before scoring. */
+  def randomHyperplaneLshTopK(emb: DataFrame, queryIds: DataFrame, k: Int,
+                              bits: Int, seed: String,
+                              maxBucketSize: Int = Int.MaxValue,
+                              multiProbe: Boolean = true,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): DataFrame = {
+    QuantDot.register(emb.sparkSession)
+    val buckets = rademacherBuckets(emb, bits, seed, idCol, vecCol)
+    val bucketed = emb.join(buckets, Seq(idCol))
+    val capped =
+      if (maxBucketSize == Int.MaxValue) bucketed
+      else {
+        val w = Window.partitionBy(col("bucket")).orderBy(col(idCol))
+        bucketed.withColumn("cap_rn", row_number().over(w))
+          .filter(col("cap_rn") <= maxBucketSize).drop("cap_rn")
+      }
+    val qSide = bucketed.join(broadcast(queryIds), Seq(idCol))
+    val probed =
+      if (multiProbe)
+        qSide.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+          explode(array(probeExprs(col("bucket"), bits): _*)).as("bucket"))
+      else
+        qSide.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+          col("bucket"))
+    val c = capped.select(col(idCol).as("cand_id"), col("bucket"),
+      col(vecCol).as("c_vec"))
+    val pairs = probed.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .dropDuplicates("query_id", "cand_id")
+    scoreAndRank(pairs, k, Seq.empty)
   }
 }

@@ -257,6 +257,138 @@ object JoinQueries {
       .orderBy("o_custkey")
   }
 
+  /** J14 + extended J12 — the full trade-show attribution battery driven
+    * through the actual `TradeShows.fctLeads` model: person-level
+    * lead-email-is-customer flag (equi-join on (company, lower(email))),
+    * first-order attribution windows (30/90/180/365/all), per-window
+    * revenue/order conditional aggregates, and distinct-purchaser counts
+    * — all decorrelated from the reference's scalar subqueries
+    * (fct_trade_show_leads.sql:60-257). customer%500 plays the
+    * consolidated company; every 10th customer is a lead. */
+  val j14LeadEmailCustomer: Q = {
+    import graft.functions.Det.sqlDsum
+    def win(lo: String, hi: String) =
+      s"co.order_date >= $lo AND co.order_date <= $hi"
+    Q.sql(
+      "j14_lead_email_customer",
+      s"""WITH ce AS (
+        |  SELECT DISTINCT c_custkey % 500 AS company,
+        |    lower(replace(c_name, ' ', '')) || '@corp.com' AS customer_email
+        |  FROM customer
+        |), leads AS (
+        |  SELECT c_custkey AS lead_id, c_custkey % 500 AS company,
+        |    CASE WHEN c_custkey % 20 = 0
+        |         THEN lower(replace(c_name, ' ', '')) || '@corp.com'
+        |         ELSE 'prospect' || CAST(c_custkey AS VARCHAR) || '@ext.com'
+        |         END AS email,
+        |    DATE '1995-01-01' + CAST(c_custkey % 1000 AS INTEGER) AS show_date
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |), co AS (
+        |  SELECT c.c_custkey % 500 AS company,
+        |    CAST(o.o_orderdate AS DATE) AS order_date,
+        |    o.o_totalprice AS amt,
+        |    lower(replace(c.c_name, ' ', '')) || '@corp.com' AS purchaser_email
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |), lifetime AS (
+        |  SELECT company, ${sqlDsum("amt")} AS company_lifetime_revenue,
+        |    COUNT(*) AS company_lifetime_orders,
+        |    MIN(order_date) AS company_first_order_date,
+        |    MAX(order_date) AS company_latest_order_date
+        |  FROM co GROUP BY company
+        |), agg AS (
+        |  SELECT l.lead_id, l.company, l.email, l.show_date,
+        |    ${sqlDsum(s"CASE WHEN ${win("l.show_date", "l.show_date + 30")} THEN amt ELSE 0 END")} AS revenue_30d,
+        |    ${sqlDsum(s"CASE WHEN ${win("l.show_date", "l.show_date + 90")} THEN amt ELSE 0 END")} AS revenue_90d,
+        |    ${sqlDsum(s"CASE WHEN ${win("l.show_date", "l.show_date + 180")} THEN amt ELSE 0 END")} AS revenue_180d,
+        |    ${sqlDsum(s"CASE WHEN ${win("l.show_date", "l.show_date + 365")} THEN amt ELSE 0 END")} AS revenue_365d,
+        |    ${sqlDsum("CASE WHEN co.order_date >= l.show_date THEN amt ELSE 0 END")} AS revenue_all_time,
+        |    CAST(SUM(CASE WHEN ${win("l.show_date", "l.show_date + 90")} THEN 1 ELSE 0 END) AS BIGINT) AS orders_90d,
+        |    CAST(SUM(CASE WHEN ${win("l.show_date", "l.show_date + 365")} THEN 1 ELSE 0 END) AS BIGINT) AS orders_365d,
+        |    CAST(SUM(CASE WHEN co.order_date >= l.show_date THEN 1 ELSE 0 END) AS BIGINT) AS orders_all_time,
+        |    COUNT(DISTINCT CASE WHEN co.order_date >= l.show_date THEN co.purchaser_email END) AS distinct_purchasers_count,
+        |    MIN(CASE WHEN co.order_date >= l.show_date THEN co.order_date END) AS first_after
+        |  FROM leads l LEFT JOIN co ON co.company = l.company
+        |  GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT a.lead_id, a.company, a.email,
+        |  CAST(a.show_date AS VARCHAR) AS show_date,
+        |  m.customer_email IS NOT NULL AS lead_email_is_customer,
+        |  CAST(lt.company_first_order_date AS VARCHAR) AS company_first_order_date,
+        |  COALESCE(lt.company_first_order_date >= a.show_date AND
+        |    lt.company_first_order_date <= a.show_date + 30, FALSE) AS attributed_30d,
+        |  COALESCE(lt.company_first_order_date >= a.show_date AND
+        |    lt.company_first_order_date <= a.show_date + 90, FALSE) AS attributed_90d,
+        |  COALESCE(lt.company_first_order_date >= a.show_date AND
+        |    lt.company_first_order_date <= a.show_date + 180, FALSE) AS attributed_180d,
+        |  COALESCE(lt.company_first_order_date >= a.show_date AND
+        |    lt.company_first_order_date <= a.show_date + 365, FALSE) AS attributed_365d,
+        |  COALESCE(lt.company_first_order_date >= a.show_date, FALSE) AS attributed_all_time,
+        |  a.revenue_30d, a.revenue_90d, a.revenue_180d, a.revenue_365d,
+        |  a.revenue_all_time, a.orders_90d, a.orders_365d,
+        |  a.orders_all_time, a.distinct_purchasers_count,
+        |  lt.company_first_order_date - a.show_date AS days_from_show_to_first_order,
+        |  a.first_after - a.show_date AS days_to_conversion
+        |FROM agg a
+        |LEFT JOIN lifetime lt ON lt.company = a.company
+        |LEFT JOIN ce m ON m.company = a.company AND m.customer_email = lower(a.email)
+        |ORDER BY a.lead_id""".stripMargin) { (s, d) =>
+      import graft.ref.TradeShows
+      import graft.functions.Det.dsum
+      val c = Tables.customer(s, d)
+      val email = concat(lower(regexp_replace(col("c_name"), " ", "")),
+        lit("@corp.com"))
+      val custEmails = c.select((col("c_custkey") % 500)
+        .as("company_domain_key"), email.as("customer_email")).distinct()
+      val leads = c.filter(col("c_custkey") % 10 === 0).select(
+        col("c_custkey").as("lead_id"),
+        (col("c_custkey") % 500).as("company_domain_key"),
+        when(col("c_custkey") % 20 === 0, email)
+          .otherwise(concat(lit("prospect"),
+            col("c_custkey").cast("string"), lit("@ext.com"))).as("email"),
+        date_add(to_date(lit("1995-01-01")),
+          (col("c_custkey") % 1000).cast("int")).as("show_date"))
+      val co = Tables.orders(s, d)
+        .join(broadcast(c.select(col("c_custkey"),
+          (col("c_custkey") % 500).as("company_domain_key"),
+          email.as("purchaser_email"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("company_domain_key"),
+          col("o_orderdate").cast("date").as("order_date"),
+          col("o_totalprice").as("order_amount"), col("purchaser_email"))
+      val lifetime = co.groupBy(col("company_domain_key"))
+        .agg(dsum(col("order_amount")).as("company_lifetime_revenue"),
+          count(lit(1)).as("company_lifetime_orders"),
+          min(col("order_date")).as("company_first_order_date"),
+          max(col("order_date")).as("company_latest_order_date"))
+      val matched = leads
+        .join(broadcast(lifetime), Seq("company_domain_key"), "left")
+        .withColumn("show_name", lit("show"))
+        .withColumn("full_name", col("email"))
+        .withColumn("matched_to_company", lit(true))
+        .withColumn("is_personal_email", lit(false))
+        .withColumn("is_new_customer_from_show",
+          coalesce(col("company_first_order_date") >= col("show_date"),
+            lit(false)))
+      TradeShows.fctLeads(matched, co, Some(custEmails))
+        .select(
+          col("lead_id"), col("company_domain_key").as("company"),
+          col("email"),
+          col("show_date").cast("string").as("show_date"),
+          col("lead_email_is_customer"),
+          col("company_first_order_date").cast("string")
+            .as("company_first_order_date"),
+          col("attributed_30d"), col("attributed_90d"),
+          col("attributed_180d"), col("attributed_365d"),
+          col("attributed_all_time"),
+          col("revenue_30d"), col("revenue_90d"), col("revenue_180d"),
+          col("revenue_365d"), col("revenue_all_time"),
+          col("orders_90d"), col("orders_365d"), col("orders_all_time"),
+          col("distinct_purchasers_count"),
+          col("days_from_show_to_first_order"), col("days_to_conversion"))
+        .orderBy("lead_id")
+    }
+  }
+
   /** S5-adjacent — left_anti (NOT EXISTS): customers with no orders; the
     * merge sink's key-subtraction primitive (SURVEY §2.3 closing note). */
   val jAntiSemi: Q = Q.sql(
@@ -278,5 +410,6 @@ object JoinQueries {
   }
 
   val all: Seq[Q] = Seq(j1BroadcastDims, j5OrderContact, j7FactBridge,
-    j8FullOuterMatch, j11AsOf, j12AttributionWindows, j13CrossAgg, jAntiSemi)
+    j8FullOuterMatch, j11AsOf, j12AttributionWindows,
+    j14LeadEmailCustomer, j13CrossAgg, jAntiSemi)
 }

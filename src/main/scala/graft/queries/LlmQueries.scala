@@ -329,6 +329,86 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Similarity — the production ANN path: seeded random-hyperplane
+    * (Rademacher) buckets, single-bit-flip multi-probe, per-bucket
+    * candidate cap 32 (Similarity.randomHyperplaneLshTopK). Signatures
+    * are integer-quantized sums so both engines compute identical
+    * buckets. */
+  val annRhLsh: Q = {
+    val bits = 6
+    val hh = "('8','9','a','b','c','d','e','f')"
+    val sumsSql = (0 until bits).map(j =>
+      s"""SUM(${qq.format("v")} *
+        |      CASE WHEN substr(md5('rh7|$j|' || CAST(pos - 1 AS VARCHAR)), 1, 1) IN $hh
+        |           THEN 1 ELSE -1 END) AS s$j""".stripMargin)
+      .mkString(",\n      |    ")
+    val bucketSql = (0 until bits).map(j =>
+      s"(CASE WHEN s$j >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+    Q.sql(
+      "ann_rh_lsh_topk",
+      s"""WITH qv AS (
+        |  SELECT vec_id, unnest(embedding) AS v,
+        |         unnest(generate_series(1, len(embedding))) AS pos
+        |  FROM embeddings
+        |), sums AS (
+        |  SELECT vec_id,
+        |    $sumsSql
+        |  FROM qv GROUP BY vec_id
+        |), buckets AS (
+        |  SELECT vec_id, $bucketSql AS bucket FROM sums
+        |), capped AS (
+        |  SELECT vec_id, bucket FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket
+        |      ORDER BY vec_id) AS rn FROM buckets)
+        |  WHERE rn <= 32
+        |), probes AS (
+        |  SELECT b.vec_id AS query_id,
+        |    CASE WHEN p = 0 THEN bucket
+        |         ELSE substr(bucket, 1, p - 1) ||
+        |              (CASE WHEN substr(bucket, p, 1) = '1' THEN '0' ELSE '1' END) ||
+        |              substr(bucket, p + 1) END AS bucket
+        |  FROM buckets b
+        |  CROSS JOIN (SELECT unnest(generate_series(0, $bits)) AS p)
+        |), cand AS (
+        |  SELECT DISTINCT p.query_id, c.vec_id AS cand_id
+        |  FROM probes p JOIN capped c USING (bucket)
+        |  WHERE p.query_id <> c.vec_id
+        |), qe AS (
+        |  SELECT vec_id AS query_id, unnest(embedding) AS qv,
+        |         unnest(generate_series(1, len(embedding))) AS pos
+        |  FROM embeddings
+        |), ce AS (
+        |  SELECT vec_id AS cand_id, unnest(embedding) AS cv,
+        |         unnest(generate_series(1, len(embedding))) AS pos
+        |  FROM embeddings
+        |), dots AS (
+        |  SELECT cand.query_id, cand.cand_id, $dotSql AS dot
+        |  FROM cand
+        |  JOIN qe ON qe.query_id = cand.query_id
+        |  JOIN ce ON ce.cand_id = cand.cand_id AND ce.pos = qe.pos
+        |  GROUP BY cand.query_id, cand.cand_id
+        |), norms AS (
+        |  $normSql
+        |), scored AS (
+        |  SELECT query_id, cand_id,
+        |         CAST(dot AS DOUBLE) / (qn.norm * cn.norm) AS cosine
+        |  FROM dots
+        |  JOIN norms qn ON qn.id = query_id
+        |  JOIN norms cn ON cn.id = cand_id
+        |)
+        |SELECT query_id, cand_id, cosine, rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, cand_id) AS rank
+        |  FROM scored
+        |) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.randomHyperplaneLshTopK(emb, emb.select("vec_id"),
+        k = 5, bits = bits, seed = "7", maxBucketSize = 32)
+        .orderBy("query_id", "rank")
+    }
+  }
+
   /** Multimodal — binary-column plumbing: typed media table with opaque
     * payloads + metadata (schema/partitioning side is the real part). */
   val mmBinary: Q = Q.sql(
@@ -388,5 +468,6 @@ object LlmQueries {
   }
 
   val all: Seq[Q] = Seq(tTokens, tLangId, tQuality, tFingerprint, ddExact,
-    ddMinhashLsh, ddSimhash, annBruteForce, annLsh, mmBinary, mmFeatures)
+    ddMinhashLsh, ddSimhash, annBruteForce, annLsh, annRhLsh, mmBinary,
+    mmFeatures)
 }

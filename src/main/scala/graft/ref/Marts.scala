@@ -1,6 +1,6 @@
 package graft.ref
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.Det.{davg, dsum}
@@ -101,9 +101,10 @@ object Marts {
     typedItems
       .join(broadcast(fctProducts
         .select(col("product_name").as("product_service"),
-          col("product_family"), col("is_kit"),
+          col("product_family"), col("material_type"), col("is_kit"),
+          col("carton_count"),
           col("sales_price").as("list_price"),
-          col("purchase_cost"))),
+          col("purchase_cost"), col("margin_pct"))),
         Seq("product_service"), "left")
       .withColumn("margin_amount",
         when(col("purchase_cost").isNotNull,
@@ -113,6 +114,30 @@ object Marts {
         when(col("list_price") > 0 && col("product_service_rate") > 0,
           round((lit(1) - col("product_service_rate") / col("list_price"))
             * 100, 2)))
+      // Margin-analytics surface (fct_order_line_items.sql:118-220)
+      .withColumn("actual_unit_price", col("product_service_rate"))
+      .withColumn("standard_sales_price", col("list_price"))
+      .withColumn("standard_purchase_cost", col("purchase_cost"))
+      .withColumn("standard_margin_percentage", col("margin_pct"))
+      .withColumn("standard_margin_amount",
+        when(col("purchase_cost").isNotNull,
+          col("list_price") - col("purchase_cost")))
+      .withColumn("actual_margin_amount",
+        when(col("purchase_cost").isNotNull &&
+          col("product_service_rate") > 0,
+          col("product_service_rate") - col("purchase_cost")))
+      .withColumn("actual_margin_percentage",
+        when(col("purchase_cost").isNotNull &&
+          col("product_service_rate") > 0,
+          round((col("product_service_rate") - col("purchase_cost"))
+            * 100.0 / col("product_service_rate"), 2)))
+      .withColumn("price_discount_amount",
+        when(col("list_price") > 0 && col("product_service_rate") > 0,
+          col("list_price") - col("product_service_rate")))
+      .withColumn("price_discount_percentage", col("discount_pct"))
+      .withColumn("total_units_sold",
+        col("product_service_quantity") *
+          coalesce(col("carton_count"), lit(1)))
 
   /** fct_companies + bridge_customer_company
     * (int_quickbooks__company_consolidation.sql:203-208;
@@ -131,6 +156,7 @@ object Marts {
       .join(bridge, Seq("customer"))
       .groupBy(col("company_domain_key"), col("order_number"))
       .agg(
+        max(col("customer")).as("customer_name"),
         max(col("order_date")).as("order_date"),
         count(lit(1)).as("line_count"),
         sum(col("line_amount")).as("order_amount"),
@@ -585,22 +611,154 @@ object Marts {
           .otherwise(false))
   }
 
-  /** mart_company_period_metrics (mart_company_period_metrics.sql:34-135):
-    * trailing-window conditional aggregation (A7) per company. */
+  /** mart_company_period_metrics (mart_company_period_metrics.sql:20-209)
+    * — the reference's row-per-period contract: one row per
+    * (corporate company, trailing period ∈ {7d, 30d, 90d, 1y, all})
+    * with activity in it. The reference UNION-ALLs five grouped scans;
+    * here the five period tags are exploded onto each order row and
+    * aggregated in ONE hash aggregate (same rows out, one shuffle). */
   def companyPeriodMetrics(companyOrders: DataFrame,
+                           fctCompanies: DataFrame,
                            asOfDate: String): DataFrame = {
     val asOf = to_date(lit(asOfDate))
-    def inWindow(days: Int) = col("order_date") >= date_sub(asOf, days)
-    companyOrders.groupBy(col("company_domain_key"))
+    val base = companyOrders
+      .filter(col("order_amount").isNotNull && col("order_amount") > 0 &&
+        col("order_date").isNotNull)
+      .join(fctCompanies.filter(col("is_corporate"))
+        .select(col("company_domain_key"), col("company_name"),
+          col("domain_type"), col("business_size_category"),
+          col("total_revenue").as("lifetime_total_revenue"),
+          col("total_orders").as("lifetime_total_orders"),
+          col("customer_count").as("lifetime_customer_count"),
+          col("revenue_category").as("lifetime_revenue_category"),
+          col("has_revenue"), col("is_multi_location"),
+          col("is_corporate")),
+        Seq("company_domain_key"))
+    val withPeriods = base.withColumn("period_type",
+      explode(array(lit("trailing_7d"), lit("trailing_30d"),
+        lit("trailing_90d"), lit("trailing_1y"), lit("all_time"))))
+    val periodDays = Map("trailing_7d" -> 7, "trailing_30d" -> 30,
+      "trailing_90d" -> 90, "trailing_1y" -> 365)
+    val inPeriod = periodDays.foldLeft(lit(true)) { case (acc, (p, days)) =>
+      when(col("period_type") === p,
+        col("order_date") >= date_sub(asOf, days)).otherwise(acc)
+    }
+    withPeriods
+      .groupBy(col("company_domain_key"), col("period_type"),
+        col("company_name"), col("domain_type"),
+        col("business_size_category"), col("lifetime_total_revenue"),
+        col("lifetime_total_orders"), col("lifetime_customer_count"),
+        col("lifetime_revenue_category"), col("has_revenue"),
+        col("is_multi_location"), col("is_corporate"))
       .agg(
-        sum(when(inWindow(30), col("order_amount")).otherwise(0))
-          .as("revenue_30d"),
-        sum(when(inWindow(90), col("order_amount")).otherwise(0))
-          .as("revenue_90d"),
-        sum(when(inWindow(365), col("order_amount")).otherwise(0))
-          .as("revenue_1y"),
-        sum(col("order_amount")).as("revenue_all_time"),
-        count(lit(1)).as("orders_all_time"),
-        max(col("order_date")).as("last_order_date"))
+        dsum(when(inPeriod, col("order_amount")).otherwise(0))
+          .as("total_revenue"),
+        sum(when(inPeriod, 1).otherwise(0)).as("total_orders"),
+        countDistinct(when(inPeriod, col("customer_name")))
+          .as("customer_count"),
+        min(when(inPeriod, col("order_date"))).as("first_order_date"),
+        max(when(inPeriod, col("order_date"))).as("latest_order_date"))
+      .filter(col("total_revenue") > 0 || col("total_orders") > 0)
+      .withColumn("period_activity_status",
+        when(col("latest_order_date") >= date_sub(asOf, 30),
+          "Recent Activity (30d)")
+          .when(col("latest_order_date") >= date_sub(asOf, 90),
+            "Active (90d)")
+          .when(col("latest_order_date") >= date_sub(asOf, 365),
+            "Past Year Activity")
+          .otherwise("Historical Activity"))
+      .withColumn("period_revenue_category",
+        when(col("total_revenue") >= 50000, "High Revenue ($50K+)")
+          .when(col("total_revenue") >= 10000,
+            "Medium Revenue ($10K-$50K)")
+          .when(col("total_revenue") >= 2500, "Low Revenue ($2.5K-$10K)")
+          .when(col("total_revenue") > 0, "Minimal Revenue (<$2.5K)")
+          .otherwise("No Period Revenue"))
+      .withColumn("period_share_of_lifetime_revenue",
+        when(col("lifetime_total_revenue") > 0 &&
+          col("total_revenue").isNotNull,
+          least(lit(100.0), round(col("total_revenue") * 100.0 /
+            col("lifetime_total_revenue"), 2)))
+          .when(col("total_revenue") > 0, 100.0)
+          .otherwise(0.0))
+      .withColumn("days_since_latest_order",
+        when(col("latest_order_date").isNotNull,
+          greatest(lit(0), datediff(asOf, col("latest_order_date")))))
+  }
+
+  /** base_fct_orders_current (base_fct_orders_current.sql): fct_orders
+    * minus future-dated rows — a view in the reference; same filter
+    * pushdown-friendly predicate here. */
+  def baseFctOrdersCurrent(fctOrders: DataFrame,
+                           asOfDate: String): DataFrame =
+    fctOrders.filter(col("order_date") <= to_date(lit(asOfDate)))
+
+  /** mart_product_margin_analytics
+    * (mart_product_margin_analytics.sql:12-241): daily + monthly margin
+    * aggregates per SKU, UNION ALL with a time_period tag (A13
+    * two-grain family). Volume-weighted percentages computed from the
+    * aggregated sums. */
+  def productMarginAnalytics(fctLineItems: DataFrame): DataFrame = {
+    val base = fctLineItems
+      .filter(col("product_service").isNotNull &&
+        trim(col("product_service")) =!= "" &&
+        col("order_date").isNotNull && col("actual_unit_price") > 0)
+      .withColumn("line_total_margin_amount",
+        when(col("actual_margin_amount").isNotNull &&
+          col("product_service_quantity").isNotNull,
+          col("actual_margin_amount") * col("product_service_quantity")))
+    def grainAgg(df: DataFrame, keys: Seq[Column]): DataFrame =
+      df.groupBy(keys: _*)
+        .agg(
+          count(lit(1)).as("transaction_count"),
+          countDistinct(col("customer")).as("unique_customers"),
+          countDistinct(col("order_number")).as("unique_orders"),
+          dsum(col("product_service_quantity")).as("total_quantity_sold"),
+          dsum(col("total_units_sold")).as("total_units_sold"),
+          dsum(col("line_amount")).as("total_revenue"),
+          davg(col("actual_unit_price")).as("avg_unit_price"),
+          davg(col("standard_sales_price")).as("avg_standard_price"),
+          davg(col("standard_purchase_cost")).as("avg_purchase_cost"),
+          davg(col("standard_margin_percentage"))
+            .as("avg_standard_margin_percentage"),
+          dsum(col("line_total_margin_amount")).as("total_margin_amount"),
+          davg(col("actual_margin_amount")).as("avg_unit_margin_amount"),
+          davg(col("actual_margin_percentage"))
+            .as("avg_margin_percentage"),
+          dsum(col("price_discount_amount") *
+            col("product_service_quantity")).as("total_discount_amount"),
+          dsum(col("actual_unit_price") * col("product_service_quantity"))
+            .as("actual_volume_revenue"),
+          dsum(col("standard_sales_price") *
+            col("product_service_quantity")).as("standard_volume_revenue"))
+        .withColumn("volume_weighted_margin_percentage",
+          when(col("total_revenue") > 0,
+            round(col("total_margin_amount") / col("total_revenue") * 100,
+              2)))
+        .withColumn("volume_weighted_discount_percentage",
+          when(col("standard_volume_revenue") > 0,
+            round((lit(1) - col("actual_volume_revenue") /
+              col("standard_volume_revenue")) * 100, 2)))
+        .drop("actual_volume_revenue", "standard_volume_revenue")
+    val daily = grainAgg(base.withColumn("period_date", col("order_date")),
+      Seq(col("product_service").as("sku"), col("period_date"),
+        col("product_family"), col("material_type"), col("is_kit")))
+      .withColumn("time_period", lit("daily"))
+      .withColumn("order_date", col("period_date"))
+      .withColumn("order_month",
+        date_trunc("month", col("period_date")).cast("date"))
+      .withColumn("order_year",
+        date_trunc("year", col("period_date")).cast("date"))
+    val monthly = grainAgg(
+      base.withColumn("period_date",
+        date_trunc("month", col("order_date")).cast("date")),
+      Seq(col("product_service").as("sku"), col("period_date"),
+        col("product_family"), col("material_type"), col("is_kit")))
+      .withColumn("time_period", lit("monthly"))
+      .withColumn("order_date", lit(null).cast("date"))
+      .withColumn("order_month", col("period_date"))
+      .withColumn("order_year",
+        date_trunc("year", col("period_date")).cast("date"))
+    daily.unionByName(monthly)
   }
 }

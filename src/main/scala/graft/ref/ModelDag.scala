@@ -185,7 +185,12 @@ object ModelDag {
     val dso = cat.saveTable("mart", "fct_dso_metrics",
       Marts.dsoMetrics(fctOrders, AsOfDate))
     val periodMetrics = cat.saveTable("mart", "mart_company_period_metrics",
-      Marts.companyPeriodMetrics(companyOrders, AsOfDate))
+      Marts.companyPeriodMetrics(companyOrders, fctCompanies, AsOfDate))
+    val baseOrdersCurrent = cat.saveView("mart", "base_fct_orders_current",
+      Marts.baseFctOrdersCurrent(fctOrders, AsOfDate))
+    val marginAnalytics = cat.saveTable("mart",
+      "mart_product_margin_analytics",
+      Marts.productMarginAnalytics(fctLineItems))
 
     // ---- time-series & pricing marts ----
     val timeSeries = cat.saveTable("mart", "fct_company_orders_time_series",
@@ -197,6 +202,8 @@ object ModelDag {
     val inventory = cat.saveTable("intermediate", "inventory_history",
       stgItems.select("item_name", "snapshot_date", "quantity_on_hand",
         "sales_price").distinct())
+    val fctInventory = cat.saveTable("mart", "fct_inventory_history",
+      TimeSeries.fctInventoryHistory(inventory, fctProducts))
 
     // ---- unified order matching (after shopify + orders) ----
     val matching = shopify.map { sh =>
@@ -214,8 +221,20 @@ object ModelDag {
         "leads_with_company_match",
         TradeShows.leadsWithCompanyMatch(stgLeads, stgDomainMapping,
           fctCompanies))
+      // company orders with purchaser identity (fct_trade_show_leads
+      // company_orders CTE) + the person-level customer-email dim (J14)
+      val attributionOrders = orders
+        .join(mapping.select(col("customer_name").as("customer"),
+          col("company_domain_key"), col("main_email")), Seq("customer"))
+        .select(col("company_domain_key"), col("order_date"),
+          col("order_amount"), col("main_email").as("purchaser_email"))
+      val customerEmails = personMapping
+        .select(col("company_domain_key"),
+          col("email").as("customer_email"))
+        .filter(col("customer_email").isNotNull)
       val fctLeads = cat.saveTable("mart", "fct_trade_show_leads",
-        TradeShows.fctLeads(matched, companyOrders))
+        TradeShows.fctLeads(matched, attributionOrders,
+          Some(customerEmails)))
       val perf = cat.saveTable("mart", "fct_trade_show_performance",
         TradeShows.showPerformance(fctLeads))
       Map("staging.trade_show_leads" -> stgLeads,
@@ -271,6 +290,9 @@ object ModelDag {
       "mart.mart_product_company_period_spending" -> periodSpending,
       "mart.dim_accounts_receivable_aging" -> aging,
       "mart.fct_dso_metrics" -> dso,
-      "mart.mart_company_period_metrics" -> periodMetrics)
+      "mart.mart_company_period_metrics" -> periodMetrics,
+      "mart.base_fct_orders_current" -> baseOrdersCurrent,
+      "mart.mart_product_margin_analytics" -> marginAnalytics,
+      "mart.fct_inventory_history" -> fctInventory)
   }
 }

@@ -133,4 +133,43 @@ object TimeSeries {
     MergeUpsert.assertSameSchema(existing, incoming)
     MergeUpsert.incrementalNewRows(existing, "snapshot_date", incoming)
   }
+
+  /** fct_inventory_history (fct_inventory_history.sql:12-135): one row
+    * per (item, snapshot date) with LAG day-over-day change and
+    * cost/price inventory valuations from the latest product catalog
+    * (broadcast dim join). The on-order/on-sales-order quantities are
+    * absent from the thin export → NULL-padded, with availability
+    * falling back to on-hand. */
+  def fctInventoryHistory(inventoryHistory: DataFrame,
+                          fctProducts: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("item_name"))
+      .orderBy(col("snapshot_date"))
+    inventoryHistory
+      .filter(col("item_name").isNotNull && col("item_name") =!= "")
+      .withColumn("previous_quantity_on_hand",
+        lag(col("quantity_on_hand"), 1).over(w))
+      .withColumn("quantity_change",
+        col("quantity_on_hand") - col("previous_quantity_on_hand"))
+      .withColumn("quantity_on_order", lit(null).cast("double"))
+      .withColumn("quantity_on_sales_order", lit(null).cast("double"))
+      .withColumn("available_quantity",
+        col("quantity_on_hand") -
+          coalesce(col("quantity_on_sales_order"), lit(0.0)))
+      .withColumn("total_inventory_visibility",
+        col("quantity_on_hand") +
+          coalesce(col("quantity_on_order"), lit(0.0)))
+      .withColumn("inventory_date", col("snapshot_date").cast("date"))
+      .join(broadcast(fctProducts.select(
+        col("product_name").as("item_name"),
+        col("product_family"), col("material_type"), col("is_kit"),
+        col("item_type"), col("unit_of_measure"),
+        col("sales_price").as("catalog_sales_price"),
+        col("purchase_cost"))), Seq("item_name"), "left")
+      .withColumn("inventory_value_at_cost",
+        when(col("purchase_cost").isNotNull,
+          col("quantity_on_hand") * col("purchase_cost")))
+      .withColumn("inventory_value_at_sales_price",
+        when(col("catalog_sales_price").isNotNull,
+          col("quantity_on_hand") * col("catalog_sales_price")))
+  }
 }

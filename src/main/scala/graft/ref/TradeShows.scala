@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.Fns
+import graft.functions.Det.dsum
 
 /** Trade-show models (SURVEY S10, J10, J12-rewrite, A14):
   * stg_trade_shows__leads → leads_with_company_match →
@@ -56,10 +57,19 @@ object TradeShows {
       .withColumn("company_domain_key",
         when(col("domain_type") === "corporate", col("normalized_domain")))
       .join(broadcast(fctCompanies.select(col("company_domain_key"),
-        col("company_name").as("matched_company_name"))),
+        col("company_name").as("matched_company_name"),
+        col("total_revenue").as("company_lifetime_revenue"),
+        col("total_orders").as("company_lifetime_orders"),
+        col("first_order_date").as("company_first_order_date"),
+        col("latest_order_date").as("company_latest_order_date"))),
         Seq("company_domain_key"), "left")
       .withColumn("matched_to_company",
         col("matched_company_name").isNotNull)
+      // is_new_customer_from_show: company's first-ever order is on or
+      // after the show (fct_trade_show_leads company matching CTEs).
+      .withColumn("is_new_customer_from_show",
+        coalesce(col("company_first_order_date") >= col("show_date"),
+          lit(false)))
 
   /** fct_trade_show_leads — the J12 REWRITE: the reference computes 6
     * correlated scalar subqueries per lead over company_orders
@@ -69,52 +79,142 @@ object TradeShows {
     * (NULL key) keep zero revenue via the left join + coalesce —
     * row multiplicity preserved (SURVEY §7.4 #3). */
   def fctLeads(matchedLeads: DataFrame,
-               companyOrders: DataFrame): DataFrame = {
+               companyOrders: DataFrame,
+               customerEmails: Option[DataFrame] = None): DataFrame = {
+    // Renamed join key: leads and orders can share a source scan in
+    // synthesized pipelines (self-join lineage) — a unique name keeps
+    // the range-conditioned join unambiguous.
     val ordersSide = companyOrders.select(
-      col("company_domain_key"), col("order_date"), col("order_amount"))
+      col("company_domain_key").as("co_company"),
+      col("order_date"), col("order_amount"),
+      (if (companyOrders.columns.contains("purchaser_email"))
+        col("purchaser_email")
+      else lit(null).cast("string")).as("purchaser_email"))
     val joined = matchedLeads
       .join(ordersSide,
-        matchedLeads("company_domain_key") ===
-          ordersSide("company_domain_key") &&
+        col("company_domain_key") === col("co_company") &&
           col("order_date") >= col("show_date"), "left")
-      .drop(ordersSide("company_domain_key"))
+      .drop("co_company")
     def winSum(days: Int) = coalesce(
-      sum(when(col("order_date") <= date_add(col("show_date"), days),
+      dsum(when(col("order_date") <= date_add(col("show_date"), days),
         col("order_amount"))), lit(0.0))
     def winCnt(days: Int) =
       sum(when(col("order_date") <= date_add(col("show_date"), days), 1)
         .otherwise(0))
-    joined
+    val grouped = joined
       .groupBy(col("lead_id"), col("email"), col("full_name"),
         col("show_name"), col("show_date"), col("company_domain_key"),
-        col("matched_to_company"), col("is_personal_email"))
+        col("matched_to_company"), col("is_personal_email"),
+        col("is_new_customer_from_show"),
+        col("company_lifetime_revenue"), col("company_lifetime_orders"),
+        col("company_first_order_date"), col("company_latest_order_date"))
       .agg(
         winSum(30).as("revenue_30d"),
         winSum(90).as("revenue_90d"),
         winSum(180).as("revenue_180d"),
         winSum(365).as("revenue_365d"),
-        coalesce(sum(col("order_amount")), lit(0.0)).as("revenue_all_time"),
+        coalesce(dsum(col("order_amount")), lit(0.0))
+          .as("revenue_all_time"),
+        winCnt(90).as("orders_90d"),
         winCnt(365).as("orders_365d"),
+        sum(when(col("order_amount").isNotNull, 1).otherwise(0))
+          .as("orders_all_time"),
+        // distinct purchasers at the company since the show
+        // (fct_trade_show_leads.sql:216-222) — decorrelated into the
+        // same conditional aggregate instead of a scalar subquery.
+        countDistinct(col("purchaser_email"))
+          .as("distinct_purchasers_count"),
         min(when(col("order_amount").isNotNull, col("order_date")))
           .as("first_order_after_show"))
       .withColumn("days_to_conversion",
         datediff(col("first_order_after_show"), col("show_date")))
+      // Attribution windows off the company's FIRST-EVER order date
+      // (fct_trade_show_leads.sql:60-106): did the company become a
+      // buyer inside the window after the show.
+      .withColumn("days_from_show_to_first_order",
+        datediff(col("company_first_order_date"), col("show_date")))
+    val withAttr = Seq(30, 90, 180, 365).foldLeft(grouped) { (df, d) =>
+      df.withColumn(s"attributed_${d}d",
+        coalesce(col("company_first_order_date") >= col("show_date") &&
+          col("company_first_order_date") <=
+            date_add(col("show_date"), d), lit(false)))
+    }.withColumn("attributed_all_time",
+      coalesce(col("company_first_order_date") >= col("show_date"),
+        lit(false)))
+    // J14: is THIS lead's email one of the company's customer emails
+    // (fct_trade_show_leads.sql:254-257) — equi-join on
+    // (company, lower(email)), broadcast dim.
+    customerEmails match {
+      case Some(ce) =>
+        // Renamed join keys: leads and the email dim may share a source
+        // scan (self-join lineage), so df("col") references would be
+        // ambiguous — unique names disambiguate at analysis time.
+        val emails = ce.select(
+          col("company_domain_key").as("ce_company"),
+          lower(col("customer_email")).as("ce_email")).distinct()
+        withAttr.join(broadcast(emails),
+          col("company_domain_key") === col("ce_company") &&
+            lower(col("email")) === col("ce_email"), "left")
+          .withColumn("lead_email_is_customer", col("ce_email").isNotNull)
+          .drop("ce_company", "ce_email")
+      case None =>
+        withAttr.withColumn("lead_email_is_customer", lit(false))
+    }
   }
 
-  /** fct_trade_show_performance (fct_trade_show_performance.sql:16-74,
-    * A14): per-show rollup with conditional sums over the windows. */
-  def showPerformance(fctLeads: DataFrame): DataFrame =
+  /** fct_trade_show_performance (fct_trade_show_performance.sql:16-120,
+    * A14): per-show rollup — the full conditional-sum battery (lead
+    * collection, categorization, person-vs-company attribution, per
+    * window conversions/revenue/orders, averages and derived rates) in
+    * ONE hash aggregate. */
+  def showPerformance(fctLeads: DataFrame): DataFrame = {
+    def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1).otherwise(0))
     fctLeads.groupBy(col("show_name"), col("show_date"))
       .agg(
-        count(lit(1)).as("lead_count"),
-        countDistinct(col("email")).as("distinct_emails"),
+        count(lit(1)).as("total_leads_collected"),
+        countDistinct(col("email")).as("unique_emails_collected"),
         countDistinct(when(col("matched_to_company"),
-          col("company_domain_key"))).as("matched_companies"),
-        sum(when(col("matched_to_company"), 1).otherwise(0))
-          .as("matched_lead_count"),
-        sum(col("revenue_30d")).as("revenue_30d"),
-        sum(col("revenue_90d")).as("revenue_90d"),
-        sum(col("revenue_365d")).as("revenue_365d"),
-        sum(col("revenue_all_time")).as("revenue_all_time"),
+          col("company_domain_key"))).as("companies_matched"),
+        cnt(col("matched_to_company")).as("leads_matched_to_companies"),
+        cnt(!col("matched_to_company")).as("leads_unmatched"),
+        cnt(col("is_personal_email")).as("leads_individual_emails"),
+        cnt(col("lead_email_is_customer"))
+          .as("leads_who_are_direct_customers"),
+        cnt(!col("lead_email_is_customer") && col("attributed_all_time"))
+          .as("leads_attributed_via_company_colleagues"),
+        sum(col("distinct_purchasers_count"))
+          .as("total_distinct_purchasers"),
+        cnt(col("is_new_customer_from_show")).as("new_customers_acquired"),
+        cnt(col("attributed_30d")).as("conversions_30d"),
+        sum(col("revenue_30d")).as("total_revenue_30d"),
+        cnt(col("attributed_90d")).as("conversions_90d"),
+        sum(col("revenue_90d")).as("total_revenue_90d"),
+        sum(col("orders_90d")).as("total_orders_90d"),
+        cnt(col("attributed_180d")).as("conversions_180d"),
+        sum(col("revenue_180d")).as("total_revenue_180d"),
+        cnt(col("attributed_365d")).as("conversions_365d"),
+        sum(col("revenue_365d")).as("total_revenue_365d"),
+        sum(col("orders_365d")).as("total_orders_365d"),
+        cnt(col("attributed_all_time")).as("conversions_all_time"),
+        sum(col("revenue_all_time")).as("total_revenue_all_time"),
+        sum(col("orders_all_time")).as("total_orders_all_time"),
+        avg(when(col("attributed_90d"),
+          col("days_from_show_to_first_order")))
+          .as("avg_days_to_conversion_90d"),
+        avg(when(col("attributed_365d"),
+          col("days_from_show_to_first_order")))
+          .as("avg_days_to_conversion_365d"),
+        avg(when(col("attributed_all_time"),
+          col("days_from_show_to_first_order")))
+          .as("avg_days_to_conversion_all_time"),
         avg(col("days_to_conversion")).as("avg_days_to_conversion"))
+      .withColumn("match_rate_pct",
+        when(col("total_leads_collected") > 0,
+          round(col("leads_matched_to_companies") * 100.0 /
+            col("total_leads_collected"), 2)).otherwise(0.0))
+      .withColumn("conversion_rate_90d_pct",
+        when(col("leads_matched_to_companies") > 0,
+          round(col("conversions_90d") * 100.0 /
+            col("leads_matched_to_companies"), 2)).otherwise(0.0))
+  }
 }

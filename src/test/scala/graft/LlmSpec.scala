@@ -88,6 +88,54 @@ class LlmSpec extends SparkSpec {
     assert(got == Set((1L, 2L), (2L, 1L)))
   }
 
+  test("LSH hot-bucket cap: pathological corpus stays linear, healthy unchanged") {
+    // 200 identical docs — every band bucket is ONE hot bucket. Uncapped
+    // candidate generation is quadratic; the cap must make it linear
+    // (chain pairs) while still connecting the whole dup component.
+    val boiler = (1L to 200L).map(i =>
+      (i, "the same viral boilerplate sentence repeated across the web"))
+      .toDF("doc_id", "text")
+      .select($"doc_id",
+        explode(TA.shingles(TA.tokens($"text"), 3)).as("shingle"))
+      .distinct()
+    val bands = Dedup.minhashBands(boiler, 4, 2)
+    assert(Dedup.lshCandidates(bands).count() == 199L * 200L / 2)
+    val capped = Dedup.lshCandidates(bands, maxBucketSize = 10)
+      .as[(Long, Long)].collect()
+    assert(capped.length == 199, "chain pairs: linear in bucket size")
+    // chain connects the component: union-find over pairs → 1 component
+    val parent = collection.mutable.Map((1L to 200L).map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    capped.foreach { case (a, b) => parent(find(a)) = find(b) }
+    assert((1L to 200L).map(find).toSet.size == 1)
+    // healthy data: capped == uncapped when no bucket exceeds the cap
+    val sf = "/root/testdata/sf0.001"
+    val shingled = TA.shingleRows(Tables.documents(spark, sf),
+      col("doc_id"), col("text"), 3).distinct()
+    val healthyBands = Dedup.minhashBands(shingled, 4, 2).cache()
+    val un = Dedup.lshCandidates(healthyBands)
+      .as[(Long, Long)].collect().toSet
+    val cp = Dedup.lshCandidates(healthyBands, maxBucketSize = 100)
+      .as[(Long, Long)].collect().toSet
+    assert(un == cp, "cap is a no-op when buckets are under the limit")
+  }
+
+  test("ANN bucket cap bounds the candidate pool deterministically") {
+    // Identical vectors → one rademacher bucket; cap 16 means only the
+    // first 16 ids can ever appear as candidates, for every query.
+    val vecs = (1L to 300L).map(i => (i, Array.fill(8)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val buckets = Similarity.rademacherBuckets(vecs, bits = 4, seed = "1")
+    assert(buckets.select("bucket").distinct().count() == 1)
+    val res = Similarity.randomHyperplaneLshTopK(vecs,
+      vecs.select("vec_id"), k = 5, bits = 4, seed = "1",
+      maxBucketSize = 16)
+    assert(res.agg(max($"cand_id")).head().getLong(0) <= 16)
+    assert(res.groupBy("query_id").count()
+      .filter($"count" > 5).count() == 0)
+  }
+
   test("multimodal decode stub is deterministic and schema-stable") {
     val docs = Tables.documents(spark, sf).limit(50)
     val media = Multimodal.asMediaTable(docs)

@@ -135,6 +135,48 @@ class RefPipelineSpec extends SparkSpec {
         col("period_type") === "trailing_30d").count() == 0)
   }
 
+  test("period metrics: row-per-period shape, corporate only") {
+    val pm = out("mart.mart_company_period_metrics")
+    val acme = pm.filter(col("company_domain_key") === "acme.com")
+    val types = acme.select("period_type").collect()
+      .map(_.getString(0)).toSet
+    assert(types == Set("trailing_30d", "trailing_90d", "trailing_1y",
+      "all_time"), "7d window has no activity → row filtered")
+    val all = acme.filter(col("period_type") === "all_time").head()
+    assert(math.abs(all.getAs[Double]("total_revenue") - 355.8) < 1e-9)
+    assert(all.getAs[Long]("customer_count") == 2)
+    val t30 = acme.filter(col("period_type") === "trailing_30d").head()
+    assert(math.abs(t30.getAs[Double]("total_revenue") - 321.0) < 1e-9)
+    assert(pm.filter(col("company_domain_key")
+      .startsWith("INDIVIDUAL_")).count() == 0, "corporate filter")
+  }
+
+  test("margin analytics: daily + monthly grains, volume-weighted pct") {
+    val ma = out("mart.mart_product_margin_analytics")
+    assert(ma.select("time_period").distinct().count() == 2)
+    val jun = ma.filter(col("time_period") === "monthly" &&
+      col("sku") === "01-6310.AK4" &&
+      col("order_month") === "2024-06-01").head()
+    assert(jun.getAs[Long]("transaction_count") == 2)
+    assert(math.abs(jun.getAs[Double]("total_revenue") - 240.0) < 1e-9)
+    assert(math.abs(
+      jun.getAs[Double]("volume_weighted_margin_percentage") - 57.33)
+      < 1e-9)
+  }
+
+  test("inventory history mart: lag change and valuations") {
+    val ih = out("mart.fct_inventory_history")
+    val ak4 = ih.filter(col("item_name") === "01-6310.AK4")
+      .orderBy("inventory_date").collect()
+    assert(ak4.length == 2)
+    assert(ak4(0).isNullAt(ak4(0).fieldIndex("previous_quantity_on_hand")))
+    assert(ak4(1).getAs[Double]("quantity_change") == -20.0)
+    assert(math.abs(ak4(1).getAs[Double]("inventory_value_at_cost")
+      - 480 * 6.40) < 1e-9)
+    assert(out("mart.base_fct_orders_current").count() ==
+      out("mart.fct_orders").count(), "no future-dated fixture orders")
+  }
+
   test("AR aging has three analysis levels and open orders only") {
     val aging = out("mart.dim_accounts_receivable_aging")
     val levels = aging.select("analysis_level").distinct()
@@ -332,6 +374,31 @@ class RefPipelineSpec extends SparkSpec {
     val unmatched = fct.filter(col("email") === "ana@newprospect.io").head()
     assert(unmatched.getAs[Double]("revenue_all_time") == 0.0,
       "NULL-key lead keeps zero revenue, not dropped (SURVEY §7.4 #3)")
+  }
+
+  test("trade shows: J14 + attribution flags + distinct purchasers") {
+    val fct = out("mart.fct_trade_show_leads")
+    val acme = fct.filter(col("email") === "buyer@acme.com").head()
+    assert(acme.getAs[Boolean]("lead_email_is_customer"),
+      "buyer@acme.com is a person-level customer email (J14)")
+    assert(acme.getAs[Boolean]("attributed_30d"),
+      "acme's first-ever order (2024-01-25) within 30d of the show")
+    assert(acme.getAs[Boolean]("attributed_all_time"))
+    assert(acme.getAs[Boolean]("is_new_customer_from_show"))
+    assert(acme.getAs[Long]("distinct_purchasers_count") == 2,
+      "C001 and C002 main-email identities both bought after the show")
+    assert(acme.getAs[Long]("orders_all_time") == 3)
+    val unmatched = fct.filter(col("email") === "ana@newprospect.io").head()
+    assert(!unmatched.getAs[Boolean]("lead_email_is_customer"))
+    assert(unmatched.getAs[Long]("distinct_purchasers_count") == 0)
+    val perf = out("mart.fct_trade_show_performance")
+      .filter(col("show_name") === "World of Asphalt").head()
+    assert(perf.getAs[Long]("total_leads_collected") == 2)
+    assert(perf.getAs[Long]("leads_matched_to_companies") == 1)
+    assert(perf.getAs[Long]("leads_individual_emails") == 1)
+    assert(perf.getAs[Long]("leads_who_are_direct_customers") == 1)
+    assert(perf.getAs[Long]("conversions_30d") == 1)
+    assert(perf.getAs[Double]("match_rate_pct") == 50.0)
   }
 
   test("pricing history: as-of list price fills forward from snapshots") {
