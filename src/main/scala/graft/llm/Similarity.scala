@@ -157,9 +157,13 @@ object Similarity {
           col("bucket"))
     val c = capped.select(col(idCol).as("cand_id"), col("bucket"),
       col(vecCol).as("c_vec"))
+    // No pair dedup needed: the probe set (original + single-bit flips)
+    // is pairwise-distinct and each candidate lives in exactly ONE
+    // bucket, so a (query, cand) pair can match at most one probe — a
+    // dropDuplicates here would shuffle every wide vector row for
+    // nothing.
     val pairs = probed.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("cand_id"))
-      .dropDuplicates("query_id", "cand_id")
     scoreAndRank(pairs, k, Seq.empty)
   }
 }

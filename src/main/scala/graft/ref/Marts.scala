@@ -153,7 +153,7 @@ object Marts {
     * bridge (J7 inner) rolled to (company, order). */
   def fctCompanyOrders(lineItems: DataFrame, bridge: DataFrame): DataFrame =
     lineItems
-      .join(bridge, Seq("customer"))
+      .join(broadcast(bridge), Seq("customer"))
       .groupBy(col("company_domain_key"), col("order_number"))
       .agg(
         max(col("customer")).as("customer_name"),
@@ -180,7 +180,7 @@ object Marts {
                          asOfDate: String): DataFrame = {
     val asOf = to_date(lit(asOfDate))
     val base = lineItems
-      .join(bridge, Seq("customer"))
+      .join(broadcast(bridge), Seq("customer"))
       .filter(col("product_service_amount").isNotNull &&
         col("product_service_amount") > 0 &&
         col("product_service").isNotNull &&
@@ -288,7 +288,7 @@ object Marts {
                                    asOfDate: String): DataFrame = {
     val asOf = to_date(lit(asOfDate))
     val details = lineItems
-      .join(bridge, Seq("customer"))
+      .join(broadcast(bridge), Seq("customer"))
       .filter(col("product_service_amount").isNotNull &&
         col("product_service_amount") > 0 &&
         col("product_service").isNotNull &&
