@@ -81,14 +81,7 @@ object CompanyProductQueries {
   /** A9 — fct_company_products (fct_company_products.sql:14-206). */
   val a9CompanyProducts: Q = Q.sql(
     "a9_company_products",
-    s"""WITH $synthSql, recent_desc AS (
-      |  SELECT company_domain_key, product_service,
-      |    description AS product_service_description FROM (
-      |    SELECT *, ROW_NUMBER() OVER (
-      |      PARTITION BY company_domain_key, product_service
-      |      ORDER BY order_date DESC, description) AS r FROM base)
-      |  WHERE r = 1
-      |), rep AS (
+    s"""WITH $synthSql, rep AS (
       |  SELECT company_domain_key, product_service,
       |    sales_rep AS primary_sales_rep
       |  FROM (SELECT company_domain_key, product_service, sales_rep,
@@ -99,6 +92,8 @@ object CompanyProductQueries {
       |    ORDER BY n DESC, sales_rep) = 1
       |), metrics AS (
       |  SELECT company_domain_key, product_service,
+      |    (MAX(struct_pack(d := order_date, s := description))).s
+      |      AS product_service_description,
       |    COUNT(*) AS total_transactions,
       |    COUNT(DISTINCT order_date) AS purchase_days,
       |    ${sqlDsum("qty")} AS total_quantity_purchased,
@@ -123,7 +118,7 @@ object CompanyProductQueries {
       |  FROM base GROUP BY 1
       |)
       |SELECT m.company_domain_key, m.product_service,
-      |  rd.product_service_description,
+      |  m.product_service_description,
       |  m.total_transactions, m.purchase_days, m.total_quantity_purchased,
       |  m.total_amount_spent, m.avg_unit_price, m.min_unit_price,
       |  m.max_unit_price,
@@ -159,7 +154,6 @@ object CompanyProductQueries {
       |  c.company_total_revenue,
       |  ROUND(m.total_amount_spent * 100.0 / NULLIF(c.company_total_revenue, 0), 2) AS product_revenue_percentage
       |FROM metrics m
-      |LEFT JOIN recent_desc rd USING (company_domain_key, product_service)
       |LEFT JOIN rep r USING (company_domain_key, product_service)
       |LEFT JOIN products p USING (product_service)
       |JOIN companies c USING (company_domain_key)

@@ -172,9 +172,10 @@ object Marts {
     * plan, same results: the product/company enrichment joins happen
     * AFTER the aggregate (|company×product| rows instead of |line
     * items|), MODE(sales_rep) is the deterministic pre-count argmax
-    * (A4), and the most-recent-description window gets a
-    * value-stable tiebreak (order_date DESC, description) so ties can't
-    * flap between runs. CURRENT_DATE → injected asOfDate. */
+    * (A4), and the most-recent description is a struct-max inside the
+    * metrics aggregate (latest date; max description on ties —
+    * value-stable) instead of the reference's ROW_NUMBER window.
+    * CURRENT_DATE → injected asOfDate. */
   def fctCompanyProducts(lineItems: DataFrame, bridge: DataFrame,
                          fctProducts: DataFrame, fctCompanies: DataFrame,
                          asOfDate: String): DataFrame = {
@@ -188,13 +189,6 @@ object Marts {
         col("company_domain_key").isNotNull &&
         col("company_domain_key") =!= "NO_EMAIL_DOMAIN")
     val grain = Seq(col("company_domain_key"), col("product_service"))
-    val descW = Window.partitionBy(grain: _*)
-      .orderBy(col("order_date").desc, col("product_service_description"))
-    val recentDesc = base
-      .withColumn("description_rank", row_number().over(descW))
-      .filter(col("description_rank") === 1)
-      .select(col("company_domain_key"), col("product_service"),
-        col("product_service_description"))
     val repCounts = base.filter(col("sales_rep").isNotNull)
       .groupBy(col("company_domain_key"), col("product_service"),
         col("sales_rep")).count()
@@ -206,6 +200,14 @@ object Marts {
         col("sales_rep").as("primary_sales_rep"))
     val metrics = base.groupBy(grain: _*)
       .agg(
+        // Most-recent description folded into the SAME aggregate as a
+        // struct-max (latest order_date; max description on date ties —
+        // value-stable) — replaces the reference's ROW_NUMBER window
+        // (fct_company_products.sql:33-57), saving a full shuffle+sort
+        // of the line-item fact at scale.
+        max(struct(col("order_date"), col("product_service_description")))
+          .getField("product_service_description")
+          .as("product_service_description"),
         count(lit(1)).as("total_transactions"),
         countDistinct(col("order_date")).as("purchase_days"),
         dsum(col("product_service_quantity"))
@@ -221,7 +223,6 @@ object Marts {
         sum(when(col("order_date") >= date_sub(asOf, 365), 1).otherwise(0))
           .as("last_year_transactions"))
     metrics
-      .join(recentDesc, Seq("company_domain_key", "product_service"), "left")
       .join(primaryRep, Seq("company_domain_key", "product_service"), "left")
       .join(broadcast(fctProducts.select(
         col("product_name").as("product_service"),

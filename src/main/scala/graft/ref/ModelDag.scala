@@ -198,7 +198,7 @@ object ModelDag {
     val unitSales = cat.saveTable("mart", "mart_product_unit_sales",
       TimeSeries.productUnitSales(fctLineItems))
     val pricing = cat.saveTable("mart", "fct_product_pricing_history",
-      TimeSeries.pricingHistory(typed, stgItems))
+      TimeSeries.pricingHistory(typed, stgItems, Some(fctProducts)))
     val inventory = cat.saveTable("intermediate", "inventory_history",
       stgItems.select("item_name", "snapshot_date", "quantity_on_hand",
         "sales_price").distinct())

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.Fns
+import graft.functions.Det.{davg, dsum}
 import graft.operators.MergeUpsert
 
 /** Time-series and pricing marts (SURVEY A10–A13, W3–W5, J11, I1):
@@ -60,68 +61,207 @@ object TimeSeries {
         sum(when(col("source_type") === "sales_receipt",
           col("line_amount")).otherwise(0)).as("receipt_amount"))
 
-  /** fct_product_pricing_history core
-    * (fct_product_pricing_history.sql:32-74,113-139,165-196,236-266,
-    * 300-306): per (product, day) rollup (A11), 30-day rolling RANGE
-    * frame (W4), running max / first price (W5), LAG trend (W3), and
-    * the as-of authoritative list price (J11 rewritten as
-    * last-non-null over an ordered window instead of a correlated
-    * MAX-date subquery). `itemSnapshots` supplies (item_name,
-    * snapshot_date, sales_price) authoritative rows. */
+  /** fct_product_pricing_history (fct_product_pricing_history.sql:30-393
+    * — the reference's largest mart, full surface): per (product, day)
+    * rollup (A11) with volatility/volume-weighted price/source mix;
+    * product-vs-service classification; $5 price clustering with 30-day
+    * RANGE frequency/volume windows (W4); stable/dominant retail-price
+    * inference with running-max fallback (W5); the as-of authoritative
+    * price (the correlated MAX-date subquery of :309-315 rewritten J11
+    * style — auth rows unioned in and last-non-null filled over one
+    * ordered window); LAG trend battery (W3); and the product-context
+    * discount calculations.
+    *
+    * Scale shape: one hash aggregate over the line items, then windows
+    * partitioned by product (or product×cluster) — high-cardinality
+    * keys, no global windows, no correlated subqueries. */
   def pricingHistory(lineItems: DataFrame,
-                     itemSnapshots: DataFrame): DataFrame = {
+                     itemSnapshots: DataFrame,
+                     fctProducts: Option[DataFrame] = None): DataFrame = {
+    val hasLoad = lineItems.columns.contains("load_date")
     val daily = lineItems
       .filter(col("product_service").isNotNull &&
         col("product_service_rate") > 0)
-      .groupBy(col("product_service"),
-        col("order_date").as("price_date"))
+      .groupBy(col("product_service"), col("order_date"))
       .agg(
-        avg(col("product_service_rate")).as("avg_rate"),
-        min(col("product_service_rate")).as("min_rate"),
-        max(col("product_service_rate")).as("max_rate"),
-        sum(col("product_service_quantity")).as("units"),
-        sum(col("line_amount")).as("amount"),
-        count(lit(1)).as("line_count"))
+        davg(col("product_service_rate")).as("avg_unit_price"),
+        min(col("product_service_rate")).as("min_unit_price"),
+        max(col("product_service_rate")).as("max_unit_price"),
+        dsum(coalesce(col("product_service_quantity"), lit(0.0)))
+          .as("total_units_sold"),
+        dsum(col("line_amount")).as("total_revenue"),
+        count(lit(1)).as("transaction_count"),
+        sum(when(col("source_type") === "invoice", 1).otherwise(0))
+          .as("invoice_transactions"),
+        sum(when(col("source_type") === "sales_receipt", 1).otherwise(0))
+          .as("sales_receipt_transactions"),
+        (if (hasLoad) max(col("load_date"))
+         else max(lit(null).cast("string"))).as("latest_load_date"))
+      .withColumn("price_volatility",
+        when(col("transaction_count") > 1,
+          col("max_unit_price") - col("min_unit_price")).otherwise(0.0))
       .withColumn("volume_weighted_price",
-        col("amount") / nullif(col("units"), lit(0)))
-      .withColumn("price_range", col("max_rate") - col("min_rate"))
-    // authoritative price rows unioned in, then as-of filled (J11)
-    val auth = itemSnapshots.select(
-      col("item_name").as("product_service"),
-      col("snapshot_date").cast("date").as("price_date"),
-      col("sales_price").as("auth_price"))
-    val unioned = daily
+        when(col("total_units_sold") > 0,
+          col("total_revenue") / col("total_units_sold"))
+          .otherwise(col("avg_unit_price")))
+    // --- product-vs-service classification + $5 price clustering ---
+    val lowerP = lower(col("product_service"))
+    val isService = lowerP.contains("shipping") || lowerP.contains("tax") ||
+      lowerP.contains("freight") || lowerP.contains("discount")
+    val classified = daily
+      .withColumn("is_actual_product",
+        when(isService, false)
+          .when(col("product_service").rlike("^[0-9]"), true)
+          .when(length(col("product_service")) >= 3 &&
+            col("product_service") =!= "", true)
+          .otherwise(false))
+      .withColumn("price_cluster",
+        when(!isService, round(col("avg_unit_price") / 5) * 5))
+      .withColumn("volume_category",
+        when(col("total_units_sold") > 100, "HIGH_VOLUME_DISCOUNT")
+          .when(col("total_units_sold") > 50, "MEDIUM_VOLUME")
+          .otherwise("REGULAR_SALE"))
+    val clusterRangeW = Window
+      .partitionBy(col("product_service"), col("price_cluster"))
+      .orderBy(datediff(col("order_date"), to_date(lit("1970-01-01"))))
+      .rangeBetween(-30, 0)
+    val clustered = classified
+      .withColumn("cluster_frequency_30d",
+        when(!isService, count(lit(1)).over(clusterRangeW)).otherwise(0L))
+      .withColumn("cluster_volume_30d",
+        sum(col("total_units_sold")).over(clusterRangeW))
+      .withColumn("stable_retail_candidate",
+        when(col("is_actual_product") &&
+          col("cluster_frequency_30d") >= 3 &&
+          col("volume_category").isin("REGULAR_SALE", "MEDIUM_VOLUME") &&
+          col("price_cluster") >= 65, col("price_cluster")))
+      // The reference's FIRST_VALUE here (:163-172) partitions by
+      // (product, cluster) and selects price_cluster — an identity on
+      // the partition key, kept for surface fidelity.
+      .withColumn("dominant_price_candidate",
+        when(col("is_actual_product") && col("price_cluster").isNotNull,
+          col("price_cluster")))
+    val seqW = Window.partitionBy(col("product_service"))
+      .orderBy(col("order_date"))
+    val runW = seqW.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val withRetail = clustered
+      .withColumn("inferred_retail_price",
+        when(!col("is_actual_product"), lit(null).cast("double"))
+          .otherwise(coalesce(
+            col("stable_retail_candidate"),
+            when(col("dominant_price_candidate") >= 65 &&
+              col("cluster_frequency_30d") >= 2,
+              col("dominant_price_candidate")),
+            max(when(col("volume_category") === "REGULAR_SALE",
+              col("avg_unit_price"))).over(runW))))
+    // --- as-of authoritative price: auth rows unioned in, last-non-null
+    //     filled (J11 window rewrite of the correlated subquery) ---
+    val auth = itemSnapshots
+      .filter(col("sales_price").isNotNull && col("sales_price") > 0 &&
+        col("snapshot_date").isNotNull &&
+        (col("snapshot_date") === "seed" ||
+          col("snapshot_date").rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$")))
+      .select(
+        col("item_name").as("product_service"),
+        when(col("snapshot_date") === "seed", to_date(lit("1900-01-01")))
+          .otherwise(col("snapshot_date").cast("date")).as("order_date"),
+        struct(col("sales_price").as("price"),
+          when(col("snapshot_date") === "seed",
+            to_date(lit("1900-01-01")))
+            .otherwise(col("snapshot_date").cast("date")).as("eff_date"))
+          .as("auth_row"))
+    val unioned = withRetail
       .unionByName(auth, allowMissingColumns = true)
-    val ordW = Window.partitionBy(col("product_service"))
-      .orderBy(col("price_date"),
-        col("auth_price").isNull.cast("int")) // auth rows first per day
+    val asOfW = Window.partitionBy(col("product_service"))
+      .orderBy(col("order_date"), col("auth_row").isNull.cast("int"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val asOf = unioned
-      .withColumn("effective_list_price",
-        last(col("auth_price"), ignoreNulls = true).over(ordW))
-      .filter(col("line_count").isNotNull) // keep order-derived rows
-    val seqW = Window.partitionBy(col("product_service"))
-      .orderBy(col("price_date"))
-    val rangeW = Window.partitionBy(col("product_service"))
-      .orderBy(datediff(col("price_date"), to_date(lit("1970-01-01"))))
-      .rangeBetween(-30, 0)
-    asOf
-      .withColumn("lines_30d", count(lit(1)).over(rangeW))
-      .withColumn("units_30d", sum(col("units")).over(rangeW))
-      .withColumn("running_max_rate", max(col("max_rate")).over(
-        seqW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("first_rate", first(col("avg_rate")).over(
-        seqW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("prev_avg_rate", lag(col("avg_rate"), 1).over(seqW))
+      .withColumn("auth_asof",
+        last(col("auth_row"), ignoreNulls = true).over(asOfW))
+      .filter(col("transaction_count").isNotNull) // keep daily rows only
+      .withColumn("authoritative_price", col("auth_asof.price"))
+      .withColumn("price_effective_date", col("auth_asof.eff_date"))
+      .drop("auth_row", "auth_asof")
+    // --- trend battery + retail price selection ---
+    val trended = asOf
+      .withColumn("retail_price_at_date",
+        coalesce(col("authoritative_price"),
+          col("inferred_retail_price")))
+      .withColumn("retail_price_source",
+        when(col("authoritative_price").isNotNull, "AUTHORITATIVE")
+          .when(col("stable_retail_candidate").isNotNull, "STABLE_PATTERN")
+          .when(col("dominant_price_candidate").isNotNull &&
+            col("cluster_frequency_30d") >= 2, "DOMINANT_PRICE")
+          .otherwise("FALLBACK_MAX"))
+      .withColumn("prev_avg_price",
+        lag(col("avg_unit_price"), 1).over(seqW))
+      .withColumn("prev_sale_date", lag(col("order_date"), 1).over(seqW))
+      .withColumn("prev_retail_price",
+        lag(coalesce(col("authoritative_price"),
+          col("inferred_retail_price")), 1).over(seqW))
       .withColumn("price_trend",
-        when(col("prev_avg_rate").isNull, "initial")
-          .when(col("avg_rate") > col("prev_avg_rate"), "up")
-          .when(col("avg_rate") < col("prev_avg_rate"), "down")
-          .otherwise("flat"))
-      .withColumn("discount_vs_list_pct",
-        when(col("effective_list_price") > 0,
-          round((lit(1) - col("avg_rate") / col("effective_list_price"))
-            * 100, 2)))
+        when(col("prev_avg_price").isNull, "NEW")
+          .when(col("avg_unit_price") > col("prev_avg_price"),
+            "INCREASING")
+          .when(col("avg_unit_price") < col("prev_avg_price"),
+            "DECREASING")
+          .otherwise("STABLE"))
+      .withColumn("price_change_amount",
+        when(col("prev_avg_price").isNotNull,
+          col("avg_unit_price") - col("prev_avg_price")).otherwise(0.0))
+      .withColumn("price_change_percentage",
+        when(col("prev_avg_price").isNotNull && col("prev_avg_price") > 0,
+          round((col("avg_unit_price") - col("prev_avg_price"))
+            / col("prev_avg_price") * 100, 2)).otherwise(0.0))
+      .withColumn("days_since_last_sale",
+        when(col("prev_sale_date").isNotNull,
+          datediff(col("order_date"), col("prev_sale_date"))).otherwise(0))
+    // --- product context + discount calculations ---
+    val withContext = fctProducts match {
+      case Some(p) => trended.join(broadcast(p.select(
+        col("product_name").as("product_service"),
+        col("product_family"), col("material_type"), col("is_kit"),
+        col("item_type"),
+        col("sales_price").as("current_list_price"),
+        col("purchase_cost").as("current_purchase_cost"))),
+        Seq("product_service"), "left")
+      case None => trended
+        .withColumn("current_list_price", lit(null).cast("double"))
+        .withColumn("current_purchase_cost", lit(null).cast("double"))
+    }
+    withContext
+      .withColumn("discount_from_retail_pct",
+        when(col("retail_price_at_date").isNotNull &&
+          col("retail_price_at_date") > 0,
+          round((col("avg_unit_price") - col("retail_price_at_date"))
+            / col("retail_price_at_date") * 100, 2)))
+      .withColumn("discount_from_retail_amount",
+        when(col("retail_price_at_date").isNotNull,
+          col("avg_unit_price") - col("retail_price_at_date")))
+      .withColumn("retail_price_change_type",
+        when(col("prev_retail_price").isNotNull &&
+          col("retail_price_at_date") =!= col("prev_retail_price"),
+          "RETAIL_PRICE_CHANGE")
+          .when(col("prev_retail_price").isNull, "NEW_PRODUCT")
+          .otherwise("NO_RETAIL_CHANGE"))
+      .withColumn("retail_price_change_amount",
+        when(col("prev_retail_price").isNotNull,
+          col("retail_price_at_date") - col("prev_retail_price"))
+          .otherwise(0.0))
+      .withColumn("retail_price_change_pct",
+        when(col("prev_retail_price").isNotNull &&
+          col("prev_retail_price") > 0,
+          round((col("retail_price_at_date") - col("prev_retail_price"))
+            / col("prev_retail_price") * 100, 2)).otherwise(0.0))
+      .withColumn("discount_from_current_list_pct",
+        when(col("current_list_price").isNotNull &&
+          col("current_list_price") > 0,
+          round((col("avg_unit_price") - col("current_list_price"))
+            / col("current_list_price") * 100, 2)))
+      .withColumn("discount_from_current_list_amount",
+        when(col("current_list_price").isNotNull,
+          col("avg_unit_price") - col("current_list_price")))
   }
 
   /** int_quickbooks__inventory_history (I1,

@@ -401,16 +401,32 @@ class RefPipelineSpec extends SparkSpec {
     assert(perf.getAs[Double]("match_rate_pct") == 50.0)
   }
 
-  test("pricing history: as-of list price fills forward from snapshots") {
+  test("pricing history: as-of authoritative price, trend, discounts") {
     val ph = out("mart.fct_product_pricing_history")
       .filter(col("product_service") === "01-6310.AK4")
-      .orderBy("price_date")
-      .select("price_date", "effective_list_price").collect()
-    val byDate = ph.map(r =>
-      r.getDate(0).toString -> Option(r.get(1))).toMap
+      .orderBy("order_date")
+    val byDate = ph.select("order_date", "authoritative_price").collect()
+      .map(r => r.getDate(0).toString -> Option(r.get(1))).toMap
     assert(byDate("2024-01-25").isEmpty, "no snapshot before first order")
     assert(byDate("2024-05-20").contains(14.50))
     assert(byDate("2024-06-10").contains(15.00))
+    val jun10 = ph.filter(col("order_date") === "2024-06-10").head()
+    assert(jun10.getAs[String]("retail_price_source") == "AUTHORITATIVE")
+    assert(jun10.getAs[Double]("retail_price_at_date") == 15.00)
+    assert(jun10.getAs[String]("price_trend") == "STABLE",
+      "15.00 after 15.00 on 2024-05-20")
+    val may20 = ph.filter(col("order_date") === "2024-05-20").head()
+    assert(may20.getAs[String]("price_trend") == "DECREASING",
+      "15.00 after the 16.00 Amazon sale on 2024-04-18")
+    assert(jun10.getAs[Double]("current_list_price") == 15.00)
+    val first = ph.filter(col("order_date") === "2024-01-25").head()
+    assert(first.getAs[String]("price_trend") == "NEW")
+    assert(first.getAs[Int]("days_since_last_sale") == 0)
+    // services never get an inferred retail price
+    val shipping = out("mart.fct_product_pricing_history")
+      .filter(col("product_service") === "SHIPPING")
+    assert(shipping.filter(col("inferred_retail_price").isNotNull)
+      .count() == 0)
   }
 
   test("inventory incremental appends only newer snapshots, fails on drift") {
