@@ -166,4 +166,45 @@ object Similarity {
       .filter(col("query_id") =!= col("cand_id"))
     scoreAndRank(pairs, k, Seq.empty)
   }
+
+  /** Embedding-cosine NEAR-DUP detection (the dedup-family variant of
+    * the ANN path): same-bucket pairs (a < b) under the seeded
+    * random-hyperplane signatures, scored with the quantized dot and
+    * thresholded — identical/near-identical vectors always share a
+    * bucket (identical signatures), so recall on true duplicates is 1
+    * within quantization. Candidate generation is bounded by bucket
+    * sizes (cap optional), never O(n²); pair-level canonical id is the
+    * smaller member, feeding the same connected-components/canonical
+    * step as the MinHash pairs. */
+  def embeddingNearDups(emb: DataFrame, bits: Int, seed: String,
+                        threshold: Double,
+                        maxBucketSize: Int = Int.MaxValue,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    QuantDot.register(emb.sparkSession)
+    val bucketed = emb.join(
+      rademacherBuckets(emb, bits, seed, idCol, vecCol), Seq(idCol))
+    val capped =
+      if (maxBucketSize == Int.MaxValue) bucketed
+      else {
+        val w = Window.partitionBy(col("bucket")).orderBy(col(idCol))
+        bucketed.withColumn("cap_rn", row_number().over(w))
+          .filter(col("cap_rn") <= maxBucketSize).drop("cap_rn")
+      }
+    val l = capped.select(col("bucket"), col(idCol).as("doc_a"),
+      col(vecCol).as("q_vec"))
+    val r = capped.select(col("bucket"), col(idCol).as("doc_b"),
+      col(vecCol).as("c_vec"))
+    val dot = expr("graft_quant_dot(q_vec, c_vec)")
+    val qSq = expr("graft_quant_dot(q_vec, q_vec)")
+    val cSq = expr("graft_quant_dot(c_vec, c_vec)")
+    l.join(r, Seq("bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("cosine",
+        dot.cast("double") /
+          (sqrt(qSq.cast("double")) * sqrt(cSq.cast("double"))))
+      .filter(col("cosine") >= threshold)
+      .withColumn("canonical_id", least(col("doc_a"), col("doc_b")))
+      .select("doc_a", "doc_b", "cosine", "canonical_id")
+  }
 }

@@ -409,6 +409,81 @@ object LlmQueries {
     }
   }
 
+  /** Dedup — embedding-cosine near-dup via the LSH-bucketed pair path
+    * (Similarity.embeddingNearDups). The random corpus has no natural
+    * near-dups (max pairwise cosine ≈0.51), so exact copies are planted
+    * (vec_id+100000 for vec_id<50) and the query must surface exactly
+    * those 50 pairs through the bucket join — identical vectors share a
+    * signature, so bucket recall on true dups is 1. */
+  val ddEmbeddingNearDup: Q = {
+    val bits = 6
+    val hh = "('8','9','a','b','c','d','e','f')"
+    val sumsSql = (0 until bits).map(j =>
+      s"""SUM(${qq.format("v")} *
+        |      CASE WHEN substr(md5('rh7|$j|' || CAST(pos - 1 AS VARCHAR)), 1, 1) IN $hh
+        |           THEN 1 ELSE -1 END) AS s$j""".stripMargin)
+      .mkString(",\n      |    ")
+    val bucketSql = (0 until bits).map(j =>
+      s"(CASE WHEN s$j >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+    Q.sql(
+      "dd_embedding_neardup",
+      s"""WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id, embedding
+        |  FROM embeddings WHERE vec_id < 50
+        |), qv AS (
+        |  SELECT vec_id, unnest(embedding) AS v,
+        |         unnest(generate_series(1, len(embedding))) AS pos
+        |  FROM corpus
+        |), sums AS (
+        |  SELECT vec_id,
+        |    $sumsSql
+        |  FROM qv GROUP BY vec_id
+        |), buckets AS (
+        |  SELECT vec_id, $bucketSql AS bucket FROM sums
+        |), cand AS (
+        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |  FROM buckets a JOIN buckets b USING (bucket)
+        |  WHERE a.vec_id < b.vec_id
+        |), qe AS (
+        |  SELECT vec_id AS doc_a, unnest(embedding) AS qv,
+        |         unnest(generate_series(1, len(embedding))) AS pos
+        |  FROM corpus
+        |), ce AS (
+        |  SELECT vec_id AS doc_b, unnest(embedding) AS cv,
+        |         unnest(generate_series(1, len(embedding))) AS pos
+        |  FROM corpus
+        |), dots AS (
+        |  SELECT cand.doc_a, cand.doc_b, $dotSql AS dot
+        |  FROM cand
+        |  JOIN qe ON qe.doc_a = cand.doc_a
+        |  JOIN ce ON ce.doc_b = cand.doc_b AND ce.pos = qe.pos
+        |  GROUP BY cand.doc_a, cand.doc_b
+        |), norms AS (
+        |  SELECT vec_id AS id,
+        |    SQRT(CAST(SUM(${qq.format("v")} * ${qq.format("v")}) AS DOUBLE)) AS norm
+        |  FROM (SELECT vec_id, unnest(embedding) AS v FROM corpus)
+        |  GROUP BY vec_id
+        |)
+        |SELECT doc_a, doc_b,
+        |  CAST(dot AS DOUBLE) / (qn.norm * cn.norm) AS cosine,
+        |  LEAST(doc_a, doc_b) AS canonical_id
+        |FROM dots
+        |JOIN norms qn ON qn.id = doc_a
+        |JOIN norms cn ON cn.id = doc_b
+        |WHERE CAST(dot AS DOUBLE) / (qn.norm * cn.norm) >= 0.95
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val corpus = emb.unionByName(
+        emb.filter(col("vec_id") < 50)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      Similarity.embeddingNearDups(corpus, bits = bits, seed = "7",
+        threshold = 0.95)
+        .orderBy("doc_a", "doc_b")
+    }
+  }
+
   /** Multimodal — binary-column plumbing: typed media table with opaque
     * payloads + metadata (schema/partitioning side is the real part). */
   val mmBinary: Q = Q.sql(
@@ -468,6 +543,6 @@ object LlmQueries {
   }
 
   val all: Seq[Q] = Seq(tTokens, tLangId, tQuality, tFingerprint, ddExact,
-    ddMinhashLsh, ddSimhash, annBruteForce, annLsh, annRhLsh, mmBinary,
-    mmFeatures)
+    ddMinhashLsh, ddSimhash, ddEmbeddingNearDup, annBruteForce, annLsh,
+    annRhLsh, mmBinary, mmFeatures)
 }

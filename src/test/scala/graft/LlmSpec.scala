@@ -136,6 +136,20 @@ class LlmSpec extends SparkSpec {
       .filter($"count" > 5).count() == 0)
   }
 
+  test("embedding near-dup finds perturbed copies, skips unrelated") {
+    // 2 is a tiny perturbation of 1 (cosine ≈ 0.9996); 3 is orthogonal.
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.5f, 0.25f)),
+      (2L, Array(1.0f, 0.02f, 0.5f, 0.25f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val dups = Similarity.embeddingNearDups(vecs, bits = 3, seed = "1",
+      threshold = 0.99)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(dups.map(d => (d._1, d._2)).toSet == Set((1L, 2L)))
+    assert(dups.head._3 > 0.99 && dups.head._4 == 1L)
+  }
+
   test("multimodal decode stub is deterministic and schema-stable") {
     val docs = Tables.documents(spark, sf).limit(50)
     val media = Multimodal.asMediaTable(docs)
