@@ -167,6 +167,47 @@ object Similarity {
     scoreAndRank(pairs, k, Seq.empty)
   }
 
+  /** IVF (inverted-file) ANN top-k — the clustering alternative to the
+    * hyperplane LSH path. Deterministic and oracle-portable in place of
+    * iterative k-means: centroids are a stride-sample of the corpus
+    * (every `centroidStride`-th id), each vector is assigned to its
+    * nearest centroid by quantized cosine (ONE scan × broadcast
+    * centroid table — the m ≪ n centroid list is the classic IVF coarse
+    * quantizer shape), and each query probes its `nProbe` nearest
+    * cells. Candidates are bounded by cell sizes; a vector lives in
+    * exactly one cell and probe cells are distinct, so pairs are unique
+    * without dedup. At 100 TB the same plan holds: centroid table
+    * broadcast, assignment scan-shaped, candidate join keyed by cell. */
+  def ivfTopK(emb: DataFrame, queryIds: DataFrame, k: Int,
+              centroidStride: Int, nProbe: Int,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    QuantDot.register(emb.sparkSession)
+    val cent = emb.filter(col(idCol) % centroidStride === 0)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("cent_vec"))
+    val dot = expr(s"graft_quant_dot($vecCol, cent_vec)")
+    val vSq = expr(s"graft_quant_dot($vecCol, $vecCol)")
+    val cSq = expr("graft_quant_dot(cent_vec, cent_vec)")
+    val scored = emb.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cent))
+      .withColumn("c_cos",
+        dot.cast("double") /
+          (sqrt(vSq.cast("double")) * sqrt(cSq.cast("double"))))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("c_cos").desc, col("centroid_id"))
+    val ranked = scored.withColumn("crank", row_number().over(w))
+    val assign = ranked.filter(col("crank") === 1)
+      .select(col(idCol).as("cand_id"), col("centroid_id"),
+        col(vecCol).as("c_vec"))
+    val probes = ranked.filter(col("crank") <= nProbe)
+      .join(broadcast(queryIds), Seq(idCol))
+      .select(col(idCol).as("query_id"), col("centroid_id"),
+        col(vecCol).as("q_vec"))
+    val pairs = probes.join(assign, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+    scoreAndRank(pairs, k, Seq.empty)
+  }
+
   /** Embedding-cosine NEAR-DUP detection (the dedup-family variant of
     * the ANN path): same-bucket pairs (a < b) under the seeded
     * random-hyperplane signatures, scored with the quantized dot and

@@ -409,6 +409,78 @@ object LlmQueries {
     }
   }
 
+  /** Similarity — IVF top-5: stride-sampled centroids as the coarse
+    * quantizer, nearest-cell assignment, 2-cell probe
+    * (Similarity.ivfTopK). */
+  val annIvf: Q = Q.sql(
+    "ann_ivf_topk",
+    s"""WITH cent AS (
+      |  SELECT vec_id AS centroid_id, embedding AS cent_vec
+      |  FROM embeddings WHERE vec_id % 50 = 0
+      |), ve AS (
+      |  SELECT vec_id, unnest(embedding) AS v,
+      |         unnest(generate_series(1, len(embedding))) AS pos
+      |  FROM embeddings
+      |), cente AS (
+      |  SELECT centroid_id, unnest(cent_vec) AS cv,
+      |         unnest(generate_series(1, len(cent_vec))) AS pos
+      |  FROM cent
+      |), norms AS (
+      |  $normSql
+      |), adots AS (
+      |  SELECT ve.vec_id, cente.centroid_id,
+      |    SUM(${qq.format("v")} * ${qq.format("cv")}) AS dot
+      |  FROM ve JOIN cente ON cente.pos = ve.pos
+      |  GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT vec_id, centroid_id,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY CAST(dot AS DOUBLE) / (n1.norm * n2.norm) DESC,
+      |               centroid_id) AS crank
+      |  FROM adots
+      |  JOIN norms n1 ON n1.id = vec_id
+      |  JOIN norms n2 ON n2.id = centroid_id
+      |), assign AS (
+      |  SELECT vec_id AS cand_id, centroid_id FROM ranked WHERE crank = 1
+      |), probes AS (
+      |  SELECT vec_id AS query_id, centroid_id FROM ranked WHERE crank <= 2
+      |), cand AS (
+      |  SELECT query_id, cand_id
+      |  FROM probes JOIN assign USING (centroid_id)
+      |  WHERE query_id <> cand_id
+      |), qe AS (
+      |  SELECT vec_id AS query_id, unnest(embedding) AS qv,
+      |         unnest(generate_series(1, len(embedding))) AS pos
+      |  FROM embeddings
+      |), ce AS (
+      |  SELECT vec_id AS cand_id, unnest(embedding) AS cv,
+      |         unnest(generate_series(1, len(embedding))) AS pos
+      |  FROM embeddings
+      |), dots AS (
+      |  SELECT cand.query_id, cand.cand_id, $dotSql AS dot
+      |  FROM cand
+      |  JOIN qe ON qe.query_id = cand.query_id
+      |  JOIN ce ON ce.cand_id = cand.cand_id AND ce.pos = qe.pos
+      |  GROUP BY cand.query_id, cand.cand_id
+      |), scored AS (
+      |  SELECT query_id, cand_id,
+      |         CAST(dot AS DOUBLE) / (qn.norm * cn.norm) AS cosine
+      |  FROM dots
+      |  JOIN norms qn ON qn.id = query_id
+      |  JOIN norms cn ON cn.id = cand_id
+      |)
+      |SELECT query_id, cand_id, cosine, rank FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, cand_id) AS rank
+      |  FROM scored
+      |) WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopK(emb, emb.select("vec_id"), k = 5,
+      centroidStride = 50, nProbe = 2)
+      .orderBy("query_id", "rank")
+  }
+
   /** Dedup — embedding-cosine near-dup via the LSH-bucketed pair path
     * (Similarity.embeddingNearDups). The random corpus has no natural
     * near-dups (max pairwise cosine ≈0.51), so exact copies are planted
@@ -544,5 +616,5 @@ object LlmQueries {
 
   val all: Seq[Q] = Seq(tTokens, tLangId, tQuality, tFingerprint, ddExact,
     ddMinhashLsh, ddSimhash, ddEmbeddingNearDup, annBruteForce, annLsh,
-    annRhLsh, mmBinary, mmFeatures)
+    annRhLsh, annIvf, mmBinary, mmFeatures)
 }
