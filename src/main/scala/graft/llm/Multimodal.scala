@@ -39,6 +39,45 @@ object Multimodal {
     StructField("features", ArrayType(FloatType)),
     StructField("features_q", ArrayType(LongType))))
 
+  /** Aspect-preserving resize SPEC: target-box output dimensions
+    * computed from the decoded dims — the metadata half of a resize
+    * (the pixel resample itself would sit in the mapPartitions codec
+    * stage next to the decode stub). Pure per-row integer/double math,
+    * scan-shaped. */
+  def resizeSpec(decoded: DataFrame, target: Int = 224): DataFrame =
+    decoded
+      .withColumn("scale",
+        least(lit(target.toDouble) / col("width"),
+          lit(target.toDouble) / col("height")))
+      .withColumn("out_width",
+        floor(col("width") * col("scale")).cast("int"))
+      .withColumn("out_height",
+        floor(col("height") * col("scale")).cast("int"))
+      .withColumn("is_upscale", col("scale") > 1.0)
+
+  /** Frame SAMPLING plan for video/audio payloads: the payload is
+    * treated as fixed-size frames and every `stride`-th frame index is
+    * emitted as its own row with its byte offset and lead byte — the
+    * row-shape a real frame extractor would feed to a batch decoder.
+    * `sequence(0, n-1, stride)` + explode keeps it codegen'd (no
+    * interpreted HOF in the hot path; the array is tiny and
+    * immediately exploded). */
+  def frameSample(media: DataFrame, frameBytes: Int = 16,
+                  stride: Int = 3): DataFrame =
+    media
+      .withColumn("payload_bytes",
+        octet_length(col("payload")).cast("long"))
+      .withColumn("n_frames",
+        expr(s"(payload_bytes + ${frameBytes - 1}) div $frameBytes"))
+      .withColumn("frame_idx",
+        explode(expr(s"sequence(0L, n_frames - 1, $stride)")))
+      .withColumn("frame_offset", col("frame_idx") * frameBytes)
+      .withColumn("frame_lead_byte",
+        ascii(decode(col("payload"), "UTF-8")
+          .substr((col("frame_offset") + 1).cast("int"), lit(1))))
+      .select("doc_id", "media_type", "payload_bytes", "n_frames",
+        "frame_idx", "frame_offset", "frame_lead_byte")
+
   /** STUB decoder: a real implementation would call an image/audio codec
     * here (`???` in spirit); this deterministic fake derives "decoded"
     * dimensions and a 4-dim feature vector from the bytes so tests have

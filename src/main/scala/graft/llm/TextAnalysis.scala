@@ -16,6 +16,19 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
 
+  /** BPE-ish sub-word token pattern: letter runs, digit runs, single
+    * non-alphanumeric marks — the dialect-safe core of GPT-style
+    * pre-tokenizers (same semantics in Java regex and RE2, so the
+    * DuckDB oracle matches byte-for-byte). */
+  final val BpeishPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  /** Count of BPE-ish tokens matching `pattern` (defaults to the full
+    * pre-tokenizer pattern; pass a sub-pattern for class-specific
+    * counts). Pure per-row regexp — scan-shaped, codegen'd. */
+  def bpeishCount(text: Column,
+                  pattern: String = BpeishPattern): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
   /** Exploded (doc_id, shingle) rows built with posexplode + lead
     * windows — fully codegen'd, unlike the array form below (Spark's
     * higher-order functions are interpreted per element; on a 5k-doc

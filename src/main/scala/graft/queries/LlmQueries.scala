@@ -79,6 +79,29 @@ object LlmQueries {
     }
   }
 
+  /** Text analysis — BPE-ish sub-word token counting (letter runs,
+    * digit runs, single marks — the dialect-safe pre-tokenizer core),
+    * with per-class counts. */
+  val tTokensBpe: Q = Q.sql(
+    "t_text_tokens_bpe",
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpeish,
+      |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) AS n_alpha_runs,
+      |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs,
+      |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS BIGINT) AS n_marks
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TA.bpeishCount(col("text")).cast("long").as("n_bpeish"),
+      TA.bpeishCount(col("text"), "[a-zA-Z]+").cast("long")
+        .as("n_alpha_runs"),
+      TA.bpeishCount(col("text"), "[0-9]+").cast("long")
+        .as("n_digit_runs"),
+      TA.bpeishCount(col("text"), "[^a-zA-Z0-9\\s]").cast("long")
+        .as("n_marks"))
+      .orderBy("doc_id")
+  }
+
   /** Text analysis — quality scoring (length/punct/stopword/diversity). */
   val tQuality: Q = Q.sql(
     "t_text_quality",
@@ -614,7 +637,69 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(tTokens, tLangId, tQuality, tFingerprint, ddExact,
-    ddMinhashLsh, ddSimhash, ddEmbeddingNearDup, annBruteForce, annLsh,
-    annRhLsh, annIvf, mmBinary, mmFeatures)
+  /** Multimodal — aspect-preserving resize spec over the decoded dims
+    * (metadata half of the resize operator; integer/double math exact
+    * in both engines). */
+  val mmResize: Q = Q.sql(
+    "mm_resize",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio'
+      |         ELSE 'video' END AS media_type,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |  FROM documents
+      |), dims AS (
+      |  SELECT doc_id, media_type,
+      |    CAST(64 + n % 577 AS INTEGER) AS width,
+      |    CAST(64 + (n * 31) % 419 AS INTEGER) AS height
+      |  FROM t
+      |)
+      |SELECT doc_id, media_type, width, height,
+      |  LEAST(224.0 / width, 224.0 / height) AS scale,
+      |  CAST(FLOOR(width * LEAST(224.0 / width, 224.0 / height)) AS INTEGER) AS out_width,
+      |  CAST(FLOOR(height * LEAST(224.0 / width, 224.0 / height)) AS INTEGER) AS out_height,
+      |  LEAST(224.0 / width, 224.0 / height) > 1.0 AS is_upscale
+      |FROM dims ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Multimodal.resizeSpec(
+      Multimodal.decodeAndFeaturize(
+        Multimodal.asMediaTable(Tables.documents(s, d))))
+      .select("doc_id", "media_type", "width", "height", "scale",
+        "out_width", "out_height", "is_upscale")
+      .orderBy("doc_id")
+  }
+
+  /** Multimodal — frame sampling: every 3rd 16-byte frame exploded to
+    * its own row with offset + lead byte (the batch-decoder row shape). */
+  val mmFrameSample: Q = Q.sql(
+    "mm_frame_sample",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio'
+      |         ELSE 'video' END AS media_type,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+      |    text
+      |  FROM documents
+      |), f AS (
+      |  SELECT doc_id, media_type, payload_bytes,
+      |    (payload_bytes + 15) // 16 AS n_frames, text
+      |  FROM t
+      |)
+      |SELECT doc_id, media_type, payload_bytes, n_frames,
+      |  unnest(generate_series(0, n_frames - 1, 3)) AS frame_idx,
+      |  unnest(generate_series(0, n_frames - 1, 3)) * 16 AS frame_offset,
+      |  ascii(substr(text,
+      |    CAST(unnest(generate_series(0, n_frames - 1, 3)) * 16 + 1 AS INTEGER),
+      |    1)) AS frame_lead_byte
+      |FROM f ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+    Multimodal.frameSample(
+      Multimodal.asMediaTable(Tables.documents(s, d)))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val all: Seq[Q] = Seq(tTokens, tTokensBpe, tLangId, tQuality,
+    tFingerprint, ddExact, ddMinhashLsh, ddSimhash, ddEmbeddingNearDup,
+    annBruteForce, annLsh, annRhLsh, annIvf, mmBinary, mmFeatures,
+    mmResize, mmFrameSample)
 }

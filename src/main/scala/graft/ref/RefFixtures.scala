@@ -282,6 +282,14 @@ object RefFixtures {
         "2024-03-01", "ConExpo", "2024-03-01"))
       .toDF("lead_id", "first_name", "last_name", "company", "email",
         "created", "show_name", "show_date")
+      .withColumn("title", org.apache.spark.sql.functions.expr(
+        "CASE lead_id WHEN 'L001' THEN 'Purchasing Manager' ELSE '' END"))
+      .withColumn("phone", org.apache.spark.sql.functions.expr(
+        "CASE lead_id WHEN 'L001' THEN '614-555-0101' ELSE '' END"))
+      .withColumn("show_location", org.apache.spark.sql.functions.expr(
+        """CASE show_name WHEN 'World of Asphalt' THEN 'Nashville, TN'
+          |  ELSE 'Las Vegas, NV' END""".stripMargin))
+      .withColumn("show_rep", org.apache.spark.sql.functions.lit("RW"))
   }
 
   /** Writes a small enrichment JSONL (nested payload, ''-for-null

@@ -17,6 +17,13 @@ object TradeShows {
     * classification, generated ids for missing lead_ids, dedup by email
     * preferring non-generated ids then earliest created. */
   def leads(raw: DataFrame, personalDomains: Seq[String]): DataFrame = {
+    // Personal/address/show-context columns are optional on thin raws
+    // (stg_trade_shows__leads.sql full surface).
+    def o(n: String) = {
+      import org.apache.spark.sql.types.StringType
+      Fns.nullifBlank(Fns.firstExistingColumnOrNull(raw, Seq(n),
+        StringType)).as(n)
+    }
     val cleaned = raw.select(
       Fns.nullifBlank(col("lead_id")).as("lead_id_raw"),
       Fns.nullifBlank(col("first_name")).as("first_name"),
@@ -25,7 +32,10 @@ object TradeShows {
       lower(trim(col("email"))).as("email"),
       Fns.nullifBlank(col("created")).cast("date").as("created"),
       col("show_name"),
-      col("show_date").cast("date").as("show_date"))
+      col("show_date").cast("date").as("show_date"),
+      o("title"), o("phone"), o("address_1"), o("address_2"), o("city"),
+      o("state"), o("postal_code"), o("country"), o("show_location"),
+      o("show_rep"), o("source_id"), o("notes"))
       .filter(col("email").isNotNull && col("email") =!= "")
       .withColumn("lead_id",
         coalesce(col("lead_id_raw"),
@@ -36,6 +46,14 @@ object TradeShows {
       .withColumn("email_domain", Fns.splitPart(col("email"), "@", 2))
       .withColumn("is_personal_email",
         col("email_domain").isin(personalDomains: _*))
+      .withColumn("email_type",
+        when(col("email_domain").isin(personalDomains: _*),
+          "personal_email").otherwise("business_email"))
+      .withColumn("has_valid_email",
+        col("email").contains("@") &&
+          Fns.splitPart(col("email"), "@", 2) =!= "")
+      .withColumn("has_company_name", col("company").isNotNull)
+      .withColumn("has_phone", col("phone").isNotNull)
     val w = Window.partitionBy(col("email"))
       .orderBy(col("lead_id").startsWith("gen_").cast("int"),
         col("created").asc_nulls_last, col("lead_id"))
@@ -101,13 +119,21 @@ object TradeShows {
     def winCnt(days: Int) =
       sum(when(col("order_date") <= date_add(col("show_date"), days), 1)
         .otherwise(0))
+    // Lead personal/context columns ride along as grouping keys when
+    // the staging provided them (thin synthesized inputs may not).
+    val optionalKeys = Seq("first_name", "last_name", "company", "title",
+      "phone", "address_1", "city", "state", "postal_code", "country",
+      "email_domain", "email_type", "show_location", "show_rep",
+      "has_valid_email", "has_company_name", "has_phone", "source_id")
+      .filter(matchedLeads.columns.contains).map(col)
     val grouped = joined
-      .groupBy(col("lead_id"), col("email"), col("full_name"),
+      .groupBy(Seq(col("lead_id"), col("email"), col("full_name"),
         col("show_name"), col("show_date"), col("company_domain_key"),
         col("matched_to_company"), col("is_personal_email"),
         col("is_new_customer_from_show"),
         col("company_lifetime_revenue"), col("company_lifetime_orders"),
-        col("company_first_order_date"), col("company_latest_order_date"))
+        col("company_first_order_date"),
+        col("company_latest_order_date")) ++ optionalKeys: _*)
       .agg(
         winSum(30).as("revenue_30d"),
         winSum(90).as("revenue_90d"),
@@ -169,10 +195,18 @@ object TradeShows {
     * ONE hash aggregate. */
   def showPerformance(fctLeads: DataFrame): DataFrame = {
     def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1).otherwise(0))
-    fctLeads.groupBy(col("show_name"), col("show_date"))
+    val extraKeys = Seq("show_location", "show_rep")
+      .filter(fctLeads.columns.contains).map(col)
+    val validEmails =
+      if (fctLeads.columns.contains("has_valid_email"))
+        countDistinct(when(col("has_valid_email"), col("email")))
+      else countDistinct(col("email"))
+    fctLeads
+      .groupBy(Seq(col("show_name"), col("show_date")) ++ extraKeys: _*)
       .agg(
         count(lit(1)).as("total_leads_collected"),
         countDistinct(col("email")).as("unique_emails_collected"),
+        validEmails.as("valid_emails"),
         countDistinct(when(col("matched_to_company"),
           col("company_domain_key"))).as("companies_matched"),
         cnt(col("matched_to_company")).as("leads_matched_to_companies"),

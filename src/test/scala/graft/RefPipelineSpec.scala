@@ -391,8 +391,13 @@ class RefPipelineSpec extends SparkSpec {
     val unmatched = fct.filter(col("email") === "ana@newprospect.io").head()
     assert(!unmatched.getAs[Boolean]("lead_email_is_customer"))
     assert(unmatched.getAs[Long]("distinct_purchasers_count") == 0)
+    assert(acme.getAs[String]("title") == "Purchasing Manager")
+    assert(acme.getAs[String]("email_type") == "business_email")
+    assert(acme.getAs[Boolean]("has_phone"))
     val perf = out("mart.fct_trade_show_performance")
       .filter(col("show_name") === "World of Asphalt").head()
+    assert(perf.getAs[String]("show_location") == "Nashville, TN")
+    assert(perf.getAs[Long]("valid_emails") == 2)
     assert(perf.getAs[Long]("total_leads_collected") == 2)
     assert(perf.getAs[Long]("leads_matched_to_companies") == 1)
     assert(perf.getAs[Long]("leads_individual_emails") == 1)
