@@ -84,5 +84,24 @@ object StreamingQueries {
       .orderBy("user_id", "session_id")
   }
 
-  val all: Seq[Q] = Seq(stTumbling, stSessions)
+  /** Batch twin of the flatMapGroupsWithState first-seen operator
+    * (EventStream.firstSeenByUser): first occurrence of each event_type
+    * per user, deterministically min-by-event_id. */
+  val stFirstSeen: Q = Q.sql(
+    "st_stateful_first_seen",
+    """SELECT user_id, event_type,
+      |  MIN(event_id) AS first_event_id,
+      |  arg_min(value, event_id) AS first_value
+      |FROM events
+      |GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        min(col("event_id")).as("first_event_id"),
+        min_by(col("value"), col("event_id")).as("first_value"))
+      .orderBy("user_id", "event_type")
+  }
+
+  val all: Seq[Q] = Seq(stTumbling, stSessions, stFirstSeen)
 }

@@ -73,14 +73,27 @@ object Contacts {
   }
 
   /** dim_customer_contacts: JSON contact card + final projection
-    * (dim_customer_contacts.sql:64-149). */
+    * (dim_customer_contacts.sql:64-149) — with the reference's
+    * dimensional aliases: full name from the email local part,
+    * contact_role from source/position, primary_email for fact-table
+    * joins (fct_orders.sql:75-86 consumes exactly these). */
   def dimCustomerContacts(mapping: DataFrame): DataFrame =
     mapping.select(
       col("contact_key"),
+      col("contact_key").as("contact_id"),
       col("company_domain_key"),
       col("customer_id"), col("customer_name"),
       col("email"), col("email_domain"), col("email_source"),
       col("derived_first_name"),
+      initcap(regexp_replace(
+        graft.functions.Fns.splitPart(col("email"), "@", 1), "\\.", " "))
+        .as("full_name"),
+      col("email").as("primary_email"),
+      lit(null).cast("string").as("primary_phone"),
+      when(col("email_source") === "main" && col("email_position") === 1,
+        "primary")
+        .when(col("email_source") === "main", "additional_main")
+        .otherwise("cc").as("contact_role"),
       col("is_primary_company_contact"),
       col("company_contact_count"),
       to_json(struct(

@@ -145,11 +145,11 @@ object ModelDag {
     val primaryContacts = dimContacts
       .filter(col("is_primary_company_contact"))
       .select(col("customer_name").as("customer"),
-        col("contact_key").as("primary_contact_id"),
-        col("derived_first_name").as("primary_contact_name"),
-        col("email").as("primary_contact_email"),
-        lit(null).cast("string").as("primary_contact_phone"),
-        col("email_source").as("primary_contact_role"))
+        col("contact_id").as("primary_contact_id"),
+        col("full_name").as("primary_contact_name"),
+        col("primary_email").as("primary_contact_email"),
+        col("primary_phone").as("primary_contact_phone"),
+        col("contact_role").as("primary_contact_role"))
     val fctOrders = cat.saveTable("mart", "fct_orders",
       Marts.fctOrders(orders, shopify, Some(primaryContacts)))
     val fctProducts = cat.saveTable("mart", "fct_products",

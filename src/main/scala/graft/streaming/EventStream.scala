@@ -67,4 +67,53 @@ object EventStream {
     val w = df.writeStream.format("memory").queryName(name)
     if (complete) w.outputMode("complete") else w.outputMode("append")
   }
+
+  final case class EventRow(event_id: Long, user_id: Long,
+                            event_type: String, value: Double)
+  final case class FirstSeen(user_id: Long, event_type: String,
+                             first_event_id: Long, first_value: Double)
+
+  /** CUSTOM keyed state via flatMapGroupsWithState: the first
+    * occurrence of each event_type per user (stateful streaming
+    * distinct). Per-batch candidates are min-by-event_id folds — an
+    * order-independent reduction, so the emitted rows don't depend on
+    * iterator order within a micro-batch; state is the per-user map of
+    * already-seen types. Batch twin: groupBy(user, type) min/min_by
+    * (`st_stateful_first_seen`). State size is |users|×|types| —
+    * bounded, store-resident, never driver-side.
+    *
+    * Cross-batch caveat (honest semantics): append emission means a
+    * type first seen in batch N is final even if batch N+1 delivers an
+    * out-of-order row with a smaller event_id — i.e. first-ARRIVAL
+    * semantics. The single-batch file replay in tests matches the batch
+    * twin exactly; a real deployment wanting first-EVENT-TIME would add
+    * a watermark + event-time ordering before the state op. */
+  def firstSeenByUser(events: DataFrame)
+      : org.apache.spark.sql.Dataset[FirstSeen] = {
+    import org.apache.spark.sql.streaming.{GroupState,
+      GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("event_id", "user_id", "event_type", "value")
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Map[String, (Long, Double)], FirstSeen](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[EventRow],
+         state: GroupState[Map[String, (Long, Double)]]) =>
+          val seen = state.getOption.getOrElse(Map.empty)
+          val batchMins = rows.foldLeft(
+            Map.empty[String, (Long, Double)]) { (m, r) =>
+            m.get(r.event_type) match {
+              case Some((id, _)) if id <= r.event_id => m
+              case _ => m + (r.event_type -> ((r.event_id, r.value)))
+            }
+          }
+          val fresh = batchMins.filterNot { case (t, _) => seen.contains(t) }
+          if (fresh.nonEmpty) state.update(seen ++ fresh)
+          fresh.iterator.map { case (t, (id, v)) =>
+            FirstSeen(user, t, id, v)
+          }
+      }
+  }
 }

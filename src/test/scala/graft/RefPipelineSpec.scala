@@ -30,7 +30,30 @@ class RefPipelineSpec extends SparkSpec {
         "product_name"),
       Checks.uniqueCombination(out("mart.fct_company_orders"),
         "fct_company_orders", Seq("company_domain_key", "order_number")),
-      Checks.nonEmpty(out("mart.fct_companies"), "fct_companies"))
+      Checks.nonEmpty(out("mart.fct_companies"), "fct_companies"),
+      // Round-2 marts (mart.yml battery analogues)
+      Checks.unique(out("mart.dim_company_health"), "dim_company_health",
+        "company_domain_key"),
+      Checks.uniqueCombination(out("mart.fct_company_products"),
+        "fct_company_products",
+        Seq("company_domain_key", "product_service")),
+      Checks.uniqueCombination(
+        out("mart.mart_product_company_period_spending"),
+        "mart_product_company_period_spending",
+        Seq("company_domain_key", "product_service", "period_type")),
+      Checks.unique(out("mart.dim_customer_contacts_fixed"),
+        "dim_customer_contacts_fixed", "contact_id"),
+      Checks.uniqueCombination(out("mart.mart_company_period_metrics"),
+        "mart_company_period_metrics",
+        Seq("company_domain_key", "period_type")),
+      Checks.unique(out("mart.fct_customer_marketing"),
+        "fct_customer_marketing", "customer_id"),
+      Checks.unique(out("mart.fct_order_attribution"),
+        "fct_order_attribution", "order_id"),
+      Checks.uniqueCombination(out("mart.fct_inventory_history"),
+        "fct_inventory_history", Seq("item_name", "inventory_date")),
+      Checks.notNull(out("mart.fct_trade_show_leads"),
+        "fct_trade_show_leads", "lead_id"))
     assert(Checks.runAll(results).forall(_.passed))
   }
 

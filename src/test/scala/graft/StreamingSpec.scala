@@ -28,6 +28,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("flatMapGroupsWithState first-seen matches the batch twin") {
+    val stream = EventStream.readEvents(spark, eventsDir)
+    val q = EventStream.firstSeenByUser(stream)
+      .writeStream.format("memory").queryName("first_seen_test")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("first_seen_test")
+      .select("user_id", "event_type", "first_event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val batch = Tables.events(spark, sf)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("event_id")).as("first_event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(streamed == batch)
+  }
+
   test("session windows produce bounded per-user sessions") {
     val stream = EventStream.readEvents(spark, eventsDir)
     val q = EventStream.toMemorySink(
