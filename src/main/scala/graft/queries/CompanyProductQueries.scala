@@ -257,5 +257,106 @@ object CompanyProductQueries {
     }
   }
 
-  val all: Seq[Q] = Seq(a9CompanyProducts, a9PeriodSpending)
+  /** mart_company_period_metrics — the row-per-period contract
+    * (mart_company_period_metrics.sql:20-209) driven through the actual
+    * `Marts.companyPeriodMetrics` model (five trailing windows exploded
+    * into one hash aggregate): orders grouped into 500 synthetic
+    * companies, zero-activity periods filtered. */
+  val a7CompanyPeriodRows: Q = {
+    val A2 = "DATE '2001-08-01'"
+    def pSel(ptype: String, cond: String): String =
+      s"""SELECT company_domain_key, '$ptype' AS period_type,
+        |    ${sqlDsum(s"CASE WHEN $cond THEN amt ELSE 0 END")} AS total_revenue,
+        |    CAST(SUM(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) AS total_orders,
+        |    COUNT(DISTINCT CASE WHEN $cond THEN customer_name END) AS customer_count,
+        |    MIN(CASE WHEN $cond THEN order_date END) AS first_order_date,
+        |    MAX(CASE WHEN $cond THEN order_date END) AS latest_order_date
+        |  FROM co GROUP BY company_domain_key""".stripMargin
+    Q.sql(
+      "a7_company_period_rows",
+      s"""WITH co AS (
+        |  SELECT o_custkey % 500 AS company_domain_key,
+        |    CAST(o_custkey AS VARCHAR) AS customer_name,
+        |    CAST(o_orderdate AS DATE) AS order_date,
+        |    o_totalprice AS amt
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+        |    AND o_orderdate IS NOT NULL
+        |), lifetime AS (
+        |  SELECT company_domain_key,
+        |    ${sqlDsum("amt")} AS lifetime_total_revenue,
+        |    COUNT(*) AS lifetime_total_orders,
+        |    COUNT(DISTINCT customer_name) AS lifetime_customer_count
+        |  FROM co GROUP BY company_domain_key
+        |), periods AS (
+        |  ${pSel("trailing_7d", s"order_date >= $A2 - 7")}
+        |  UNION ALL
+        |  ${pSel("trailing_30d", s"order_date >= $A2 - 30")}
+        |  UNION ALL
+        |  ${pSel("trailing_90d", s"order_date >= $A2 - 90")}
+        |  UNION ALL
+        |  ${pSel("trailing_1y", s"order_date >= $A2 - 365")}
+        |  UNION ALL
+        |  ${pSel("all_time", "TRUE")}
+        |)
+        |SELECT p.company_domain_key, p.period_type, p.total_revenue,
+        |  p.total_orders, p.customer_count,
+        |  CAST(p.first_order_date AS VARCHAR) AS first_order_date,
+        |  CAST(p.latest_order_date AS VARCHAR) AS latest_order_date,
+        |  lt.lifetime_total_revenue, lt.lifetime_total_orders,
+        |  lt.lifetime_customer_count,
+        |  CASE WHEN p.latest_order_date >= $A2 - 30 THEN 'Recent Activity (30d)'
+        |       WHEN p.latest_order_date >= $A2 - 90 THEN 'Active (90d)'
+        |       WHEN p.latest_order_date >= $A2 - 365 THEN 'Past Year Activity'
+        |       ELSE 'Historical Activity' END AS period_activity_status,
+        |  CASE WHEN p.total_revenue >= 50000 THEN 'High Revenue ($$50K+)'
+        |       WHEN p.total_revenue >= 10000 THEN 'Medium Revenue ($$10K-$$50K)'
+        |       WHEN p.total_revenue >= 2500 THEN 'Low Revenue ($$2.5K-$$10K)'
+        |       WHEN p.total_revenue > 0 THEN 'Minimal Revenue (<$$2.5K)'
+        |       ELSE 'No Period Revenue' END AS period_revenue_category,
+        |  CASE WHEN lt.lifetime_total_revenue > 0 AND p.total_revenue IS NOT NULL
+        |       THEN LEAST(100.0, ROUND(p.total_revenue * 100.0 / lt.lifetime_total_revenue, 2))
+        |       WHEN p.total_revenue > 0 THEN 100.0
+        |       ELSE 0.0 END AS period_share_of_lifetime_revenue,
+        |  CASE WHEN p.latest_order_date IS NOT NULL
+        |       THEN GREATEST(0, $A2 - p.latest_order_date) END AS days_since_latest_order
+        |FROM periods p
+        |JOIN lifetime lt USING (company_domain_key)
+        |WHERE p.total_revenue > 0 OR p.total_orders > 0
+        |ORDER BY p.company_domain_key, p.period_type""".stripMargin) {
+      (s, d) =>
+      import graft.ref.Marts
+      val co = Tables.orders(s, d).select(
+        (col("o_custkey") % 500).as("company_domain_key"),
+        col("o_custkey").cast("string").as("customer_name"),
+        col("o_orderdate").cast("date").as("order_date"),
+        col("o_totalprice").as("order_amount"))
+      val fc = co.groupBy(col("company_domain_key"))
+        .agg(dsum(col("order_amount")).as("total_revenue"),
+          count(lit(1)).as("total_orders"),
+          countDistinct(col("customer_name")).as("customer_count"))
+        .withColumn("company_name",
+          concat(lit("Co "), col("company_domain_key").cast("string")))
+        .withColumn("domain_type", lit("corporate"))
+        .withColumn("business_size_category", lit("Single Location"))
+        .withColumn("revenue_category", lit("n/a"))
+        .withColumn("has_revenue", lit(true))
+        .withColumn("is_multi_location", lit(false))
+        .withColumn("is_corporate", lit(true))
+      Marts.companyPeriodMetrics(co, fc, "2001-08-01")
+        .select(col("company_domain_key"), col("period_type"),
+          col("total_revenue"), col("total_orders"), col("customer_count"),
+          col("first_order_date").cast("string").as("first_order_date"),
+          col("latest_order_date").cast("string").as("latest_order_date"),
+          col("lifetime_total_revenue"), col("lifetime_total_orders"),
+          col("lifetime_customer_count"), col("period_activity_status"),
+          col("period_revenue_category"),
+          col("period_share_of_lifetime_revenue"),
+          col("days_since_latest_order"))
+        .orderBy("company_domain_key", "period_type")
+    }
+  }
+
+  val all: Seq[Q] = Seq(a9CompanyProducts, a9PeriodSpending,
+    a7CompanyPeriodRows)
 }
