@@ -16,7 +16,8 @@ object SparkEntry {
   def registry: Seq[Q] =
     AggQueries.all ++ WindowQueries.all ++ JoinQueries.all ++
       UnionScalarQueries.all ++ LlmQueries.all ++ StreamingQueries.all ++
-      RefOpQueries.all ++ CompanyProductQueries.all
+      RefOpQueries.all ++ CompanyProductQueries.all ++
+      PricingHistoryQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
