@@ -17,7 +17,7 @@ object SparkEntry {
     AggQueries.all ++ WindowQueries.all ++ JoinQueries.all ++
       UnionScalarQueries.all ++ LlmQueries.all ++ StreamingQueries.all ++
       RefOpQueries.all ++ CompanyProductQueries.all ++
-      PricingHistoryQueries.all
+      PricingHistoryQueries.all ++ OrdersChainQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -36,7 +36,7 @@ object Intermediate {
           .as("any_tax_exempt"),
         bool_or(coalesce(col("is_tax_exempt"), lit(false)))
           .as("is_tax_exempt"),
-        sum(col("line_amount")).as("order_amount"),
+        graft.functions.Det.dsum(col("line_amount")).as("order_amount"),
         max(col("total_amount")).as("total_amount"),
         count(lit(1)).as("line_count"),
         // Reference surface (int_quickbooks__orders.sql:27-79)
@@ -71,7 +71,8 @@ object Intermediate {
         max(col("external_id")).as("external_id"),
         max(col("created_date")).as("created_date"),
         max(col("modified_date")).as("modified_date"),
-        sum(col("product_service_amount")).as("total_line_items_amount"),
+        graft.functions.Det.dsum(col("product_service_amount"))
+          .as("total_line_items_amount"),
         count(lit(1)).as("item_count"))
     rolled
       // Country macro family over the rolled-up raw address fields
