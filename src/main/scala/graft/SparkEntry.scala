@@ -17,7 +17,8 @@ object SparkEntry {
     AggQueries.all ++ WindowQueries.all ++ JoinQueries.all ++
       UnionScalarQueries.all ++ LlmQueries.all ++ StreamingQueries.all ++
       RefOpQueries.all ++ CompanyProductQueries.all ++
-      PricingHistoryQueries.all ++ OrdersChainQueries.all
+      PricingHistoryQueries.all ++ OrdersChainQueries.all ++
+      ConsolidationChainQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -244,8 +244,10 @@ object Intermediate {
         max(col("rep_customer_id")).as("rep_customer_id"),
         count(lit(1)).as("customer_count"),
         countDistinct(col("customer_id")).as("distinct_customer_count"),
-        sum(col("current_balance")).as("total_balance"),
-        sum(coalesce(col("total_revenue"), lit(0.0))).as("total_revenue"),
+        graft.functions.Det.dsum(col("current_balance"))
+          .as("total_balance"),
+        graft.functions.Det.dsum(coalesce(col("total_revenue"), lit(0.0)))
+          .as("total_revenue"),
         sum(coalesce(col("order_count"), lit(0L))).as("total_orders"),
         min(col("first_order_date")).as("first_order_date"),
         max(col("last_order_date")).as("latest_order_date"),

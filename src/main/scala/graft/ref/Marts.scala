@@ -397,11 +397,11 @@ object Marts {
       col("order_amount").as("amount"),
       col("days_outstanding"))
     val byCustomer = open.groupBy(col("customer").as("entity_key"))
-      .agg(sum(col("order_amount")).as("amount"),
+      .agg(dsum(col("order_amount")).as("amount"),
         max(col("days_outstanding")).as("days_outstanding"))
       .withColumn("analysis_level", lit("customer"))
     val byBucket = open.groupBy(col("aging_bucket"))
-      .agg(sum(col("order_amount")).as("amount"),
+      .agg(dsum(col("order_amount")).as("amount"),
         count(lit(1)).as("invoice_count"))
       .withColumn("analysis_level", lit("bucket"))
     detail
@@ -415,11 +415,11 @@ object Marts {
   def dsoMetrics(orders: DataFrame, asOfDate: String): DataFrame = {
     val asOf = to_date(lit(asOfDate))
     val ar = orders.filter(col("order_status") === "OPEN")
-      .agg(sum(col("order_amount")).as("total_ar"))
+      .agg(dsum(col("order_amount")).as("total_ar"))
     val periods = Seq(30, 60, 90).map { days =>
       orders
         .filter(col("order_date") > date_sub(asOf, days))
-        .agg((sum(col("order_amount")) / days).as("daily_sales"))
+        .agg((dsum(col("order_amount")) / days).as("daily_sales"))
         .withColumn("period_days", lit(days))
     }.reduce(_ unionByName _)
     periods.crossJoin(broadcast(ar))
