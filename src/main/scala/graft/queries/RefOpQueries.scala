@@ -147,6 +147,46 @@ object RefOpQueries {
     * score ∈ [0,100] battery columns, the classification CASEs, and the
     * position-free stable email_contact_id
     * (tests/test_contact_pipeline_data_integrity.sql:7-67). */
+  /** Shared synthesized clean-contacts frame for the fixed-pipeline
+    * chain oracles (p8 + p8b). */
+  private[queries] def contactSrc(s: org.apache.spark.sql.SparkSession,
+                                  d: String) = {
+    val k = col("c_custkey")
+    Tables.customer(s, d).select(
+      k.cast("string").as("customer_id"),
+      col("c_name").as("customer_name"),
+      lit(null).cast("string").as("company_name"),
+      concat(
+        lower(regexp_replace(col("c_name"), " ", "")), lit("@corp.com;"),
+        lower(col("c_mktsegment")), lit(".team@corp.com"),
+        when(k % 7 === 0, ";seller@marketplace.amazon.com").otherwise(""))
+        .as("main_email"),
+      when(k % 3 === 0,
+        concat(lit("cc."), lower(col("c_mktsegment")), lit("@corp.com")))
+        .as("cc_email"),
+      when(k % 2 === 0, "Pat").as("first_name"),
+      when(k % 4 === 2, "Lee").as("last_name"),
+      when(k % 10 === 0, "Dr").as("name_title"),
+      when(k % 5 === 0, "Buyer").as("job_title"),
+      when(k % 3 =!= 0,
+        concat(lit("555-"), (k % 10000).cast("string"))).as("main_phone"),
+      lit(null).cast("string").as("alt_phone"),
+      lit(null).cast("string").as("work_phone"),
+      lit(null).cast("string").as("mobile_phone"),
+      lit(null).cast("string").as("fax"),
+      when(k % 2 === 1,
+        concat(col("c_nationkey").cast("string"), lit(" Main St")))
+        .as("billing_address_line_1"),
+      lit(null).cast("string").as("billing_address_city"),
+      lit(null).cast("string").as("billing_address_state"),
+      lit(null).cast("string").as("billing_address_postal_code"),
+      lit(null).cast("string").as("customer_type"),
+      col("c_acctbal").as("current_balance"),
+      when(k % 7 =!= 0, "Active").as("customer_status"),
+      lit(null).cast("date").as("created_date"),
+      k.as("ck"))
+  }
+
   val p8ContactScoring: Q = {
     import graft.ref.ContactsFixed
     Q.sql(
@@ -261,40 +301,7 @@ object RefOpQueries {
         |  email_contact_id
         |FROM scored
         |ORDER BY customer_id, individual_email""".stripMargin) { (s, d) =>
-      val k = col("c_custkey")
-      val src = Tables.customer(s, d).select(
-        k.cast("string").as("customer_id"),
-        col("c_name").as("customer_name"),
-        lit(null).cast("string").as("company_name"),
-        concat(
-          lower(regexp_replace(col("c_name"), " ", "")), lit("@corp.com;"),
-          lower(col("c_mktsegment")), lit(".team@corp.com"),
-          when(k % 7 === 0, ";seller@marketplace.amazon.com").otherwise(""))
-          .as("main_email"),
-        when(k % 3 === 0,
-          concat(lit("cc."), lower(col("c_mktsegment")), lit("@corp.com")))
-          .as("cc_email"),
-        when(k % 2 === 0, "Pat").as("first_name"),
-        when(k % 4 === 2, "Lee").as("last_name"),
-        when(k % 10 === 0, "Dr").as("name_title"),
-        when(k % 5 === 0, "Buyer").as("job_title"),
-        when(k % 3 =!= 0,
-          concat(lit("555-"), (k % 10000).cast("string"))).as("main_phone"),
-        lit(null).cast("string").as("alt_phone"),
-        lit(null).cast("string").as("work_phone"),
-        lit(null).cast("string").as("mobile_phone"),
-        lit(null).cast("string").as("fax"),
-        when(k % 2 === 1,
-          concat(col("c_nationkey").cast("string"), lit(" Main St")))
-          .as("billing_address_line_1"),
-        lit(null).cast("string").as("billing_address_city"),
-        lit(null).cast("string").as("billing_address_state"),
-        lit(null).cast("string").as("billing_address_postal_code"),
-        lit(null).cast("string").as("customer_type"),
-        col("c_acctbal").as("current_balance"),
-        when(k % 7 =!= 0, "Active").as("customer_status"),
-        lit(null).cast("date").as("created_date"),
-        k.as("ck"))
+      val src = contactSrc(s, d)
       val scored = ContactsFixed.qualityScoring(
         ContactsFixed.nameEnrichment(ContactsFixed.emailParsing(src)))
       scored.select(
@@ -306,6 +313,103 @@ object RefOpQueries {
         col("primary_contact_method"), col("email_marketable"),
         col("engagement_potential"), col("email_contact_id"))
         .orderBy("customer_id", "individual_email")
+    }
+  }
+
+  /** P8b — the FIXED person-mapping layer on top of the scored
+    * contacts (int_customer_person_mapping_fixed →
+    * dim_customer_contacts_fixed): cross-customer case-insensitive
+    * email dedup keeping the best representative, per-company contact
+    * ranking, stable person/dim surrogate keys, company-context
+    * enrichment. customer%300 plays the consolidated company, so the
+    * shared team/cc addresses exercise the cross-customer dedup. */
+  val p8bPersonMappingFixed: Q = {
+    import graft.ref.ContactsFixed
+    val base = p8ContactScoring.oracle.get.split("\nSELECT c_custkey")(0)
+    Q.sql(
+      "p8b_person_mapping_fixed",
+      s"""$base, withco AS (
+        |  SELECT *, 'co' || CAST(c_custkey % 300 AS VARCHAR) AS company_domain_key
+        |  FROM scored
+        |  WHERE individual_email IS NOT NULL
+        |), emaildedup AS (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY lower(individual_email)
+        |    ORDER BY completeness_score DESC,
+        |      CASE contact_priority WHEN 'primary' THEN 1
+        |           WHEN 'additional_main' THEN 2 ELSE 3 END,
+        |      current_balance DESC NULLS LAST,
+        |      CAST(c_custkey AS VARCHAR),
+        |      email_source) AS er
+        |  FROM withco
+        |), uniq AS (
+        |  SELECT * FROM emaildedup WHERE er = 1
+        |), ranked AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY company_domain_key
+        |      ORDER BY completeness_score DESC,
+        |        CASE WHEN contact_priority = 'primary' THEN 1 ELSE 2 END,
+        |        current_balance DESC NULLS LAST,
+        |        CAST(c_custkey AS VARCHAR),
+        |        lower(individual_email)) AS company_contact_rank,
+        |    COUNT(*) OVER (PARTITION BY company_domain_key) AS total_company_contacts
+        |  FROM uniq
+        |), consol AS (
+        |  SELECT 'co' || CAST(c_custkey % 300 AS VARCHAR) AS company_domain_key,
+        |    CAST(SUM(CAST((current_balance) AS DECIMAL(38,6))) AS DOUBLE) AS company_total_revenue
+        |  FROM src GROUP BY 1
+        |)
+        |SELECT
+        |  MD5(CONCAT_WS('-', email_contact_id, r.company_domain_key)) AS person_company_id,
+        |  email_contact_id AS person_id,
+        |  r.company_domain_key,
+        |  individual_email AS primary_email,
+        |  full_name AS person_name,
+        |  CASE WHEN completeness_score >= 75 THEN 'primary_contact'
+        |       WHEN completeness_score >= 50 THEN 'secondary_contact'
+        |       ELSE 'email_contact' END AS contact_role,
+        |  company_contact_rank, total_company_contacts,
+        |  company_contact_rank = 1 AS is_primary_company_contact,
+        |  total_company_contacts > 1 AS company_has_multiple_contacts,
+        |  completeness_score,
+        |  MD5(CONCAT_WS('-',
+        |    COALESCE(email_contact_id, '_dbt_utils_surrogate_key_null_'),
+        |    COALESCE(full_name, '_dbt_utils_surrogate_key_null_'),
+        |    COALESCE(individual_email, '_dbt_utils_surrogate_key_null_'),
+        |    COALESCE(r.company_domain_key, '_dbt_utils_surrogate_key_null_')))
+        |    AS contact_dim_key,
+        |  'Co ' || SUBSTR(r.company_domain_key, 3) AS company_name,
+        |  c.company_total_revenue
+        |FROM ranked r JOIN consol c USING (company_domain_key)
+        |ORDER BY company_domain_key, company_contact_rank""".stripMargin) {
+      (s, d) =>
+      val src = contactSrc(s, d)
+      val quality = ContactsFixed.qualityScoring(
+        ContactsFixed.nameEnrichment(ContactsFixed.emailParsing(src)))
+      val companyMapping = src.select(col("customer_id"),
+        concat(lit("co"), (col("ck") % 300).cast("string"))
+          .as("company_domain_key"))
+      val consolidation = src
+        .groupBy(concat(lit("co"), (col("ck") % 300).cast("string"))
+          .as("company_domain_key"))
+        .agg(graft.functions.Det.dsum(col("current_balance"))
+          .as("total_revenue"))
+        .withColumn("company_name",
+          concat(lit("Co "), expr("substr(company_domain_key, 3)")))
+        .withColumn("primary_country", lit("United States"))
+      val dim = ContactsFixed.dimCustomerContactsFixed(
+        ContactsFixed.personMappingFixed(quality, companyMapping),
+        consolidation)
+      dim.select(
+        col("person_company_id"), col("person_id"),
+        col("company_domain_key"), col("primary_email"),
+        col("person_name"), col("contact_role"),
+        col("company_contact_rank"), col("total_company_contacts"),
+        col("is_primary_company_contact"),
+        col("company_has_multiple_contacts"), col("completeness_score"),
+        col("contact_dim_key"), col("company_name"),
+        col("company_total_revenue"))
+        .orderBy("company_domain_key", "company_contact_rank")
     }
   }
 
@@ -366,5 +470,5 @@ object RefOpQueries {
   }
 
   val all: Seq[Q] = Seq(p5Country, p7EmailSplit, p8ContactScoring,
-    p14ProductsVariants, fJsonBuild)
+    p8bPersonMappingFixed, p14ProductsVariants, fJsonBuild)
 }
