@@ -1,10 +1,39 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.MergeUpsert
+import graft.operators.{MergeUpsert, SaltedJoin}
 
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
+
+  test("salted join and salted aggregate match their unsalted twins") {
+    import org.apache.spark.sql.functions._
+    // 90% of fact rows carry one hot key
+    val fact = (1L to 10000L)
+      .map(i => (i, if (i % 10 == 0) s"k${i % 50}" else "HOT", i * 1.5))
+      .toDF("row_id", "k", "v")
+    val dim = (Seq("HOT") ++ (0 until 50).map(i => s"k$i"))
+      .zipWithIndex.map { case (k, i) => (k, s"dim$i") }.toDF("k", "dv")
+    val plain = fact.join(dim, Seq("k")).select("row_id", "k", "dv")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    val salted = SaltedJoin
+      .saltedEquiJoin(fact, dim, "k", salts = 8, saltBy = col("row_id"))
+      .select("row_id", "k", "dv")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(salted == plain)
+    val plainAgg = fact.groupBy("k").agg(sum("v").as("total"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val saltedAgg = SaltedJoin
+      .saltedSumByKey(fact, "k", col("v"), salts = 8,
+        saltBy = col("row_id"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(saltedAgg.keySet == plainAgg.keySet)
+    saltedAgg.foreach { case (k, v) =>
+      assert(math.abs(v - plainAgg(k)) < 1e-6, k)
+    }
+  }
 
   test("upsert: incoming wins on key collision, both sides' strays survive") {
     val existing = Seq((1, "old1"), (2, "old2"), (3, "old3")).toDF("k", "v")
