@@ -129,15 +129,15 @@ object CompanyProductQueries {
       |  p.product_family, p.material_type, p.is_kit, p.item_type,
       |  p.standard_sales_price, p.standard_purchase_cost,
       |  CASE WHEN p.standard_sales_price > 0 AND m.avg_unit_price > 0
-      |       THEN ROUND((m.avg_unit_price - p.standard_sales_price) * 100.0 / p.standard_sales_price, 2)
-      |       END AS price_variance_percentage,
+      |       THEN (m.avg_unit_price - p.standard_sales_price) * 100.0 / p.standard_sales_price
+      |       END AS price_variance_pct_raw,
       |  CASE WHEN p.standard_purchase_cost > 0 AND m.avg_unit_price > 0
-      |       THEN ROUND((m.avg_unit_price - p.standard_purchase_cost) * 100.0 / m.avg_unit_price, 2)
-      |       END AS avg_margin_percentage,
+      |       THEN (m.avg_unit_price - p.standard_purchase_cost) * 100.0 / m.avg_unit_price
+      |       END AS avg_margin_pct_raw,
       |  $A - m.latest_purchase_date AS days_since_last_purchase,
       |  CASE WHEN m.purchase_days > 0
-      |       THEN ROUND(m.total_transactions / m.purchase_days, 2)
-      |       ELSE 0.0 END AS transactions_per_purchase_day,
+      |       THEN m.total_transactions / m.purchase_days
+      |       ELSE 0.0 END AS transactions_per_day_raw,
       |  CASE WHEN m.latest_purchase_date >= $A - 90 THEN 'Active Buyer'
       |       WHEN m.latest_purchase_date >= $A - 365 THEN 'Recent Buyer'
       |       WHEN m.latest_purchase_date >= $A - 730 THEN 'Dormant Buyer'
@@ -152,7 +152,7 @@ object CompanyProductQueries {
       |       ELSE 'Rare Buyer (<5 orders)' END AS purchase_frequency_category,
       |  'Supplier ' || m.company_domain_key AS company_name,
       |  c.company_total_revenue,
-      |  ROUND(m.total_amount_spent * 100.0 / NULLIF(c.company_total_revenue, 0), 2) AS product_revenue_percentage
+      |  m.total_amount_spent * 100.0 / NULLIF(c.company_total_revenue, 0) AS product_revenue_pct_raw
       |FROM metrics m
       |LEFT JOIN rep r USING (company_domain_key, product_service)
       |LEFT JOIN products p USING (product_service)
@@ -176,12 +176,27 @@ object CompanyProductQueries {
         col("primary_sales_rep"),
         col("product_family"), col("material_type"), col("is_kit"),
         col("item_type"), col("standard_sales_price"),
-        col("standard_purchase_cost"), col("price_variance_percentage"),
-        col("avg_margin_percentage"), col("days_since_last_purchase"),
-        col("transactions_per_purchase_day"), col("buyer_status"),
+        col("standard_purchase_cost"),
+        // ROUND(double,2) is not engine-portable at scaled ties (see
+        // Det scaladoc) — pct columns compared UNROUNDED; the model
+        // keeps its reference-faithful rounding.
+        when(col("standard_sales_price") > 0 && col("avg_unit_price") > 0,
+          (col("avg_unit_price") - col("standard_sales_price")) * 100.0
+            / col("standard_sales_price")).as("price_variance_pct_raw"),
+        when(col("standard_purchase_cost") > 0 &&
+          col("avg_unit_price") > 0,
+          (col("avg_unit_price") - col("standard_purchase_cost")) * 100.0
+            / col("avg_unit_price")).as("avg_margin_pct_raw"),
+        col("days_since_last_purchase"),
+        when(col("purchase_days") > 0,
+          col("total_transactions") / col("purchase_days"))
+          .otherwise(0.0).as("transactions_per_day_raw"),
+        col("buyer_status"),
         col("purchase_volume_category"), col("purchase_frequency_category"),
         col("company_name"), col("company_total_revenue"),
-        col("product_revenue_percentage"))
+        (col("total_amount_spent") * 100.0 /
+          nullif(col("company_total_revenue"), lit(0)))
+          .as("product_revenue_pct_raw"))
       .orderBy("company_domain_key", "product_service")
   }
 
@@ -315,9 +330,9 @@ object CompanyProductQueries {
         |       WHEN p.total_revenue > 0 THEN 'Minimal Revenue (<$$2.5K)'
         |       ELSE 'No Period Revenue' END AS period_revenue_category,
         |  CASE WHEN lt.lifetime_total_revenue > 0 AND p.total_revenue IS NOT NULL
-        |       THEN LEAST(100.0, ROUND(p.total_revenue * 100.0 / lt.lifetime_total_revenue, 2))
+        |       THEN LEAST(100.0, p.total_revenue * 100.0 / lt.lifetime_total_revenue)
         |       WHEN p.total_revenue > 0 THEN 100.0
-        |       ELSE 0.0 END AS period_share_of_lifetime_revenue,
+        |       ELSE 0.0 END AS period_share_raw,
         |  CASE WHEN p.latest_order_date IS NOT NULL
         |       THEN GREATEST(0, $A2 - p.latest_order_date) END AS days_since_latest_order
         |FROM periods p
@@ -351,7 +366,12 @@ object CompanyProductQueries {
           col("lifetime_total_revenue"), col("lifetime_total_orders"),
           col("lifetime_customer_count"), col("period_activity_status"),
           col("period_revenue_category"),
-          col("period_share_of_lifetime_revenue"),
+          when(col("lifetime_total_revenue") > 0 &&
+            col("total_revenue").isNotNull,
+            least(lit(100.0), col("total_revenue") * 100.0 /
+              col("lifetime_total_revenue")))
+            .when(col("total_revenue") > 0, 100.0)
+            .otherwise(0.0).as("period_share_raw"),
           col("days_since_latest_order"))
         .orderBy("company_domain_key", "period_type")
     }
