@@ -185,6 +185,53 @@ object Intermediate {
           .otherwise("Uncategorized").as("material_type"))
   }
 
+  /** int_quickbooks__item_kits (int_quickbooks__item_kits.sql): W1 dedup
+    * then the kit-pattern CASE. */
+  def itemKits(stagedItems: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("item_name"))
+      .orderBy(col("load_date").desc, col("snapshot_date").desc)
+    val kitList = Seq("01-7010-FBA", "01-7013.FBA", "01-7014-FBA",
+      "71-7010.MST", "01-7010", "01-7013", "01-7014")
+    stagedItems
+      .filter(col("item_name").isNotNull && col("item_name") =!= "")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("item_name"), col("item_type"),
+        (col("item_name").contains("AK4") ||
+          col("item_name").contains("AK-4") ||
+          col("item_name").isin(kitList: _*)).as("is_kit"))
+  }
+
+  /** int_quickbooks__product_family (int_quickbooks__product_family.sql):
+    * W1 dedup then the branded SP10/SP12/…/Adhesives taxonomy from
+    * item-code and description patterns. (itemsEnriched keeps the
+    * numeric prefix family for the line-item queries; this model is
+    * the reference's branded taxonomy.) */
+  def productFamily(stagedItems: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("item_name"))
+      .orderBy(col("load_date").desc, col("snapshot_date").desc)
+    val n = col("item_name")
+    val d = coalesce(col("sales_description"), lit(""))
+    stagedItems
+      .filter(n.isNotNull && n =!= "")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(n.as("item_name"), col("sales_description"),
+        when(n.startsWith("01-6310") ||
+          n.isin("01-7010-FBA", "01-7013.FBA", "01-7010", "01-7013"),
+          "SP10")
+          .when(n.startsWith("01-6315"), "SP12")
+          .when(n.startsWith("01-6318"), "SP18")
+          .when(n.startsWith("01-6358"), "SP58")
+          .when(n.startsWith("01-7625") ||
+            n.isin("01-7014-FBA", "71-7010.MST", "01-7014"), "AM625")
+          .when(n.contains("AK4") || n.contains("AK-4"), "Kits")
+          .when(n.startsWith("82-5002") || n.startsWith("82-6002") ||
+            n.startsWith("82-6005") || d.contains("EPX2") ||
+            d.contains("EPX3") || d.contains("EPX5"), "Adhesives")
+          .when(n.startsWith("83-10") || n.startsWith("49-800") ||
+            n.isin("01-5390", "82-6002.N", "46-3001"), "Accessories")
+          .otherwise("Uncategorized").as("product_family"))
+  }
+
   /** int_quickbooks__customer_company_mapping
     * (int_quickbooks__customer_company_mapping.sql:73-97): customers ⋈
     * domain_mapping (main + cc) ⋈ name_mapping, all broadcast left

@@ -69,6 +69,10 @@ object ModelDag {
       Intermediate.itemsEnriched(stgItems))
     val materialType = cat.saveTable("intermediate", "material_type",
       Intermediate.materialType(stgItems))
+    val itemKits = cat.saveTable("intermediate", "item_kits",
+      Intermediate.itemKits(stgItems))
+    val productFamily = cat.saveTable("intermediate", "product_family",
+      Intermediate.productFamily(stgItems))
     val mapping = cat.saveTable("intermediate", "customer_company_mapping",
       Intermediate.customerCompanyMapping(stgCustomers, stgDomainMapping,
         stgNameMapping))
@@ -286,6 +290,8 @@ object ModelDag {
       "mart.fct_company_orders" -> companyOrders,
       "mart.dim_company_health" -> companyHealth,
       "intermediate.material_type" -> materialType,
+      "intermediate.item_kits" -> itemKits,
+      "intermediate.product_family" -> productFamily,
       "mart.fct_company_products" -> companyProducts,
       "mart.mart_product_company_period_spending" -> periodSpending,
       "mart.dim_accounts_receivable_aging" -> aging,

@@ -200,6 +200,21 @@ class RefPipelineSpec extends SparkSpec {
       out("mart.fct_orders").count(), "no future-dated fixture orders")
   }
 
+  test("item attribute models: branded family, kit patterns") {
+    val pf = out("intermediate.product_family").collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(pf("01-6310.AK4") == "SP10")
+    assert(pf("01-6310.MST") == "SP10")
+    assert(pf("02-8100.3SK") == "Adhesives",
+      "description mentions EPX2 → description-based Adhesives match")
+    assert(pf("EPX2-KIT") == "Uncategorized",
+      "name alone doesn't match; only descriptions carry the EPX phrase")
+    val kits = out("intermediate.item_kits").collect()
+      .map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(kits("01-6310.AK4"), "AK4 pattern")
+    assert(!kits("01-6310.MST"))
+  }
+
   test("AR aging has three analysis levels and open orders only") {
     val aging = out("mart.dim_accounts_receivable_aging")
     val levels = aging.select("analysis_level").distinct()
