@@ -1,11 +1,10 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus)
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     // Warm the session (codegen, parquet footer reads, shuffle machinery)
     // so the first measured query doesn't absorb JVM init.
     SparkEntry.entry(spark).count()
@@ -18,11 +17,19 @@ object Bench {
         // storage memory (observed run-to-run variance otherwise).
         spark.catalog.clearCache()
         name -> t
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    }
+    val total = results.map(_._2).sum
+    // Locale.ROOT: a comma decimal separator would corrupt the JSON.
+    def sec(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Stop Spark BEFORE printing so no executor-shutdown log line can land
+    // after the JSON, and keep "metric"/"value" as the LAST keys: the
+    // driver's tail capture keeps the END of stdout, so even if the
+    // per-query map outgrows the window the headline total stays visible
+    // (BENCH_r02's total was truncated away with the old key order).
     spark.stop()
+    println(s"""{"sf":"$sfDir","queries":$qs,"unit":"sec","metric":"total","value":${sec(total)}}""")
   }
 }

@@ -61,12 +61,28 @@ object Multimodal {
     * row-shape a real frame extractor would feed to a batch decoder.
     * `sequence(0, n-1, stride)` + explode keeps it codegen'd (no
     * interpreted HOF in the hot path; the array is tiny and
-    * immediately exploded). */
+    * immediately exploded).
+    *
+    * Empty payloads are filtered out BEFORE the explode: with n_frames=0
+    * Spark's `sequence(0, -1, stride)` throws "Illegal sequence
+    * boundaries" at runtime (DuckDB's generate_series would instead
+    * return an empty list, silently dropping the row), so the explicit
+    * filter keeps both engines on the same no-row semantics and keeps a
+    * single empty document from killing the job.
+    *
+    * ASCII-ONLY ASSUMPTION (same caveat as the decode stub): the lead
+    * byte is read via `substr` on the UTF-8-DECODED payload, which is
+    * character-indexed — correct only while one char == one byte. A
+    * byte-true version would slice the binary column directly, but the
+    * DuckDB oracle has no portable blob-byte→int, so the char-indexed
+    * form is the engine-portable contract and non-ASCII payloads are
+    * out of scope for this stub stage. */
   def frameSample(media: DataFrame, frameBytes: Int = 16,
                   stride: Int = 3): DataFrame =
     media
       .withColumn("payload_bytes",
         octet_length(col("payload")).cast("long"))
+      .filter(col("payload_bytes") > 0)
       .withColumn("n_frames",
         expr(s"(payload_bytes + ${frameBytes - 1}) div $frameBytes"))
       .withColumn("frame_idx",

@@ -20,17 +20,36 @@ object SaltedJoin {
 
   private val SaltCol = "__graft_salt"
 
+  /** Fact-preserving join types for which salting is row-equivalent to
+    * the plain join. Dim-preserving types (right/full outer) are NOT:
+    * each unmatched dim row would surface once per replicated salt
+    * copy, so they are rejected up front. */
+  private val FactPreservingJoinTypes: Set[String] =
+    Set("inner", "left", "leftouter", "left_outer",
+      "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti")
+
   /** Salted fact ⋈ dim equi-join: the fact side gets a deterministic
     * salt in [0, salts) from `saltBy` (any row-level column — ids work
     * well), the dim side is replicated `salts`× via a literal-array
     * explode, and the join key becomes (key, salt). Same rows out as
     * the plain join; the hot key's probe rows now hash to `salts`
     * different partitions. Dim replication costs |dim|×salts rows —
-    * use for genuinely dim-sized build sides. */
+    * use for genuinely dim-sized build sides.
+    *
+    * `joinType` must be fact-preserving (inner / left outer / left
+    * semi / left anti): under right or full outer joins the replicated
+    * dim copies would each emit their own unmatched row, breaking the
+    * "identical to the unsalted plan" contract. */
   def saltedEquiJoin(fact: DataFrame, dim: DataFrame, key: String,
                      salts: Int, saltBy: Column,
                      joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
+    require(
+      FactPreservingJoinTypes.contains(
+        joinType.toLowerCase.replace(" ", "")),
+      s"saltedEquiJoin supports fact-preserving join types only " +
+        s"(inner/left/left_semi/left_anti); got '$joinType' — " +
+        "right/full outer would emit unmatched dim rows once per salt copy")
     val saltedFact = fact.withColumn(SaltCol,
       pmod(hash(saltBy), lit(salts)))
     val replicatedDim = dim.withColumn(SaltCol,

@@ -682,9 +682,11 @@ object LlmQueries {
       |    text
       |  FROM documents
       |), f AS (
+      |  -- payload_bytes > 0 mirrors the model's empty-payload guard
+      |  -- (Spark's sequence(0,-1) throws where generate_series is empty).
       |  SELECT doc_id, media_type, payload_bytes,
       |    (payload_bytes + 15) // 16 AS n_frames, text
-      |  FROM t
+      |  FROM t WHERE payload_bytes > 0
       |)
       |SELECT doc_id, media_type, payload_bytes, n_frames,
       |  unnest(generate_series(0, n_frames - 1, 3)) AS frame_idx,

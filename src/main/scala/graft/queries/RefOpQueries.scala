@@ -208,15 +208,20 @@ object RefOpQueries {
         |    CASE WHEN c_custkey % 7 <> 0 THEN 'Active' END AS customer_status
         |  FROM customer
         |), mainx AS (
+        |  -- Position is compacted AFTER the blank-segment filter (mirrors
+        |  -- the model's ROW_NUMBER-after-WHERE; raw unnest ordinality would
+        |  -- diverge on inputs like ';a@x.com').
         |  SELECT * EXCLUDE (e, pos), trim(e) AS individual_email,
-        |    pos AS email_position, 'main' AS email_source
+        |    ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY pos) AS email_position,
+        |    'main' AS email_source
         |  FROM (SELECT *, unnest(string_split(main_email, ';')) AS e,
         |        unnest(generate_series(1, len(string_split(main_email, ';')))) AS pos
         |        FROM src) s
         |  WHERE trim(e) != ''
         |), ccx AS (
         |  SELECT * EXCLUDE (e, pos), trim(e) AS individual_email,
-        |    pos AS email_position, 'cc' AS email_source
+        |    ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY pos) AS email_position,
+        |    'cc' AS email_source
         |  FROM (SELECT *, unnest(string_split(coalesce(cc_email, ''), ';')) AS e,
         |        unnest(generate_series(1, len(string_split(coalesce(cc_email, ''), ';')))) AS pos
         |        FROM src) s

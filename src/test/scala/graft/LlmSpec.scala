@@ -161,6 +161,22 @@ class LlmSpec extends SparkSpec {
       Multimodal.featureSchema)
   }
 
+  test("frameSample drops empty payloads instead of crashing the explode") {
+    // n_frames=0 would make sequence(0,-1,stride) throw at runtime;
+    // the empty row must be filtered, non-empty rows sampled normally.
+    val media = Seq(
+      (1L, "video", "abcdefghijklmnopqrstuvwxyz0123456789"), // 36 B → 3 frames
+      (2L, "video", ""))                                      // empty payload
+      .toDF("doc_id", "media_type", "text")
+      .select($"doc_id", $"media_type", encode($"text", "UTF-8").as("payload"))
+    val got = Multimodal.frameSample(media)
+      .orderBy("doc_id", "frame_idx").collect()
+    assert(got.map(_.getLong(0)).distinct.toSeq == Seq(1L))
+    assert(got.map(r => r.getLong(r.fieldIndex("frame_idx"))).toSeq ==
+      Seq(0L))  // 3 frames, stride 3 → only frame 0
+    assert(got.head.getAs[Int]("frame_lead_byte") == 'a'.toInt)
+  }
+
   test("langId picks marker-argmax with fixed tie order") {
     val df = Seq("the cat and the dog", "el perro de la casa y que",
       "zzz qqq").toDF("text")

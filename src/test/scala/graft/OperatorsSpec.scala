@@ -35,6 +35,32 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("salted join: left outer preserves unmatched fact rows exactly once") {
+    val fact = Seq((1L, "HOT"), (2L, "HOT"), (3L, "orphan"))
+      .toDF("row_id", "k")
+    val dim = Seq(("HOT", "d0")).toDF("k", "dv")
+    val got = SaltedJoin
+      .saltedEquiJoin(fact, dim, "k", salts = 4, saltBy = col("row_id"),
+        joinType = "left")
+      .select("row_id", "k", "dv")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "HOT", "d0"), (2L, "HOT", "d0"),
+      (3L, "orphan", null)))
+  }
+
+  test("salted join rejects dim-preserving join types") {
+    val fact = Seq((1L, "a")).toDF("row_id", "k")
+    val dim = Seq(("a", "d")).toDF("k", "dv")
+    for (jt <- Seq("right", "full", "full_outer", "right_outer")) {
+      val e = intercept[IllegalArgumentException] {
+        SaltedJoin.saltedEquiJoin(fact, dim, "k", salts = 4,
+          saltBy = col("row_id"), joinType = jt)
+      }
+      assert(e.getMessage.contains("fact-preserving"), jt)
+    }
+  }
+
   test("upsert: incoming wins on key collision, both sides' strays survive") {
     val existing = Seq((1, "old1"), (2, "old2"), (3, "old3")).toDF("k", "v")
     val incoming = Seq((2, "new2"), (4, "new4")).toDF("k", "v")
