@@ -115,11 +115,13 @@ object ModelDag {
         Shopify.orders(rawSh))
       val attr = cat.saveTable("staging", "shopify_order_attribution",
         Shopify.orderAttribution(stg, "asphaltanchors.com"))
-      val fulfill = raw.shopifyFulfillments
-        .getOrElse(cat.spark.emptyDataFrame)
+      val stgFulfill = raw.shopifyFulfillments.map { f =>
+        cat.saveTable("staging", "shopify_order_fulfillments",
+          Shopify.orderFulfillments(f, rawSh))
+      }
       val enriched = cat.saveTable("intermediate",
         "shopify_orders_enriched",
-        Shopify.ordersEnriched(stg, fulfill, attr))
+        Shopify.ordersEnriched(stg, stgFulfill, attr))
       // ---- marketing spine (P13/P14/A6 + attribution marts) ----
       raw.shopifyCustomers.foreach { rawCust =>
         val stgCust = cat.saveTable("staging", "shopify_customers",
@@ -250,6 +252,7 @@ object ModelDag {
     tradeShowOut ++
       matching.map("intermediate.order_matching" -> _).toMap ++
       Seq(("intermediate", "shopify_orders_enriched"),
+        ("staging", "shopify_order_fulfillments"),
         ("staging", "shopify_customers"), ("staging", "shopify_products"),
         ("intermediate", "shopify_customer_enrichment"),
         ("mart", "fct_customer_marketing"),

@@ -245,34 +245,65 @@ object Shopify {
       .otherwise(regexp_replace(v, "\\+", " "))
   }
 
-  /** Fulfillment child rows collapsed to order grain (A5,
+  /** stg_shopify__order_fulfillments
+    * (stg_shopify__order_fulfillments.sql:4-35, P15 staging half):
+    * fulfillment child rows flattened to ROW grain with the order key
+    * resolved via INNER join on the DLT parent id — the standalone
+    * staged model the enriched rollup consumes. Neither side is
+    * broadcast-forced: both are order-volume tables; AQE picks the
+    * strategy from runtime sizes. */
+  def orderFulfillments(rawFulfillments: DataFrame,
+                        rawOrders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, TimestampType}
+    def opt(n: String) =
+      Fns.firstExistingColumnOrNull(rawFulfillments, Seq(n), StringType)
+    def optTs(n: String) =
+      if (rawFulfillments.columns.contains(n))
+        to_timestamp(Fns.nullifBlank(col(n)))
+      else lit(null).cast(TimestampType)
+    val o = rawOrders.select(col("id").as("order_id"),
+      col("_dlt_id").as("order_dlt_id"))
+    rawFulfillments
+      .select(
+        col("id").as("fulfillment_id"),
+        col("_dlt_parent_id").as("order_dlt_id"),
+        col("status").as("fulfillment_status"),
+        opt("tracking_company").as("tracking_company"),
+        col("tracking_number"),
+        opt("shipment_status").as("shipment_status"),
+        to_timestamp(col("created_at")).as("fulfilled_at"),
+        optTs("updated_at").as("fulfillment_updated_at"))
+      .join(o, Seq("order_dlt_id"))
+      .drop("order_dlt_id")
+  }
+
+  /** Staged fulfillment rows collapsed to order grain (A5,
     * int_shopify__orders_enriched.sql:13-21), joined back (J9), plus the
     * reference's derived enrichment fields — acquisition_channel,
     * has_discount, has_tracking
-    * (int_shopify__orders_enriched.sql:46-70). */
+    * (int_shopify__orders_enriched.sql:46-70). `stagedFulfillments` is
+    * the [[orderFulfillments]] model; None when the source is absent. */
   def ordersEnriched(stagedOrders: DataFrame,
-                     fulfillments: DataFrame,
+                     stagedFulfillments: Option[DataFrame],
                      attribution: DataFrame): DataFrame = {
-    val fulfillAgg =
-      if (fulfillments.columns.contains("_dlt_parent_id")) {
-        val hasCompany = fulfillments.columns.contains("tracking_company")
-        fulfillments
-          .groupBy(col("_dlt_parent_id").as("_dlt_id"))
+    val fulfillAgg = stagedFulfillments match {
+      case Some(f) =>
+        f.groupBy(col("order_id").as("shopify_order_id"))
           .agg(
-            max(col("status")).as("fulfillment_latest_status"),
+            max(col("fulfillment_status")).as("fulfillment_latest_status"),
             max(col("tracking_number")).as("tracking_number"),
-            (if (hasCompany) max(col("tracking_company"))
-             else max(lit(null).cast("string"))).as("tracking_company"),
-            max(to_timestamp(col("created_at"))).as("fulfilled_at"))
-      } else // fulfillment source absent: null-padded order-grain shell
-        stagedOrders.select(col("_dlt_id"),
+            max(col("tracking_company")).as("tracking_company"),
+            max(col("fulfilled_at")).as("fulfilled_at"))
+      case None => // fulfillment source absent: null-padded shell
+        stagedOrders.select(col("shopify_order_id"),
           lit(null).cast("string").as("fulfillment_latest_status"),
           lit(null).cast("string").as("tracking_number"),
           lit(null).cast("string").as("tracking_company"),
           lit(null).cast("timestamp").as("fulfilled_at")).limit(0)
+    }
     val ref = lower(coalesce(col("referrer"), lit("")))
     stagedOrders
-      .join(fulfillAgg, Seq("_dlt_id"), "left")
+      .join(fulfillAgg, Seq("shopify_order_id"), "left")
       .join(attribution.select(col("shopify_order_id"), col("utm_source"),
         col("utm_medium"), col("utm_campaign"), col("referrer"),
         col("landing_page")), Seq("shopify_order_id"), "left")

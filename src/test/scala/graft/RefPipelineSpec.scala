@@ -314,6 +314,17 @@ class RefPipelineSpec extends SparkSpec {
     assert(o.getString(1) == "1Z999-2", "max tracking over 2 fulfillments")
   }
 
+  test("shopify: fulfillments staged at row grain with resolved order key") {
+    val f = out("staging.shopify_order_fulfillments")
+    assert(f.count() == 2, "two fixture fulfillment rows, both kept")
+    assert(f.columns.toSet == Set("order_id", "fulfillment_id",
+      "fulfillment_status", "tracking_company", "tracking_number",
+      "shipment_status", "fulfilled_at", "fulfillment_updated_at"))
+    // Both child rows resolve to the same parent order via _dlt_parent_id.
+    assert(f.select("order_id").distinct().count() == 1)
+    assert(f.filter(col("tracking_company") === "UPS").count() == 2)
+  }
+
   test("J5: fct_orders carries primary-contact, flag and enrichment surface") {
     // Company acme.com's primary contact is buyer@acme.com (C001, main,
     // position 1) — so C001's order gets contact fields and C002's does
