@@ -103,5 +103,57 @@ object StreamingQueries {
       .orderBy("user_id", "event_type")
   }
 
-  val all: Seq[Q] = Seq(stTumbling, stSessions, stFirstSeen)
+  /** Batch twin of the streaming exact dedup
+    * (EventStream.dedupEvents / dropDuplicatesWithinWatermark): an
+    * at-least-once redelivery is simulated by doubling the events table;
+    * dedup by event_id must collapse it back to one row per event. The
+    * duplicate copies are bit-identical, so keep-first semantics are
+    * deterministic. */
+  val stStreamDedup: Q = Q.sql(
+    "st_stream_dedup",
+    """WITH delivered AS (
+      |  SELECT event_id, user_id, event_type, value FROM events
+      |  UNION ALL
+      |  SELECT event_id, user_id, event_type, value FROM events
+      |)
+      |SELECT DISTINCT event_id, user_id, event_type, value
+      |FROM delivered
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+      .select("event_id", "user_id", "event_type", "value")
+    e.unionAll(e)
+      .dropDuplicates("event_id")
+      .orderBy("event_id")
+  }
+
+  /** Batch twin of the stream-static enrichment join
+    * (EventStream.enrichWithDim): events ⋈ broadcast user-tier dim,
+    * rolled up per tier. The dim derives deterministically from the
+    * key space (user_id % 5). */
+  val stStaticEnrich: Q = Q.sql(
+    "st_static_enrich",
+    """WITH dim AS (
+      |  SELECT DISTINCT user_id, user_id % 5 AS user_tier FROM events
+      |)
+      |SELECT d.user_tier,
+      |  COUNT(*) AS event_count,
+      |  COUNT(DISTINCT e.user_id) AS user_count,
+      |  CAST(SUM(CAST((e.value) AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+      |FROM events e JOIN dim d USING (user_id)
+      |GROUP BY d.user_tier
+      |ORDER BY d.user_tier""".stripMargin) { (s, d) =>
+    import graft.streaming.EventStream
+    val e = Tables.events(s, d)
+    val dim = e.select(col("user_id")).distinct()
+      .withColumn("user_tier", col("user_id") % 5)
+    EventStream.enrichWithDim(e, dim)
+      .groupBy(col("user_tier"))
+      .agg(count(lit(1)).as("event_count"),
+        countDistinct(col("user_id")).as("user_count"),
+        dsum(col("value")).as("total_value"))
+      .orderBy("user_tier")
+  }
+
+  val all: Seq[Q] = Seq(stTumbling, stSessions, stFirstSeen,
+    stStreamDedup, stStaticEnrich)
 }

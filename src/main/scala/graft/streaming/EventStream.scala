@@ -68,6 +68,65 @@ object EventStream {
     if (complete) w.outputMode("complete") else w.outputMode("append")
   }
 
+  /** STREAMING EXACT DEDUP — the incremental twin of
+    * [[graft.llm.Dedup.exact]]: first arrival of each `event_id` is
+    * emitted, later duplicates (retries, at-least-once re-deliveries)
+    * are dropped. `dropDuplicatesWithinWatermark` keys the state store
+    * by event_id and EVICTS entries older than the watermark, so state
+    * is bounded by (arrival rate × watermark horizon) instead of
+    * growing forever — the property that makes this viable on an
+    * unbounded 100 TB-scale stream where a plain dropDuplicates would
+    * OOM the state store. */
+  def dedupEvents(events: DataFrame,
+                  watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** STREAM-STATIC ENRICHMENT JOIN: each micro-batch of events joins a
+    * static dimension (re-read per batch, broadcast when small) — the
+    * canonical streaming-enrichment shape (user → tier/segment lookup
+    * before aggregation). No state: stream-static inner joins need no
+    * watermark, and the dim side never shuffles the stream. */
+  def enrichWithDim(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(broadcast(userDim), Seq("user_id"))
+
+  /** STREAMING MERGE SINK — foreachBatch bridging to the batch
+    * [[graft.operators.MergeUpsert]] discipline (SURVEY S5/I2): each
+    * micro-batch upserts into the parquet target by key, so re-delivered
+    * keys update in place and new keys append — effectively-once per
+    * batch via the checkpointed batch id (a replayed batch re-merges the
+    * same keys idempotently). The merge writes to a STAGING path (the
+    * merged plan reads the live target, so an in-place overwrite would
+    * clobber its own input) and then swaps directories — driver-side
+    * metadata ops only; the merge itself is a fully distributed plan
+    * with zero driver-resident rows. Parquet-without-a-table-format
+    * tradeoff: a production deployment would MERGE INTO a transactional
+    * table and skip the swap. */
+  def upsertSink(stream: DataFrame, targetPath: String,
+                 keys: Seq[String],
+                 checkpoint: String): DataStreamWriter[Row] = {
+    import graft.operators.MergeUpsert
+    import org.apache.hadoop.fs.Path
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new Path(targetPath).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val target =
+          if (fs.exists(new Path(targetPath)))
+            spark.read.parquet(targetPath)
+          else batch.limit(0)
+        val staged = s"${targetPath}_stage_$batchId"
+        MergeUpsert.upsert(target, batch, keys)
+          .write.mode("overwrite").parquet(staged)
+        fs.delete(new Path(targetPath), true)
+        fs.rename(new Path(staged), new Path(targetPath))
+        ()
+      }
+  }
+
   final case class EventRow(event_id: Long, user_id: Long,
                             event_type: String, value: Double)
   final case class FirstSeen(user_id: Long, event_type: String,

@@ -46,6 +46,83 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming dedup collapses redelivered events to one row each") {
+    // Simulate at-least-once redelivery: the same events file staged
+    // twice in the source dir; dropDuplicatesWithinWatermark must emit
+    // each event_id exactly once.
+    val dir = java.nio.file.Files.createTempDirectory("events_dup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events_a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events_b.parquet"))
+    val stream = EventStream.readEvents(spark, dir.toString)
+    val q = EventStream.toMemorySink(
+      EventStream.dedupEvents(stream), "dedup_test", complete = false)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("dedup_test")
+    assert(streamed.count() == Tables.events(spark, sf).count())
+    assert(streamed.select("event_id").distinct().count() ==
+      streamed.count())
+  }
+
+  test("stream-static enrichment join matches the batch rollup") {
+    val stream = EventStream.readEvents(spark, eventsDir)
+    val batchEvents = Tables.events(spark, sf)
+    val dim = batchEvents.select(col("user_id")).distinct()
+      .withColumn("user_tier", col("user_id") % 5)
+    val agg = EventStream.enrichWithDim(stream, dim)
+      .groupBy(col("user_tier"))
+      .agg(count(lit(1)).as("event_count"))
+    val q = EventStream.toMemorySink(agg, "enrich_test", complete = true)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("enrich_test")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = batchEvents.join(dim, Seq("user_id"))
+      .groupBy(col("user_tier")).agg(count(lit(1)).as("event_count"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+
+  test("foreachBatch upsert sink: incoming wins, strays survive, resumable") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("ts", TimestampType), StructField("v", StringType)))
+    val srcDir = java.nio.file.Files.createTempDirectory("upsert_src")
+    val target = java.nio.file.Files.createTempDirectory("upsert_tgt")
+      .resolve("t").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("upsert_ckpt")
+      .toString
+    def stage(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("upsert_stage")
+      import spark.implicits._
+      rows.toDF("k", "v")
+        .select(col("k"), current_timestamp().as("ts"), col("v"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.move(java.nio.file.Paths.get(part),
+        srcDir.resolve(name))
+    }
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .parquet(srcDir.toString)
+      val q = EventStream.upsertSink(stream.select("k", "v"), target,
+        Seq("k"), ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    stage("f1.parquet", Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    runOnce()
+    stage("f2.parquet", Seq((2L, "B2"), (4L, "d")))
+    runOnce() // resumes from checkpoint: only f2 is a new file
+    val got = spark.read.parquet(target).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d")))
+  }
+
   test("session windows produce bounded per-user sessions") {
     val stream = EventStream.readEvents(spark, eventsDir)
     val q = EventStream.toMemorySink(
