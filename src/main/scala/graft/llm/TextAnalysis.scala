@@ -110,6 +110,35 @@ object TextAnalysis {
           + col("distinct_token_ratio") * 0.2)
   }
 
+  /** Gopher-style REPETITION signals per document: the fraction of
+    * n-gram occurrences taken by the single most frequent n-gram and
+    * the fraction covered by n-grams occurring more than once — the
+    * standard "repetitious document" pre-filters for web corpora
+    * (boilerplate, keyword stuffing, decoding loops). Built on the
+    * codegen'd row-form shingles: (doc, ngram) counts then a per-doc
+    * rollup — two hash aggregates on the same doc-keyed partitioning,
+    * no window, no interpreted HOF on the hot path. Documents with
+    * fewer than `n` tokens have no n-grams and drop out (callers
+    * treat absence as "no signal"). */
+  def repetitionSignals(docs: DataFrame, id: Column, text: Column,
+                       n: Int = 2): DataFrame = {
+    val counts = shingleRows(docs, id, text, n)
+      .groupBy(col("doc_id"), col("shingle"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).cast("long").as("n_ngrams"),
+        max(col("c")).cast("long").as("top_ngram_count"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).cast("long")
+          .as("dup_ngram_occurrences"))
+      .withColumn("top_ngram_fraction",
+        col("top_ngram_count").cast("double") /
+          col("n_ngrams").cast("double"))
+      .withColumn("dup_ngram_fraction",
+        col("dup_ngram_occurrences").cast("double") /
+          col("n_ngrams").cast("double"))
+  }
+
   /** Content fingerprints: exact (md5 of normalized text), bag (md5 of
     * sorted distinct tokens — word-order-insensitive), and min-shingle
     * (min md5 over 3-gram shingles — the 1-hash MinHash). */

@@ -700,8 +700,73 @@ object LlmQueries {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Text analysis — Gopher-style repetition signals: top-bigram and
+    * duplicate-bigram occurrence fractions per document
+    * (TextAnalysis.repetitionSignals). */
+  val tRepetition: Q = Q.sql(
+    "t_text_repetition",
+    s"""WITH t AS (
+      |  SELECT doc_id, $toksSql AS toks FROM documents
+      |), s AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(toks) - 1),
+      |      i -> concat_ws(' ', toks[i], toks[i+1]))) AS shingle
+      |  FROM t
+      |), c AS (
+      |  SELECT doc_id, shingle, COUNT(*) AS c FROM s GROUP BY 1, 2
+      |)
+      |SELECT doc_id,
+      |  CAST(SUM(c) AS BIGINT) AS n_ngrams,
+      |  CAST(MAX(c) AS BIGINT) AS top_ngram_count,
+      |  CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_ngram_occurrences,
+      |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_ngram_fraction,
+      |  CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dup_ngram_fraction
+      |FROM c GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    TA.repetitionSignals(Tables.documents(s, d), col("doc_id"),
+      col("text"), n = 2)
+      .orderBy("doc_id")
+  }
+
+  /** Contamination — benchmark n-gram collision scan: every 97th doc
+    * plays the held-out eval set; corpus docs are scored by the share
+    * of their distinct 3-grams that collide with any benchmark 3-gram
+    * (Contamination.contaminationScores). */
+  val tContamination: Q = Q.sql(
+    "t_contamination",
+    s"""WITH t AS (
+      |  SELECT doc_id, $toksSql AS toks FROM documents
+      |), s AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(generate_series(1, len(toks) - 2),
+      |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shingle
+      |  FROM t
+      |), bench AS (
+      |  SELECT DISTINCT shingle FROM s WHERE doc_id % 97 = 0
+      |), corpus AS (
+      |  SELECT * FROM s WHERE doc_id % 97 <> 0
+      |)
+      |SELECT c.doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      |  CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+      |  CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS contamination_ratio,
+      |  CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) >= 0.05 AS is_contaminated
+      |FROM corpus c LEFT JOIN bench b USING (shingle)
+      |GROUP BY c.doc_id
+      |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+    import graft.llm.Contamination
+    val docs = Tables.documents(s, d)
+    Contamination.contaminationScores(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0),
+      col("doc_id"), col("text"), n = 3, threshold = 0.05)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(tTokens, tTokensBpe, tLangId, tQuality,
-    tFingerprint, ddExact, ddMinhashLsh, ddSimhash, ddEmbeddingNearDup,
-    annBruteForce, annLsh, annRhLsh, annIvf, mmBinary, mmFeatures,
-    mmResize, mmFrameSample)
+    tFingerprint, tRepetition, tContamination, ddExact, ddMinhashLsh,
+    ddSimhash, ddEmbeddingNearDup, annBruteForce, annLsh, annRhLsh,
+    annIvf, mmBinary, mmFeatures, mmResize, mmFrameSample)
 }

@@ -177,6 +177,40 @@ class LlmSpec extends SparkSpec {
     assert(got.head.getAs[Int]("frame_lead_byte") == 'a'.toInt)
   }
 
+  test("repetition signals: top and duplicate bigram fractions") {
+    // "a b a b a b": bigrams = [a b, b a, a b, b a, a b] → 5 total,
+    // top "a b"×3, all 5 occurrences are of duplicated bigrams.
+    // "x y z": bigrams = [x y, y z] → all unique.
+    val docs = Seq((1L, "a b a b a b"), (2L, "x y z"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TA.repetitionSignals(docs, $"doc_id", $"text", n = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_ngrams", "top_ngram_count",
+        "dup_ngram_occurrences")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 5L, 3L, 5L), (2L, 2L, 1L, 0L)))
+    // doc 3 has a single token → no bigrams → absent
+  }
+
+  test("contamination: benchmark n-gram collisions flag the leaked doc") {
+    import graft.llm.Contamination
+    val bench = Seq((100L, "the quick brown fox jumps"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps high"), // shares 3-grams → flagged
+      (2L, "totally unrelated text content here"))
+      .toDF("doc_id", "text")
+    val got = Contamination.contaminationScores(corpus, bench,
+      $"doc_id", $"text", n = 3, threshold = 0.5)
+      .orderBy("doc_id")
+      .select("doc_id", "n_shingles", "n_contaminated", "is_contaminated")
+      .as[(Long, Long, Long, Boolean)].collect()
+    // doc 1: 4 distinct trigrams, 3 collide ("the quick brown",
+    // "quick brown fox", "brown fox jumps") → 0.75 ≥ 0.5;
+    // doc 2: 5 tokens → 3 trigrams, none collide.
+    assert(got.toSeq == Seq((1L, 4L, 3L, true), (2L, 3L, 0L, false)))
+  }
+
   test("langId picks marker-argmax with fixed tie order") {
     val df = Seq("the cat and the dog", "el perro de la casa y que",
       "zzz qqq").toDF("text")
