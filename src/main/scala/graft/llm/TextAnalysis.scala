@@ -139,6 +139,36 @@ object TextAnalysis {
           col("n_ngrams").cast("double"))
   }
 
+  /** PII patterns for the scrub pass — deliberately restricted to the
+    * regex subset with identical semantics in Java regex and RE2 (no
+    * lookaround, no backrefs, greedy quantifiers only) so the DuckDB
+    * oracle replays byte-for-byte. The phone pattern is the
+    * illustrative 7-digit local form; a production scrub would carry a
+    * locale-specific pattern battery through the same plan shape. */
+  final val EmailPattern =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  final val PhonePattern = "[0-9]{3}-[0-9]{4}"
+
+  /** PII SCRUBBING: emails then phone-like sequences replaced with
+    * typed placeholders — the standard redaction pass before
+    * pretraining. Pure per-row regexp_replace chain: codegen'd,
+    * scan-shaped, zero shuffles at any scale. Email runs first so the
+    * phone pass can't fire inside an already-redacted address. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  /** Scrub + audit columns: redacted text plus per-type match counts
+    * (the redaction-rate signal a corpus pipeline monitors). */
+  def withPiiScrub(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("n_emails",
+      size(regexp_extract_all(text, lit(EmailPattern), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(text, lit(PhonePattern), lit(0)))
+          .cast("long"))
+      .withColumn("scrubbed_text", scrubPii(text))
+
   /** Content fingerprints: exact (md5 of normalized text), bag (md5 of
     * sorted distinct tokens — word-order-insensitive), and min-shingle
     * (min md5 over 3-gram shingles — the 1-hash MinHash). */

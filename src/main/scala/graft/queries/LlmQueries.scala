@@ -765,8 +765,40 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Text analysis — PII scrubbing: synthesized email + phone appended
+    * to each document, redacted with typed placeholders, audited by
+    * match counts; the scrubbed text is hash-compared
+    * (TextAnalysis.withPiiScrub). */
+  val tPiiScrub: Q = Q.sql(
+    "t_pii_scrub",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |      || '@example.com or 555-'
+      |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text2
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text2,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(text2, '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+      |  md5(regexp_replace(
+      |    regexp_replace(text2,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrubbed_fp
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val withPii = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com or 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text2"))
+    TA.withPiiScrub(withPii, col("text2"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        md5(col("scrubbed_text")).as("scrubbed_fp"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(tTokens, tTokensBpe, tLangId, tQuality,
-    tFingerprint, tRepetition, tContamination, ddExact, ddMinhashLsh,
-    ddSimhash, ddEmbeddingNearDup, annBruteForce, annLsh, annRhLsh,
-    annIvf, mmBinary, mmFeatures, mmResize, mmFrameSample)
+    tFingerprint, tRepetition, tContamination, tPiiScrub, ddExact,
+    ddMinhashLsh, ddSimhash, ddEmbeddingNearDup, annBruteForce, annLsh,
+    annRhLsh, annIvf, mmBinary, mmFeatures, mmResize, mmFrameSample)
 }

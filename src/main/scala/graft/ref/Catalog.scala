@@ -24,6 +24,21 @@ final class Catalog(val spark: SparkSession, val root: String) {
     spark.read.parquet(path(layer, name))
   }
 
+  /** `materialized='table'` with HIVE-PARTITIONED layout: rows land in
+    * one directory per `partitionCols` value, so downstream filters on
+    * those columns become PARTITION PRUNING (directories never opened)
+    * instead of row-level parquet filtering — the difference between
+    * scanning a day and scanning 100 TB when marts are queried by date
+    * range. Partition columns must be low-cardinality (year/month, not
+    * raw date at daily fact volume) or the small-files problem replaces
+    * the scan problem. */
+  def saveTablePartitioned(layer: String, name: String, df: DataFrame,
+                           partitionCols: Seq[String]): DataFrame = {
+    df.write.mode("overwrite").partitionBy(partitionCols: _*)
+      .parquet(path(layer, name))
+    spark.read.parquet(path(layer, name))
+  }
+
   /** dbt `materialized='view'`: register the logical plan, no write. */
   def saveView(layer: String, name: String, df: DataFrame): DataFrame = {
     views(s"$layer.$name") = df

@@ -51,6 +51,29 @@ object BucketDemo {
     assert(exchanges < plainEx,
       "bucketed join should need fewer exchanges")
     println("[bucket] OK — bucketed join is shuffle-free on the join key")
+
+    // ---- PARTITION PRUNING: the other half of the 100 TB storage
+    // layout. Facts written hive-partitioned by month; a month-range
+    // filter must show up as PartitionFilters (directories skipped at
+    // planning time), NOT as a data filter over the full scan.
+    new graft.ref.Catalog(spark, wh.toString).saveTablePartitioned(
+      "demo", "orders_by_month",
+      Tables.orders(spark, d)
+        .withColumn("order_month",
+          date_format(col("o_orderdate"), "yyyy-MM")),
+      Seq("order_month"))
+    val pruned = spark.read
+      .parquet(s"${wh.toString}/demo/orders_by_month")
+      .filter(col("order_month") === "1995-03")
+    pruned.collect()
+    val prunedPlan = pruned.queryExecution.executedPlan.toString
+    val pf = prunedPlan.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    println(s"[partition] rows=${pruned.count()} " +
+      s"partition_filter_present=${pf.contains("order_month")}")
+    assert(pf.contains("order_month"),
+      "month filter must prune partitions, not scan-and-filter")
+    println("[partition] OK — month filter prunes directories at plan time")
     spark.stop()
   }
 }

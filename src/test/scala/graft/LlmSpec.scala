@@ -211,6 +211,20 @@ class LlmSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 4L, 3L, true), (2L, 3L, 0L, false)))
   }
 
+  test("PII scrub redacts emails and phones, counts each type") {
+    val docs = Seq(
+      (1L, "write to a.b+c@sub.example.org or call 555-1234 now"),
+      (2L, "no pii here, just 12-34 and almost@nothing"))
+      .toDF("doc_id", "text")
+    val got = TA.withPiiScrub(docs, $"text")
+      .orderBy("doc_id")
+      .select("n_emails", "n_phones", "scrubbed_text")
+      .as[(Long, Long, String)].collect()
+    assert(got(0) == ((1L, 1L, "write to <EMAIL> or call <PHONE> now")))
+    assert(got(1) == ((0L, 0L,
+      "no pii here, just 12-34 and almost@nothing")))
+  }
+
   test("langId picks marker-argmax with fixed tie order") {
     val df = Seq("the cat and the dog", "el perro de la casa y que",
       "zzz qqq").toDF("text")
