@@ -797,8 +797,104 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** CORPUS CURATION — the end-to-end filter chain a pretraining
+    * pipeline runs, composed from the individual operators: language
+    * gate (marker heuristic), quality gate, exact-dedup canonical gate,
+    * repetition gate — each doc emerges kept or tagged with its FIRST
+    * failing rule. Row-level signals are one scan; dedup is one
+    * digest-keyed window; repetition is the doc-keyed double aggregate
+    * joined back — no operator in the chain exceeds the plan shape it
+    * was individually certified with. */
+  val tCorpusCuration: Q = Q.sql(
+    "t_corpus_curation",
+    s"""WITH t AS (
+      |  SELECT doc_id, text, $toksSql AS toks FROM documents
+      |), sig AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(toks, x -> list_contains(['the','and','of','is','a'], x))) AS BIGINT) AS en_hits,
+      |    CAST(len(list_filter(toks, x -> list_contains(['el','la','de','y','que'], x))) AS BIGINT) AS es_hits,
+      |    CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS de_hits,
+      |    CAST(len(list_filter(toks, x -> list_contains(['le','la','et','les','des'], x))) AS BIGINT) AS fr_hits,
+      |    LEAST(1.0, CAST(len(toks) AS DOUBLE) / 50.0) * 0.4
+      |      + (1.0 - CASE WHEN length(text) > 0
+      |           THEN CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS DOUBLE) / length(text)
+      |           ELSE 0.0 END) * 0.2
+      |      + CASE WHEN len(toks) > 0
+      |           THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','an','of','and','to','in','is','for','on','with'], x))) AS DOUBLE) / len(toks)
+      |           ELSE 0.0 END * 0.2
+      |      + CASE WHEN len(toks) > 0
+      |           THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+      |           ELSE 0.0 END * 0.2 AS quality_score,
+      |    MIN(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS canonical_id
+      |  FROM t
+      |), lng AS (
+      |  SELECT *, GREATEST(en_hits, es_hits, de_hits, fr_hits) AS best FROM sig
+      |), lang2 AS (
+      |  SELECT doc_id, quality_score, canonical_id,
+      |    CASE WHEN best = 0 THEN 'und'
+      |         WHEN en_hits = best THEN 'en'
+      |         WHEN es_hits = best THEN 'es'
+      |         WHEN de_hits = best THEN 'de'
+      |         ELSE 'fr' END AS predicted_lang
+      |  FROM lng
+      |), bi AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(toks) - 1),
+      |      i -> concat_ws(' ', toks[i], toks[i+1]))) AS shingle
+      |  FROM t
+      |), bc AS (
+      |  SELECT doc_id, shingle, COUNT(*) AS c FROM bi GROUP BY 1, 2
+      |), rep AS (
+      |  SELECT doc_id,
+      |    CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_ngram_fraction
+      |  FROM bc GROUP BY doc_id
+      |), joined AS (
+      |  SELECT l.doc_id, l.predicted_lang, l.quality_score,
+      |    l.doc_id <> l.canonical_id AS is_duplicate,
+      |    COALESCE(r.top_ngram_fraction, 0.0) AS rep_fraction
+      |  FROM lang2 l LEFT JOIN rep r USING (doc_id)
+      |)
+      |SELECT doc_id, predicted_lang, quality_score, is_duplicate,
+      |  rep_fraction,
+      |  predicted_lang = 'en' AND quality_score >= 0.5
+      |    AND NOT is_duplicate AND rep_fraction < 0.2 AS kept,
+      |  CASE WHEN predicted_lang <> 'en' THEN 'language'
+      |       WHEN quality_score < 0.5 THEN 'quality'
+      |       WHEN is_duplicate THEN 'duplicate'
+      |       WHEN rep_fraction >= 0.2 THEN 'repetition'
+      |       ELSE 'kept' END AS drop_reason
+      |FROM joined ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.llm.Dedup
+    val docs = Tables.documents(s, d)
+    val toks = TA.tokens(col("text"))
+    val rowSignals = TA.withQuality(docs, col("text"))
+      .withColumn("predicted_lang", TA.langId(toks))
+      .select("doc_id", "predicted_lang", "quality_score")
+    val dd = Dedup.exact(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("is_duplicate"))
+    val rep = TA.repetitionSignals(docs, col("doc_id"), col("text"), n = 2)
+      .select(col("doc_id"), col("top_ngram_fraction"))
+    val joined = rowSignals
+      .join(dd, Seq("doc_id"))
+      .join(rep, Seq("doc_id"), "left")
+      .withColumn("rep_fraction",
+        coalesce(col("top_ngram_fraction"), lit(0.0)))
+    joined
+      .select(col("doc_id"), col("predicted_lang"), col("quality_score"),
+        col("is_duplicate"), col("rep_fraction"),
+        (col("predicted_lang") === "en" && col("quality_score") >= 0.5 &&
+          !col("is_duplicate") && col("rep_fraction") < 0.2).as("kept"),
+        when(col("predicted_lang") =!= "en", "language")
+          .when(col("quality_score") < 0.5, "quality")
+          .when(col("is_duplicate"), "duplicate")
+          .when(col("rep_fraction") >= 0.2, "repetition")
+          .otherwise("kept").as("drop_reason"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(tTokens, tTokensBpe, tLangId, tQuality,
-    tFingerprint, tRepetition, tContamination, tPiiScrub, ddExact,
-    ddMinhashLsh, ddSimhash, ddEmbeddingNearDup, annBruteForce, annLsh,
-    annRhLsh, annIvf, mmBinary, mmFeatures, mmResize, mmFrameSample)
+    tFingerprint, tRepetition, tContamination, tPiiScrub,
+    tCorpusCuration, ddExact, ddMinhashLsh, ddSimhash,
+    ddEmbeddingNearDup, annBruteForce, annLsh, annRhLsh, annIvf,
+    mmBinary, mmFeatures, mmResize, mmFrameSample)
 }

@@ -225,6 +225,45 @@ class LlmSpec extends SparkSpec {
       "no pii here, just 12-34 and almost@nothing")))
   }
 
+  test("corpus curation chain tags each doc with its first failing gate") {
+    val keptText = "the alpha and beta of gamma is delta for epsilon " +
+      "on zeta with eta theta iota kappa"
+    val docs = Seq(
+      (1L, keptText),                           // kept
+      (2L, keptText),                           // exact duplicate of 1
+      (3L, "el perro de la casa y que"),        // language gate
+      (4L, "the cat the cat the cat the cat"),  // short+repetitive → quality
+      (5L, Seq.fill(20)("the cat sat").mkString(" "))) // repetition gate
+      .toDF("doc_id", "text")
+    // drive the operator composition directly (the registered
+    // t_corpus_curation query wraps the same chain around
+    // Tables.documents)
+    import graft.llm.Dedup
+    val toks = TA.tokens($"text")
+    val rowSignals = TA.withQuality(docs, $"text")
+      .withColumn("predicted_lang", TA.langId(toks))
+      .select("doc_id", "predicted_lang", "quality_score")
+    val dd = Dedup.exact(docs, $"doc_id", $"text")
+      .select($"doc_id", $"is_duplicate")
+    val rep = TA.repetitionSignals(docs, $"doc_id", $"text", n = 2)
+      .select($"doc_id", $"top_ngram_fraction")
+    val joined = rowSignals.join(dd, Seq("doc_id"))
+      .join(rep, Seq("doc_id"), "left")
+      .withColumn("rep_fraction",
+        coalesce($"top_ngram_fraction", lit(0.0)))
+      .withColumn("drop_reason",
+        when($"predicted_lang" =!= "en", "language")
+          .when($"quality_score" < 0.5, "quality")
+          .when($"is_duplicate", "duplicate")
+          .when($"rep_fraction" >= 0.2, "repetition")
+          .otherwise("kept"))
+    val got = joined.orderBy("doc_id")
+      .select("doc_id", "drop_reason")
+      .as[(Long, String)].collect()
+    assert(got.toSeq == Seq((1L, "kept"), (2L, "duplicate"),
+      (3L, "language"), (4L, "quality"), (5L, "repetition")))
+  }
+
   test("langId picks marker-argmax with fixed tie order") {
     val df = Seq("the cat and the dog", "el perro de la casa y que",
       "zzz qqq").toDF("text")
