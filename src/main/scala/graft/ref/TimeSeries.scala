@@ -145,16 +145,6 @@ object TimeSeries {
       .orderBy(col("order_date"))
     val runW = seqW.rowsBetween(Window.unboundedPreceding,
       Window.currentRow)
-    val withRetail = clustered
-      .withColumn("inferred_retail_price",
-        when(!col("is_actual_product"), lit(null).cast("double"))
-          .otherwise(coalesce(
-            col("stable_retail_candidate"),
-            when(col("dominant_price_candidate") >= 65 &&
-              col("cluster_frequency_30d") >= 2,
-              col("dominant_price_candidate")),
-            max(when(col("volume_category") === "REGULAR_SALE",
-              col("avg_unit_price"))).over(runW))))
     // --- as-of authoritative price: auth rows unioned in, last-non-null
     //     filled (J11 window rewrite of the correlated subquery) ---
     val auth = itemSnapshots
@@ -171,12 +161,29 @@ object TimeSeries {
             to_date(lit("1900-01-01")))
             .otherwise(col("snapshot_date").cast("date")).as("eff_date"))
           .as("auth_row"))
-    val unioned = withRetail
+    val unioned = clustered
       .unionByName(auth, allowMissingColumns = true)
     val asOfW = Window.partitionBy(col("product_service"))
       .orderBy(col("order_date"), col("auth_row").isNull.cast("int"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // The retail-inference running max is computed AFTER the auth union
+    // so every (product_service)-partitioned window in this model —
+    // runW here, asOfW below, the trend lags later — shares ONE
+    // exchange (they differ only in sort order). Auth rows contribute
+    // only nulls to the REGULAR_SALE running max (their
+    // volume_category is null-padded) and are filtered out before the
+    // trend battery, so daily rows are bit-identical to computing the
+    // inference pre-union.
     val asOf = unioned
+      .withColumn("inferred_retail_price",
+        when(!col("is_actual_product"), lit(null).cast("double"))
+          .otherwise(coalesce(
+            col("stable_retail_candidate"),
+            when(col("dominant_price_candidate") >= 65 &&
+              col("cluster_frequency_30d") >= 2,
+              col("dominant_price_candidate")),
+            max(when(col("volume_category") === "REGULAR_SALE",
+              col("avg_unit_price"))).over(runW))))
       .withColumn("auth_asof",
         last(col("auth_row"), ignoreNulls = true).over(asOfW))
       .filter(col("transaction_count").isNotNull) // keep daily rows only
