@@ -127,6 +127,48 @@ object Dedup {
         col("intersection_size").cast("double") / col("union_size"))
   }
 
+  /** SimHash NEAR-DUP pairS via PIGEONHOLE BANDING: split the 32-bit
+    * signature into 4 exact-match bands of 8 bits — any pair within
+    * Hamming distance 3 differs in at most 3 bands, so at least one
+    * band matches exactly and the pair surfaces from a band-keyed
+    * equi-join (the classic simhash index; recall is EXACT for
+    * hamming ≤ bands-1, never probabilistic). Candidates are verified
+    * with the full 32-position Hamming distance — a codegen'd 32-term
+    * conditional sum, no UDF. Pair blow-up is bounded by band-bucket
+    * sizes (≤ 2^8 buckets per band); the hot-bucket caveat and cap
+    * pattern are the same as [[lshCandidates]]. */
+  def simhashNearDups(simhashes: DataFrame,
+                      maxHamming: Int = 3): DataFrame = {
+    val bands = 4
+    val width = 8
+    val banded = simhashes.select(col("doc_id"), col("simhash"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          substring(col("simhash"), b * width + 1, width)
+            .as("band_key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    val l = banded.select(col("band"), col("band_key"),
+      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val r = banded.select(col("band"), col("band_key"),
+      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    val hamming = (1 to 32).map(i =>
+      when(substring(col("sim_a"), i, 1) =!= substring(col("sim_b"), i, 1),
+        1).otherwise(0)).reduce(_ + _)
+    // Hamming filter BEFORE the multi-band dedup: the filter is a
+    // codegen'd per-row expression (re-evaluated per band collision —
+    // cheap), while distinct() is a shuffle — dropping the >threshold
+    // majority first keeps the shuffle proportional to true near-dups,
+    // not to band-bucket collision volume.
+    l.join(r, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= maxHamming)
+      .withColumn("canonical_id", least(col("doc_a"), col("doc_b")))
+      .select("doc_a", "doc_b", "hamming", "canonical_id")
+      .distinct() // a close pair can collide in several bands
+  }
+
   /** SimHash signature as a 32-char '0'/'1' string: bit i is the sign of
     * the sum over tokens of ±1, where +1 iff hex digit i of md5(token)
     * has its high bit set (digit in 8..f). Portable to any engine with

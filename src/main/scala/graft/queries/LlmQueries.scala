@@ -255,6 +255,58 @@ object LlmQueries {
     }
   }
 
+  /** Dedup — SimHash near-dup pairs: 4×8-bit pigeonhole bands generate
+    * candidates (exact recall for Hamming ≤ 3), full Hamming distance
+    * verifies (Dedup.simhashNearDups). */
+  val ddSimhashNearDup: Q = {
+    val highHex = "('8','9','a','b','c','d','e','f')"
+    val votes = (1 to 32).map(i =>
+      s"SUM(CASE WHEN substr(md5(token), $i, 1) IN $highHex THEN 1 ELSE -1 END) AS v$i")
+      .mkString(",\n      |    ")
+    val bits = (1 to 32).map(i =>
+      s"CASE WHEN v$i > 0 THEN '1' ELSE '0' END").mkString(" || ")
+    Q.sql(
+      "dd_simhash_neardup",
+      s"""WITH t AS (
+        |  -- deterministic 1-in-10 sample: the synthetic corpus is DENSE
+        |  -- in near-dups (short similar docs), so the full pair set is
+        |  -- oracle-hostile; the operator itself is scope-free.
+        |  SELECT doc_id, $toksSql AS toks FROM documents
+        |  WHERE doc_id % 10 = 0
+        |), tok AS (
+        |  SELECT doc_id, unnest(toks) AS token FROM t
+        |), v AS (
+        |  SELECT doc_id,
+        |    $votes
+        |  FROM tok GROUP BY doc_id
+        |), sh AS (
+        |  SELECT doc_id, $bits AS simhash FROM v
+        |), banded AS (
+        |  SELECT doc_id, simhash, b AS band,
+        |    substr(simhash, b * 8 + 1, 8) AS band_key
+        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
+        |), cand AS (
+        |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+        |    l.simhash AS sim_a, r.simhash AS sim_b
+        |  FROM banded l JOIN banded r USING (band, band_key)
+        |  WHERE l.doc_id < r.doc_id
+        |)
+        |SELECT doc_a, doc_b,
+        |  CAST(hamming(sim_a, sim_b) AS BIGINT) AS hamming,
+        |  LEAST(doc_a, doc_b) AS canonical_id
+        |FROM cand
+        |WHERE hamming(sim_a, sim_b) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val tokenRows = Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          explode(TA.tokens(col("text"))).as("token"))
+      Dedup.simhashNearDups(Dedup.simhashFromTokens(tokenRows))
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy("doc_a", "doc_b")
+    }
+  }
+
   // Integer-quantized scores (see Similarity scaladoc): float→double,
   // ×1e6, away-from-zero round, BIGINT sums — exact in both engines.
   private val qq = "CAST(ROUND(CAST(%s AS DOUBLE) * 1000000) AS BIGINT)"
@@ -894,7 +946,7 @@ object LlmQueries {
 
   val all: Seq[Q] = Seq(tTokens, tTokensBpe, tLangId, tQuality,
     tFingerprint, tRepetition, tContamination, tPiiScrub,
-    tCorpusCuration, ddExact, ddMinhashLsh, ddSimhash,
+    tCorpusCuration, ddExact, ddMinhashLsh, ddSimhash, ddSimhashNearDup,
     ddEmbeddingNearDup, annBruteForce, annLsh, annRhLsh, annIvf,
     mmBinary, mmFeatures, mmResize, mmFrameSample)
 }
