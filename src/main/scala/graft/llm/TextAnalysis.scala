@@ -139,6 +139,31 @@ object TextAnalysis {
           col("n_ngrams").cast("double"))
   }
 
+  /** VOCABULARY building — the tokenizer-training precursor: global
+    * token frequencies, deterministic top-k (freq desc, token asc),
+    * and each token's share of the corpus. The top-k goes through
+    * `orderBy(...).limit(k)` — Spark plans it as TakeOrderedAndProject
+    * (per-partition heaps merged on one node, k rows only), NOT a
+    * global sort or a single-partition rank window, so it scales to
+    * any vocabulary size; the rank is then assigned over the k
+    * survivors (tiny). */
+  def vocabTopK(docs: DataFrame, text: Column, k: Int): DataFrame = {
+    val counts = docs
+      .select(explode(tokens(text)).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+    val total = counts.agg(sum(col("freq")).cast("long")
+      .as("total_tokens"))
+    val top = counts.orderBy(col("freq").desc, col("token")).limit(k)
+    val w = Window.orderBy(col("freq").desc, col("token"))
+    top.withColumn("rank", row_number().over(w))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("token"), col("freq").cast("long")
+        .as("freq"),
+        (col("freq").cast("double") / col("total_tokens"))
+          .as("token_share"))
+  }
+
   /** PII patterns for the scrub pass — deliberately restricted to the
     * regex subset with identical semantics in Java regex and RE2 (no
     * lookaround, no backrefs, greedy quantifiers only) so the DuckDB

@@ -849,6 +849,33 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Text analysis — vocabulary building: global token frequencies,
+    * deterministic top-500, corpus share (TextAnalysis.vocabTopK;
+    * distributed TakeOrdered top-k, not a global sort). */
+  val tVocab: Q = Q.sql(
+    "t_vocab_topk",
+    s"""WITH tok AS (
+      |  SELECT unnest(toks) AS token
+      |  FROM (SELECT $toksSql AS toks FROM documents)
+      |), c AS (
+      |  SELECT token, COUNT(*) AS freq FROM tok GROUP BY token
+      |), total AS (
+      |  SELECT CAST(SUM(freq) AS BIGINT) AS total_tokens FROM c
+      |), ranked AS (
+      |  SELECT token, CAST(freq AS BIGINT) AS freq,
+      |    ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rank
+      |  FROM c
+      |)
+      |SELECT r.rank, r.token, r.freq,
+      |  CAST(r.freq AS DOUBLE) / t.total_tokens AS token_share
+      |FROM ranked r CROSS JOIN total t
+      |WHERE r.rank <= 500
+      |ORDER BY r.rank""".stripMargin) { (s, d) =>
+    TA.vocabTopK(Tables.documents(s, d), col("text"), k = 500)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("rank")
+  }
+
   /** CORPUS CURATION — the end-to-end filter chain a pretraining
     * pipeline runs, composed from the individual operators: language
     * gate (marker heuristic), quality gate, exact-dedup canonical gate,
@@ -945,7 +972,7 @@ object LlmQueries {
   }
 
   val all: Seq[Q] = Seq(tTokens, tTokensBpe, tLangId, tQuality,
-    tFingerprint, tRepetition, tContamination, tPiiScrub,
+    tFingerprint, tRepetition, tContamination, tPiiScrub, tVocab,
     tCorpusCuration, ddExact, ddMinhashLsh, ddSimhash, ddSimhashNearDup,
     ddEmbeddingNearDup, annBruteForce, annLsh, annRhLsh, annIvf,
     mmBinary, mmFeatures, mmResize, mmFrameSample)

@@ -264,6 +264,18 @@ class LlmSpec extends SparkSpec {
       (3L, "language"), (4L, "quality"), (5L, "repetition")))
   }
 
+  test("vocab top-k ranks by freq desc then token, shares sum to <= 1") {
+    val docs = Seq((1L, "b b b a a c"), (2L, "a d")).toDF("doc_id", "text")
+    val got = TA.vocabTopK(docs, $"text", k = 3)
+      .select("rank", "token", "freq", "token_share")
+      .as[(Int, String, Long, Double)].collect().sortBy(_._1)
+    // freq: a=3, b=3, c=1, d=1 → tie a/b broken by token asc; k=3 cuts
+    // the c/d tie at c (token asc).
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((1, "a", 3L), (2, "b", 3L), (3, "c", 1L)))
+    assert(math.abs(got.map(_._4).sum - 7.0 / 8.0) < 1e-12)
+  }
+
   test("langId picks marker-argmax with fixed tie order") {
     val df = Seq("the cat and the dog", "el perro de la casa y que",
       "zzz qqq").toDF("text")
