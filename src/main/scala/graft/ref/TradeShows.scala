@@ -119,21 +119,16 @@ object TradeShows {
     def winCnt(days: Int) =
       sum(when(col("order_date") <= date_add(col("show_date"), days), 1)
         .otherwise(0))
-    // Lead personal/context columns ride along as grouping keys when
-    // the staging provided them (thin synthesized inputs may not).
-    val optionalKeys = Seq("first_name", "last_name", "company", "title",
-      "phone", "address_1", "city", "state", "postal_code", "country",
-      "email_domain", "email_type", "show_location", "show_rep",
-      "has_valid_email", "has_company_name", "has_phone", "source_id")
-      .filter(matchedLeads.columns.contains).map(col)
-    val grouped = joined
-      .groupBy(Seq(col("lead_id"), col("email"), col("full_name"),
-        col("show_name"), col("show_date"), col("company_domain_key"),
-        col("matched_to_company"), col("is_personal_email"),
-        col("is_new_customer_from_show"),
-        col("company_lifetime_revenue"), col("company_lifetime_orders"),
-        col("company_first_order_date"),
-        col("company_latest_order_date")) ++ optionalKeys: _*)
+    // Aggregate by (lead_id, show_date) ONLY — show_date because the
+    // window conditions reference it inside the aggregate expressions;
+    // every other lead attribute is functionally dependent on lead_id
+    // (the leads staging dedups to unique lead_ids) and is joined back
+    // AFTER the rollup. The alternative — ~20 mixed-type grouping keys
+    // — would drag every lead string through the countDistinct Expand
+    // (2× the joined rows) and the aggregate hash buffers; at scale
+    // that is most of the shuffle width for zero information.
+    val grouped0 = joined
+      .groupBy(col("lead_id"), col("show_date"))
       .agg(
         winSum(30).as("revenue_30d"),
         winSum(90).as("revenue_90d"),
@@ -152,6 +147,8 @@ object TradeShows {
           .as("distinct_purchasers_count"),
         min(when(col("order_amount").isNotNull, col("order_date")))
           .as("first_order_after_show"))
+      .drop("show_date")
+    val grouped = matchedLeads.join(grouped0, Seq("lead_id"))
       .withColumn("days_to_conversion",
         datediff(col("first_order_after_show"), col("show_date")))
       // Attribution windows off the company's FIRST-EVER order date
