@@ -670,18 +670,24 @@ object Marts {
                            fctCompanies: DataFrame,
                            asOfDate: String): DataFrame = {
     val asOf = to_date(lit(asOfDate))
+    // Company attributes are functionally dependent on the domain key —
+    // aggregate by (key, period) ONLY and join the corporate-company
+    // projection back afterward (broadcast-sized), instead of dragging
+    // 10 attribute columns through the 5-way period explode AND the
+    // countDistinct Expand (which doubles the exploded rows).
+    val corporate = fctCompanies.filter(col("is_corporate"))
+      .select(col("company_domain_key"), col("company_name"),
+        col("domain_type"), col("business_size_category"),
+        col("total_revenue").as("lifetime_total_revenue"),
+        col("total_orders").as("lifetime_total_orders"),
+        col("customer_count").as("lifetime_customer_count"),
+        col("revenue_category").as("lifetime_revenue_category"),
+        col("has_revenue"), col("is_multi_location"),
+        col("is_corporate"))
     val base = companyOrders
       .filter(col("order_amount").isNotNull && col("order_amount") > 0 &&
         col("order_date").isNotNull)
-      .join(fctCompanies.filter(col("is_corporate"))
-        .select(col("company_domain_key"), col("company_name"),
-          col("domain_type"), col("business_size_category"),
-          col("total_revenue").as("lifetime_total_revenue"),
-          col("total_orders").as("lifetime_total_orders"),
-          col("customer_count").as("lifetime_customer_count"),
-          col("revenue_category").as("lifetime_revenue_category"),
-          col("has_revenue"), col("is_multi_location"),
-          col("is_corporate")),
+      .join(broadcast(corporate.select(col("company_domain_key"))),
         Seq("company_domain_key"))
     val withPeriods = base.withColumn("period_type",
       explode(array(lit("trailing_7d"), lit("trailing_30d"),
@@ -693,12 +699,7 @@ object Marts {
         col("order_date") >= date_sub(asOf, days)).otherwise(acc)
     }
     withPeriods
-      .groupBy(col("company_domain_key"), col("period_type"),
-        col("company_name"), col("domain_type"),
-        col("business_size_category"), col("lifetime_total_revenue"),
-        col("lifetime_total_orders"), col("lifetime_customer_count"),
-        col("lifetime_revenue_category"), col("has_revenue"),
-        col("is_multi_location"), col("is_corporate"))
+      .groupBy(col("company_domain_key"), col("period_type"))
       .agg(
         dsum(when(inPeriod, col("order_amount")).otherwise(0))
           .as("total_revenue"),
@@ -708,6 +709,7 @@ object Marts {
         min(when(inPeriod, col("order_date"))).as("first_order_date"),
         max(when(inPeriod, col("order_date"))).as("latest_order_date"))
       .filter(col("total_revenue") > 0 || col("total_orders") > 0)
+      .join(broadcast(corporate), Seq("company_domain_key"))
       .withColumn("period_activity_status",
         when(col("latest_order_date") >= date_sub(asOf, 30),
           "Recent Activity (30d)")
