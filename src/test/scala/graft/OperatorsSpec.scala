@@ -61,6 +61,26 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("partitioned table write: month filter lands in PartitionFilters") {
+    val root = java.nio.file.Files.createTempDirectory("cat_part").toString
+    val cat = new graft.ref.Catalog(spark, root)
+    val df = Seq(
+      (1L, "2024-01", 10.0), (2L, "2024-01", 20.0), (3L, "2024-02", 30.0))
+      .toDF("id", "order_month", "amount")
+    cat.saveTablePartitioned("mart", "part_demo", df, Seq("order_month"))
+    val read = spark.read.parquet(s"$root/mart/part_demo")
+      .filter(col("order_month") === "2024-01")
+    assert(read.count() == 2)
+    val scan = read.queryExecution.executedPlan.toString
+    val pf = scan.linesIterator.find(_.contains("PartitionFilters"))
+      .getOrElse("")
+    assert(pf.contains("order_month"),
+      s"expected partition pruning on order_month, plan line: $pf")
+    // the partition dir layout is the hive convention
+    assert(new java.io.File(s"$root/mart/part_demo/order_month=2024-02")
+      .exists())
+  }
+
   test("upsert: incoming wins on key collision, both sides' strays survive") {
     val existing = Seq((1, "old1"), (2, "old2"), (3, "old3")).toDF("k", "v")
     val incoming = Seq((2, "new2"), (4, "new4")).toDF("k", "v")
