@@ -15,6 +15,40 @@ class PropertySpec extends SparkSpec {
 
   private val rnd = new scala.util.Random(42)
 
+  test("simhash pigeonhole recall: every Hamming<=3 pair is found, none above") {
+    import graft.llm.Dedup
+    // Random 32-bit base signatures spaced far apart (independent
+    // uniform draws are ~16 bits apart in expectation), each with a
+    // partner flipped in k ∈ {0..3} random positions. The banding must
+    // recover EVERY (base, partner) pair — the pigeonhole guarantee —
+    // and the verify must emit nothing above the threshold.
+    val cases = (0 until 60).map { i =>
+      val base = Array.fill(32)(if (rnd.nextBoolean()) '1' else '0')
+      val k = i % 4
+      val partner = base.clone()
+      rnd.shuffle((0 until 32).toList).take(k)
+        .foreach(p => partner(p) = if (partner(p) == '1') '0' else '1')
+      (i.toLong * 2, new String(base), i.toLong * 2 + 1,
+        new String(partner), k)
+    }
+    val sigs = cases.flatMap { case (ia, a, ib, b, _) =>
+      Seq((ia, a), (ib, b)) }.toDF("doc_id", "simhash")
+    val pairs = Dedup.simhashNearDups(sigs, maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Int)].collect()
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    cases.foreach { case (ia, _, ib, _, k) =>
+      assert(found.contains((ia, ib)),
+        s"pair ($ia,$ib) at hamming $k not recovered")
+    }
+    def ham(a: String, b: String) = a.zip(b).count(x => x._1 != x._2)
+    val byId = cases.flatMap { case (ia, a, ib, b, _) =>
+      Seq(ia -> a, ib -> b) }.toMap
+    pairs.foreach { case (a, b, h) =>
+      assert(h == ham(byId(a), byId(b)) && h <= 3, s"bad pair ($a,$b,$h)")
+    }
+  }
+
   test("safeNumeric parses any decorated numeric back to its value") {
     val cases = (1 to 200).map { _ =>
       val v = BigDecimal(rnd.nextInt(2000000) - 1000000, 2).toDouble
