@@ -164,13 +164,13 @@ object CompanyProductQueries {
       |ORDER BY company_domain_key, product_service""".stripMargin) {
     (s, d) =>
     import graft.ref.Marts
+    // The shared base feeds the rep-mode scan, the metrics scan and the
+    // company rollup. Materialized to temp parquet and read back — the
+    // ModelDag pattern. (.persist() measured 1.6× SLOWER: columnar cache
+    // build > parquet write+re-scan; plain recompute re-runs the fact
+    // scan + filter + broadcast join once per consumer.)
     val (li, bridge, products) = synthSpark(s, d)
-    // One shared base plan feeds the rep-mode scan, the metrics scan and
-    // the company rollup. NOT persisted: measured 1.6× SLOWER with
-    // .persist() here — the columnar cache build costs more than the
-    // cheap parquet re-scan + broadcast join, and identical shuffle
-    // subplans are already deduplicated by exchange reuse.
-    val base = Marts.companyProductBase(li, bridge)
+    val base = Mat.temp(Marts.companyProductBase(li, bridge), "cp_base")
     Marts.fctCompanyProductsFromBase(base, products, companiesFrom(base),
       AsOf)
       .select(
@@ -266,10 +266,9 @@ object CompanyProductQueries {
       import graft.ref.Marts
       val (li, bridge, products) = synthSpark(s, d)
       // The fct_company_products lineage AND the period details both
-      // aggregate the same detail frame. NOT persisted (see
-      // a9_company_products note: cache build measured slower than
-      // recompute; the model DAG materializes to parquet instead).
-      val base = Marts.companyProductBase(li, bridge)
+      // aggregate the same detail frame — materialized once to temp
+      // parquet (the ModelDag pattern; see a9_company_products note).
+      val base = Mat.temp(Marts.companyProductBase(li, bridge), "cp_base")
       val cp = Marts.fctCompanyProductsFromBase(base, products,
         companiesFrom(base), AsOf)
       Marts.productCompanyPeriodSpendingFromBase(cp, base, AsOf)

@@ -212,13 +212,15 @@ object LlmQueries {
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
     // Consumed 4× downstream (signatures, both intersection sides,
-    // set sizes) — cache instead of re-tokenizing + re-shuffling each
-    // time. At corpus scale this is the materialized shingle table.
-    val shingled = TA.shingleRows(docs, col("doc_id"), col("text"), 3)
-      .distinct()
-      .cache()
-    val bands = Dedup.minhashBands(shingled, bands = 4, rowsPerBand = 2)
-      .cache() // both sides of the candidate self-join read it
+    // set sizes) — materialized to temp parquet and read back (the
+    // ModelDag pattern; .cache() measured slower, see Mat scaladoc).
+    // At corpus scale this IS the materialized shingle table.
+    val shingled = Mat.temp(
+      TA.shingleRows(docs, col("doc_id"), col("text"), 3).distinct(),
+      "shingles")
+    // Both sides of the candidate self-join read the band table.
+    val bands = Mat.temp(
+      Dedup.minhashBands(shingled, bands = 4, rowsPerBand = 2), "mh_bands")
     val candidates = Dedup.lshCandidates(bands)
     Dedup.jaccardVerify(candidates, shingled)
       .filter(col("jaccard") >= 0.8)
