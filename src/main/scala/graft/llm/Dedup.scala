@@ -134,11 +134,20 @@ object Dedup {
     * equi-join (the classic simhash index; recall is EXACT for
     * hamming ≤ bands-1, never probabilistic). Candidates are verified
     * with the full 32-position Hamming distance — a codegen'd 32-term
-    * conditional sum, no UDF. Pair blow-up is bounded by band-bucket
-    * sizes (≤ 2^8 buckets per band); the hot-bucket caveat and cap
-    * pattern are the same as [[lshCandidates]]. */
+    * conditional sum, no UDF.
+    *
+    * Skew protection: each band has only 2^8 possible keys, so at
+    * corpus scale EVERY bucket is hot — O(n²/256) candidate pairs with
+    * no cap. `maxBucketSize` applies the same chain-pair fallback as
+    * [[lshCandidates]]: oversized buckets emit each doc paired with its
+    * successor in doc_id order (linear, still connects a genuine
+    * near-dup cluster for canonical-id purposes); normal buckets keep
+    * exact all-pairs recall. Chain pairs flow through the SAME Hamming
+    * verify, so precision is never affected — only recall inside
+    * pathological buckets degrades, and degrades gracefully. */
   def simhashNearDups(simhashes: DataFrame,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3,
+                      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val bands = 4
     val width = 8
     val banded = simhashes.select(col("doc_id"), col("simhash"),
@@ -148,10 +157,31 @@ object Dedup {
             .as("band_key"))): _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.band_key").as("band_key"))
-    val l = banded.select(col("band"), col("band_key"),
-      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
-    val r = banded.select(col("band"), col("band_key"),
-      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    val allPairsOf = (df: DataFrame) => {
+      val l = df.select(col("band"), col("band_key"),
+        col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+      val r = df.select(col("band"), col("band_key"),
+        col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+      l.join(r, Seq("band", "band_key"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+    }
+    val candidates =
+      if (maxBucketSize == Int.MaxValue) allPairsOf(banded)
+      else {
+        val bw = Window.partitionBy(col("band"), col("band_key"))
+        val ow = bw.orderBy(col("doc_id"))
+        val sized = banded.withColumn("bucket_size", count(lit(1)).over(bw))
+        val small = sized.filter(col("bucket_size") <= maxBucketSize)
+          .drop("bucket_size")
+        val bigChain = sized.filter(col("bucket_size") > maxBucketSize)
+          .withColumn("doc_b", lead(col("doc_id"), 1).over(ow))
+          .withColumn("sim_b", lead(col("simhash"), 1).over(ow))
+          .filter(col("doc_b").isNotNull)
+          .select(col("doc_id").as("doc_a"), col("doc_b"),
+            col("simhash").as("sim_a"), col("sim_b"))
+        allPairsOf(small).unionByName(bigChain)
+      }
     val hamming = (1 to 32).map(i =>
       when(substring(col("sim_a"), i, 1) =!= substring(col("sim_b"), i, 1),
         1).otherwise(0)).reduce(_ + _)
@@ -160,8 +190,7 @@ object Dedup {
     // cheap), while distinct() is a shuffle — dropping the >threshold
     // majority first keeps the shuffle proportional to true near-dups,
     // not to band-bucket collision volume.
-    l.join(r, Seq("band", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
+    candidates
       .withColumn("hamming", hamming)
       .filter(col("hamming") <= maxHamming)
       .withColumn("canonical_id", least(col("doc_a"), col("doc_b")))
