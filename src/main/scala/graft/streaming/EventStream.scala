@@ -93,37 +93,44 @@ object EventStream {
 
   /** STREAMING MERGE SINK — foreachBatch bridging to the batch
     * [[graft.operators.MergeUpsert]] discipline (SURVEY S5/I2): each
-    * micro-batch upserts into the parquet target by key, so re-delivered
-    * keys update in place and new keys append — effectively-once per
-    * batch via the checkpointed batch id (a replayed batch re-merges the
-    * same keys idempotently). The merge writes to a STAGING path (the
-    * merged plan reads the live target, so an in-place overwrite would
-    * clobber its own input) and then swaps directories — driver-side
-    * metadata ops only; the merge itself is a fully distributed plan
-    * with zero driver-resident rows. Parquet-without-a-table-format
-    * tradeoff: a production deployment would MERGE INTO a transactional
-    * table and skip the swap. */
+    * micro-batch upserts into the target by key, so re-delivered keys
+    * update in place and new keys append. The target is an
+    * [[graft.operators.AtomicTable]] (versioned dirs + commit markers,
+    * version = batch id), which closes the two failure windows a raw
+    * directory swap has:
+    *
+    *   - CRASH SAFETY: the merged batch is written to `v_<batchId>`
+    *     first and becomes visible only when its marker is created; a
+    *     crash at any point leaves the last committed version intact
+    *     (the old delete-then-rename lost the whole table if the job
+    *     died between the two, and a restarted query then silently
+    *     rebuilt from one batch).
+    *   - EFFECTIVELY-ONCE REPLAY: `AtomicTable.commit` is idempotent
+    *     per version, so a batch replayed from the checkpoint after a
+    *     post-commit crash is a no-op, and one replayed after a
+    *     pre-marker crash re-merges against the last COMMITTED snapshot
+    *     and simply overwrites its own orphan — the streaming batch id
+    *     is exactly the commit protocol's version number.
+    *
+    * The merged plan reads the committed version's path while writing
+    * the next version's path, so there is no read-own-input hazard and
+    * no staging swap. All driver-side work is O(1) metadata; the merge
+    * itself is a fully distributed plan. This is the parquet-native
+    * equivalent of MERGE INTO a transactional table (Delta/Iceberg)
+    * with the streaming batch id as the idempotent txn version.
+    * Read the result with `AtomicTable.read(spark, targetPath)`. */
   def upsertSink(stream: DataFrame, targetPath: String,
                  keys: Seq[String],
                  checkpoint: String): DataStreamWriter[Row] = {
-    import graft.operators.MergeUpsert
-    import org.apache.hadoop.fs.Path
+    import graft.operators.{AtomicTable, MergeUpsert}
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val fs = new Path(targetPath).getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
-        val target =
-          if (fs.exists(new Path(targetPath)))
-            spark.read.parquet(targetPath)
-          else batch.limit(0)
-        val staged = s"${targetPath}_stage_$batchId"
-        MergeUpsert.upsert(target, batch, keys)
-          .write.mode("overwrite").parquet(staged)
-        fs.delete(new Path(targetPath), true)
-        fs.rename(new Path(staged), new Path(targetPath))
-        ()
+        val target = AtomicTable.read(spark, targetPath)
+          .getOrElse(batch.limit(0))
+        AtomicTable.commit(
+          MergeUpsert.upsert(target, batch, keys), targetPath, batchId)
       }
   }
 

@@ -118,9 +118,59 @@ class StreamingSpec extends SparkSpec {
     runOnce()
     stage("f2.parquet", Seq((2L, "B2"), (4L, "d")))
     runOnce() // resumes from checkpoint: only f2 is a new file
-    val got = spark.read.parquet(target).orderBy("k")
+    val got = graft.operators.AtomicTable.read(spark, target).get
+      .orderBy("k")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(got == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d")))
+  }
+
+  test("upsert sink crash window: orphan uncommitted version loses no history") {
+    import graft.operators.AtomicTable
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", StringType)))
+    val srcDir = java.nio.file.Files.createTempDirectory("crash_src")
+    val target = java.nio.file.Files.createTempDirectory("crash_tgt")
+      .resolve("t").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("crash_ckpt")
+      .toString
+    def stage(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("crash_stage")
+      import spark.implicits._
+      rows.toDF("k", "v").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.move(java.nio.file.Paths.get(part),
+        srcDir.resolve(name))
+    }
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
+      val q = EventStream.upsertSink(stream, target, Seq("k"), ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // Batch 0 commits v_0 = {1,2,3}.
+    stage("f1.parquet", Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    runOnce()
+    // Simulate the crash window for batch 1: data written to v_1, job
+    // dies BEFORE the marker (the exact window where the old
+    // delete-then-rename sink lost the table). The checkpoint has not
+    // recorded batch 1 either, so on restart batch 1 replays.
+    import spark.implicits._
+    Seq((99L, "torn-write-garbage")).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$target/v_1")
+    // Readers between crash and restart still see the committed v_0.
+    assert(AtomicTable.read(spark, target).get.count() == 3)
+    assert(AtomicTable.committedVersions(spark, target) == Seq(0L))
+    // Restart: batch 1 replays f2, merges against committed v_0, and
+    // overwrites the orphan. Previously merged keys MUST survive.
+    stage("f2.parquet", Seq((2L, "B2"), (4L, "d")))
+    runOnce()
+    val got = AtomicTable.read(spark, target).get.orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d")))
+    // The garbage orphan never leaked into the committed result.
+    assert(!got.exists(_._1 == 99L))
   }
 
   test("session windows produce bounded per-user sessions") {
