@@ -221,7 +221,12 @@ object LlmQueries {
     // Both sides of the candidate self-join read the band table.
     val bands = Mat.temp(
       Dedup.minhashBands(shingled, bands = 4, rowsPerBand = 2), "mh_bands")
-    val candidates = Dedup.lshCandidates(bands)
+    // Production path: the hot-bucket cap is ON. 64 is a no-op on
+    // testdata (measured max band-bucket size: 3 at sf0.01, 12 at
+    // sf0.1 — oracle hash unchanged) but bounds a viral-boilerplate
+    // bucket's all-pairs blow-up to chain pairs at corpus scale
+    // (Dedup.lshCandidates scaladoc; hot-bucket test LlmSpec).
+    val candidates = Dedup.lshCandidates(bands, maxBucketSize = 64)
     Dedup.jaccardVerify(candidates, shingled)
       .filter(col("jaccard") >= 0.8)
       .select("doc_a", "doc_b", "intersection_size", "union_size", "jaccard")
@@ -303,7 +308,14 @@ object LlmQueries {
         .filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"),
           explode(TA.tokens(col("text"))).as("token"))
-      Dedup.simhashNearDups(Dedup.simhashFromTokens(tokenRows))
+      // Production path: hot-bucket cap ON. Each 8-bit band has only
+      // 256 possible keys, so at corpus scale EVERY bucket is hot;
+      // 512 is a no-op on testdata (measured max bucket: 36 at
+      // sf0.01, 325 at sf0.1 — oracle hash unchanged) but converts
+      // the O(n²/256) blow-up to linear chain pairs beyond the cap
+      // (Dedup.simhashNearDups scaladoc; hot-bucket test LlmSpec).
+      Dedup.simhashNearDups(Dedup.simhashFromTokens(tokenRows),
+          maxBucketSize = 512)
         .withColumn("hamming", col("hamming").cast("long"))
         .orderBy("doc_a", "doc_b")
     }

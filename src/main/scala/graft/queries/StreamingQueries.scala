@@ -106,9 +106,8 @@ object StreamingQueries {
   /** Batch twin of the streaming exact dedup
     * (EventStream.dedupEvents / dropDuplicatesWithinWatermark): an
     * at-least-once redelivery is simulated by doubling the events table;
-    * dedup by event_id must collapse it back to one row per event. The
-    * duplicate copies are bit-identical, so keep-first semantics are
-    * deterministic. */
+    * full-row dedup (all four columns, matching the oracle's SELECT
+    * DISTINCT) collapses it back to one row per event. */
   val stStreamDedup: Q = Q.sql(
     "st_stream_dedup",
     """WITH delivered AS (
@@ -121,8 +120,13 @@ object StreamingQueries {
       |ORDER BY event_id""".stripMargin) { (s, d) =>
     val e = Tables.events(s, d)
       .select("event_id", "user_id", "event_type", "value")
+    // Dedup on ALL four columns — the oracle is SELECT DISTINCT over the
+    // full row, and key-only dedup would only coincidentally agree (it
+    // would pick an arbitrary survivor if two deliveries of the same
+    // event_id ever differed in payload). StreamingSpec has the
+    // same-id/different-payload perturbation test.
     e.unionAll(e)
-      .dropDuplicates("event_id")
+      .dropDuplicates(Seq("event_id", "user_id", "event_type", "value"))
       .orderBy("event_id")
   }
 

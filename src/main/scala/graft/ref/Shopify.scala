@@ -269,7 +269,7 @@ object Shopify {
         col("_dlt_parent_id").as("order_dlt_id"),
         col("status").as("fulfillment_status"),
         opt("tracking_company").as("tracking_company"),
-        col("tracking_number"),
+        opt("tracking_number").as("tracking_number"),
         opt("shipment_status").as("shipment_status"),
         to_timestamp(col("created_at")).as("fulfilled_at"),
         optTs("updated_at").as("fulfillment_updated_at"))

@@ -121,6 +121,39 @@ class LlmSpec extends SparkSpec {
     assert(un == cp, "cap is a no-op when buckets are under the limit")
   }
 
+  test("SimHash hot-bucket cap: pathological corpus stays linear, healthy unchanged") {
+    // 200 identical docs — one simhash signature, so every 8-bit band
+    // bucket is ONE hot bucket. Uncapped pairing is quadratic; the cap
+    // must make it linear (chain pairs) while the Hamming verify still
+    // passes (identical signatures → hamming 0) and the chain connects
+    // the whole dup component.
+    val boiler = (1L to 200L).map(i =>
+      (i, "the same viral boilerplate sentence repeated across the web"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", explode(TA.tokens($"text")).as("token"))
+    val sh = Dedup.simhashFromTokens(boiler).cache()
+    assert(Dedup.simhashNearDups(sh).count() == 199L * 200L / 2)
+    val capped = Dedup.simhashNearDups(sh, maxBucketSize = 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(capped.length == 199, "chain pairs: linear in bucket size")
+    // chain connects the component: union-find over pairs → 1 component
+    val parent = collection.mutable.Map((1L to 200L).map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    capped.foreach { case (a, b) => parent(find(a)) = find(b) }
+    assert((1L to 200L).map(find).toSet.size == 1)
+    // healthy data: capped == uncapped when no bucket exceeds the cap
+    val sf = "/root/testdata/sf0.001"
+    val tokenRows = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(TA.tokens(col("text"))).as("token"))
+    val healthy = Dedup.simhashFromTokens(tokenRows).cache()
+    val un = Dedup.simhashNearDups(healthy)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val cp = Dedup.simhashNearDups(healthy, maxBucketSize = 512)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(un == cp, "cap is a no-op when buckets are under the limit")
+  }
+
   test("ANN bucket cap bounds the candidate pool deterministically") {
     // Identical vectors → one rademacher bucket; cap 16 means only the
     // first 16 ids can ever appear as candidates, for every query.

@@ -325,6 +325,19 @@ class RefPipelineSpec extends SparkSpec {
     assert(f.filter(col("tracking_company") === "UPS").count() == 2)
   }
 
+  test("shopify: fulfillments source missing tracking_number degrades to null") {
+    // Reference tolerance (macros/optional_columns.sql:6-22): optional
+    // source columns land as NULL, never AnalysisException. r06 verdict:
+    // tracking_number was the one unguarded read.
+    val noTracking = RefFixtures.rawShopifyFulfillments(spark)
+      .drop("tracking_number")
+    val staged = graft.ref.Shopify.orderFulfillments(
+      noTracking, RefFixtures.rawShopifyOrders(spark))
+    assert(staged.columns.contains("tracking_number"))
+    assert(staged.filter(col("tracking_number").isNotNull).count() == 0)
+    assert(staged.count() == 2, "rows kept, column degraded to null")
+  }
+
   test("J5: fct_orders carries primary-contact, flag and enrichment surface") {
     // Company acme.com's primary contact is buyer@acme.com (C001, main,
     // position 1) — so C001's order gets contact fields and C002's does

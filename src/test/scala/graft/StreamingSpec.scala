@@ -68,6 +68,28 @@ class StreamingSpec extends SparkSpec {
       streamed.count())
   }
 
+  test("batch-twin dedup keeps both payloads of a same-id redelivery") {
+    // The st_stream_dedup oracle is SELECT DISTINCT over the full row —
+    // a same-event_id redelivery with a DIFFERENT payload is two
+    // distinct rows and both must survive. Key-only dedup would drop
+    // one arbitrarily (the bug fixed in r07): run the REGISTERED query
+    // on a perturbed source and check full-row semantics.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("events_perturb")
+    Seq(
+      (1L, 10L, "click", 1.5, 1700000000000000L),
+      (1L, 10L, "click", 9.9, 1700000000000000L), // same id, new payload
+      (2L, 11L, "view", 2.0, 1700000001000000L))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+      .write.parquet(s"$dir/events.parquet")
+    val got = graft.queries.StreamingQueries.stStreamDedup
+      .build(spark, dir.toString)
+      .select("event_id", "value").as[(Long, Double)]
+      .collect().toSeq.sorted // sort-key ties (same id) break arbitrarily
+    assert(got == Seq((1L, 1.5), (1L, 9.9), (2L, 2.0)),
+      "both payload variants of event 1 must survive full-row dedup")
+  }
+
   test("stream-static enrichment join matches the batch rollup") {
     val stream = EventStream.readEvents(spark, eventsDir)
     val batchEvents = Tables.events(spark, sf)
