@@ -45,6 +45,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object AtomicTable {
 
   private val MarkerPrefix = "_commit_"
+  private val WriterFile = "_writer"
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -52,6 +53,7 @@ object AtomicTable {
   private def dataPath(dir: String, version: Long) = new Path(s"$dir/v_$version")
   private def markerPath(dir: String, version: Long) =
     new Path(s"$dir/$MarkerPrefix$version")
+  private def writerPath(dir: String) = new Path(s"$dir/$WriterFile")
 
   /** All committed versions, ascending (empty if the table never
     * committed). */
@@ -73,17 +75,63 @@ object AtomicTable {
     committedVersions(spark, dir).lastOption
       .map(v => spark.read.parquet(dataPath(dir, v).toString))
 
+  /** Filesystem path of the latest committed version's data — for
+    * tooling/tests that inspect the physical layout (e.g. hive
+    * partition directories under a partitioned commit). */
+  def latestDataPath(spark: SparkSession, dir: String): Option[String] =
+    committedVersions(spark, dir).lastOption
+      .map(v => dataPath(dir, v).toString)
+
   /** Write `df` as version `version` and commit it. Idempotent: a
     * version that already has a marker is left untouched. Retains the
-    * immediately-previous version for reader grace; prunes older ones
-    * (marker first — new readers stop resolving it — then data). */
-  def commit(df: DataFrame, dir: String, version: Long): Unit = {
+    * two highest committed versions (pruned BY POSITION, not by value,
+    * so a non-contiguous version jump still leaves the immediately
+    * previous committed snapshot for reader grace); prunes the rest
+    * (marker first — new readers stop resolving it — then data).
+    *
+    * `writerId`, when supplied, binds the target directory to ONE
+    * writer lineage: the first commit records it in `_writer`, and any
+    * later commit under a different id FAILS FAST instead of silently
+    * no-op'ing. This closes the idempotency-collision hazard of
+    * version-only keying: a NEW streaming query (fresh checkpoint,
+    * batch ids restarting at 0) pointed at an EXISTING target would
+    * otherwise find markers for its early batch ids already present and
+    * drop those batches' data without any error. Delta/Iceberg key
+    * streaming txn idempotency on (query id, batch id) for the same
+    * reason; here the id is the checkpoint path — the identity that
+    * decides whether batch ids continue or restart. */
+  def commit(df: DataFrame, dir: String, version: Long,
+             writerId: Option[String] = None,
+             partitionCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     val f = fs(spark, dir)
+    writerId.foreach { id =>
+      val wp = writerPath(dir)
+      if (f.exists(wp)) {
+        val existing = {
+          val in = f.open(wp)
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        }
+        if (existing != id) throw new IllegalStateException(
+          s"AtomicTable at $dir is bound to writer '$existing' but this " +
+            s"commit comes from '$id'. Version numbers are only " +
+            "idempotency keys within one writer lineage (one streaming " +
+            "checkpoint); a new query must target a fresh directory or " +
+            "reuse the original checkpoint.")
+      } else {
+        val out = f.create(wp, true)
+        try out.write(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+    }
     if (isCommitted(spark, dir, version)) return
-    df.write.mode("overwrite").parquet(dataPath(dir, version).toString)
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(dataPath(dir, version).toString)
     f.create(markerPath(dir, version), true).close()
-    committedVersions(spark, dir).filter(_ < version - 1).foreach { v =>
+    committedVersions(spark, dir).dropRight(2).foreach { v =>
       f.delete(markerPath(dir, v), false)
       f.delete(dataPath(dir, v), true)
     }

@@ -409,7 +409,46 @@ object JoinQueries {
     anti.crossJoin(semi)
   }
 
+  /** SKEW-SALTED join + aggregation on the production path
+    * ([[graft.operators.SaltedJoin]], SURVEY §2.3 scale note): lineitem ⋈
+    * supplier on the (hot-key-prone at corpus scale) suppkey, revenue
+    * rolled up per nation through the salted two-phase aggregate. Results
+    * are row-identical to the plain join+groupBy — that equivalence IS
+    * the oracle — while the hot key's rows spread over `salts` shuffle
+    * partitions in both the join probe and the partial aggregate. This
+    * is the manual counterpart to AQE skew-join for the cases AQE can't
+    * rewrite (aggregation skew; pre-planned layouts). On this dim-sized
+    * supplier side Spark may still broadcast the replicated dim — fine:
+    * salting targets the medium-dim / aggregation-skew regime, and the
+    * semantics are unchanged either way. Decimal-exact sums per Det
+    * rules: the value column is cast to DECIMAL(38,6) BEFORE the salted
+    * partial sum, so both aggregation phases are order-independent. */
+  val jSaltedSkew: Q = Q.sql(
+    "j_salted_skew_join",
+    """SELECT s.s_nationkey,
+      |  CAST(SUM(CAST((l.l_extendedprice * (1 - l.l_discount)) AS DECIMAL(38,6))) AS DOUBLE) AS nation_revenue
+      |FROM lineitem l
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |GROUP BY s.s_nationkey
+      |ORDER BY s.s_nationkey""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val li = Tables.lineitem(s, d)
+      .select(col("l_suppkey"), col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(38, 6)).as("rev"))
+    val sup = Tables.supplier(s, d)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    val joined = graft.operators.SaltedJoin.saltedEquiJoin(
+      li, sup, "l_suppkey", salts = 8, saltBy = col("l_orderkey"))
+    graft.operators.SaltedJoin.saltedSumByKey(
+      joined, "s_nationkey", col("rev"), salts = 8,
+      saltBy = col("l_orderkey"), resultName = "nation_revenue")
+      .select(col("s_nationkey"),
+        col("nation_revenue").cast("double").as("nation_revenue"))
+      .orderBy("s_nationkey")
+  }
+
   val all: Seq[Q] = Seq(j1BroadcastDims, j5OrderContact, j7FactBridge,
     j8FullOuterMatch, j11AsOf, j12AttributionWindows,
-    j14LeadEmailCustomer, j13CrossAgg, jAntiSemi)
+    j14LeadEmailCustomer, j13CrossAgg, jAntiSemi, jSaltedSkew)
 }

@@ -1,6 +1,7 @@
 package graft.ref
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.AtomicTable
 
 /** Four-layer warehouse namespace over parquet directories — the Spark
   * stand-in for the reference's Postgres schemas raw/staging/intermediate/
@@ -10,18 +11,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * DataFrames in [[views]]; "table" models are written to
   * `<root>/<layer>/<name>` and read back (so downstream plans scan
   * parquet with pushdown/pruning, exactly like dbt's `CREATE TABLE AS`).
+  *
+  * Table writes are ATOMIC via [[graft.operators.AtomicTable]]
+  * (versioned data dirs + commit markers): a dashboard reader running
+  * concurrently with the nightly rebuild either sees the previous
+  * committed version or the new one, never a half-written or
+  * momentarily-empty table — the durability dbt gets for free from
+  * Postgres DDL transactionality (the reference's `CREATE TABLE` swap
+  * runs inside a transaction). The previous version is retained as a
+  * grace window for in-flight readers; older versions are pruned.
   * At cluster scale the same layout is a lakehouse path per table —
-  * swap `parquet` for Delta/Iceberg and writes for MERGE where needed.
+  * AtomicTable's marker protocol is the connector-free equivalent of a
+  * Delta/Iceberg snapshot commit.
   */
 final class Catalog(val spark: SparkSession, val root: String) {
   private val views = scala.collection.mutable.Map[String, DataFrame]()
 
   private def path(layer: String, name: String) = s"$root/$layer/$name"
 
-  /** dbt `materialized='table'`. */
+  /** dbt `materialized='table'`: atomic versioned commit, then read the
+    * committed snapshot back so downstream plans scan parquet. */
   def saveTable(layer: String, name: String, df: DataFrame): DataFrame = {
-    df.write.mode("overwrite").parquet(path(layer, name))
-    spark.read.parquet(path(layer, name))
+    val p = path(layer, name)
+    AtomicTable.commit(df, p, AtomicTable.nextVersion(spark, p))
+    AtomicTable.read(spark, p).get
   }
 
   /** `materialized='table'` with HIVE-PARTITIONED layout: rows land in
@@ -31,12 +44,14 @@ final class Catalog(val spark: SparkSession, val root: String) {
     * scanning a day and scanning 100 TB when marts are queried by date
     * range. Partition columns must be low-cardinality (year/month, not
     * raw date at daily fact volume) or the small-files problem replaces
-    * the scan problem. */
+    * the scan problem. Commit protocol identical to [[saveTable]]: the
+    * hive directory tree lives under the committed version dir. */
   def saveTablePartitioned(layer: String, name: String, df: DataFrame,
                            partitionCols: Seq[String]): DataFrame = {
-    df.write.mode("overwrite").partitionBy(partitionCols: _*)
-      .parquet(path(layer, name))
-    spark.read.parquet(path(layer, name))
+    val p = path(layer, name)
+    AtomicTable.commit(df, p, AtomicTable.nextVersion(spark, p),
+      partitionCols = partitionCols)
+    AtomicTable.read(spark, p).get
   }
 
   /** dbt `materialized='view'`: register the logical plan, no write. */
@@ -45,11 +60,26 @@ final class Catalog(val spark: SparkSession, val root: String) {
     df
   }
 
+  /** Resolve a model: registered view → latest committed atomic table →
+    * legacy plain-parquet dir (pre-atomic layouts stay readable). */
   def load(layer: String, name: String): DataFrame =
-    views.getOrElse(s"$layer.$name", spark.read.parquet(path(layer, name)))
+    views.getOrElse(s"$layer.$name", {
+      val p = path(layer, name)
+      AtomicTable.read(spark, p).getOrElse(spark.read.parquet(p))
+    })
 
-  /** `adapter.get_relation` existence guard (fct_orders.sql:24-55). */
-  def exists(layer: String, name: String): Boolean =
+  /** `adapter.get_relation` existence guard (fct_orders.sql:24-55). An
+    * atomic table exists only once a version is COMMITTED; a legacy
+    * plain-parquet dir (no markers but has files) also counts. An
+    * orphan version dir from a crashed writer counts as neither. */
+  def exists(layer: String, name: String): Boolean = {
+    val p = path(layer, name)
+    def legacyDir: Boolean = {
+      val files = Option(new java.io.File(p).listFiles()).getOrElse(Array())
+      files.exists(f => !f.getName.startsWith("v_") &&
+        !f.getName.startsWith("_"))
+    }
     views.contains(s"$layer.$name") ||
-      new java.io.File(path(layer, name)).exists()
+      AtomicTable.committedVersions(spark, p).nonEmpty || legacyDir
+  }
 }

@@ -111,6 +111,13 @@ object EventStream {
     *     pre-marker crash re-merges against the last COMMITTED snapshot
     *     and simply overwrites its own orphan — the streaming batch id
     *     is exactly the commit protocol's version number.
+    *   - LINEAGE BINDING: the target is bound to this query's
+    *     checkpoint path (`AtomicTable.commit(writerId)`): pointing a
+    *     NEW query (fresh checkpoint, batch ids restarting at 0) at an
+    *     existing target fails fast instead of silently treating the
+    *     restarted batch ids as already-committed replays and dropping
+    *     their data — same reason Delta/Iceberg key streaming txn
+    *     idempotency on (query id, batch id), not batch id alone.
     *
     * The merged plan reads the committed version's path while writing
     * the next version's path, so there is no read-own-input hazard and
@@ -130,7 +137,8 @@ object EventStream {
         val target = AtomicTable.read(spark, targetPath)
           .getOrElse(batch.limit(0))
         AtomicTable.commit(
-          MergeUpsert.upsert(target, batch, keys), targetPath, batchId)
+          MergeUpsert.upsert(target, batch, keys), targetPath, batchId,
+          writerId = Some(checkpoint))
       }
   }
 

@@ -68,7 +68,7 @@ class OperatorsSpec extends SparkSpec {
       (1L, "2024-01", 10.0), (2L, "2024-01", 20.0), (3L, "2024-02", 30.0))
       .toDF("id", "order_month", "amount")
     cat.saveTablePartitioned("mart", "part_demo", df, Seq("order_month"))
-    val read = spark.read.parquet(s"$root/mart/part_demo")
+    val read = cat.load("mart", "part_demo")
       .filter(col("order_month") === "2024-01")
     assert(read.count() == 2)
     val scan = read.queryExecution.executedPlan.toString
@@ -76,9 +76,11 @@ class OperatorsSpec extends SparkSpec {
       .getOrElse("")
     assert(pf.contains("order_month"),
       s"expected partition pruning on order_month, plan line: $pf")
-    // the partition dir layout is the hive convention
-    assert(new java.io.File(s"$root/mart/part_demo/order_month=2024-02")
-      .exists())
+    // the partition dir layout is the hive convention, under the
+    // committed version dir of the atomic table
+    val dataDir = graft.operators.AtomicTable
+      .latestDataPath(spark, s"$root/mart/part_demo").get
+    assert(new java.io.File(s"$dataDir/order_month=2024-02").exists())
   }
 
   test("upsert: incoming wins on key collision, both sides' strays survive") {
@@ -108,5 +110,70 @@ class OperatorsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       MergeUpsert.assertSameSchema(a, c)
     }
+  }
+
+  test("Catalog.saveTable is atomic: a reader mid-overwrite sees the old version, never a torn table") {
+    import graft.operators.AtomicTable
+    val root = java.nio.file.Files.createTempDirectory("cat_atomic").toString
+    val cat = new graft.ref.Catalog(spark, root)
+    cat.saveTable("mart", "t", Seq((1L, "night-1")).toDF("k", "v"))
+    // An in-flight dashboard reader resolves the committed version BEFORE
+    // the nightly rebuild starts...
+    val inFlight = cat.load("mart", "t")
+    // ...the rebuild commits the next version...
+    cat.saveTable("mart", "t", Seq((1L, "night-2"), (2L, "new")).toDF("k", "v"))
+    // ...and the in-flight plan still reads its own (retained) version —
+    // the old overwrite-in-place deleted the files under it.
+    assert(inFlight.collect().map(_.getString(1)).toSeq == Seq("night-1"))
+    // New readers resolve the new version.
+    assert(cat.load("mart", "t").count() == 2)
+    assert(AtomicTable.committedVersions(spark, s"$root/mart/t")
+      == Seq(0L, 1L))
+    // A third rebuild prunes the grace version; the two newest remain.
+    cat.saveTable("mart", "t", Seq((3L, "night-3")).toDF("k", "v"))
+    assert(AtomicTable.committedVersions(spark, s"$root/mart/t")
+      == Seq(1L, 2L))
+    assert(cat.exists("mart", "t"))
+    assert(!cat.exists("mart", "never_written"))
+  }
+
+  test("AtomicTable: a second writer lineage fails fast, never silently drops") {
+    import graft.operators.AtomicTable
+    val dir = java.nio.file.Files.createTempDirectory("atomic_writer")
+      .resolve("t").toString
+    val df = Seq((1L, "a")).toDF("k", "v")
+    AtomicTable.commit(df, dir, 0L, writerId = Some("ckpt-A"))
+    // Same lineage replaying its batch id: idempotent no-op, no error.
+    AtomicTable.commit(Seq((9L, "z")).toDF("k", "v"), dir, 0L,
+      writerId = Some("ckpt-A"))
+    assert(AtomicTable.read(spark, dir).get.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a")))
+    // A NEW query (fresh checkpoint, batch ids restart at 0) must not
+    // have its batch treated as an already-committed replay.
+    intercept[IllegalStateException] {
+      AtomicTable.commit(Seq((2L, "b")).toDF("k", "v"), dir, 0L,
+        writerId = Some("ckpt-B"))
+    }
+    // The original lineage continues normally.
+    AtomicTable.commit(Seq((2L, "b")).toDF("k", "v"), dir, 1L,
+      writerId = Some("ckpt-A"))
+    assert(AtomicTable.committedVersions(spark, dir) == Seq(0L, 1L))
+  }
+
+  test("AtomicTable: pruning keeps the two highest committed versions by position") {
+    import graft.operators.AtomicTable
+    val dir = java.nio.file.Files.createTempDirectory("atomic_prune")
+      .resolve("t").toString
+    def df(n: Long) = Seq((n, s"v$n")).toDF("k", "v")
+    AtomicTable.commit(df(0), dir, 0L)
+    // Non-contiguous jump (e.g. manual commits interleaved with
+    // nextVersion): v_0 is still the immediately-previous committed
+    // snapshot and must survive as the reader grace window.
+    AtomicTable.commit(df(5), dir, 5L)
+    assert(AtomicTable.committedVersions(spark, dir) == Seq(0L, 5L))
+    AtomicTable.commit(df(6), dir, 6L)
+    assert(AtomicTable.committedVersions(spark, dir) == Seq(5L, 6L))
+    assert(AtomicTable.read(spark, dir).get.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((6L, "v6")))
   }
 }

@@ -368,8 +368,9 @@ class RefPipelineSpec extends SparkSpec {
   }
 
   test("shopify attribution: UTM decode, checkout exclusion, referrer nulling") {
-    val attr = spark.read.parquet(
-      s"$warehouse/staging/shopify_order_attribution")
+    out // force the DAG run so the staging table is materialized
+    val attr = new Catalog(spark, warehouse)
+      .load("staging", "shopify_order_attribution")
     val g = attr.filter(col("order_number") === "S-2001").head()
     assert(g.getAs[String]("utm_source") == "google ads")
     assert(g.getAs[String]("utm_campaign") == "spring sale")
