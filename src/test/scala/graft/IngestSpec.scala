@@ -50,6 +50,58 @@ class IngestSpec extends SparkSpec {
     assert(w2.contains("2024-03-01"), "empty slice keeps prior watermark")
   }
 
+  // S1 — in-engine XLSX decode of the checked-in 2-sheet fixture, wired
+  // through the same discover path the dated CSV landings use.
+  private val fixtureDir =
+    new java.io.File(getClass.getResource("/fixtures").toURI).toString
+
+  test("xlsx: discover finds the workbook, both sheets decode with typed cells") {
+    import graft.sources.Xlsx
+    val found = Ingest.discover(fixtureDir)
+    assert(found.map(_.kind) == Seq("lists"))
+    assert(found.head.date == "2024-05-15")
+    val sheets = Xlsx.readAll(spark, found.head.path)
+    assert(sheets.keySet == Set("Customer", "Item"))
+
+    val cust = sheets("Customer")
+    assert(cust.columns.toSeq ==
+      Seq("Customer Name", "Main Email", "Balance Total", "Tax Exempt"))
+    val rows = cust.collect().map(r =>
+      (0 until 4).map(i => Option(r.getString(i)).orNull))
+    assert(rows(0) == Seq("Acme Anchors & Co", "sales@acme.example",
+      "1250.75", "true"), "shared strings + number + boolean")
+    assert(rows(1) == Seq("Café Müller GmbH", null, "0", "false"),
+      "skipped cell decodes as null; entities and unicode survive")
+    assert(rows(2) == Seq("Inline Industries", "ops@inline.example",
+      "42", null), "inline strings; short row padded with null")
+
+    // second sheet: positional cells (no r= attrs), different schema
+    val item = sheets("Item")
+    assert(item.columns.toSeq == Seq("Item", "Price"))
+    assert(item.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      == Seq(("AM6-6", "3.5"), ("SP10", "12")))
+
+    // the landing contract: standardized names feed staging unchanged
+    assert(graft.functions.Fns.standardizeColumns(cust).columns.toSeq ==
+      Seq("customer_name", "main_email", "balance_total", "tax_exempt"))
+  }
+
+  test("xlsx: distributed many-file decode maps headers by name, missing columns null") {
+    import graft.sources.Xlsx
+    val out = Xlsx.readManyAsRows(spark, fixtureDir, "Customer",
+      columns = Seq("Main Email", "Customer Name", "Terms"))
+    val rows = out.orderBy("Customer Name").collect()
+    assert(out.columns.toSeq ==
+      Seq("source_file", "Main Email", "Customer Name", "Terms"))
+    assert(rows.length == 3)
+    assert(rows.forall(_.getString(0).endsWith(".xlsx")))
+    // column order in the output is caller-fixed, not sheet order
+    assert(rows.map(_.getString(2)).toSeq ==
+      Seq("Acme Anchors & Co", "Café Müller GmbH", "Inline Industries"))
+    // a requested column absent from the sheet degrades to null
+    assert(rows.forall(_.isNullAt(3)))
+  }
+
   test("StateStore: changed on new file, stable after markProcessed, changed on touch") {
     val dir = tmpDirWith("a.xlsx")
     val f = s"$dir/a.xlsx"
