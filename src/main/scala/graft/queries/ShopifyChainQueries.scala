@@ -420,6 +420,172 @@ object ShopifyChainQueries {
     }
   }
 
+  /** P11 — the REAL `Shopify.orders` staging transform: test-order
+    * filter (null-safe), 'S-' order keys, dirty-string money through
+    * the rlike-guarded safeNumeric, status normalization with blank→
+    * UNFULFILLED default, and — the schema-tolerance half — total_tax /
+    * shipping_amount / buyer_accepts_marketing / user_agent ABSENT
+    * from the source, so every optional-column guard takes its
+    * null-typed arm (macros/optional_columns.sql:6-22). */
+  val p11ShopifyOrders: Q = Q.sql(
+    "p11_shopify_orders_staging",
+    """WITH raw AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+      |    CASE WHEN o_orderkey % 50 = 0 THEN TRUE
+      |         WHEN o_orderkey % 50 = 1 THEN NULL ELSE FALSE END AS test,
+      |    '$' || CAST(o_totalprice AS VARCHAR) AS total_price,
+      |    CAST(o_totalprice AS VARCHAR) AS subtotal_price,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN 'N/A'
+      |         ELSE CAST(o_orderkey % 20 AS VARCHAR) END AS total_discounts,
+      |    CASE WHEN o_orderkey % 3 = 0 THEN 'paid'
+      |         WHEN o_orderkey % 3 = 1 THEN 'pending'
+      |         ELSE 'refunded' END AS financial_status,
+      |    CASE WHEN o_orderkey % 4 = 0 THEN ''
+      |         WHEN o_orderkey % 4 = 1 THEN NULL
+      |         ELSE 'fulfilled' END AS fulfillment_status,
+      |    'u' || CAST(o_custkey AS VARCHAR) || '@x.com' AS email,
+      |    CASE WHEN o_orderkey % 2 = 0 THEN 'web' ELSE 'pos' END AS source_name
+      |  FROM orders
+      |)
+      |SELECT o_orderkey AS shopify_order_id,
+      |  'S-' || CAST(o_orderkey AS VARCHAR) AS order_number,
+      |  CAST(CAST(o_orderdate AS TIMESTAMP) AS VARCHAR) AS created_at,
+      |  COALESCE(TRY_CAST(REGEXP_REPLACE(total_price, '[,$%\s]', '', 'g') AS DOUBLE), 0.0) AS total_price,
+      |  COALESCE(TRY_CAST(REGEXP_REPLACE(subtotal_price, '[,$%\s]', '', 'g') AS DOUBLE), 0.0) AS subtotal_price,
+      |  COALESCE(TRY_CAST(REGEXP_REPLACE(total_discounts, '[,$%\s]', '', 'g') AS DOUBLE), 0.0) AS total_discounts,
+      |  UPPER(financial_status) AS financial_status,
+      |  COALESCE(NULLIF(fulfillment_status, ''), 'UNFULFILLED') AS fulfillment_status,
+      |  email, source_name,
+      |  o_custkey AS customer_id,
+      |  CAST(NULL AS DOUBLE) AS total_tax,
+      |  CAST(NULL AS DOUBLE) AS shipping_amount,
+      |  CAST(NULL AS BOOLEAN) AS buyer_accepts_marketing,
+      |  CAST(NULL AS VARCHAR) AS user_agent
+      |FROM raw
+      |WHERE NOT COALESCE(test, FALSE)
+      |ORDER BY shopify_order_id""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val raw = o.select(
+      col("o_orderkey").as("id"),
+      col("o_orderkey").as("order_number"),
+      col("o_orderdate").cast("date").cast("string").as("created_at"),
+      when(col("o_orderkey") % 50 === 0, lit(true))
+        .when(col("o_orderkey") % 50 === 1, lit(null).cast("boolean"))
+        .otherwise(lit(false)).as("test"),
+      concat(lit("$"), col("o_totalprice").cast("string"))
+        .as("total_price"),
+      col("o_totalprice").cast("string").as("subtotal_price"),
+      when(col("o_orderkey") % 7 === 0, "N/A")
+        .otherwise((col("o_orderkey") % 20).cast("string"))
+        .as("total_discounts"),
+      when(col("o_orderkey") % 3 === 0, "paid")
+        .when(col("o_orderkey") % 3 === 1, "pending")
+        .otherwise("refunded").as("financial_status"),
+      when(col("o_orderkey") % 4 === 0, lit(""))
+        .when(col("o_orderkey") % 4 === 1, lit(null).cast("string"))
+        .otherwise(lit("fulfilled")).as("fulfillment_status"),
+      concat(lit("u"), col("o_custkey").cast("string"), lit("@x.com"))
+        .as("email"),
+      lit(null).cast("string").as("landing_site"),
+      lit(null).cast("string").as("referring_site"),
+      when(col("o_orderkey") % 2 === 0, "web").otherwise("pos")
+        .as("source_name"),
+      concat(lit("dlt"), col("o_orderkey").cast("string")).as("_dlt_id"),
+      col("o_custkey").as("customer_id"))
+    Shopify.orders(raw)
+      .select(
+        col("shopify_order_id"), col("order_number"),
+        col("created_at").cast("string").as("created_at"),
+        col("total_price"), col("subtotal_price"), col("total_discounts"),
+        col("financial_status"), col("fulfillment_status"),
+        col("email"), col("source_name"), col("customer_id"),
+        col("total_tax"), col("shipping_amount"),
+        col("buyer_accepts_marketing"), col("user_agent"))
+      .orderBy("shopify_order_id")
+  }
+
+  /** J10 — the REAL `TradeShows.leadsWithCompanyMatch` two-hop
+    * broadcast chain: lead email domains → domain mapping (corporate
+    * domains only produce a company key) → company facts, with the
+    * derived matched/new-customer flags; unmatched domains and
+    * corporate domains with no company row exercise both left-join
+    * miss arms. */
+  val j10LeadCompanyMatch: Q = Q.sql(
+    "j10_lead_company_match",
+    """WITH leads AS (
+      |  SELECT c_custkey AS lead_id,
+      |    'd' || CAST(c_custkey % 30 AS VARCHAR) || '.com' AS email_domain,
+      |    DATE '2024-03-01' + CAST((c_custkey % 4) * 30 AS INTEGER) AS show_date
+      |  FROM customer
+      |), mapping AS (
+      |  SELECT 'd' || CAST(n_nationkey AS VARCHAR) || '.com' AS email_domain,
+      |    'corp' || CAST(n_nationkey AS VARCHAR) || '.com' AS normalized_domain,
+      |    CASE WHEN n_nationkey % 3 = 0 THEN 'corporate' ELSE 'generic' END AS domain_type
+      |  FROM nation
+      |), companies AS (
+      |  SELECT 'corp' || CAST(n_nationkey AS VARCHAR) || '.com' AS company_domain_key,
+      |    'Co ' || n_name AS matched_company_name,
+      |    CAST(n_nationkey AS DOUBLE) * 1000.5 AS company_lifetime_revenue,
+      |    n_nationkey AS company_lifetime_orders,
+      |    DATE '2024-01-01' + CAST(n_nationkey * 20 AS INTEGER) AS company_first_order_date,
+      |    DATE '2024-01-01' + CAST(n_nationkey * 20 + 300 AS INTEGER) AS company_latest_order_date
+      |  FROM nation WHERE n_nationkey % 2 = 0
+      |), joined AS (
+      |  SELECT l.lead_id, l.email_domain, l.show_date,
+      |    m.normalized_domain, m.domain_type,
+      |    CASE WHEN m.domain_type = 'corporate' THEN m.normalized_domain END AS company_domain_key
+      |  FROM leads l LEFT JOIN mapping m ON l.email_domain = m.email_domain
+      |)
+      |SELECT j.lead_id, j.email_domain, j.normalized_domain, j.domain_type,
+      |  j.company_domain_key, c.matched_company_name,
+      |  c.company_lifetime_revenue, c.company_lifetime_orders,
+      |  CAST(c.company_first_order_date AS VARCHAR) AS company_first_order_date,
+      |  CAST(c.company_latest_order_date AS VARCHAR) AS company_latest_order_date,
+      |  c.matched_company_name IS NOT NULL AS matched_to_company,
+      |  COALESCE(c.company_first_order_date >= j.show_date, FALSE) AS is_new_customer_from_show
+      |FROM joined j LEFT JOIN companies c
+      |  ON j.company_domain_key = c.company_domain_key
+      |ORDER BY j.lead_id""".stripMargin) { (s, d) =>
+    val k = col("c_custkey")
+    val leads = Tables.customer(s, d).select(
+      k.as("lead_id"),
+      concat(lit("d"), (k % 30).cast("string"), lit(".com"))
+        .as("email_domain"),
+      date_add(lit("2024-03-01").cast("date"),
+        ((k % 4) * 30).cast("int")).as("show_date"))
+    val nk = col("n_nationkey")
+    val mapping = Tables.nation(s, d).select(
+      concat(lit("d"), nk.cast("string"), lit(".com"))
+        .as("original_domain"),
+      concat(lit("corp"), nk.cast("string"), lit(".com"))
+        .as("normalized_domain"),
+      when(nk % 3 === 0, "corporate").otherwise("generic")
+        .as("domain_type"))
+    val companies = Tables.nation(s, d).filter(nk % 2 === 0).select(
+      concat(lit("corp"), nk.cast("string"), lit(".com"))
+        .as("company_domain_key"),
+      concat(lit("Co "), col("n_name")).as("company_name"),
+      (nk.cast("double") * 1000.5).as("total_revenue"),
+      nk.as("total_orders"),
+      date_add(lit("2024-01-01").cast("date"), (nk * 20).cast("int"))
+        .as("first_order_date"),
+      date_add(lit("2024-01-01").cast("date"),
+        (nk * 20 + 300).cast("int")).as("latest_order_date"))
+    graft.ref.TradeShows.leadsWithCompanyMatch(leads, mapping, companies)
+      .select(
+        col("lead_id"), col("email_domain"), col("normalized_domain"),
+        col("domain_type"), col("company_domain_key"),
+        col("matched_company_name"), col("company_lifetime_revenue"),
+        col("company_lifetime_orders"),
+        col("company_first_order_date").cast("string")
+          .as("company_first_order_date"),
+        col("company_latest_order_date").cast("string")
+          .as("company_latest_order_date"),
+        col("matched_to_company"), col("is_new_customer_from_show"))
+      .orderBy("lead_id")
+  }
+
   val all: Seq[Q] = Seq(a5FulfillmentChain, a6CustomerBehavior,
-    j4ExistenceGuard, a14ShowPerformance)
+    j4ExistenceGuard, a14ShowPerformance, p11ShopifyOrders,
+    j10LeadCompanyMatch)
 }
