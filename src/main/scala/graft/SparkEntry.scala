@@ -18,7 +18,8 @@ object SparkEntry {
       UnionScalarQueries.all ++ LlmQueries.all ++ StreamingQueries.all ++
       RefOpQueries.all ++ CompanyProductQueries.all ++
       PricingHistoryQueries.all ++ OrdersChainQueries.all ++
-      ConsolidationChainQueries.all ++ ShopifyChainQueries.all
+      ConsolidationChainQueries.all ++ ShopifyChainQueries.all ++
+      StagingChainQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
