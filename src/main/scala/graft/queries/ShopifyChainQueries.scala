@@ -585,7 +585,66 @@ object ShopifyChainQueries {
       .orderBy("lead_id")
   }
 
+  /** P12 — the REAL `Shopify.orderAttribution` UTM extraction:
+    * /checkout landings excluded (null-safe), own-host and
+    * pay.shopify.com referrers nulled, landing page split at '?', and
+    * the utm_source/medium/campaign params regex-extracted with
+    * '+'→space decoding and empty→null (stg_shopify__order_attribution
+    * P12/UTM rules). Covers every landing/referrer branch including
+    * null landing sites (where landing_page degrades to '' by the
+    * splitPart contract). */
+  val p12UtmExtraction: Q = Q.sql(
+    "p12_utm_extraction",
+    """WITH src AS (
+      |  SELECT o_orderkey,
+      |    'S-' || CAST(o_orderkey AS VARCHAR) AS order_number,
+      |    CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS created_at,
+      |    o_totalprice AS total_price,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN '/checkout/step1'
+      |         WHEN o_orderkey % 7 = 1 THEN NULL
+      |         WHEN o_orderkey % 7 = 2 THEN '/products/anchor?utm_source=google+ads&utm_medium=cpc&utm_campaign=spring+sale'
+      |         WHEN o_orderkey % 7 = 3 THEN '/landing?utm_source=fb'
+      |         ELSE '/home' END AS landing_site,
+      |    CASE WHEN o_orderkey % 5 = 0 THEN 'https://www.myshop.com/x'
+      |         WHEN o_orderkey % 5 = 1 THEN 'https://pay.shopify.com/y'
+      |         WHEN o_orderkey % 5 = 2 THEN NULL
+      |         ELSE 'https://ref.example.com/z' END AS referring_site
+      |  FROM orders
+      |)
+      |SELECT o_orderkey AS shopify_order_id, order_number, created_at,
+      |  total_price,
+      |  COALESCE(SPLIT_PART(landing_site, '?', 1), '') AS landing_page,
+      |  CASE WHEN referring_site LIKE '%myshop.com%'
+      |         OR referring_site LIKE '%pay.shopify.com%' THEN NULL
+      |       ELSE referring_site END AS referrer,
+      |  NULLIF(REPLACE(REGEXP_EXTRACT(landing_site, 'utm_source=([^&]*)', 1), '+', ' '), '') AS utm_source,
+      |  NULLIF(REPLACE(REGEXP_EXTRACT(landing_site, 'utm_medium=([^&]*)', 1), '+', ' '), '') AS utm_medium,
+      |  NULLIF(REPLACE(REGEXP_EXTRACT(landing_site, 'utm_campaign=([^&]*)', 1), '+', ' '), '') AS utm_campaign
+      |FROM src
+      |WHERE landing_site IS NULL OR landing_site NOT LIKE '%/checkout%'
+      |ORDER BY shopify_order_id""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val k = col("o_orderkey")
+    val staged = o.select(
+      k.as("shopify_order_id"),
+      concat(lit("S-"), k.cast("string")).as("order_number"),
+      col("o_orderdate").cast("date").cast("string").as("created_at"),
+      col("o_totalprice").as("total_price"),
+      when(k % 7 === 0, "/checkout/step1")
+        .when(k % 7 === 1, lit(null).cast("string"))
+        .when(k % 7 === 2,
+          "/products/anchor?utm_source=google+ads&utm_medium=cpc&utm_campaign=spring+sale")
+        .when(k % 7 === 3, "/landing?utm_source=fb")
+        .otherwise("/home").as("landing_site"),
+      when(k % 5 === 0, "https://www.myshop.com/x")
+        .when(k % 5 === 1, "https://pay.shopify.com/y")
+        .when(k % 5 === 2, lit(null).cast("string"))
+        .otherwise("https://ref.example.com/z").as("referring_site"))
+    Shopify.orderAttribution(staged, ownHost = "myshop.com")
+      .orderBy("shopify_order_id")
+  }
+
   val all: Seq[Q] = Seq(a5FulfillmentChain, a6CustomerBehavior,
     j4ExistenceGuard, a14ShowPerformance, p11ShopifyOrders,
-    j10LeadCompanyMatch)
+    j10LeadCompanyMatch, p12UtmExtraction)
 }

@@ -343,6 +343,111 @@ object StagingChainQueries {
       .orderBy("email")
   }
 
+  /** P9 — the REAL `Staging.domainMapping` mapping-table staging:
+    * domains lowered+trimmed, normalized side trimmed only, blank and
+    * null originals filtered out. */
+  val p9MappingStaging: Q = Q.sql(
+    "p9_mapping_staging",
+    """WITH raw AS (
+      |  SELECT n_nationkey,
+      |    CASE WHEN n_nationkey % 7 = 0 THEN ''
+      |         WHEN n_nationkey % 7 = 1 THEN NULL
+      |         WHEN n_nationkey % 2 = 0 THEN '  D' || CAST(n_nationkey AS VARCHAR) || '.COM '
+      |         ELSE 'd' || CAST(n_nationkey AS VARCHAR) || '.com' END AS original_domain,
+      |    ' corp' || CAST(n_nationkey % 10 AS VARCHAR) || '.com ' AS normalized_domain,
+      |    CASE WHEN n_nationkey % 3 = 0 THEN 'corporate' ELSE 'generic' END AS domain_type
+      |  FROM nation
+      |)
+      |SELECT LOWER(TRIM(original_domain)) AS original_domain,
+      |  TRIM(normalized_domain) AS normalized_domain, domain_type
+      |FROM raw
+      |WHERE LOWER(TRIM(original_domain)) IS NOT NULL
+      |  AND LOWER(TRIM(original_domain)) <> ''
+      |ORDER BY original_domain""".stripMargin) { (s, d) =>
+    val nk = col("n_nationkey")
+    val raw = Tables.nation(s, d).select(
+      when(nk % 7 === 0, lit(""))
+        .when(nk % 7 === 1, lit(null).cast("string"))
+        .when(nk % 2 === 0,
+          concat(lit("  D"), nk.cast("string"), lit(".COM ")))
+        .otherwise(concat(lit("d"), nk.cast("string"), lit(".com")))
+        .as("original_domain"),
+      concat(lit(" corp"), (nk % 10).cast("string"), lit(".com "))
+        .as("normalized_domain"),
+      when(nk % 3 === 0, "corporate").otherwise("generic")
+        .as("domain_type"))
+    Staging.domainMapping(raw).orderBy("original_domain")
+  }
+
+  /** A8 — the REAL `Marts.fctCompanyOrders` (company, order)-grain
+    * summary: broadcast bridge join, per-order line rollups with
+    * decimal-exact amounts, the sorted-distinct product-family
+    * STRING_AGG, the null-tolerant kit-amount conditional sum, and an
+    * integer-valued margin average (kept exactly representable so the
+    * double division is engine-identical; a raw double AVG would
+    * diverge in the last ulps). */
+  val a8CompanyOrders: Q = Q.sql(
+    "a8_company_order_summary",
+    """WITH li AS (
+      |  SELECT 'C' || CAST(l_orderkey % 300 AS VARCHAR) AS customer,
+      |    'O' || CAST(l_orderkey AS VARCHAR) AS order_number,
+      |    CAST(l_shipdate AS DATE) AS order_date,
+      |    CAST(l_extendedprice AS DECIMAL(38,6)) AS line_amount,
+      |    'P' || CAST(l_partkey % 200 AS VARCHAR) AS product_service,
+      |    'fam' || CAST(l_partkey % 7 AS VARCHAR) AS product_family,
+      |    CASE WHEN l_orderkey % 9 = 0 THEN NULL
+      |         ELSE l_linenumber % 4 = 0 END AS is_kit,
+      |    CAST(l_orderkey % 97 AS DOUBLE) AS margin_amount
+      |  FROM lineitem
+      |), bridge AS (
+      |  SELECT DISTINCT 'C' || CAST(l_orderkey % 300 AS VARCHAR) AS customer,
+      |    'corp' || CAST(l_orderkey % 300 % 40 AS VARCHAR) || '.com' AS company_domain_key
+      |  FROM lineitem
+      |)
+      |SELECT b.company_domain_key, li.order_number,
+      |  MAX(li.customer) AS customer_name,
+      |  CAST(MAX(li.order_date) AS VARCHAR) AS order_date,
+      |  COUNT(*) AS line_count,
+      |  CAST(SUM(li.line_amount) AS DOUBLE) AS order_amount,
+      |  COUNT(DISTINCT li.product_service) AS distinct_products,
+      |  STRING_AGG(DISTINCT li.product_family, ' | ' ORDER BY li.product_family) AS product_families,
+      |  CAST(SUM(CASE WHEN COALESCE(li.is_kit, FALSE) THEN li.line_amount ELSE 0 END) AS DOUBLE) AS kit_amount,
+      |  AVG(li.margin_amount) AS avg_margin
+      |FROM li JOIN bridge b ON li.customer = b.customer
+      |GROUP BY b.company_domain_key, li.order_number
+      |ORDER BY b.company_domain_key, li.order_number""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val k = col("l_orderkey")
+    val lineItems = Tables.lineitem(s, d).select(
+      concat(lit("C"), (k % 300).cast("string")).as("customer"),
+      concat(lit("O"), k.cast("string")).as("order_number"),
+      col("l_shipdate").cast("date").as("order_date"),
+      col("l_extendedprice").cast(DecimalType(38, 6)).as("line_amount"),
+      concat(lit("P"), (col("l_partkey") % 200).cast("string"))
+        .as("product_service"),
+      concat(lit("fam"), (col("l_partkey") % 7).cast("string"))
+        .as("product_family"),
+      when(k % 9 === 0, lit(null).cast("boolean"))
+        .otherwise(col("l_linenumber") % 4 === 0).as("is_kit"),
+      (k % 97).cast("double").as("margin_amount"))
+    val bridge = Tables.lineitem(s, d).select(
+      concat(lit("C"), (k % 300).cast("string")).as("customer"),
+      concat(lit("corp"), (k % 300 % 40).cast("string"), lit(".com"))
+        .as("company_domain_key")).distinct()
+    graft.ref.Marts.fctCompanyOrders(lineItems, bridge)
+      .select(
+        col("company_domain_key"), col("order_number"),
+        col("customer_name"),
+        col("order_date").cast("string").as("order_date"),
+        col("line_count"),
+        col("order_amount").cast("double").as("order_amount"),
+        col("distinct_products"), col("product_families"),
+        col("kit_amount").cast("double").as("kit_amount"),
+        col("avg_margin"))
+      .orderBy("company_domain_key", "order_number")
+  }
+
   val all: Seq[Q] = Seq(p4CustomerStaging, p6ItemStaging,
-    p13ShopifyCustomers, p16TradeShowStaging)
+    p13ShopifyCustomers, p16TradeShowStaging, p9MappingStaging,
+    a8CompanyOrders)
 }
