@@ -75,6 +75,18 @@ object AtomicTable {
     committedVersions(spark, dir).lastOption
       .map(v => spark.read.parquet(dataPath(dir, v).toString))
 
+  /** TIME TRAVEL within the retention window: read a specific committed
+    * version (None if that version was never committed or has been
+    * pruned). With the keep-two retention this reaches the current and
+    * immediately-previous snapshots — the Delta `versionAsOf` shape; a
+    * deployment retaining more versions gets deeper history for free. */
+  def readVersion(spark: SparkSession, dir: String,
+                  version: Long): Option[DataFrame] =
+    if (isCommitted(spark, dir, version) &&
+      fs(spark, dir).exists(dataPath(dir, version)))
+      Some(spark.read.parquet(dataPath(dir, version).toString))
+    else None
+
   /** Filesystem path of the latest committed version's data — for
     * tooling/tests that inspect the physical layout (e.g. hive
     * partition directories under a partitioned commit). */

@@ -175,5 +175,11 @@ class OperatorsSpec extends SparkSpec {
     assert(AtomicTable.committedVersions(spark, dir) == Seq(5L, 6L))
     assert(AtomicTable.read(spark, dir).get.collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((6L, "v6")))
+    // Time travel inside the retention window; pruned/never-committed
+    // versions resolve to None rather than a missing-path error.
+    assert(AtomicTable.readVersion(spark, dir, 5L).get.collect()
+      .map(_.getString(1)).toSeq == Seq("v5"))
+    assert(AtomicTable.readVersion(spark, dir, 0L).isEmpty)
+    assert(AtomicTable.readVersion(spark, dir, 3L).isEmpty)
   }
 }
