@@ -59,7 +59,7 @@ object Xlsx {
   }
 
   /** `A`→0, `AA`→26 … (the column part of a cell ref like `BC12`). */
-  private[sources] def colIndex(cellRef: String): Int = {
+  private[graft] def colIndex(cellRef: String): Int = {
     val letters = cellRef.takeWhile(_.isLetter)
     letters.foldLeft(0)((acc, ch) => acc * 26 + (ch - 'A' + 1)) - 1
   }

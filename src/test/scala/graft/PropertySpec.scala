@@ -139,4 +139,78 @@ class PropertySpec extends SparkSpec {
     assert(err.getMessage.toLowerCase.contains("array<float>") ||
       err.getMessage.toLowerCase.contains("data type mismatch"))
   }
+
+  test("xlsx round-trip: random grids with XML-special content survive decode") {
+    import graft.sources.Xlsx
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;")
+    // 20 random grids: mixed shared-string / inline / numeric cells,
+    // random XML-special and unicode content, ragged rows.
+    (0 until 20).foreach { trial =>
+      val nRows = 1 + rnd.nextInt(6)
+      val nCols = 1 + rnd.nextInt(5)
+      val alphabet = "ab<>&\"'é☃ %|;\t"
+      def randStr() = (0 until 1 + rnd.nextInt(8))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val grid: Seq[Seq[Option[String]]] = (0 until nRows).map { _ =>
+        (0 until nCols).map { _ =>
+          rnd.nextInt(4) match {
+            case 0 => None // skipped cell
+            case 1 => Some(rnd.nextInt(1000).toString) // numeric
+            case _ => Some(randStr())
+          }
+        }
+      }
+      val shared = grid.flatten.flatten.distinct.zipWithIndex.toMap
+      val sst = "<?xml version=\"1.0\"?><sst xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\">" +
+        shared.toSeq.sortBy(_._2)
+          .map { case (s, _) => s"<si><t>${esc(s)}</t></si>" }
+          .mkString + "</sst>"
+      def cellRef(r: Int, c: Int): String = {
+        var n = c + 1; var s = ""
+        while (n > 0) { s = ('A' + (n - 1) % 26).toChar + s; n = (n - 1) / 26 }
+        s"$s${r + 1}"
+      }
+      val rowsXml = grid.zipWithIndex.map { case (row, r) =>
+        val cells = row.zipWithIndex.collect { case (Some(v), c) =>
+          if (rnd.nextBoolean())
+            s"""<c r="${cellRef(r, c)}" t="s"><v>${shared(v)}</v></c>"""
+          else
+            s"""<c r="${cellRef(r, c)}" t="inlineStr"><is><t>${esc(v)}</t></is></c>"""
+        }.mkString
+        s"""<row r="${r + 1}">$cells</row>"""
+      }.mkString
+      val sheetXml = "<?xml version=\"1.0\"?><worksheet xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\">" +
+        s"<sheetData>$rowsXml</sheetData></worksheet>"
+      val wb = """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>"""
+      val rels = """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/><Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/></Relationships>"""
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      Seq("xl/workbook.xml" -> wb, "xl/_rels/workbook.xml.rels" -> rels,
+        "xl/sharedStrings.xml" -> sst,
+        "xl/worksheets/sheet1.xml" -> sheetXml).foreach { case (n, c) =>
+        z.putNextEntry(new java.util.zip.ZipEntry(n))
+        z.write(c.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        z.closeEntry()
+      }
+      z.close()
+      val decoded = Xlsx.decodeSheet(bos.toByteArray, "S")
+      // trailing all-skipped columns are unobservable in the cell XML;
+      // compare up to the decoded width, padded
+      val width = decoded.rows.map(_.length).maxOption.getOrElse(0)
+      val expected = grid.map(r =>
+        r.map(_.orNull).padTo(width, null).take(width))
+      assert(decoded.rows == expected.map(_.toVector).toVector,
+        s"trial $trial: grid=$grid")
+    }
+  }
+
+  test("xlsx column refs decode beyond Z") {
+    import graft.sources.Xlsx
+    assert(Xlsx.colIndex("A1") == 0)
+    assert(Xlsx.colIndex("Z9") == 25)
+    assert(Xlsx.colIndex("AA12") == 26)
+    assert(Xlsx.colIndex("AZ1") == 51)
+    assert(Xlsx.colIndex("BC12") == 54)
+  }
 }
