@@ -71,9 +71,9 @@ object CompanyProductQueries {
     (li, bridge, products)
   }
 
-  /** fct_companies stand-in aggregated from the SHARED (persisted)
-    * company-product base so the one-plan query compositions don't
-    * re-scan the fact for the company revenue rollup. */
+  /** fct_companies stand-in aggregated from the shared company-product
+    * base (recomputed per consumer; exchange reuse dedups the shared
+    * shuffles — SCALE.md anti-lessons). */
   private def companiesFrom(base: org.apache.spark.sql.DataFrame) =
     base.groupBy(col("company_domain_key"))
       .agg(dsum(col("product_service_amount")).as("total_revenue"))
@@ -165,12 +165,15 @@ object CompanyProductQueries {
     (s, d) =>
     import graft.ref.Marts
     // The shared base feeds the rep-mode scan, the metrics scan and the
-    // company rollup. Materialized to temp parquet and read back — the
-    // ModelDag pattern. (.persist() measured 1.6× SLOWER: columnar cache
-    // build > parquet write+re-scan; plain recompute re-runs the fact
-    // scan + filter + broadcast join once per consumer.)
+    // company rollup — RECOMPUTED per consumer, not materialized: the
+    // shared lineage is scan + broadcast join + filter (no shuffle), so
+    // each consumer's column pruning pushes through to its own source
+    // scan and re-running it is cheaper than a full-width parquet
+    // write + read-back (r07 min-of-3: 3.9 s → 2.7 s; .persist() was
+    // 1.6× slower still, r03). Intra-plan sharing always recomputes —
+    // exchange reuse dedups any shared shuffles (SCALE.md anti-lessons).
     val (li, bridge, products) = synthSpark(s, d)
-    val base = Mat.temp(Marts.companyProductBase(li, bridge), "cp_base")
+    val base = Marts.companyProductBase(li, bridge)
     Marts.fctCompanyProductsFromBase(base, products, companiesFrom(base),
       AsOf)
       .select(
@@ -266,9 +269,10 @@ object CompanyProductQueries {
       import graft.ref.Marts
       val (li, bridge, products) = synthSpark(s, d)
       // The fct_company_products lineage AND the period details both
-      // aggregate the same detail frame — materialized once to temp
-      // parquet (the ModelDag pattern; see a9_company_products note).
-      val base = Mat.temp(Marts.companyProductBase(li, bridge), "cp_base")
+      // aggregate the same detail frame — recomputed per consumer (the
+      // shuffle-free shared-lineage rule; r07 min-of-3: 7.4 s → 5.3 s
+      // vs temp-parquet materialization. See a9_company_products note).
+      val base = Marts.companyProductBase(li, bridge)
       val cp = Marts.fctCompanyProductsFromBase(base, products,
         companiesFrom(base), AsOf)
       Marts.productCompanyPeriodSpendingFromBase(cp, base, AsOf)

@@ -211,16 +211,17 @@ object LlmQueries {
       |WHERE CAST(intersection_size AS DOUBLE) / (sa.n + sb.n - intersection_size) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    // Consumed 4× downstream (signatures, both intersection sides,
-    // set sizes) — materialized to temp parquet and read back (the
-    // ModelDag pattern; .cache() measured slower, see Mat scaladoc).
-    // At corpus scale this IS the materialized shingle table.
-    val shingled = Mat.temp(
-      TA.shingleRows(docs, col("doc_id"), col("text"), 3).distinct(),
-      "shingles")
+    // Consumed 4× downstream (signatures, both intersection sides, set
+    // sizes) — shared by RECOMPUTE: the repeated distinct/aggregate
+    // subplans are identical, so Catalyst's exchange reuse dedups them
+    // (the executed plan carries 5 ReusedExchange nodes) and the query
+    // runs 35% faster than with temp-parquet materialization (r07
+    // min-of-3: 2.9 s → 1.85 s; .cache() slower still — SCALE.md).
+    val shingled =
+      TA.shingleRows(docs, col("doc_id"), col("text"), 3).distinct()
     // Both sides of the candidate self-join read the band table.
-    val bands = Mat.temp(
-      Dedup.minhashBands(shingled, bands = 4, rowsPerBand = 2), "mh_bands")
+    val bands =
+      Dedup.minhashBands(shingled, bands = 4, rowsPerBand = 2)
     // Production path: the hot-bucket cap is ON. 64 is a no-op on
     // testdata (measured max band-bucket size: 3 at sf0.01, 12 at
     // sf0.1 — oracle hash unchanged) but bounds a viral-boilerplate

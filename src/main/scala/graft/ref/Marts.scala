@@ -180,11 +180,16 @@ object Marts {
     * line items ⋈ customer→company bridge (broadcast), filtered to
     * positive-amount rows with a real product and company. Both
     * `fctCompanyProducts` and `productCompanyPeriodSpending` aggregate
-    * THIS frame — callers composing the two marts in one plan should
-    * compute it once and `persist()` it (or materialize it, as the
-    * model DAG does with parquet) so the fact scan + join doesn't
-    * recompute per consumer; at cluster scale this is the
-    * materialize-the-shared-detail-table step. */
+    * THIS frame. Because the lineage is scan + broadcast join + filter
+    * — no shuffle — callers composing several consumers in one plan
+    * should let each RECOMPUTE it: column pruning pushes through to
+    * each consumer's own source scan, and that beats both `.persist()`
+    * (1.6× slower, r03) and temp-parquet materialization (r07
+    * min-of-3: queries got 25-30% faster when materialization was
+    * removed). The model DAG still materializes it as a TABLE between
+    * models (`Catalog.saveTable`) because cross-model reuse and
+    * restartability want a durable artifact — the in-plan economics
+    * and the between-model economics differ. */
   def companyProductBase(lineItems: DataFrame,
                          bridge: DataFrame): DataFrame =
     lineItems
