@@ -137,6 +137,22 @@ class OperatorsSpec extends SparkSpec {
     assert(!cat.exists("mart", "never_written"))
   }
 
+  test("Catalog: legacy plain-parquet dirs load and exist; orphan version dirs do neither") {
+    val root = java.nio.file.Files.createTempDirectory("cat_legacy").toString
+    val cat = new graft.ref.Catalog(spark, root)
+    // pre-atomic layout: parquet files directly under the table path
+    Seq((1L, "legacy")).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$root/mart/old_table")
+    assert(cat.exists("mart", "old_table"))
+    assert(cat.load("mart", "old_table").collect()
+      .map(_.getString(1)).toSeq == Seq("legacy"))
+    // a crashed writer's orphan version dir (data, no commit marker)
+    // is neither loadable-as-committed nor "existing"
+    Seq((9L, "orphan")).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$root/mart/torn/v_0")
+    assert(!cat.exists("mart", "torn"))
+  }
+
   test("AtomicTable: a second writer lineage fails fast, never silently drops") {
     import graft.operators.AtomicTable
     val dir = java.nio.file.Files.createTempDirectory("atomic_writer")
