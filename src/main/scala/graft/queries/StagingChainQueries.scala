@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ref.{Shopify, Staging}
+import graft.ref.{Enrichment, Shopify, Staging}
 
 /** Oracle coverage for the QuickBooks/Shopify STAGING models that were
   * previously ScalaTest-only (P4 customer staging, P6 item staging,
@@ -447,7 +447,95 @@ object StagingChainQueries {
       .orderBy("company_domain_key", "order_number")
   }
 
+  /** P10 — the REAL `Enrichment.staging` transform over a synthesized
+    * nested-payload frame shaped like the post-`readJsonl` output
+    * (struct column `enrichment_raw_data`, string nulls already
+    * smoothed to ''): domain-key lower+trim with blank filtering, the
+    * enriched-over-base description COALESCE, the regex-guarded
+    * founded_year / employees_count INTEGER casts
+    * (stg_quickbooks__company_enrichment.sql:11-51), and date typing.
+    * Domains are unique per customer so the final sort is tie-free. */
+  val p10EnrichmentStaging: Q = Q.sql(
+    "p10_enrichment_staging",
+    """WITH raw AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 19 = 0 THEN ''
+      |         WHEN c_custkey % 19 = 1 THEN '  '
+      |         ELSE '  Corp' || CAST(c_custkey AS VARCHAR) || '.COM  ' END AS company_domain,
+      |    CASE WHEN c_custkey % 6 = 0 THEN ''
+      |         ELSE 'Company ' || CAST(c_custkey % 400 AS VARCHAR) END AS company_name,
+      |    CASE WHEN c_custkey % 2 = 0 THEN 'clearbit' ELSE 'manual' END AS enrichment_source,
+      |    CASE WHEN c_custkey % 9 = 0 THEN ''
+      |         ELSE '2024-0' || CAST(c_custkey % 9 + 1 AS VARCHAR) || '-15' END AS enrichment_date,
+      |    CASE WHEN c_custkey % 5 = 0 THEN ''
+      |         ELSE 'Industry ' || CAST(c_custkey % 12 AS VARCHAR) END AS industry,
+      |    CASE WHEN c_custkey % 3 = 0 THEN ''
+      |         ELSE 'Enriched desc ' || CAST(c_custkey AS VARCHAR) END AS description_enriched,
+      |    CASE WHEN c_custkey % 4 = 0 THEN ''
+      |         ELSE 'Base desc ' || CAST(c_custkey AS VARCHAR) END AS description,
+      |    CASE WHEN c_custkey % 7 = 0 THEN 'unknown'
+      |         WHEN c_custkey % 7 = 1 THEN ''
+      |         ELSE CAST(1900 + c_custkey % 120 AS VARCHAR) END AS founded_year,
+      |    'City ' || CAST(c_custkey % 30 AS VARCHAR) AS hq_city,
+      |    CASE WHEN c_custkey % 8 = 0 THEN '' ELSE 'US' END AS hq_country,
+      |    CASE WHEN c_custkey % 11 = 0 THEN 'n/a'
+      |         ELSE CAST((c_custkey % 5000) * 3 AS VARCHAR) END AS employees_count
+      |  FROM customer
+      |)
+      |SELECT LOWER(TRIM(company_domain)) AS company_domain_key,
+      |  NULLIF(TRIM(company_name), '') AS enriched_company_name,
+      |  enrichment_source,
+      |  CAST(CAST(NULLIF(TRIM(enrichment_date), '') AS DATE) AS VARCHAR) AS enrichment_date,
+      |  NULLIF(TRIM(industry), '') AS industry,
+      |  COALESCE(NULLIF(TRIM(description_enriched), ''),
+      |           NULLIF(TRIM(description), '')) AS description,
+      |  CASE WHEN REGEXP_MATCHES(founded_year, '^[0-9]{4}$')
+      |       THEN CAST(founded_year AS INTEGER) END AS founded_year,
+      |  NULLIF(TRIM(hq_city), '') AS hq_city,
+      |  NULLIF(TRIM(hq_country), '') AS hq_country,
+      |  CASE WHEN REGEXP_MATCHES(employees_count, '^[0-9]+$')
+      |       THEN CAST(employees_count AS INTEGER) END AS employees_count
+      |FROM raw
+      |WHERE LOWER(TRIM(company_domain)) <> ''
+      |ORDER BY company_domain_key""".stripMargin) { (s, d) =>
+    val k = col("c_custkey")
+    val raw = Tables.customer(s, d).select(
+      when(k % 19 === 0, lit(""))
+        .when(k % 19 === 1, lit("  "))
+        .otherwise(concat(lit("  Corp"), k.cast("string"), lit(".COM  ")))
+        .as("company_domain"),
+      when(k % 6 === 0, lit(""))
+        .otherwise(concat(lit("Company "), (k % 400).cast("string")))
+        .as("company_name"),
+      when(k % 2 === 0, "clearbit").otherwise("manual")
+        .as("enrichment_source"),
+      when(k % 9 === 0, lit(""))
+        .otherwise(concat(lit("2024-0"), (k % 9 + 1).cast("string"),
+          lit("-15"))).as("enrichment_date"),
+      struct(
+        when(k % 5 === 0, lit(""))
+          .otherwise(concat(lit("Industry "), (k % 12).cast("string")))
+          .as("industry"),
+        when(k % 3 === 0, lit(""))
+          .otherwise(concat(lit("Enriched desc "), k.cast("string")))
+          .as("description_enriched"),
+        when(k % 4 === 0, lit(""))
+          .otherwise(concat(lit("Base desc "), k.cast("string")))
+          .as("description"),
+        when(k % 7 === 0, lit("unknown"))
+          .when(k % 7 === 1, lit(""))
+          .otherwise((k % 120 + 1900).cast("string")).as("founded_year"),
+        concat(lit("City "), (k % 30).cast("string")).as("hq_city"),
+        when(k % 8 === 0, lit("")).otherwise(lit("US")).as("hq_country"),
+        when(k % 11 === 0, lit("n/a"))
+          .otherwise(((k % 5000) * 3).cast("string"))
+          .as("employees_count")).as("enrichment_raw_data"))
+    Enrichment.staging(raw)
+      .withColumn("enrichment_date", col("enrichment_date").cast("string"))
+      .orderBy("company_domain_key")
+  }
+
   val all: Seq[Q] = Seq(p4CustomerStaging, p6ItemStaging,
     p13ShopifyCustomers, p16TradeShowStaging, p9MappingStaging,
-    a8CompanyOrders)
+    a8CompanyOrders, p10EnrichmentStaging)
 }
