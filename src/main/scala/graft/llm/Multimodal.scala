@@ -7,14 +7,142 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * payloads with typed metadata, plus a decode/feature-extract stage.
   *
-  * The container has no image/audio codecs, so the decode itself is a
-  * clearly-marked DETERMINISTIC STUB — what is real (and what matters on
-  * a cluster) is the Spark-side plumbing: binary column schema, batch
-  * shape (mapPartitions processes a partition's rows in one pass, the
-  * Scala analogue of `mapInPandas` batches), output schema declared up
-  * front, and per-partition parallelism with no driver involvement.
+  * IMAGES are decoded with a REAL codec: `javax.imageio` (JDK built-in,
+  * PNG + BMP readers/writers ship with every Java 17) runs inside
+  * `mapPartitions` — the batch boundary where a vectorized codec (or
+  * `mapInPandas` in PySpark) sits on a cluster. The oracle strategy is a
+  * round-trip proof: payloads are synthesized executor-side by
+  * `ImageIO.write` from closed-form pixel formulas chosen so no channel
+  * value ever wraps mod 256, which makes the decoded dimensions, corner
+  * pixels, and full-image channel checksums predictable in plain SQL —
+  * if either the encode or the decode were wrong, the hash gate fails.
+  *
+  * AUDIO/VIDEO codecs are not in the JDK, so their decode stays a
+  * clearly-marked DETERMINISTIC STUB ([[decodeAndFeaturize]], the
+  * documented fallback for non-JDK formats) — there the real (and
+  * cluster-relevant) part is the plumbing: binary column schema, batch
+  * shape, output schema declared up front, per-partition parallelism
+  * with no driver involvement.
   */
 object Multimodal {
+
+  // ---------------------------------------------------------------------
+  // Real-codec image path (javax.imageio over synthesized PNG/BMP bytes)
+  // ---------------------------------------------------------------------
+
+  /** Deterministic image spec for `doc_id` — dimensions and per-pixel
+    * RGB formulas. Coefficients are sized so the max channel value
+    * (96+45+95, 88+30+76, 82+15+38) stays < 256: no mod-wrap, so the
+    * SQL oracle can predict full-image channel sums in closed form. */
+  private[graft] def imgWidth(id: Long): Int = 8 + (id % 9).toInt
+  private[graft] def imgHeight(id: Long): Int = 8 + (id % 13).toInt
+  private[graft] def pixR(id: Long, x: Int, y: Int): Int =
+    (id % 97).toInt + 3 * x + 5 * y
+  private[graft] def pixG(id: Long, x: Int, y: Int): Int =
+    (id % 89).toInt + 2 * x + 4 * y
+  private[graft] def pixB(id: Long, x: Int, y: Int): Int =
+    (id % 83).toInt + x + 2 * y
+
+  /** Real `ImageIO.write` encode of the spec image for one doc: PNG for
+    * most ids, BMP for every 4th (exercises ImageIO's format sniffing
+    * on the decode side). Runs on executors. */
+  private[graft] def synthImagePayload(id: Long): Array[Byte] = {
+    val w = imgWidth(id); val h = imgHeight(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (pixR(id, x, y) << 16) | (pixG(id, x, y) << 8) | pixB(id, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val fmt = if (id % 4 == 0) "bmp" else "png"
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, baos)
+    baos.toByteArray
+  }
+
+  /** (doc_id, format, payload) with REAL PNG/BMP bytes in the binary
+    * column, synthesized per-partition (no driver involvement, same
+    * distribution story as reading a binary-file table). */
+  def asImageTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("format", StringType),
+      StructField("payload", BinaryType)))
+    val rdd = docs.select("doc_id").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val fmt = if (id % 4 == 0) "bmp" else "png"
+        Row(id, fmt, synthImagePayload(id))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  val imageFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("p00_r", IntegerType),
+    StructField("p00_g", IntegerType),
+    StructField("p00_b", IntegerType),
+    StructField("pcorner_r", IntegerType),
+    StructField("pcorner_g", IntegerType),
+    StructField("pcorner_b", IntegerType),
+    StructField("sum_r", LongType),
+    StructField("sum_g", LongType),
+    StructField("sum_b", LongType)))
+
+  /** REAL image decode + feature extraction: `ImageIO.read` sniffs the
+    * container (PNG or BMP), and the features — dimensions, channel
+    * count, the (0,0) and (w-1,h-1) pixels, and full-image per-channel
+    * sums — are computed from the actual decoded raster, all in integer
+    * space so the hash gate is engine-exact. `ImageIO.setUseCache(false)`
+    * keeps executor tasks off the temp filesystem. */
+  def decodeImages(images: DataFrame): DataFrame = {
+    val spark = images.sparkSession
+    val rdd = images.select("doc_id", "format", "payload").rdd
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val fmt = r.getString(1)
+          val payload = r.getAs[Array[Byte]](2)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          require(img != null, s"undecodable image payload for doc $id")
+          val w = img.getWidth; val h = img.getHeight
+          val channels = img.getColorModel.getNumComponents
+          def rgb(x: Int, y: Int): (Int, Int, Int) = {
+            val p = img.getRGB(x, y)
+            ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+          }
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val (pr, pg, pb) = rgb(x, y)
+              sr += pr; sg += pg; sb += pb
+              x += 1
+            }
+            y += 1
+          }
+          val (r0, g0, b0) = rgb(0, 0)
+          val (rc, gc, bc) = rgb(w - 1, h - 1)
+          Row(id, fmt, w, h, channels, r0, g0, b0, rc, gc, bc, sr, sg, sb)
+        }
+      }
+    spark.createDataFrame(rdd, imageFeatureSchema)
+  }
 
   /** Typed media wrapper: payload + metadata, media type derived
     * deterministically from the id. */
@@ -94,8 +222,10 @@ object Multimodal {
       .select("doc_id", "media_type", "payload_bytes", "n_frames",
         "frame_idx", "frame_offset", "frame_lead_byte")
 
-  /** STUB decoder: a real implementation would call an image/audio codec
-    * here (`???` in spirit); this deterministic fake derives "decoded"
+  /** STUB decoder — the documented FALLBACK for non-JDK formats
+    * (audio/video, where the JVM ships no codec; images go through the
+    * real `ImageIO` path in [[decodeImages]]): a real implementation
+    * would call a codec here; this deterministic fake derives "decoded"
     * dimensions and a 4-dim feature vector from the bytes so tests have
     * stable expectations. Runs per-partition — the batch boundary where
     * a vectorized codec (or `mapInPandas` in PySpark) would sit.

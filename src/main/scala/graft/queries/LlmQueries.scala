@@ -667,71 +667,65 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
-  /** Multimodal — stubbed decode + feature extraction through
-    * mapPartitions. Oracle-checked on the INTEGER-space feature columns
-    * (`features_q[i]` = byte*10000+n; float features are not
-    * cross-engine reproducible — see Multimodal scaladoc). Document text
-    * is ASCII in this corpus, so DuckDB's per-character `ascii(substr)`
-    * equals the per-byte view Spark decodes. */
+  /** Multimodal — REAL codec round trip: per-doc PNG/BMP bytes are
+    * synthesized executor-side with `ImageIO.write` from closed-form
+    * pixel formulas (no channel value wraps mod 256), then decoded with
+    * `ImageIO.read` and feature-extracted from the actual raster. The
+    * oracle predicts dimensions, the (0,0)/(w-1,h-1) pixels, and the
+    * full-image per-channel sums straight from doc_id — a wrong encode
+    * OR decode on the Spark side breaks the hash. All-integer outputs. */
   val mmFeatures: Q = Q.sql(
     "mm_decode_features",
-    """WITH t AS (
+    """WITH dims AS (
       |  SELECT doc_id,
-      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
-      |         WHEN doc_id % 3 = 1 THEN 'audio'
-      |         ELSE 'video' END AS media_type,
-      |    CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
-      |    text
+      |    CASE WHEN doc_id % 4 = 0 THEN 'bmp' ELSE 'png' END AS format,
+      |    CAST(8 + doc_id % 9 AS INTEGER) AS width,
+      |    CAST(8 + doc_id % 13 AS INTEGER) AS height,
+      |    CAST(doc_id % 97 AS INTEGER) AS r0,
+      |    CAST(doc_id % 89 AS INTEGER) AS g0,
+      |    CAST(doc_id % 83 AS INTEGER) AS b0
       |  FROM documents
       |)
-      |SELECT doc_id, media_type, payload_bytes,
-      |  CAST(64 + payload_bytes % 577 AS INTEGER) AS width,
-      |  CAST(64 + (payload_bytes * 31) % 419 AS INTEGER) AS height,
-      |  CAST(CASE WHEN media_type = 'audio' THEN 1 ELSE 3 END AS INTEGER) AS channels,
-      |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) * 10000 + payload_bytes AS f0_q,
-      |  CAST(ascii(substr(text, 2, 1)) AS BIGINT) * 10000 + payload_bytes AS f1_q,
-      |  CAST(ascii(substr(text, 3, 1)) AS BIGINT) * 10000 + payload_bytes AS f2_q,
-      |  CAST(ascii(substr(text, 4, 1)) AS BIGINT) * 10000 + payload_bytes AS f3_q
-      |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
-    Multimodal.decodeAndFeaturize(
-      Multimodal.asMediaTable(Tables.documents(s, d)))
-      .select(col("doc_id"), col("media_type"), col("payload_bytes"),
-        col("width"), col("height"), col("channels"),
-        element_at(col("features_q"), 1).as("f0_q"),
-        element_at(col("features_q"), 2).as("f1_q"),
-        element_at(col("features_q"), 3).as("f2_q"),
-        element_at(col("features_q"), 4).as("f3_q"))
+      |SELECT doc_id, format, width, height, CAST(3 AS INTEGER) AS channels,
+      |  r0 AS p00_r, g0 AS p00_g, b0 AS p00_b,
+      |  CAST(r0 + 3*(width-1) + 5*(height-1) AS INTEGER) AS pcorner_r,
+      |  CAST(g0 + 2*(width-1) + 4*(height-1) AS INTEGER) AS pcorner_g,
+      |  CAST(b0 + (width-1) + 2*(height-1) AS INTEGER) AS pcorner_b,
+      |  CAST(width*height*r0 + 3*height*((width-1)*width//2)
+      |       + 5*width*((height-1)*height//2) AS BIGINT) AS sum_r,
+      |  CAST(width*height*g0 + 2*height*((width-1)*width//2)
+      |       + 4*width*((height-1)*height//2) AS BIGINT) AS sum_g,
+      |  CAST(width*height*b0 + height*((width-1)*width//2)
+      |       + 2*width*((height-1)*height//2) AS BIGINT) AS sum_b
+      |FROM dims ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Multimodal.decodeImages(
+      Multimodal.asImageTable(Tables.documents(s, d)))
       .orderBy("doc_id")
   }
 
-  /** Multimodal — aspect-preserving resize spec over the decoded dims
-    * (metadata half of the resize operator; integer/double math exact
-    * in both engines). */
+  /** Multimodal — aspect-preserving resize spec over the REAL decoded
+    * dims (ImageIO path). Target 12 px so the corpus mixes up- and
+    * down-scales; the scale ratio/floor math is exact IEEE double in
+    * both engines. */
   val mmResize: Q = Q.sql(
     "mm_resize",
-    """WITH t AS (
+    """WITH dims AS (
       |  SELECT doc_id,
-      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
-      |         WHEN doc_id % 3 = 1 THEN 'audio'
-      |         ELSE 'video' END AS media_type,
-      |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |    CASE WHEN doc_id % 4 = 0 THEN 'bmp' ELSE 'png' END AS format,
+      |    CAST(8 + doc_id % 9 AS INTEGER) AS width,
+      |    CAST(8 + doc_id % 13 AS INTEGER) AS height
       |  FROM documents
-      |), dims AS (
-      |  SELECT doc_id, media_type,
-      |    CAST(64 + n % 577 AS INTEGER) AS width,
-      |    CAST(64 + (n * 31) % 419 AS INTEGER) AS height
-      |  FROM t
       |)
-      |SELECT doc_id, media_type, width, height,
-      |  LEAST(224.0 / width, 224.0 / height) AS scale,
-      |  CAST(FLOOR(width * LEAST(224.0 / width, 224.0 / height)) AS INTEGER) AS out_width,
-      |  CAST(FLOOR(height * LEAST(224.0 / width, 224.0 / height)) AS INTEGER) AS out_height,
-      |  LEAST(224.0 / width, 224.0 / height) > 1.0 AS is_upscale
+      |SELECT doc_id, format, width, height,
+      |  LEAST(12.0 / width, 12.0 / height) AS scale,
+      |  CAST(FLOOR(width * LEAST(12.0 / width, 12.0 / height)) AS INTEGER) AS out_width,
+      |  CAST(FLOOR(height * LEAST(12.0 / width, 12.0 / height)) AS INTEGER) AS out_height,
+      |  LEAST(12.0 / width, 12.0 / height) > 1.0 AS is_upscale
       |FROM dims ORDER BY doc_id""".stripMargin) { (s, d) =>
     Multimodal.resizeSpec(
-      Multimodal.decodeAndFeaturize(
-        Multimodal.asMediaTable(Tables.documents(s, d))))
-      .select("doc_id", "media_type", "width", "height", "scale",
+      Multimodal.decodeImages(
+        Multimodal.asImageTable(Tables.documents(s, d))), target = 12)
+      .select("doc_id", "format", "width", "height", "scale",
         "out_width", "out_height", "is_upscale")
       .orderBy("doc_id")
   }

@@ -194,6 +194,26 @@ class LlmSpec extends SparkSpec {
       Multimodal.featureSchema)
   }
 
+  test("real ImageIO round trip: decoded raster matches the pixel spec") {
+    val docs = Tables.documents(spark, sf).limit(40)
+    val decoded = Multimodal.decodeImages(Multimodal.asImageTable(docs))
+      .orderBy("doc_id").collect()
+    assert(decoded.length == 40)
+    assert(decoded.map(_.getString(1)).toSet == Set("png", "bmp"))
+    decoded.foreach { r =>
+      val id = r.getLong(0)
+      val w = Multimodal.imgWidth(id); val h = Multimodal.imgHeight(id)
+      assert(r.getInt(2) == w && r.getInt(3) == h)
+      assert(r.getInt(4) == 3) // channels
+      assert(r.getInt(5) == Multimodal.pixR(id, 0, 0))
+      assert(r.getInt(8) == Multimodal.pixR(id, w - 1, h - 1))
+      assert(r.getInt(10) == Multimodal.pixB(id, w - 1, h - 1))
+      val expSumG = (0 until h).map(y => (0 until w)
+        .map(x => Multimodal.pixG(id, x, y).toLong).sum).sum
+      assert(r.getLong(12) == expSumG)
+    }
+  }
+
   test("frameSample drops empty payloads instead of crashing the explode") {
     // n_frames=0 would make sequence(0,-1,stride) throw at runtime;
     // the empty row must be filtered, non-empty rows sampled normally.
