@@ -17,14 +17,25 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *   - `xl/worksheets/sheetN.xml`   rows of `<c r="A1" t="s"><v>…`
   *
   * Cells come back as the STORED string: shared strings (`t="s"`) and
-  * inline strings (`t="inlineStr"`) resolve to their text; numbers,
-  * booleans and formula results keep their stored lexical form. Typing
-  * (safe casts, date parsing) is downstream's job, matching how the
-  * CSV landing path feeds `Fns.standardizeColumns` + the staging
-  * models' guarded casts — and matching the reference, which also
-  * ingests everything as text and types in staging. Style-based date
-  * serials (a number plus a date format) are surfaced as the serial
-  * string; the reference's landed exports carry dates as text.
+  * inline strings (`t="inlineStr"`, rich-text runs concatenated)
+  * resolve to their text; numbers, booleans and formula results keep
+  * their stored lexical form. Typing (safe casts, date parsing) is
+  * downstream's job, matching how the CSV landing path feeds
+  * `Fns.standardizeColumns` + the staging models' guarded casts — and
+  * matching the reference, which also ingests everything as text and
+  * types in staging.
+  *
+  * DATE-STYLE SERIALS: a real workbook stores a date cell as a number
+  * plus a date number-format (`xl/styles.xml` cellXfs → numFmt). With
+  * `convertDateSerials = true` such cells decode to ISO `yyyy-MM-dd`
+  * strings via the 1900-epoch conversion pandas/openpyxl apply
+  * implicitly (pipelines/quickbooks/pipeline.py:159-172) — including
+  * the Lotus leap-year quirk (serials < 61 are shifted so serial 1 =
+  * 1900-01-01; the phantom Feb 29 1900 maps to Feb 28 like openpyxl).
+  * The flag defaults to OFF, preserving the stored-lexical contract
+  * for the reference's landed exports, which carry dates as text.
+  * Time fractions are truncated (date-only surface; the reference's
+  * QuickBooks columns are dates).
   *
   * Parsing is StAX (streaming, JDK-built-in): one pass per part, no
   * DOM, memory bounded by a row. SCALE: one landed XLSX is small by
@@ -94,6 +105,74 @@ object Xlsx {
       out.result()
     }.getOrElse(Vector.empty)
 
+  /** Excel number-format ids that render as dates (ECMA-376 §18.8.30
+    * builtin table: 14-22 dates/datetimes, 27-36 locale dates, 45-47
+    * date-times). */
+  private val builtinDateFormats: Set[Int] =
+    ((14 to 22) ++ (27 to 36) ++ (45 to 47)).toSet
+
+  /** Heuristic for CUSTOM format codes (the POI `isADateFormat` idea):
+    * after stripping quoted literals and `[...]` sections (colors,
+    * locale prefixes), a date format still contains y/m/d/h/s tokens
+    * while numeric/currency/text formats contain none. */
+  private[graft] def isDateCode(code: String): Boolean = {
+    val stripped = code
+      .replaceAll("\"[^\"]*\"", "")
+      .replaceAll("\\[[^\\]]*\\]", "")
+      .replaceAll("\\\\.", "")
+      .toLowerCase
+    stripped.exists(c => c == 'y' || c == 'm' || c == 'd' || c == 'h' ||
+      c == 's')
+  }
+
+  /** cellXfs style indexes whose number format is a date format. */
+  private def dateStyleIndexes(parts: Map[String, Array[Byte]]): Set[Int] =
+    parts.get("xl/styles.xml").map { p =>
+      val customDate = scala.collection.mutable.Set.empty[Int]
+      val xfFormats = Vector.newBuilder[Int]
+      var inCellXfs = false
+      val r = newReader(p)
+      try {
+        while (r.hasNext) {
+          r.next() match {
+            case XMLStreamConstants.START_ELEMENT =>
+              r.getLocalName match {
+                case "numFmt" =>
+                  val id = Option(r.getAttributeValue(null, "numFmtId"))
+                  val code = r.getAttributeValue(null, "formatCode")
+                  if (id.exists(_.forall(_.isDigit)) && code != null &&
+                    isDateCode(code)) customDate += id.get.toInt
+                case "cellXfs" => inCellXfs = true
+                case "xf" if inCellXfs =>
+                  xfFormats += Option(r.getAttributeValue(null, "numFmtId"))
+                    .filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(0)
+                case _ =>
+              }
+            case XMLStreamConstants.END_ELEMENT
+              if r.getLocalName == "cellXfs" => inCellXfs = false
+            case _ =>
+          }
+        }
+      } finally r.close()
+      xfFormats.result().zipWithIndex.collect {
+        case (fmt, i) if builtinDateFormats(fmt) || customDate(fmt) => i
+      }.toSet
+    }.getOrElse(Set.empty)
+
+  /** 1900-epoch serial → ISO date, mirroring openpyxl's `from_excel`:
+    * epoch 1899-12-30, serials below the phantom 1900-02-29 shifted up
+    * one (so serial 1 = 1900-01-01, serial 60 = 1900-02-28, serial 61 =
+    * 1900-03-01); time fraction truncated. For serials ≥ 61 this equals
+    * `LocalDate.ofEpochDay(serial - 25569)` — the property test checks
+    * that identity independently. */
+  private[graft] def serialToIsoDate(serial: Double): String = {
+    val whole = math.floor(serial).toLong
+    val days = if (whole > 0 && whole < 60) whole + 1 else whole
+    java.time.LocalDate.of(1899, 12, 30).plusDays(days).toString
+  }
+
+  private val numericSerial = "^-?[0-9]+(\\.[0-9]+)?([eE][-+]?[0-9]+)?$".r
+
   /** Sheet name → worksheet part path, in workbook order. */
   private def sheetTargets(parts: Map[String, Array[Byte]]): Seq[(String, String)] = {
     val rels: Map[String, String] = parts.get("xl/_rels/workbook.xml.rels")
@@ -134,15 +213,23 @@ object Xlsx {
     out.result()
   }
 
-  private def parseSheet(part: Array[Byte],
-                         shared: IndexedSeq[String]): Vector[Vector[String]] = {
+  private def parseSheet(part: Array[Byte], shared: IndexedSeq[String],
+                         dateStyles: Set[Int],
+                         convertDates: Boolean): Vector[Vector[String]] = {
     val r = newReader(part)
     val rows = Vector.newBuilder[Vector[String]]
     var row: scala.collection.mutable.ArrayBuffer[String] = null
     var cellCol = -1
     var cellType = ""
+    var cellStyle = -1
+    // Accumulated text of the CURRENT cell: inline strings may carry
+    // multiple rich-text runs (<is><r><t>a</t></r><r><t>b</t></r></is>);
+    // each run appends here and the cell is emitted once at </c>,
+    // mirroring the sharedStrings per-<si> accumulator.
+    var cellBuf: StringBuilder = null
     var buf: StringBuilder = null
     var inValue = false
+    var inPhonetic = false // <rPh> phonetic runs are not cell text
     var width = 0
     def put(col: Int, v: String): Unit = {
       while (row.length <= col) row += null
@@ -161,7 +248,11 @@ object Xlsx {
                 // minimal writers may omit r= — fall back to position
                 cellCol = if (ref != null) colIndex(ref) else cellCol + 1
                 cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
-              case "v" | "t" if row != null && cellCol >= 0 =>
+                cellStyle = Option(r.getAttributeValue(null, "s"))
+                  .filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(-1)
+                cellBuf = null
+              case "rPh" => inPhonetic = true
+              case "v" | "t" if row != null && cellCol >= 0 && !inPhonetic =>
                 buf = new StringBuilder; inValue = true
               case _ =>
             }
@@ -171,13 +262,22 @@ object Xlsx {
             r.getLocalName match {
               case "v" | "t" if inValue =>
                 inValue = false
-                val raw = buf.toString
+                if (cellBuf == null) cellBuf = new StringBuilder
+                cellBuf.append(buf.toString)
+              case "rPh" => inPhonetic = false
+              case "c" if row != null && cellCol >= 0 && cellBuf != null =>
+                val raw = cellBuf.toString
                 val v = cellType match {
                   case "s" => shared(raw.trim.toInt)
                   case "b" => if (raw.trim == "1") "true" else "false"
-                  case _ => raw
+                  case _ =>
+                    if (convertDates && dateStyles.contains(cellStyle) &&
+                      numericSerial.matches(raw.trim))
+                      serialToIsoDate(raw.trim.toDouble)
+                    else raw
                 }
                 put(cellCol, v)
+                cellBuf = null
               case "row" if row != null =>
                 width = math.max(width, row.length)
                 rows += row.toVector
@@ -191,21 +291,30 @@ object Xlsx {
     rows.result().map(r => r ++ Vector.fill(width - r.length)(null))
   }
 
-  /** Decode every sheet of one workbook from bytes. */
-  def decode(bytes: Array[Byte]): Seq[Sheet] = {
+  /** Decode every sheet of one workbook from bytes. With
+    * `convertDateSerials` on, numeric cells carrying a date style
+    * decode to ISO dates (see object scaladoc). */
+  def decode(bytes: Array[Byte],
+             convertDateSerials: Boolean = false): Seq[Sheet] = {
     val parts = zipEntries(bytes)
     val shared = sharedStrings(parts)
+    val dateStyles =
+      if (convertDateSerials) dateStyleIndexes(parts) else Set.empty[Int]
     sheetTargets(parts).map { case (name, target) =>
-      Sheet(name, parts.get(target).map(parseSheet(_, shared))
+      Sheet(name, parts.get(target)
+        .map(parseSheet(_, shared, dateStyles, convertDateSerials))
         .getOrElse(Vector.empty))
     }
   }
 
   /** Decode one named sheet of one workbook from bytes. */
-  def decodeSheet(bytes: Array[Byte], sheet: String): Sheet =
-    decode(bytes).find(_.name == sheet).getOrElse(
+  def decodeSheet(bytes: Array[Byte], sheet: String,
+                  convertDateSerials: Boolean = false): Sheet = {
+    val sheets = decode(bytes, convertDateSerials)
+    sheets.find(_.name == sheet).getOrElse(
       throw new IllegalArgumentException(
-        s"sheet '$sheet' not found; has ${decode(bytes).map(_.name)}"))
+        s"sheet '$sheet' not found; has ${sheets.map(_.name)}"))
+  }
 
   private def toDf(spark: SparkSession, sheet: Sheet): DataFrame = {
     val header = sheet.rows.headOption.getOrElse(Vector.empty)
@@ -223,15 +332,17 @@ object Xlsx {
     * first row as header (pipeline.py:52-61 reads the same 23-sheet
     * workbooks). Driver-side decode of one small landed file; see the
     * object scaladoc for the many-file distributed path. */
-  def readAll(spark: SparkSession, path: String): Map[String, DataFrame] = {
+  def readAll(spark: SparkSession, path: String,
+              convertDateSerials: Boolean = false): Map[String, DataFrame] = {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
-    decode(bytes).map(s => s.name -> toDf(spark, s)).toMap
+    decode(bytes, convertDateSerials).map(s => s.name -> toDf(spark, s)).toMap
   }
 
   /** One sheet of one workbook as an all-string DataFrame. */
-  def read(spark: SparkSession, path: String, sheet: String): DataFrame = {
+  def read(spark: SparkSession, path: String, sheet: String,
+           convertDateSerials: Boolean = false): DataFrame = {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
-    toDf(spark, decodeSheet(bytes, sheet))
+    toDf(spark, decodeSheet(bytes, sheet, convertDateSerials))
   }
 
   /** Distributed decode for MANY workbooks sharing one sheet schema:
@@ -241,23 +352,34 @@ object Xlsx {
     * distributed plan); each file's own header row maps its cells to
     * those columns by name, so column order may vary per file and
     * missing columns degrade to null — the same tolerance as the
-    * staging models' optional-column guards. */
+    * staging models' optional-column guards. Only `*.xlsx` files are
+    * scanned (a landing dir can legally mix dated CSVs with workbooks,
+    * `Ingest.discover`), and a workbook that lacks `sheet` contributes
+    * zero rows instead of failing the whole job — per-file degradation,
+    * the behavior a 1000-file drop needs. */
   def readManyAsRows(spark: SparkSession, dir: String, sheet: String,
-                     columns: Seq[String]): DataFrame = {
+                     columns: Seq[String],
+                     convertDateSerials: Boolean = false): DataFrame = {
     val schema = StructType(
       StructField("source_file", StringType, nullable = false) +:
         columns.map(StructField(_, StringType, nullable = true)))
-    val bin = spark.read.format("binaryFile").load(dir)
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.xlsx")
+      .load(dir)
       .select("path", "content")
     val rows = bin.rdd.flatMap { r =>
       val path = r.getString(0)
-      val s = decodeSheet(r.getAs[Array[Byte]](1), sheet)
-      val header = s.rows.headOption.getOrElse(Vector.empty)
-      val idx: Map[String, Int] =
-        header.zipWithIndex.filter(_._1 != null).toMap
-      s.rows.drop(1).map { cells =>
-        Row.fromSeq(path +: columns.map(c =>
-          idx.get(c).filter(_ < cells.length).map(cells(_)).orNull))
+      decode(r.getAs[Array[Byte]](1), convertDateSerials)
+        .find(_.name == sheet) match {
+        case None => Seq.empty[Row]
+        case Some(s) =>
+          val header = s.rows.headOption.getOrElse(Vector.empty)
+          val idx: Map[String, Int] =
+            header.zipWithIndex.filter(_._1 != null).toMap
+          s.rows.drop(1).map { cells =>
+            Row.fromSeq(path +: columns.map(c =>
+              idx.get(c).filter(_ < cells.length).map(cells(_)).orNull))
+          }
       }
     }
     spark.createDataFrame(rows, schema)

@@ -102,6 +102,67 @@ class IngestSpec extends SparkSpec {
     assert(rows.forall(_.isNullAt(3)))
   }
 
+  private def zipBytes(entries: Seq[(String, String)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    entries.foreach { case (n, c) =>
+      z.putNextEntry(new java.util.zip.ZipEntry(n))
+      z.write(c.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      z.closeEntry()
+    }
+    z.close()
+    bos.toByteArray
+  }
+
+  private val wbNs = "xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\""
+
+  private def oneSheetWorkbook(sheetName: String, sheetXml: String,
+                               styles: Option[String]): Array[Byte] = {
+    val wb = s"""<?xml version="1.0"?><workbook $wbNs xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="$sheetName" sheetId="1" r:id="rId1"/></sheets></workbook>"""
+    val rels = """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>"""
+    zipBytes(Seq(
+      "xl/workbook.xml" -> wb,
+      "xl/_rels/workbook.xml.rels" -> rels,
+      "xl/worksheets/sheet1.xml" -> sheetXml) ++
+      styles.map("xl/styles.xml" -> _))
+  }
+
+  test("xlsx: date-styled serials convert to ISO dates only behind the flag") {
+    import graft.sources.Xlsx
+    // style 1 → builtin 14 (m/d/yyyy), style 2 → custom 164 (date code),
+    // style 3 → currency (must NOT convert)
+    val styles = s"""<?xml version="1.0"?><styleSheet $wbNs><numFmts count="2"><numFmt numFmtId="164" formatCode="yyyy-mm-dd;@"/><numFmt numFmtId="165" formatCode="&quot;$$&quot;#,##0.00"/></numFmts><cellXfs count="4"><xf numFmtId="0"/><xf numFmtId="14" applyNumberFormat="1"/><xf numFmtId="164" applyNumberFormat="1"/><xf numFmtId="165" applyNumberFormat="1"/></cellXfs></styleSheet>"""
+    val sheet = s"""<?xml version="1.0"?><worksheet $wbNs><sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>Date</t></is></c><c r="B1" t="inlineStr"><is><t>Custom</t></is></c><c r="C1" t="inlineStr"><is><t>Amount</t></is></c><c r="D1" t="inlineStr"><is><t>Note</t></is></c></row><row r="2"><c r="A2" s="1"><v>45299</v></c><c r="B2" s="2"><v>45299.75</v></c><c r="C2" s="3"><v>1250.5</v></c><c r="D2" t="inlineStr"><is><r><t>Hello </t></r><r><t>World</t></r></is></c></row></sheetData></worksheet>"""
+    val bytes = oneSheetWorkbook("Data", sheet, Some(styles))
+
+    val converted = Xlsx.decodeSheet(bytes, "Data",
+      convertDateSerials = true).rows(1)
+    assert(converted(0) == "2024-01-08", "builtin date style → ISO")
+    assert(converted(1) == "2024-01-08", "custom date code, fraction truncated")
+    assert(converted(2) == "1250.5", "currency style stays lexical")
+    assert(converted(3) == "Hello World",
+      "multi-run inline string concatenates all runs")
+
+    val raw = Xlsx.decodeSheet(bytes, "Data").rows(1)
+    assert(raw(0) == "45299" && raw(1) == "45299.75",
+      "flag off preserves the stored-lexical contract")
+  }
+
+  test("xlsx: readManyAsRows skips non-xlsx files and sheetless workbooks") {
+    import graft.sources.Xlsx
+    val dir = Files.createTempDirectory("xlsx_mixed")
+    val goodSheet = s"""<?xml version="1.0"?><worksheet $wbNs><sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>Name</t></is></c></row><row r="2"><c r="A2" t="inlineStr"><is><t>alpha</t></is></c></row></sheetData></worksheet>"""
+    Files.write(dir.resolve("2024-06-01_data.xlsx"),
+      oneSheetWorkbook("Data", goodSheet, None))
+    Files.write(dir.resolve("2024-06-02_other.xlsx"),
+      oneSheetWorkbook("Other", goodSheet, None))
+    Files.writeString(dir.resolve("2024-06-03_data.csv"), "Name\nnot-a-zip")
+    val out = Xlsx.readManyAsRows(spark, dir.toString, "Data",
+      columns = Seq("Name")).collect()
+    assert(out.length == 1, "CSV filtered by glob; sheetless workbook skipped")
+    assert(out.head.getString(1) == "alpha")
+  }
+
   test("StateStore: changed on new file, stable after markProcessed, changed on touch") {
     val dir = tmpDirWith("a.xlsx")
     val f = s"$dir/a.xlsx"

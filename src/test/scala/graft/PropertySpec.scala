@@ -205,6 +205,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("xlsx 1900-epoch serial math matches java.time; date codes classify") {
+    import graft.sources.Xlsx
+    // modern serials (≥ 61, past the Lotus phantom day): the epoch shift
+    // must equal the independent unix-epoch identity serial - 25569
+    (0 until 500).foreach { _ =>
+      val serial = 61 + rnd.nextInt(80000)
+      assert(Xlsx.serialToIsoDate(serial.toDouble) ==
+        java.time.LocalDate.ofEpochDay(serial.toLong - 25569).toString)
+    }
+    assert(Xlsx.serialToIsoDate(1) == "1900-01-01")
+    assert(Xlsx.serialToIsoDate(59) == "1900-02-28")
+    assert(Xlsx.serialToIsoDate(60) == "1900-02-28",
+      "phantom 1900-02-29 maps to Feb 28, as openpyxl does")
+    assert(Xlsx.serialToIsoDate(61) == "1900-03-01")
+    assert(Xlsx.serialToIsoDate(45299.99) == "2024-01-08",
+      "time fraction truncated")
+    assert(Xlsx.isDateCode("yyyy-mm-dd;@"))
+    assert(Xlsx.isDateCode("m/d/yy h:mm"))
+    assert(Xlsx.isDateCode("[$-409]d-mmm-yy"))
+    assert(!Xlsx.isDateCode("#,##0.00"))
+    assert(!Xlsx.isDateCode("General"))
+    assert(!Xlsx.isDateCode("0.00%"))
+    assert(!Xlsx.isDateCode("\"Day \"0.0"),
+      "quoted literals must not trigger date detection")
+  }
+
   test("xlsx column refs decode beyond Z") {
     import graft.sources.Xlsx
     assert(Xlsx.colIndex("A1") == 0)
