@@ -19,7 +19,7 @@ object SparkEntry {
       RefOpQueries.all ++ CompanyProductQueries.all ++
       PricingHistoryQueries.all ++ OrdersChainQueries.all ++
       ConsolidationChainQueries.all ++ ShopifyChainQueries.all ++
-      StagingChainQueries.all
+      StagingChainQueries.all ++ IngestChainQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+import graft.Tables
+import graft.ingest.Ingest
+import graft.operators.MergeUpsert
+import graft.ref.Staging
+
+/** End-to-end ingest chain under the oracle gate — the S3/S5/I4
+  * interplay that was previously ScalaTest-only: a seed batch plus two
+  * incremental batches are stamped by the REAL `Ingest.withLoadMetadata`
+  * (S3), merged with two sequential REAL `MergeUpsert.upsert` calls (S5;
+  * later batches win per key, non-colliding rows survive — the
+  * seed/incremental discipline of I4), then staged by the REAL
+  * `Staging.items` model. The DuckDB twin emulates the two sequential
+  * upserts with one priority window (inc2=3 > inc1=2 > seed=1), which is
+  * equivalent because each batch has unique keys.
+  *
+  * `load_date` (stamped `current_date()`) is projected out of the
+  * compared frame — it is the one metadata column that is wall-clock,
+  * not data, dependent; snapshot_date/is_seed/source_file are all
+  * hash-checked through the chain.
+  */
+object IngestChainQueries {
+
+  val i4IngestChain: Q = Q.sql(
+    "i4_ingest_chain",
+    """WITH base AS (
+      |  SELECT p_partkey AS k, p_name, p_type, p_retailprice, p_size
+      |  FROM part
+      |), seed AS (
+      |  SELECT 'I' || CAST(k AS VARCHAR) || ' ' AS item_key,
+      |    p_name AS item_name, p_type AS item_type,
+      |    CASE WHEN k % 9 = 0 THEN '' ELSE 'desc ' || p_name END AS sales_description,
+      |    '$' || CAST(p_retailprice AS VARCHAR) AS sales_price,
+      |    CAST(k % 500 AS VARCHAR) AS purchase_cost,
+      |    CAST(p_size AS VARCHAR) AS quantity_on_hand,
+      |    CASE WHEN k % 2 = 0 THEN 'ea' ELSE '' END AS u_m,
+      |    'Active' AS status,
+      |    '2024-05-01' AS snapshot_date, TRUE AS is_seed,
+      |    'All Lists_05_01_2024_export.xlsx' AS source_file, 1 AS pri
+      |  FROM base
+      |), inc1 AS (
+      |  SELECT 'I' || CAST(k AS VARCHAR) || ' ', p_name, p_type,
+      |    CASE WHEN k % 9 = 0 THEN '' ELSE 'desc ' || p_name END,
+      |    '$' || CAST(p_retailprice AS VARCHAR),
+      |    CAST(k % 500 + 7 AS VARCHAR), CAST(p_size AS VARCHAR),
+      |    CASE WHEN k % 2 = 0 THEN 'ea' ELSE '' END,
+      |    'Updated', '2024-06-01', FALSE,
+      |    '2024-06-01_transactions.xlsx', 2
+      |  FROM base WHERE k % 3 = 0
+      |  UNION ALL
+      |  SELECT 'I' || CAST(k + 9000000 AS VARCHAR) || ' ',
+      |    'New ' || p_name, p_type, '',
+      |    '$' || CAST(p_retailprice AS VARCHAR),
+      |    CAST(k % 500 + 1 AS VARCHAR), CAST(p_size AS VARCHAR), 'ea',
+      |    'New', '2024-06-01', FALSE,
+      |    '2024-06-01_transactions.xlsx', 2
+      |  FROM base WHERE k % 11 = 0
+      |), inc2 AS (
+      |  SELECT 'I' || CAST(k AS VARCHAR) || ' ', p_name, p_type,
+      |    CASE WHEN k % 9 = 0 THEN '' ELSE 'desc ' || p_name END,
+      |    '$' || CAST(p_retailprice AS VARCHAR),
+      |    CAST(k % 500 + 13 AS VARCHAR), CAST(p_size AS VARCHAR),
+      |    CASE WHEN k % 2 = 0 THEN 'ea' ELSE '' END,
+      |    'Clearance', '2024-07-01', FALSE,
+      |    '2024-07-01_transactions.xlsx', 3
+      |  FROM base WHERE k % 5 = 0
+      |), unioned AS (
+      |  SELECT * FROM seed
+      |  UNION ALL SELECT * FROM inc1
+      |  UNION ALL SELECT * FROM inc2
+      |), merged AS (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY item_key ORDER BY pri DESC) AS rn
+      |  FROM unioned
+      |)
+      |SELECT NULLIF(TRIM(item_key), '') AS item_id,
+      |  NULLIF(TRIM(item_name), '') AS item_name,
+      |  NULLIF(TRIM(item_type), '') AS item_type,
+      |  NULLIF(TRIM(sales_description), '') AS sales_description,
+      |  COALESCE(TRY_CAST(REGEXP_REPLACE(sales_price, '[,$%\s]', '', 'g') AS DOUBLE), 0.0) AS sales_price,
+      |  COALESCE(TRY_CAST(REGEXP_REPLACE(purchase_cost, '[,$%\s]', '', 'g') AS DOUBLE), 0.0) AS purchase_cost,
+      |  COALESCE(TRY_CAST(REGEXP_REPLACE(quantity_on_hand, '[,$%\s]', '', 'g') AS DOUBLE), 0.0) AS quantity_on_hand,
+      |  NULLIF(TRIM(u_m), '') AS unit_of_measure,
+      |  NULLIF(TRIM(status), '') AS status,
+      |  snapshot_date, is_seed, source_file
+      |FROM merged WHERE rn = 1 ORDER BY item_id""".stripMargin) { (s, d) =>
+    val k = col("p_partkey")
+    def batch(src: DataFrame, status: String, costShift: Int): DataFrame =
+      src.select(
+        concat(lit("I"), k.cast("string"), lit(" "))
+          .as("quick_books_internal_id"),
+        col("p_name").as("item_name"),
+        col("p_type").as("item_type"),
+        when(k % 9 === 0, lit(""))
+          .otherwise(concat(lit("desc "), col("p_name")))
+          .as("sales_description"),
+        concat(lit("$"), col("p_retailprice").cast("string"))
+          .as("sales_price"),
+        (k % 500 + costShift).cast("string").as("purchase_cost"),
+        col("p_size").cast("string").as("quantity_on_hand"),
+        when(k % 2 === 0, "ea").otherwise("").as("u_m"),
+        lit(status).as("status"))
+
+    val part = Tables.part(s, d)
+    val seed = Ingest.withLoadMetadata(batch(part, "Active", 0),
+      "2024-05-01", isSeed = true,
+      sourceFile = "All Lists_05_01_2024_export.xlsx")
+    val newRows = part.filter(k % 11 === 0).select(
+      concat(lit("I"), (k + 9000000L).cast("string"), lit(" "))
+        .as("quick_books_internal_id"),
+      concat(lit("New "), col("p_name")).as("item_name"),
+      col("p_type").as("item_type"),
+      lit("").as("sales_description"),
+      concat(lit("$"), col("p_retailprice").cast("string"))
+        .as("sales_price"),
+      (k % 500 + 1).cast("string").as("purchase_cost"),
+      col("p_size").cast("string").as("quantity_on_hand"),
+      lit("ea").as("u_m"),
+      lit("New").as("status"))
+    val inc1 = Ingest.withLoadMetadata(
+      batch(part.filter(k % 3 === 0), "Updated", 7).unionByName(newRows),
+      "2024-06-01", isSeed = false,
+      sourceFile = "2024-06-01_transactions.xlsx")
+    val inc2 = Ingest.withLoadMetadata(
+      batch(part.filter(k % 5 === 0), "Clearance", 13),
+      "2024-07-01", isSeed = false,
+      sourceFile = "2024-07-01_transactions.xlsx")
+
+    MergeUpsert.assertSameSchema(seed, inc1)
+    MergeUpsert.assertSameSchema(seed, inc2)
+    val merged = MergeUpsert.upsert(
+      MergeUpsert.upsert(seed, inc1, Seq("quick_books_internal_id")),
+      inc2, Seq("quick_books_internal_id"))
+
+    val meta = merged.select(
+      trim(col("quick_books_internal_id")).as("item_id"),
+      col("is_seed"), col("source_file"))
+    Staging.items(merged)
+      .drop("load_date")
+      .join(meta, Seq("item_id"))
+      .orderBy("item_id")
+  }
+
+  val all: Seq[Q] = Seq(i4IngestChain)
+}
