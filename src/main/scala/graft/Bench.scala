@@ -43,18 +43,37 @@ object Bench {
         }
         name -> samples.min
     }
+    // Mart-layer throughput, not just per-query latency: wall time of the
+    // full reference ModelDag (every model materialized through the
+    // ATOMIC versioned catalog + read-back counts, exactly what RefDemo
+    // drives). Skipped when a local iteration names specific queries.
+    // Reported as its OWN top-level key, outside `queries` and the
+    // headline total, so the per-query total stays comparable with the
+    // r01–r07 rows in BASELINE.md.
+    val refdemo: Option[Double] =
+      if (only.forall(_.contains("refdemo_total"))) {
+        reclaim()
+        val wh = java.nio.file.Files.createTempDirectory("graft_bench_wh")
+        val t0 = System.nanoTime()
+        val out = ref.ModelDag.run(new ref.Catalog(spark, wh.toString),
+          ref.RefFixtures.inputs(spark))
+        out.values.foreach(_.count())
+        Some((System.nanoTime() - t0) / 1e9)
+      } else None
     val total = results.map(_._2).sum
     // Locale.ROOT: a comma decimal separator would corrupt the JSON.
     def sec(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
+    val refdemoJson =
+      refdemo.map(v => s""""refdemo_total":${sec(v)},""").getOrElse("")
     // Stop Spark BEFORE printing so no executor-shutdown log line can land
     // after the JSON, and keep "metric"/"value" as the LAST keys: the
     // driver's tail capture keeps the END of stdout, so even if the
     // per-query map outgrows the window the headline total stays visible
     // (BENCH_r02's total was truncated away with the old key order).
     spark.stop()
-    println(s"""{"sf":"$sfDir","reps":$reps,"queries":$qs,"unit":"sec","metric":"total","value":${sec(total)}}""")
+    println(s"""{"sf":"$sfDir","reps":$reps,"queries":$qs,$refdemoJson"unit":"sec","metric":"total","value":${sec(total)}}""")
   }
 }
