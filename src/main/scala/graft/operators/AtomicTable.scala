@@ -94,12 +94,24 @@ object AtomicTable {
     committedVersions(spark, dir).lastOption
       .map(v => dataPath(dir, v).toString)
 
+  private def readWriterId(f: FileSystem, dir: String): Option[String] = {
+    val wp = writerPath(dir)
+    if (!f.exists(wp)) None
+    else Some {
+      val in = f.open(wp)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+  }
+
   /** Write `df` as version `version` and commit it. Idempotent: a
     * version that already has a marker is left untouched. Retains the
-    * two highest committed versions (pruned BY POSITION, not by value,
-    * so a non-contiguous version jump still leaves the immediately
-    * previous committed snapshot for reader grace); prunes the rest
-    * (marker first — new readers stop resolving it — then data).
+    * `retainVersions` highest committed versions (pruned BY POSITION,
+    * not by value, so a non-contiguous version jump still leaves the
+    * immediately previous committed snapshot for reader grace); prunes
+    * the rest (marker first — new readers stop resolving it — then
+    * data). Longer-window retention policies belong to [[vacuum]].
     *
     * `writerId`, when supplied, binds the target directory to ONE
     * writer lineage: the first commit records it in `_writer`, and any
@@ -111,31 +123,57 @@ object AtomicTable {
     * drop those batches' data without any error. Delta/Iceberg key
     * streaming txn idempotency on (query id, batch id) for the same
     * reason; here the id is the checkpoint path — the identity that
-    * decides whether batch ids continue or restart. */
+    * decides whether batch ids continue or restart.
+    *
+    * Binding rules when `writerId` is present:
+    *   - `_writer` exists with a DIFFERENT id → fail.
+    *   - `_writer` absent but committed versions EXIST (a batch-written
+    *     or pre-guard table) → fail unless `adoptExisting = true`: the
+    *     dir's markers were minted by some other lineage, so this
+    *     query's early batch ids would silently no-op — exactly the
+    *     hazard the guard closes. `adoptExisting` is the operator's
+    *     explicit "I know these versions are mine/compatible".
+    *   - `_writer` creation uses create-no-overwrite, so two first
+    *     writers racing produce one winner and one reader-of-the-file —
+    *     never a silent split lineage. */
   def commit(df: DataFrame, dir: String, version: Long,
              writerId: Option[String] = None,
-             partitionCols: Seq[String] = Nil): Unit = {
+             partitionCols: Seq[String] = Nil,
+             retainVersions: Int = 2,
+             adoptExisting: Boolean = false): Unit = {
     val spark = df.sparkSession
     val f = fs(spark, dir)
     writerId.foreach { id =>
       val wp = writerPath(dir)
-      if (f.exists(wp)) {
-        val existing = {
-          val in = f.open(wp)
-          try new String(in.readAllBytes(),
-            java.nio.charset.StandardCharsets.UTF_8)
-          finally in.close()
-        }
-        if (existing != id) throw new IllegalStateException(
+      val bound = readWriterId(f, dir) match {
+        case Some(existing) => Some(existing)
+        case None =>
+          if (committedVersions(spark, dir).nonEmpty && !adoptExisting)
+            throw new IllegalStateException(
+              s"AtomicTable at $dir has committed versions but no " +
+                s"_writer lineage; writer '$id' would adopt markers it " +
+                "never minted and silently no-op colliding batch ids. " +
+                "Target a fresh directory, or pass adoptExisting=true " +
+                "to bind this lineage explicitly.")
+          // create-no-overwrite: concurrent first writers race to one
+          // winner; the loser re-reads and validates below.
+          try {
+            val out = f.create(wp, false)
+            try out.write(
+              id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
+            None
+          } catch {
+            case _: java.io.IOException => readWriterId(f, dir)
+          }
+      }
+      bound.filter(_ != id).foreach { existing =>
+        throw new IllegalStateException(
           s"AtomicTable at $dir is bound to writer '$existing' but this " +
             s"commit comes from '$id'. Version numbers are only " +
             "idempotency keys within one writer lineage (one streaming " +
             "checkpoint); a new query must target a fresh directory or " +
             "reuse the original checkpoint.")
-      } else {
-        val out = f.create(wp, true)
-        try out.write(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
       }
     }
     if (isCommitted(spark, dir, version)) return
@@ -143,9 +181,49 @@ object AtomicTable {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(dataPath(dir, version).toString)
     f.create(markerPath(dir, version), true).close()
-    committedVersions(spark, dir).dropRight(2).foreach { v =>
+    committedVersions(spark, dir).dropRight(math.max(retainVersions, 1))
+      .foreach { v =>
+        f.delete(markerPath(dir, v), false)
+        f.delete(dataPath(dir, v), true)
+      }
+  }
+
+  /** AGE/COUNT-BASED RETENTION for long-running tables (the Delta
+    * `VACUUM` shape): deletes committed versions that are BOTH beyond
+    * the `retainLast` highest AND — when `olderThanMillis` is set —
+    * whose commit marker is older than that age. The latest version is
+    * always kept. Returns the versions actually deleted. Driver-side
+    * O(#versions) metadata calls; safe to run concurrently with
+    * readers of retained versions (marker is deleted first, so new
+    * readers stop resolving a version before its data disappears). */
+  def vacuum(spark: SparkSession, dir: String, retainLast: Int = 2,
+             olderThanMillis: Option[Long] = None): Seq[Long] = {
+    val f = fs(spark, dir)
+    val now = System.currentTimeMillis()
+    val candidates = committedVersions(spark, dir)
+      .dropRight(math.max(retainLast, 1))
+      .filter { v =>
+        olderThanMillis.forall { age =>
+          now - f.getFileStatus(markerPath(dir, v)).getModificationTime >= age
+        }
+      }
+    candidates.foreach { v =>
       f.delete(markerPath(dir, v), false)
       f.delete(dataPath(dir, v), true)
+    }
+    candidates
+  }
+
+  /** True when `dir` holds data OUTSIDE the atomic layout (files that
+    * are neither `v_<n>` dirs nor `_`-prefixed protocol markers) — a
+    * legacy plain-parquet table. Resolved through the same Hadoop
+    * FileSystem as the commit protocol, so the answer is correct on
+    * HDFS/S3A, not just the local filesystem. */
+  def hasLegacyFiles(spark: SparkSession, dir: String): Boolean = {
+    val f = fs(spark, dir)
+    f.exists(new Path(dir)) && f.listStatus(new Path(dir)).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("v_") && !n.startsWith("_")
     }
   }
 

@@ -74,12 +74,9 @@ final class Catalog(val spark: SparkSession, val root: String) {
     * orphan version dir from a crashed writer counts as neither. */
   def exists(layer: String, name: String): Boolean = {
     val p = path(layer, name)
-    def legacyDir: Boolean = {
-      val files = Option(new java.io.File(p).listFiles()).getOrElse(Array())
-      files.exists(f => !f.getName.startsWith("v_") &&
-        !f.getName.startsWith("_"))
-    }
     views.contains(s"$layer.$name") ||
-      AtomicTable.committedVersions(spark, p).nonEmpty || legacyDir
+      AtomicTable.committedVersions(spark, p).nonEmpty ||
+      AtomicTable.hasLegacyFiles(spark, p) // Hadoop FS, not java.io —
+      // legacy tables on HDFS/S3A must count too (r07 ADVICE)
   }
 }

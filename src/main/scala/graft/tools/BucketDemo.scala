@@ -52,28 +52,40 @@ object BucketDemo {
       "bucketed join should need fewer exchanges")
     println("[bucket] OK — bucketed join is shuffle-free on the join key")
 
-    // ---- PARTITION PRUNING: the other half of the 100 TB storage
-    // layout. Facts written hive-partitioned by month; a month-range
-    // filter must show up as PartitionFilters (directories skipped at
-    // planning time), NOT as a data filter over the full scan.
-    new graft.ref.Catalog(spark, wh.toString).saveTablePartitioned(
-      "demo", "orders_by_month",
-      Tables.orders(spark, d)
-        .withColumn("order_month",
-          date_format(col("o_orderdate"), "yyyy-MM")),
+    // ---- PARTITION PRUNING under ATOMIC COMMITS: the other half of
+    // the 100 TB storage layout. Facts written hive-partitioned by
+    // month through the versioned commit protocol; the reader resolves
+    // ONE committed snapshot (never the union of version dirs), and a
+    // month filter must show up as PartitionFilters (directories
+    // skipped at planning time), NOT as a data filter over a full scan.
+    val cat = new graft.ref.Catalog(spark, wh.toString)
+    val byMonth = Tables.orders(spark, d)
+      .withColumn("order_month",
+        date_format(col("o_orderdate"), "yyyy-MM"))
+    cat.saveTablePartitioned("demo", "orders_by_month", byMonth,
       Seq("order_month"))
-    val pruned = spark.read
-      .parquet(s"${wh.toString}/demo/orders_by_month")
+    // Second commit = the nightly rebuild. Two version dirs now exist
+    // on disk; a naive read of the table ROOT would double-count.
+    cat.saveTablePartitioned("demo", "orders_by_month", byMonth,
+      Seq("order_month"))
+    val expected = byMonth.filter(col("order_month") === "1995-03").count()
+    val pruned = cat.load("demo", "orders_by_month")
       .filter(col("order_month") === "1995-03")
     pruned.collect()
     val prunedPlan = pruned.queryExecution.executedPlan.toString
     val pf = prunedPlan.linesIterator
       .find(_.contains("PartitionFilters")).getOrElse("")
-    println(s"[partition] rows=${pruned.count()} " +
+    val pfAt = pf.indexOf("PartitionFilters")
+    println(s"[partition] snippet: " +
+      (if (pfAt >= 0) pf.substring(pfAt).take(140) else "<absent>"))
+    println(s"[partition] rows=${pruned.count()} (expected $expected) " +
       s"partition_filter_present=${pf.contains("order_month")}")
+    assert(pruned.count() == expected,
+      "catalog read must resolve exactly one committed snapshot")
     assert(pf.contains("order_month"),
       "month filter must prune partitions, not scan-and-filter")
-    println("[partition] OK — month filter prunes directories at plan time")
+    println("[partition] OK — committed-version read prunes directories " +
+      "at plan time")
     spark.stop()
   }
 }

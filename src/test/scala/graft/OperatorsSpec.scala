@@ -198,4 +198,54 @@ class OperatorsSpec extends SparkSpec {
     assert(AtomicTable.readVersion(spark, dir, 0L).isEmpty)
     assert(AtomicTable.readVersion(spark, dir, 3L).isEmpty)
   }
+
+  test("AtomicTable: writer adoption of a pre-existing unbound table is explicit") {
+    import graft.operators.AtomicTable
+    val dir = java.nio.file.Files.createTempDirectory("atomic_adopt")
+      .resolve("t").toString
+    // Batch path (no writerId) mints versions but no _writer file.
+    AtomicTable.commit(Seq((1L, "a")).toDF("k", "v"), dir, 0L)
+    // A fresh streaming query pointed here would silently no-op its
+    // batch 0 against the batch-minted marker — must fail fast instead.
+    val e = intercept[IllegalStateException] {
+      AtomicTable.commit(Seq((2L, "b")).toDF("k", "v"), dir, 0L,
+        writerId = Some("ckpt-new"))
+    }
+    assert(e.getMessage.contains("adopt"))
+    // Explicit adoption binds the lineage; the colliding batch id is
+    // then (by operator's declaration) a legitimate replay no-op.
+    AtomicTable.commit(Seq((2L, "b")).toDF("k", "v"), dir, 0L,
+      writerId = Some("ckpt-new"), adoptExisting = true)
+    AtomicTable.commit(Seq((3L, "c")).toDF("k", "v"), dir, 1L,
+      writerId = Some("ckpt-new"))
+    assert(AtomicTable.committedVersions(spark, dir) == Seq(0L, 1L))
+    // And a different lineage still fails against the now-bound dir.
+    intercept[IllegalStateException] {
+      AtomicTable.commit(Seq((4L, "d")).toDF("k", "v"), dir, 2L,
+        writerId = Some("ckpt-other"))
+    }
+  }
+
+  test("AtomicTable: vacuum applies count and age retention, keeps latest") {
+    import graft.operators.AtomicTable
+    val dir = java.nio.file.Files.createTempDirectory("atomic_vacuum")
+      .resolve("t").toString
+    def df(n: Long) = Seq((n, s"v$n")).toDF("k", "v")
+    // retainVersions=10 keeps deep history for vacuum to manage.
+    (0L to 4L).foreach(v =>
+      AtomicTable.commit(df(v), dir, v, retainVersions = 10))
+    assert(AtomicTable.committedVersions(spark, dir) == (0L to 4L))
+    // Age window nothing is older than: no deletions.
+    assert(AtomicTable.vacuum(spark, dir, retainLast = 2,
+      olderThanMillis = Some(60 * 60 * 1000L)).isEmpty)
+    assert(AtomicTable.committedVersions(spark, dir) == (0L to 4L))
+    // Zero age: everything beyond the two highest goes.
+    assert(AtomicTable.vacuum(spark, dir, retainLast = 2,
+      olderThanMillis = Some(0L)) == Seq(0L, 1L, 2L))
+    assert(AtomicTable.committedVersions(spark, dir) == Seq(3L, 4L))
+    // Count-only vacuum down to one version; latest always survives.
+    assert(AtomicTable.vacuum(spark, dir, retainLast = 1) == Seq(3L))
+    assert(AtomicTable.read(spark, dir).get.collect()
+      .map(_.getString(1)).toSeq == Seq("v4"))
+  }
 }
