@@ -159,17 +159,45 @@ object Xlsx {
       }.toSet
     }.getOrElse(Set.empty)
 
-  /** 1900-epoch serial → ISO date, mirroring openpyxl's `from_excel`:
-    * epoch 1899-12-30, serials below the phantom 1900-02-29 shifted up
-    * one (so serial 1 = 1900-01-01, serial 60 = 1900-02-28, serial 61 =
-    * 1900-03-01); time fraction truncated. For serials ≥ 61 this equals
+  /** Serial → ISO date, mirroring openpyxl's `from_excel`. Default
+    * (Windows) 1900 system: epoch 1899-12-30, serials below the phantom
+    * 1900-02-29 shifted up one (so serial 1 = 1900-01-01, serial 60 =
+    * 1900-02-28, serial 61 = 1900-03-01); for serials ≥ 61 this equals
     * `LocalDate.ofEpochDay(serial - 25569)` — the property test checks
-    * that identity independently. */
-  private[graft] def serialToIsoDate(serial: Double): String = {
+    * that identity independently. Mac-origin workbooks
+    * (`<workbookPr date1904="1"/>`) use the 1904 system: serial 0 =
+    * 1904-01-01, no phantom day, no shift. Time fraction truncated. */
+  private[graft] def serialToIsoDate(serial: Double,
+                                     date1904: Boolean = false): String = {
     val whole = math.floor(serial).toLong
-    val days = if (whole > 0 && whole < 60) whole + 1 else whole
-    java.time.LocalDate.of(1899, 12, 30).plusDays(days).toString
+    if (date1904)
+      java.time.LocalDate.of(1904, 1, 1).plusDays(whole).toString
+    else {
+      val days = if (whole > 0 && whole < 60) whole + 1 else whole
+      java.time.LocalDate.of(1899, 12, 30).plusDays(days).toString
+    }
   }
+
+  /** True when `xl/workbook.xml` declares the Mac 1904 date system. */
+  private def isDate1904(parts: Map[String, Array[Byte]]): Boolean =
+    parts.get("xl/workbook.xml").exists { wb =>
+      val r = newReader(wb)
+      try {
+        var flag = false
+        var done = false
+        while (!done && r.hasNext) {
+          if (r.next() == XMLStreamConstants.START_ELEMENT &&
+            r.getLocalName == "workbookPr") {
+            flag = {
+              val v = r.getAttributeValue(null, "date1904")
+              v == "1" || v == "true"
+            }
+            done = true
+          }
+        }
+        flag
+      } finally r.close()
+    }
 
   private val numericSerial = "^-?[0-9]+(\\.[0-9]+)?([eE][-+]?[0-9]+)?$".r
 
@@ -214,8 +242,8 @@ object Xlsx {
   }
 
   private def parseSheet(part: Array[Byte], shared: IndexedSeq[String],
-                         dateStyles: Set[Int],
-                         convertDates: Boolean): Vector[Vector[String]] = {
+                         dateStyles: Set[Int], convertDates: Boolean,
+                         date1904: Boolean): Vector[Vector[String]] = {
     val r = newReader(part)
     val rows = Vector.newBuilder[Vector[String]]
     var row: scala.collection.mutable.ArrayBuffer[String] = null
@@ -273,7 +301,7 @@ object Xlsx {
                   case _ =>
                     if (convertDates && dateStyles.contains(cellStyle) &&
                       numericSerial.matches(raw.trim))
-                      serialToIsoDate(raw.trim.toDouble)
+                      serialToIsoDate(raw.trim.toDouble, date1904)
                     else raw
                 }
                 put(cellCol, v)
@@ -300,9 +328,10 @@ object Xlsx {
     val shared = sharedStrings(parts)
     val dateStyles =
       if (convertDateSerials) dateStyleIndexes(parts) else Set.empty[Int]
+    val date1904 = convertDateSerials && isDate1904(parts)
     sheetTargets(parts).map { case (name, target) =>
       Sheet(name, parts.get(target)
-        .map(parseSheet(_, shared, dateStyles, convertDateSerials))
+        .map(parseSheet(_, shared, dateStyles, convertDateSerials, date1904))
         .getOrElse(Vector.empty))
     }
   }

@@ -117,8 +117,10 @@ class IngestSpec extends SparkSpec {
   private val wbNs = "xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\""
 
   private def oneSheetWorkbook(sheetName: String, sheetXml: String,
-                               styles: Option[String]): Array[Byte] = {
-    val wb = s"""<?xml version="1.0"?><workbook $wbNs xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="$sheetName" sheetId="1" r:id="rId1"/></sheets></workbook>"""
+                               styles: Option[String],
+                               date1904: Boolean = false): Array[Byte] = {
+    val pr = if (date1904) """<workbookPr date1904="1"/>""" else ""
+    val wb = s"""<?xml version="1.0"?><workbook $wbNs xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">$pr<sheets><sheet name="$sheetName" sheetId="1" r:id="rId1"/></sheets></workbook>"""
     val rels = """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>"""
     zipBytes(Seq(
       "xl/workbook.xml" -> wb,
@@ -146,6 +148,13 @@ class IngestSpec extends SparkSpec {
     val raw = Xlsx.decodeSheet(bytes, "Data").rows(1)
     assert(raw(0) == "45299" && raw(1) == "45299.75",
       "flag off preserves the stored-lexical contract")
+
+    // Mac-origin workbook: same serial, 1904 epoch → different date.
+    val macBytes = oneSheetWorkbook("Data", sheet, Some(styles),
+      date1904 = true)
+    val mac = Xlsx.decodeSheet(macBytes, "Data",
+      convertDateSerials = true).rows(1)
+    assert(mac(0) == "2028-01-09", "1904-system serial 45299")
   }
 
   test("xlsx: readManyAsRows skips non-xlsx files and sheetless workbooks") {

@@ -221,6 +221,15 @@ class PropertySpec extends SparkSpec {
     assert(Xlsx.serialToIsoDate(61) == "1900-03-01")
     assert(Xlsx.serialToIsoDate(45299.99) == "2024-01-08",
       "time fraction truncated")
+    // Mac 1904 system: serial s = 1900-system serial s + 1462, no
+    // phantom-day shift anywhere.
+    (0 until 200).foreach { _ =>
+      val serial = rnd.nextInt(80000)
+      assert(Xlsx.serialToIsoDate(serial.toDouble, date1904 = true) ==
+        java.time.LocalDate.of(1904, 1, 1).plusDays(serial.toLong).toString)
+    }
+    assert(Xlsx.serialToIsoDate(43837, date1904 = true) == "2024-01-08")
+    assert(Xlsx.serialToIsoDate(0, date1904 = true) == "1904-01-01")
     assert(Xlsx.isDateCode("yyyy-mm-dd;@"))
     assert(Xlsx.isDateCode("m/d/yy h:mm"))
     assert(Xlsx.isDateCode("[$-409]d-mmm-yy"))
