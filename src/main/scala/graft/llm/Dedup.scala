@@ -232,4 +232,46 @@ object Dedup {
         concat((1 to 32).map(i =>
           when(col(s"v$i") > 0, "1").otherwise("0")): _*).as("simhash"))
   }
+
+  /** LINE-LEVEL dedup, the CCNet/C4 boilerplate-removal pass: a line
+    * whose normalized form (lower+trim) appears in MORE than `maxDocFreq`
+    * distinct documents corpus-wide (nav menus, copyright footers,
+    * cookie banners) is removed from every document; remaining lines are
+    * reassembled in original order. Blank lines are layout, not content
+    * — never counted, always kept.
+    *
+    * Returns (doc_id, n_lines, n_removed, cleaned_text).
+    *
+    * Scale shape: posexplode (scan), ONE groupBy on the 128-bit line
+    * fingerprint (uniform keys, map-side combine collapses per-doc
+    * repeats), a fingerprint equi-join of lines against the small
+    * boilerplate set (≤ total_lines / maxDocFreq entries by pigeonhole
+    * — the doc-frequency floor bounds it), and ONE groupBy(doc_id) for
+    * reassembly. No per-pair work anywhere. Reassembly sorts the
+    * collected (line_no, line) structs — codegen'd `sort_array` +
+    * array-of-struct field extraction, no interpreted HOF. */
+  def lineDedup(docs: DataFrame, id: Column, text: Column,
+                maxDocFreq: Long): DataFrame = {
+    val lines = docs.select(id.as("doc_id"),
+      posexplode(split(text, "\n")).as(Seq("line_no", "line")))
+    val norm = lower(trim(col("line")))
+    val withFp = lines.withColumn("line_fp",
+      when(norm =!= "", md5(norm)))
+    val boilerplate = withFp.filter(col("line_fp").isNotNull)
+      .groupBy("line_fp")
+      .agg(countDistinct(col("doc_id")).as("doc_freq"))
+      .filter(col("doc_freq") > maxDocFreq)
+      .select(col("line_fp"), lit(true).as("is_boilerplate"))
+    withFp.join(boilerplate, Seq("line_fp"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("is_boilerplate"), 1).otherwise(0)).cast("bigint")
+          .as("n_removed"),
+        concat_ws("\n",
+          sort_array(collect_list(
+            when(!coalesce(col("is_boilerplate"), lit(false)),
+              struct(col("line_no"), col("line")))))
+            .getField("line")).as("cleaned_text"))
+  }
 }

@@ -168,6 +168,63 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Dedup — LINE-LEVEL boilerplate removal (CCNet/C4 pass) through the
+    * REAL `Dedup.lineDedup`. The corpus has no newlines, so multi-line
+    * docs are synthesized deterministically in BOTH engines: a footer in
+    * every doc, a newsletter line in half, a rights line in a fifth —
+    * all past the doc-frequency threshold and removed — plus the doc's
+    * own 80-char prefix and a unique tail (kept; if a prefix ever
+    * repeats past the threshold both engines drop it identically), and
+    * a blank line (layout: never counted, always kept). */
+  val ddLineDedup: Q = Q.sql(
+    "dd_line_dedup",
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    'COPYRIGHT 2024 Example Corp' || chr(10) ||
+      |    CASE WHEN doc_id % 2 = 0 THEN 'Subscribe to our newsletter'
+      |         ELSE 'intro ' || CAST(doc_id AS VARCHAR) END || chr(10) ||
+      |    substr(text, 1, 80) || chr(10) || chr(10) ||
+      |    CASE WHEN doc_id % 5 = 0 THEN 'all rights reserved' || chr(10)
+      |         ELSE '' END ||
+      |    'doc tail ' || CAST(doc_id AS VARCHAR) AS text
+      |  FROM documents
+      |), split AS (
+      |  SELECT doc_id, string_split(text, chr(10)) AS parts FROM docs
+      |), lines AS (
+      |  SELECT doc_id,
+      |    unnest(generate_series(1, len(parts))) AS line_no,
+      |    unnest(parts) AS line
+      |  FROM split
+      |), boiler AS (
+      |  SELECT md5(lower(trim(line))) AS line_fp
+      |  FROM lines WHERE trim(line) <> ''
+      |  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 30
+      |), flagged AS (
+      |  SELECT l.doc_id, l.line_no, l.line,
+      |    b.line_fp IS NOT NULL AS is_boiler
+      |  FROM lines l
+      |  LEFT JOIN boiler b ON md5(lower(trim(l.line))) = b.line_fp
+      |)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |  CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |  COALESCE(STRING_AGG(CASE WHEN NOT is_boiler THEN line END,
+      |    chr(10) ORDER BY line_no), '') AS cleaned_text
+      |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val id = col("doc_id")
+    val docs = Tables.documents(s, d).select(id,
+      concat_ws("\n",
+        lit("COPYRIGHT 2024 Example Corp"),
+        when(id % 2 === 0, lit("Subscribe to our newsletter"))
+          .otherwise(concat(lit("intro "), id.cast("string"))),
+        substring(col("text"), 1, 80),
+        lit(""),
+        when(id % 5 === 0, lit("all rights reserved")),
+        concat(lit("doc tail "), id.cast("string"))).as("text"))
+    Dedup.lineDedup(docs, col("doc_id"), col("text"), maxDocFreq = 30)
+      .orderBy("doc_id")
+  }
+
   /** Dedup — MinHash + LSH banding (4 bands × 2 rows, md5-seeded) with
     * exact n-gram-Jaccard verification of the candidates; emits pairs
     * with jaccard >= 0.8. Covers both the minhash-LSH and ngram-jaccard
@@ -982,7 +1039,7 @@ object LlmQueries {
 
   val all: Seq[Q] = Seq(tTokens, tTokensBpe, tLangId, tQuality,
     tFingerprint, tRepetition, tContamination, tPiiScrub, tVocab,
-    tCorpusCuration, ddExact, ddMinhashLsh, ddSimhash, ddSimhashNearDup,
-    ddEmbeddingNearDup, annBruteForce, annLsh, annRhLsh, annIvf,
-    mmBinary, mmFeatures, mmResize, mmFrameSample)
+    tCorpusCuration, ddExact, ddLineDedup, ddMinhashLsh, ddSimhash,
+    ddSimhashNearDup, ddEmbeddingNearDup, annBruteForce, annLsh, annRhLsh,
+    annIvf, mmBinary, mmFeatures, mmResize, mmFrameSample)
 }

@@ -194,6 +194,26 @@ class LlmSpec extends SparkSpec {
       Multimodal.featureSchema)
   }
 
+  test("lineDedup removes corpus-wide boilerplate, keeps order and blanks") {
+    // 'footer' is in 3 of 4 docs (> maxDocFreq=2) → removed everywhere;
+    // 'unique N' lines and the blank line survive in original order.
+    val docs = Seq(
+      (1L, "unique 1\nfooter\nalpha"),
+      (2L, "footer\n\nunique 2"),
+      (3L, "unique 3\nFOOTER  "), // normalization: case+trim
+      (4L, "alpha\nbeta"))
+      .toDF("doc_id", "text")
+    val got = Dedup.lineDedup(docs, $"doc_id", $"text", maxDocFreq = 2)
+      .orderBy("doc_id").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getString(3))).toSeq == Seq(
+      (1L, 3L, 1L, "unique 1\nalpha"),
+      (2L, 3L, 1L, "\nunique 2"),
+      (3L, 2L, 1L, "unique 3"),
+      (4L, 2L, 0L, "alpha\nbeta")))
+    // 'alpha' appears in 2 docs = maxDocFreq, NOT strictly greater → kept
+  }
+
   test("real ImageIO round trip: decoded raster matches the pixel spec") {
     val docs = Tables.documents(spark, sf).limit(40)
     val decoded = Multimodal.decodeImages(Multimodal.asImageTable(docs))
