@@ -25,7 +25,9 @@ import graft.operators.AtomicTable
   * Delta/Iceberg snapshot commit.
   */
 final class Catalog(val spark: SparkSession, val root: String) {
-  private val views = scala.collection.mutable.Map[String, DataFrame]()
+  // TrieMap: ModelDag materializes independent models from a thread
+  // pool (its Par helper), so registration must be thread-safe.
+  private val views = scala.collection.concurrent.TrieMap[String, DataFrame]()
 
   private def path(layer: String, name: String) = s"$root/$layer/$name"
 

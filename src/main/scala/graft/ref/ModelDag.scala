@@ -11,8 +11,43 @@ import org.apache.spark.sql.functions.{col, lit}
   * at plan-construction time (fct_orders.sql:24-55); trade-show-style
   * mart-reads-mart edges are expressed by running marts in declared
   * order.
+  *
+  * SCHEDULING: independent sibling models materialize CONCURRENTLY
+  * (bounded thread pool, [[par]]) — the dbt `--threads` discipline.
+  * Waves are placed at the DAG's natural frontiers (post-`orders`
+  * intermediates; the two contact chains; the mart fan-outs around the
+  * `fct_order_line_items` → `fct_company_orders` pinch), so results are
+  * byte-identical to the sequential order — only the wall clock
+  * changes (measured on the fixture DAG: ~27 s → see BASELINE.md r08).
   */
 object ModelDag {
+
+  /** dbt `--threads` equivalent: materialize INDEPENDENT models
+    * concurrently. Spark supports concurrent job submission from
+    * multiple driver threads (each `saveTable` is its own job), so
+    * sibling models — whose inputs are all already materialized —
+    * can overlap their write/commit/read cycles instead of serializing
+    * ~50 small jobs. On a cluster this is what keeps executors busy
+    * while one model's final single-task stages drain. Failures
+    * propagate with the original cause; the pool is bounded so a wide
+    * wave cannot flood the scheduler. */
+  private def par[A](thunks: (() => A)*): Seq[A] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(thunks.size, 8)))
+    try {
+      val futs = thunks.map(t =>
+        pool.submit(new java.util.concurrent.Callable[A] {
+          def call(): A = t()
+        }))
+      futs.map { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        }
+      }
+    } finally pool.shutdown()
+  }
 
   /** Raw inputs, reference-shaped (FIXTURES.md). */
   final case class RawInputs(
@@ -36,12 +71,25 @@ object ModelDag {
   /** Runs the full DAG; returns every materialized model by name. */
   def run(cat: Catalog, raw: RawInputs): Map[String, DataFrame] = {
     // ---- consolidation job (python pre-transform, SURVEY §3.3) ----
-    val domainMappingRaw = cat.saveTable("raw", "domain_mapping",
-      DomainConsolidation.buildDomainMapping(raw.customers,
-        raw.individualDomains))
-    val nameMappingRaw = cat.saveTable("raw", "customer_name_mapping",
-      DomainConsolidation.buildCustomerNameMapping(raw.customers,
-        raw.explicitNameMappings))
+    // The two mapping builders and their stagings are independent
+    // chains — run raw→staging per chain, chains in parallel.
+    val mappingChains = par[(DataFrame, DataFrame)](
+      () => {
+        val r = cat.saveTable("raw", "domain_mapping",
+          DomainConsolidation.buildDomainMapping(raw.customers,
+            raw.individualDomains))
+        (r, cat.saveTable("staging", "domain_mapping",
+          Staging.domainMapping(r)))
+      },
+      () => {
+        val r = cat.saveTable("raw", "customer_name_mapping",
+          DomainConsolidation.buildCustomerNameMapping(raw.customers,
+            raw.explicitNameMappings))
+        (r, cat.saveTable("staging", "customer_name_mapping",
+          Staging.customerNameMapping(r)))
+      })
+    val (domainMappingRaw, stgDomainMapping) = mappingChains(0)
+    val (nameMappingRaw, stgNameMapping) = mappingChains(1)
 
     // ---- staging (views; mapping stagings are tables per
     //      stg_quickbooks__domain_mapping.sql:4-7) ----
@@ -53,60 +101,74 @@ object ModelDag {
       Staging.baseOrderItems(raw.invoices, raw.salesReceipts))
     val taxed = cat.saveView("staging", "order_items_tax_status",
       Staging.orderItemsTaxStatus(base))
-    val stgDomainMapping = cat.saveTable("staging", "domain_mapping",
-      Staging.domainMapping(domainMappingRaw))
-    val stgNameMapping = cat.saveTable("staging", "customer_name_mapping",
-      Staging.customerNameMapping(nameMappingRaw))
 
     // ---- intermediate ----
     val typed = cat.saveView("intermediate", "order_items_typed",
       Staging.orderItemsTyped(taxed))
     val orders = cat.saveTable("intermediate", "orders",
       Intermediate.orders(typed))
-    val revenue = cat.saveTable("intermediate", "customer_revenue",
-      Intermediate.customerRevenue(orders))
-    val itemsEnriched = cat.saveTable("intermediate", "items_enriched",
-      Intermediate.itemsEnriched(stgItems))
-    val materialType = cat.saveTable("intermediate", "material_type",
-      Intermediate.materialType(stgItems))
-    val itemKits = cat.saveTable("intermediate", "item_kits",
-      Intermediate.itemKits(stgItems))
-    val productFamily = cat.saveTable("intermediate", "product_family",
-      Intermediate.productFamily(stgItems))
-    val mapping = cat.saveTable("intermediate", "customer_company_mapping",
-      Intermediate.customerCompanyMapping(stgCustomers, stgDomainMapping,
-        stgNameMapping))
+    // Six siblings whose inputs (orders, stgItems, staged mappings) are
+    // all materialized: one parallel wave.
+    val wave = par[DataFrame](
+      () => cat.saveTable("intermediate", "customer_revenue",
+        Intermediate.customerRevenue(orders)),
+      () => cat.saveTable("intermediate", "items_enriched",
+        Intermediate.itemsEnriched(stgItems)),
+      () => cat.saveTable("intermediate", "material_type",
+        Intermediate.materialType(stgItems)),
+      () => cat.saveTable("intermediate", "item_kits",
+        Intermediate.itemKits(stgItems)),
+      () => cat.saveTable("intermediate", "product_family",
+        Intermediate.productFamily(stgItems)),
+      () => cat.saveTable("intermediate", "customer_company_mapping",
+        Intermediate.customerCompanyMapping(stgCustomers, stgDomainMapping,
+          stgNameMapping)))
+    val (revenue, itemsEnriched, materialType) = (wave(0), wave(1), wave(2))
+    val (itemKits, productFamily, mapping) = (wave(3), wave(4), wave(5))
     val consolidation = cat.saveTable("intermediate",
       "company_consolidation",
       Intermediate.companyConsolidation(mapping, revenue))
 
-    // ---- contacts (legacy path) ----
-    val contacts = cat.saveTable("intermediate", "customer_contacts",
-      Contacts.customerContacts(stgCustomers))
-    val personMapping = cat.saveTable("intermediate",
-      "customer_person_mapping",
-      Contacts.personMapping(contacts,
-        mapping.select("customer_id", "company_domain_key")))
-    val dimContacts = cat.saveTable("mart", "dim_customer_contacts",
-      Contacts.dimCustomerContacts(personMapping))
-
-    // ---- contacts (fixed path — runs ALONGSIDE legacy, SURVEY §3.2
-    //      wrinkle #3) ----
+    // ---- contacts: the legacy path and the fixed path run ALONGSIDE
+    //      each other (SURVEY §3.2 wrinkle #3) — two independent
+    //      sequential chains, one parallel pair. The view registration
+    //      stays outside the pool (views are lazy; only tables cost). ----
     val cleanContacts = cat.saveView("staging", "customer_contacts_clean",
       Staging.customerContactsClean(raw.customers))
-    val emailParsed = cat.saveTable("intermediate", "contact_email_parsing",
-      ContactsFixed.emailParsing(cleanContacts))
-    val namesEnriched = cat.saveTable("intermediate",
-      "contact_name_enrichment", ContactsFixed.nameEnrichment(emailParsed))
-    val qualityScored = cat.saveTable("intermediate",
-      "contact_quality_scoring", ContactsFixed.qualityScoring(namesEnriched))
-    val personMappingFixed = cat.saveTable("intermediate",
-      "customer_person_mapping_fixed",
-      ContactsFixed.personMappingFixed(qualityScored, mapping))
-    val dimContactsFixed = cat.saveTable("mart",
-      "dim_customer_contacts_fixed",
-      ContactsFixed.dimCustomerContactsFixed(personMappingFixed,
-        consolidation))
+    val contactChains = par[Seq[DataFrame]](
+      () => {
+        val contacts = cat.saveTable("intermediate", "customer_contacts",
+          Contacts.customerContacts(stgCustomers))
+        val personMapping = cat.saveTable("intermediate",
+          "customer_person_mapping",
+          Contacts.personMapping(contacts,
+            mapping.select("customer_id", "company_domain_key")))
+        val dimContacts = cat.saveTable("mart", "dim_customer_contacts",
+          Contacts.dimCustomerContacts(personMapping))
+        Seq(contacts, personMapping, dimContacts)
+      },
+      () => {
+        val emailParsed = cat.saveTable("intermediate",
+          "contact_email_parsing", ContactsFixed.emailParsing(cleanContacts))
+        val namesEnriched = cat.saveTable("intermediate",
+          "contact_name_enrichment",
+          ContactsFixed.nameEnrichment(emailParsed))
+        val qualityScored = cat.saveTable("intermediate",
+          "contact_quality_scoring",
+          ContactsFixed.qualityScoring(namesEnriched))
+        val personMappingFixed = cat.saveTable("intermediate",
+          "customer_person_mapping_fixed",
+          ContactsFixed.personMappingFixed(qualityScored, mapping))
+        val dimContactsFixed = cat.saveTable("mart",
+          "dim_customer_contacts_fixed",
+          ContactsFixed.dimCustomerContactsFixed(personMappingFixed,
+            consolidation))
+        Seq(emailParsed, namesEnriched, qualityScored, personMappingFixed,
+          dimContactsFixed)
+      })
+    val Seq(contacts, personMapping, dimContacts) = contactChains(0)
+    val Seq(emailParsed, namesEnriched, qualityScored, personMappingFixed,
+      dimContactsFixed) = contactChains(1)
 
     // ---- shopify (optional source; writes the intermediate the
     //      fct_orders guard looks for) ----
@@ -156,60 +218,77 @@ object ModelDag {
         col("primary_email").as("primary_contact_email"),
         col("primary_phone").as("primary_contact_phone"),
         col("contact_role").as("primary_contact_role"))
-    val fctOrders = cat.saveTable("mart", "fct_orders",
-      Marts.fctOrders(orders, shopify, Some(primaryContacts)))
-    val fctProducts = cat.saveTable("mart", "fct_products",
-      Marts.fctProducts(itemsEnriched, Some(materialType)))
+    // Wave M1: four marts whose lineages are disjoint at this point.
+    val m1 = par[DataFrame](
+      () => cat.saveTable("mart", "fct_orders",
+        Marts.fctOrders(orders, shopify, Some(primaryContacts))),
+      () => cat.saveTable("mart", "fct_products",
+        Marts.fctProducts(itemsEnriched, Some(materialType))),
+      () => cat.saveTable("mart", "fct_companies",
+        raw.enrichmentJsonlPath match {
+          case Some(path) =>
+            val rawEnrich = cat.saveTable("raw", "company_enrichment",
+              Enrichment.readJsonl(cat.spark, path))
+            val stgEnrich = cat.saveTable("staging", "company_enrichment",
+              Enrichment.staging(rawEnrich))
+            Enrichment.enrichCompanies(Marts.fctCompanies(consolidation),
+              stgEnrich)
+          case None => Marts.fctCompanies(consolidation)
+        }),
+      () => cat.saveTable("mart", "bridge_customer_company",
+        Marts.bridgeCustomerCompany(mapping)))
+    val (fctOrders, fctProducts) = (m1(0), m1(1))
+    val (fctCompanies, bridge) = (m1(2), m1(3))
     val fctLineItems = cat.saveTable("mart", "fct_order_line_items",
       Marts.fctOrderLineItems(typed, fctProducts))
-    val fctCompaniesBase = Marts.fctCompanies(consolidation)
-    val fctCompanies = cat.saveTable("mart", "fct_companies",
-      raw.enrichmentJsonlPath match {
-        case Some(path) =>
-          val rawEnrich = cat.saveTable("raw", "company_enrichment",
-            Enrichment.readJsonl(cat.spark, path))
-          val stgEnrich = cat.saveTable("staging", "company_enrichment",
-            Enrichment.staging(rawEnrich))
-          Enrichment.enrichCompanies(fctCompaniesBase, stgEnrich)
-        case None => fctCompaniesBase
-      })
-    val bridge = cat.saveTable("mart", "bridge_customer_company",
-      Marts.bridgeCustomerCompany(mapping))
     val companyOrders = cat.saveTable("mart", "fct_company_orders",
       Marts.fctCompanyOrders(fctLineItems, bridge))
-    val companyHealth = cat.saveTable("mart", "dim_company_health",
-      Marts.dimCompanyHealth(companyOrders, fctCompanies, AsOfDate))
-    val companyProducts = cat.saveTable("mart", "fct_company_products",
-      Marts.fctCompanyProducts(fctLineItems, bridge, fctProducts,
-        fctCompanies, AsOfDate))
-    val periodSpending = cat.saveTable("mart",
-      "mart_product_company_period_spending",
-      Marts.productCompanyPeriodSpending(companyProducts, fctLineItems,
-        bridge, AsOfDate))
-    val aging = cat.saveTable("mart", "dim_accounts_receivable_aging",
-      Marts.arAging(fctOrders, AsOfDate))
-    val dso = cat.saveTable("mart", "fct_dso_metrics",
-      Marts.dsoMetrics(fctOrders, AsOfDate))
-    val periodMetrics = cat.saveTable("mart", "mart_company_period_metrics",
-      Marts.companyPeriodMetrics(companyOrders, fctCompanies, AsOfDate))
+
+    // Wave M2: everything downstream of the (companyOrders, fctOrders,
+    // fctLineItems, fctProducts, fctCompanies) frontier — ten
+    // independent lineages (two of them short chains), one wave.
+    val m2 = par[Seq[DataFrame]](
+      () => Seq(cat.saveTable("mart", "dim_company_health",
+        Marts.dimCompanyHealth(companyOrders, fctCompanies, AsOfDate))),
+      () => {
+        val cp = cat.saveTable("mart", "fct_company_products",
+          Marts.fctCompanyProducts(fctLineItems, bridge, fctProducts,
+            fctCompanies, AsOfDate))
+        Seq(cp, cat.saveTable("mart",
+          "mart_product_company_period_spending",
+          Marts.productCompanyPeriodSpending(cp, fctLineItems,
+            bridge, AsOfDate)))
+      },
+      () => Seq(cat.saveTable("mart", "dim_accounts_receivable_aging",
+        Marts.arAging(fctOrders, AsOfDate))),
+      () => Seq(cat.saveTable("mart", "fct_dso_metrics",
+        Marts.dsoMetrics(fctOrders, AsOfDate))),
+      () => Seq(cat.saveTable("mart", "mart_company_period_metrics",
+        Marts.companyPeriodMetrics(companyOrders, fctCompanies, AsOfDate))),
+      () => Seq(cat.saveTable("mart", "mart_product_margin_analytics",
+        Marts.productMarginAnalytics(fctLineItems))),
+      () => Seq(cat.saveTable("mart", "fct_company_orders_time_series",
+        TimeSeries.companyOrdersTimeSeries(companyOrders))),
+      () => Seq(cat.saveTable("mart", "mart_product_unit_sales",
+        TimeSeries.productUnitSales(fctLineItems))),
+      () => Seq(cat.saveTable("mart", "fct_product_pricing_history",
+        TimeSeries.pricingHistory(typed, stgItems, Some(fctProducts)))),
+      () => {
+        val inv = cat.saveTable("intermediate", "inventory_history",
+          stgItems.select("item_name", "snapshot_date", "quantity_on_hand",
+            "sales_price").distinct())
+        Seq(inv, cat.saveTable("mart", "fct_inventory_history",
+          TimeSeries.fctInventoryHistory(inv, fctProducts)))
+      })
+    val companyHealth = m2(0).head
+    val Seq(companyProducts, periodSpending) = m2(1)
+    val (aging, dso) = (m2(2).head, m2(3).head)
+    val (periodMetrics, marginAnalytics) = (m2(4).head, m2(5).head)
+    val (timeSeries, unitSales, pricing) = (m2(6).head, m2(7).head,
+      m2(8).head)
+    val Seq(inventory, fctInventory) = m2(9)
     val baseOrdersCurrent = cat.saveView("mart", "base_fct_orders_current",
       Marts.baseFctOrdersCurrent(fctOrders, AsOfDate))
-    val marginAnalytics = cat.saveTable("mart",
-      "mart_product_margin_analytics",
-      Marts.productMarginAnalytics(fctLineItems))
-
-    // ---- time-series & pricing marts ----
-    val timeSeries = cat.saveTable("mart", "fct_company_orders_time_series",
-      TimeSeries.companyOrdersTimeSeries(companyOrders))
-    val unitSales = cat.saveTable("mart", "mart_product_unit_sales",
-      TimeSeries.productUnitSales(fctLineItems))
-    val pricing = cat.saveTable("mart", "fct_product_pricing_history",
-      TimeSeries.pricingHistory(typed, stgItems, Some(fctProducts)))
-    val inventory = cat.saveTable("intermediate", "inventory_history",
-      stgItems.select("item_name", "snapshot_date", "quantity_on_hand",
-        "sales_price").distinct())
-    val fctInventory = cat.saveTable("mart", "fct_inventory_history",
-      TimeSeries.fctInventoryHistory(inventory, fctProducts))
 
     // ---- unified order matching (after shopify + orders) ----
     val matching = shopify.map { sh =>
