@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.llm.{Dedup, Multimodal, Packing, Similarity, TextAnalysis => TA}
 
 /** Training-data-pipeline operators (builder-prompt first-class set):
   * text analysis, dedup family, similarity search, multimodal plumbing —
@@ -165,6 +165,33 @@ object LlmQueries {
       |  doc_id <> MIN(doc_id) OVER (PARTITION BY content_fp) AS is_duplicate
       |FROM fp ORDER BY doc_id""".stripMargin) { (s, d) =>
     Dedup.exact(Tables.documents(s, d), col("doc_id"), col("text"))
+      .orderBy("doc_id")
+  }
+
+  /** Packing — concat-and-chunk sequence packing (per-shard token
+    * streams, window-parallel running sums; `Packing.packSequences`
+    * scaladoc has the 100 TB argument). Budget 2048 tokens, 8 shards;
+    * every column integer/boolean so the hash gate is exact. */
+  val tPacking: Q = Q.sql(
+    "t_seq_packing",
+    s"""WITH t AS (
+      |  SELECT doc_id, doc_id % 8 AS shard,
+      |    CAST(len($toksSql) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), c AS (
+      |  SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+      |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |    0) AS cum_before
+      |  FROM t
+      |)
+      |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+      |  CAST(cum_before AS BIGINT) AS cum_before,
+      |  CAST(shard * 1000000 + cum_before // 2048 AS BIGINT) AS pack_id,
+      |  CAST(cum_before % 2048 AS BIGINT) AS offset_in_pack,
+      |  cum_before % 2048 + n_tokens > 2048 AS spans_boundary
+      |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Packing.packSequences(Tables.documents(s, d), col("doc_id"),
+      size(TA.tokens(col("text"))), budget = 2048, nShards = 8)
       .orderBy("doc_id")
   }
 
@@ -1039,7 +1066,7 @@ object LlmQueries {
 
   val all: Seq[Q] = Seq(tTokens, tTokensBpe, tLangId, tQuality,
     tFingerprint, tRepetition, tContamination, tPiiScrub, tVocab,
-    tCorpusCuration, ddExact, ddLineDedup, ddMinhashLsh, ddSimhash,
+    tCorpusCuration, tPacking, ddExact, ddLineDedup, ddMinhashLsh, ddSimhash,
     ddSimhashNearDup, ddEmbeddingNearDup, annBruteForce, annLsh, annRhLsh,
     annIvf, mmBinary, mmFeatures, mmResize, mmFrameSample)
 }

@@ -194,6 +194,28 @@ class LlmSpec extends SparkSpec {
       Multimodal.featureSchema)
   }
 
+  test("packSequences: per-shard running sums, pack ids, boundary spans") {
+    // shard 0: docs 0(4 tok),2(7),4(6) → cum 0,4,11; budget 10 →
+    //   packs 0,0,1; doc 2 at offset 4 with 7 tokens spans the boundary.
+    // shard 1: docs 1(10),3(2) → cum 0,10 → packs 0,1; doc 1 fills pack
+    //   0 exactly (offset 0 + 10 tokens = budget, NOT a span).
+    val docs = Seq((0L, 4), (1L, 10), (2L, 7), (3L, 2), (4L, 6))
+      .toDF("doc_id", "n_tok")
+    val got = graft.llm.Packing.packSequences(docs, $"doc_id", $"n_tok",
+      budget = 10, nShards = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "shard", "cum_before", "pack_id",
+        "offset_in_pack", "spans_boundary")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toSeq
+    assert(got == Seq(
+      (0L, 0L, 0L, 0L, 0L, false),
+      (1L, 1L, 0L, 1000000L, 0L, false),
+      (2L, 0L, 4L, 0L, 4L, true),
+      (3L, 1L, 10L, 1000001L, 0L, false),
+      (4L, 0L, 11L, 1L, 1L, false)))
+  }
+
   test("lineDedup removes corpus-wide boilerplate, keeps order and blanks") {
     // 'footer' is in 3 of 4 docs (> maxDocFreq=2) → removed everywhere;
     // 'unique N' lines and the blank line survive in original order.
