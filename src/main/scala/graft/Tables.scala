@@ -32,7 +32,11 @@ object Tables {
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType =>
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        // div, not /: SQL division on longs is DOUBLE, and epoch nanos
+        // (~1.7e18) are beyond 2^53 — the rounded quotient was off by
+        // up to a microsecond (caught by st_interval_join's exact
+        // micros lag; whole-second surfaces never noticed).
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }
   }

@@ -158,6 +158,49 @@ object StreamingQueries {
       .orderBy("user_tier")
   }
 
+  /** Batch twin of the STREAM-STREAM interval join
+    * (EventStream.intervalJoin, run here on batch frames where
+    * withWatermark is a no-op — the REAL function under the gate):
+    * clicks matched to same-user purchases within 30 minutes.
+    * Timestamps in this corpus are whole microseconds, so the Spark
+    * (micros) and DuckDB (nanos) range comparisons agree exactly;
+    * outputs follow the determinism rules (trunc-second ISO strings,
+    * integer-micros lag). */
+  val stIntervalJoin: Q = Q.sql(
+    "st_interval_join",
+    """WITH clicks AS (
+      |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+      |), purchases AS (
+      |  SELECT user_id, event_id, ts, value FROM events
+      |  WHERE event_type = 'purchase'
+      |)
+      |SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      |  CAST(DATE_TRUNC('second', c.ts) AS VARCHAR) AS click_ts,
+      |  CAST(DATE_TRUNC('second', p.ts) AS VARCHAR) AS purchase_ts,
+      |  CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us,
+      |  p.value AS purchase_value
+      |FROM clicks c JOIN purchases p
+      |  ON c.user_id = p.user_id
+      | AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+      |ORDER BY c.user_id, click_id, purchase_id""".stripMargin) { (s, d) =>
+    import graft.streaming.EventStream
+    val e = Tables.events(s, d)
+    val joined = EventStream.intervalJoin(
+      e.filter(col("event_type") === "click"),
+      e.filter(col("event_type") === "purchase"))
+    joined.select(
+      col("user_id"),
+      col("left_id").as("click_id"),
+      col("right_id").as("purchase_id"),
+      date_trunc("second", col("left_ts")).cast("string").as("click_ts"),
+      date_trunc("second", col("right_ts")).cast("string")
+        .as("purchase_ts"),
+      (unix_micros(col("right_ts")) - unix_micros(col("left_ts")))
+        .as("lag_us"),
+      col("right_value").as("purchase_value"))
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
   val all: Seq[Q] = Seq(stTumbling, stSessions, stFirstSeen,
-    stStreamDedup, stStaticEnrich)
+    stStreamDedup, stStaticEnrich, stIntervalJoin)
 }

@@ -91,6 +91,35 @@ object EventStream {
   def enrichWithDim(events: DataFrame, userDim: DataFrame): DataFrame =
     events.join(broadcast(userDim), Seq("user_id"))
 
+  /** STREAM-STREAM INTERVAL JOIN: left events matched to right events
+    * of the SAME user whose event time falls in
+    * `[left.ts, left.ts + horizon)` — the attribution-window shape
+    * (click → purchase within 30 minutes) run incrementally. Both
+    * sides are watermarked and the join condition is a RANGE on the two
+    * event-time columns, which is exactly what lets Spark bound the
+    * buffered state on both sides (left rows evict once the right
+    * watermark passes left.ts + horizon; right rows once the left
+    * watermark passes right.ts) — without the range bound a
+    * stream-stream join buffers forever. Works identically on batch
+    * frames (withWatermark is a no-op there), which is how the oracle
+    * twin `st_interval_join` checks the REAL function. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   horizon: String = "30 minutes",
+                   watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("left_id"),
+        col("ts").as("left_ts"), col("value").as("left_value"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("right_user_id"),
+        col("event_id").as("right_id"), col("ts").as("right_ts"),
+        col("value").as("right_value"))
+    l.join(r,
+      col("user_id") === col("right_user_id") &&
+        col("right_ts") >= col("left_ts") &&
+        col("right_ts") < col("left_ts") + expr(s"interval $horizon"))
+      .drop("right_user_id")
+  }
+
   /** STREAMING MERGE SINK — foreachBatch bridging to the batch
     * [[graft.operators.MergeUpsert]] discipline (SURVEY S5/I2): each
     * micro-batch upserts into the target by key, so re-delivered keys

@@ -46,6 +46,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-stream interval join matches the batch twin") {
+    val clicks = EventStream.readEvents(spark, eventsDir)
+      .filter(col("event_type") === "click")
+    val purchases = EventStream.readEvents(spark, eventsDir)
+      .filter(col("event_type") === "purchase")
+    val q = EventStream.intervalJoin(clicks, purchases)
+      .writeStream.format("memory").queryName("interval_test")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("interval_test")
+      .select("left_id", "right_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = Tables.events(spark, sf)
+    val batch = EventStream.intervalJoin(
+      e.filter(col("event_type") === "click"),
+      e.filter(col("event_type") === "purchase"))
+      .select("left_id", "right_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("streaming dedup collapses redelivered events to one row each") {
     // Simulate at-least-once redelivery: the same events file staged
     // twice in the source dir; dropDuplicatesWithinWatermark must emit
