@@ -233,6 +233,20 @@ object Dedup {
           when(col(s"v$i") > 0, "1").otherwise("0")): _*).as("simhash"))
   }
 
+  /** URL dedup for web corpora: group by
+    * [[TextAnalysis.canonicalizeUrl]] (NOT by lowercased raw text —
+    * paths are case-sensitive, so [[exact]]'s lowering would
+    * over-merge), canonical = min id per canonical URL. Same
+    * one-window scale shape as [[exact]]. */
+  def urlDedup(df: DataFrame, id: Column, url: Column): DataFrame = {
+    val w = Window.partitionBy(col("canonical_url"))
+    df.select(id.as("doc_id"),
+        TextAnalysis.canonicalizeUrl(url).as("canonical_url"))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("dup_group_size", count(lit(1)).over(w))
+      .withColumn("is_duplicate", col("doc_id") =!= col("canonical_id"))
+  }
+
   /** LINE-LEVEL dedup, the CCNet/C4 boilerplate-removal pass: a line
     * whose normalized form (lower+trim) appears in MORE than `maxDocFreq`
     * distinct documents corpus-wide (nav menus, copyright footers,

@@ -16,6 +16,38 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
 
+  /** URL CANONICALIZATION for web-corpus dedup: fragment stripped,
+    * scheme + host lowercased (path case PRESERVED — paths are
+    * case-sensitive), default ports (:80 http, :443 https) dropped,
+    * tracking params (utm_*, fbclid, gclid) removed with remaining
+    * params kept in order, trailing path slash normalized. Pure
+    * column-expression string ops, scan-shaped; every regex is
+    * Java-regex/RE2-portable so the DuckDB oracle canonicalizes
+    * byte-identically. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(trim(url), "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag,
+      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostPort = lower(regexp_extract(rest, "^([^/?]*)", 1))
+    val afterHost = regexp_replace(rest, "^[^/?]*", "")
+    val host = when(scheme === "http",
+        regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val path = regexp_extract(afterHost, "^([^?]*)", 1)
+    val query = when(afterHost.contains("?"),
+      regexp_replace(afterHost, "^[^?]*\\?", "")).otherwise(lit(""))
+    val kept = array_join(
+      filter(split(query, "&"), p =>
+        p =!= "" && !p.startsWith("utm_") && !p.startsWith("fbclid=") &&
+          !p.startsWith("gclid=")), "&")
+    val pathNorm = when(path === "" || path === "/", lit(""))
+      .otherwise(regexp_replace(path, "/$", ""))
+    concat(scheme, lit("://"), host, pathNorm,
+      when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+  }
+
   /** BPE-ish sub-word token pattern: letter runs, digit runs, single
     * non-alphanumeric marks — the dialect-safe core of GPT-style
     * pre-tokenizers (same semantics in Java regex and RE2, so the

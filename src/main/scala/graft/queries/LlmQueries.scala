@@ -195,6 +195,80 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Dedup — URL canonicalization + dedup through the REAL
+    * `TextAnalysis.canonicalizeUrl` / `Dedup.urlDedup`: synthesized
+    * dirty URLs exercise every rule (uppercase scheme/host, default
+    * ports, trailing slash, utm/fbclid stripping with kept params in
+    * order, fragments, case-preserved paths); the DuckDB twin
+    * canonicalizes with the same portable regex steps. Collision
+    * groups arise from the modular construction. */
+  val ddUrlDedup: Q = Q.sql(
+    "dd_url_dedup",
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'HTTP://' ELSE 'https://' END ||
+      |    CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'www.' END ||
+      |    'Example' || CAST(doc_id % 40 AS VARCHAR) || '.COM' ||
+      |    CASE WHEN doc_id % 7 = 0 AND doc_id % 3 = 0 THEN ':80'
+      |         WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END ||
+      |    '/Products/' || CAST(doc_id % 5 AS VARCHAR) ||
+      |    CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END ||
+      |    '?utm_source=news&item=' || CAST(doc_id % 20 AS VARCHAR) ||
+      |    '&fbclid=abc123' ||
+      |    CASE WHEN doc_id % 4 = 0 THEN '#section' ELSE '' END AS url
+      |  FROM documents
+      |), c1 AS (
+      |  SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS u FROM raw
+      |), p1 AS (
+      |  SELECT doc_id,
+      |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    lower(regexp_extract(regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?]*)', 1)) AS hostport,
+      |    regexp_replace(regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^[^/?]*', '') AS afterhost
+      |  FROM c1
+      |), p2 AS (
+      |  SELECT doc_id, scheme,
+      |    CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+      |         WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+      |         ELSE hostport END AS host,
+      |    regexp_extract(afterhost, '^([^?]*)', 1) AS path,
+      |    CASE WHEN contains(afterhost, '?')
+      |         THEN regexp_replace(afterhost, '^[^?]*\?', '')
+      |         ELSE '' END AS query
+      |  FROM p1
+      |), canon AS (
+      |  SELECT doc_id,
+      |    scheme || '://' || host ||
+      |    CASE WHEN path = '' OR path = '/' THEN ''
+      |         ELSE regexp_replace(path, '/$', '') END ||
+      |    CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canonical_url
+      |  FROM (
+      |    SELECT *, array_to_string(list_filter(string_split(query, '&'),
+      |      p -> p <> '' AND NOT starts_with(p, 'utm_')
+      |        AND NOT starts_with(p, 'fbclid=')
+      |        AND NOT starts_with(p, 'gclid=')), '&') AS kept
+      |    FROM p2)
+      |)
+      |SELECT doc_id, canonical_url,
+      |  MIN(doc_id) OVER (PARTITION BY canonical_url) AS canonical_id,
+      |  COUNT(*) OVER (PARTITION BY canonical_url) AS dup_group_size,
+      |  doc_id <> MIN(doc_id) OVER (PARTITION BY canonical_url) AS is_duplicate
+      |FROM canon ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val id = col("doc_id")
+    val raw = Tables.documents(s, d).select(id,
+      concat(
+        when(id % 3 === 0, "HTTP://").otherwise("https://"),
+        when(id % 2 === 0, "WWW.").otherwise("www."),
+        lit("Example"), (id % 40).cast("string"), lit(".COM"),
+        when(id % 7 === 0 && id % 3 === 0, ":80")
+          .when(id % 7 === 0, ":443").otherwise(""),
+        lit("/Products/"), (id % 5).cast("string"),
+        when(id % 6 === 0, "/").otherwise(""),
+        lit("?utm_source=news&item="), (id % 20).cast("string"),
+        lit("&fbclid=abc123"),
+        when(id % 4 === 0, "#section").otherwise("")).as("url"))
+    Dedup.urlDedup(raw, col("doc_id"), col("url")).orderBy("doc_id")
+  }
+
   /** Dedup — LINE-LEVEL boilerplate removal (CCNet/C4 pass) through the
     * REAL `Dedup.lineDedup`. The corpus has no newlines, so multi-line
     * docs are synthesized deterministically in BOTH engines: a footer in
@@ -1066,7 +1140,8 @@ object LlmQueries {
 
   val all: Seq[Q] = Seq(tTokens, tTokensBpe, tLangId, tQuality,
     tFingerprint, tRepetition, tContamination, tPiiScrub, tVocab,
-    tCorpusCuration, tPacking, ddExact, ddLineDedup, ddMinhashLsh, ddSimhash,
+    tCorpusCuration, tPacking, ddExact, ddUrlDedup, ddLineDedup,
+    ddMinhashLsh, ddSimhash,
     ddSimhashNearDup, ddEmbeddingNearDup, annBruteForce, annLsh, annRhLsh,
     annIvf, mmBinary, mmFeatures, mmResize, mmFrameSample)
 }

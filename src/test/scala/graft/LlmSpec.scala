@@ -194,6 +194,29 @@ class LlmSpec extends SparkSpec {
       Multimodal.featureSchema)
   }
 
+  test("canonicalizeUrl normalizes scheme/host/port/params, preserves path case") {
+    val in = Seq(
+      "HTTP://WWW.Example.COM:80/Products/3/?utm_source=a&item=7&fbclid=x#frag",
+      "https://www.example.com:443/Products/3?item=7",
+      "https://example.com/",
+      "https://example.com/CaseSensitive/Path?gclid=z",
+      "ftp://Host.Example.com:80/file")
+      .zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("doc_id", "url")
+    val got = in.select(TA.canonicalizeUrl($"url").as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq(
+      "http://www.example.com/Products/3?item=7",
+      "https://www.example.com/Products/3?item=7",
+      "https://example.com",
+      "https://example.com/CaseSensitive/Path",
+      "ftp://host.example.com:80/file")) // :80 only default for http
+    val dd = Dedup.urlDedup(in, $"doc_id", $"url").orderBy("doc_id")
+      .collect()
+    // rows 0 and 1 differ only by scheme (http vs https) → NOT dups
+    assert(dd.count(_.getAs[Boolean]("is_duplicate")) == 0)
+  }
+
   test("packSequences: per-shard running sums, pack ids, boundary spans") {
     // shard 0: docs 0(4 tok),2(7),4(6) → cum 0,4,11; budget 10 →
     //   packs 0,0,1; doc 2 at offset 4 with 7 tokens spans the boundary.
