@@ -144,5 +144,35 @@ object IngestChainQueries {
       .orderBy("item_id")
   }
 
-  val all: Seq[Q] = Seq(i4IngestChain)
+  /** S7 — the append-only export watermark discipline through the REAL
+    * `Ingest.appendExport`, two batches chained: the first export runs
+    * over the pre-1996 slice and establishes the watermark (driver-side
+    * scalar, the reference's logs/last_exported discipline); the second
+    * export must emit EXACTLY the rows strictly past it. The DuckDB
+    * twin computes the same watermark as a scalar subquery. */
+  val s7AppendExport: Q = Q.sql(
+    "s7_append_export_chain",
+    """WITH src AS (
+      |  SELECT o_orderkey AS order_key,
+      |    CAST(o_orderdate AS VARCHAR) AS order_date,
+      |    o_totalprice AS amount
+      |  FROM orders
+      |), w1 AS (
+      |  SELECT MAX(order_date) AS wm FROM src WHERE order_date < '1996-01-01'
+      |)
+      |SELECT s.order_key, s.order_date, s.amount, w1.wm AS prior_watermark
+      |FROM src s, w1
+      |WHERE s.order_date > w1.wm
+      |ORDER BY s.order_key""".stripMargin) { (s, d) =>
+    val src = Tables.orders(s, d).select(
+      col("o_orderkey").as("order_key"),
+      col("o_orderdate").cast("string").as("order_date"),
+      col("o_totalprice").as("amount"))
+    val (_, w1) = Ingest.appendExport(
+      src.filter(col("order_date") < "1996-01-01"), "order_date", None)
+    val (slice2, _) = Ingest.appendExport(src, "order_date", w1)
+    slice2.withColumn("prior_watermark", lit(w1.get)).orderBy("order_key")
+  }
+
+  val all: Seq[Q] = Seq(i4IngestChain, s7AppendExport)
 }
