@@ -174,5 +174,58 @@ object IngestChainQueries {
     slice2.withColumn("prior_watermark", lit(w1.get)).orderBy("order_key")
   }
 
-  val all: Seq[Q] = Seq(i4IngestChain, s7AppendExport)
+  /** S8 — the nested-JSON parse semantics of the enrichment JSONL scan
+    * (`Enrichment.readJsonl` / `spark.read.json`), gated via
+    * `from_json` over strings synthesized identically in both engines:
+    * nested struct access, a missing optional field (→ NULL), a
+    * numeric JSON field, and a malformed-document arm (PERMISSIVE →
+    * all-NULL row; the DuckDB twin guards with json_valid). */
+  val s8JsonParse: Q = Q.sql(
+    "s8_json_parse",
+    """WITH raw AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 31 = 0 THEN '{broken'
+      |         ELSE '{"company_domain":"d' || CAST(c_custkey AS VARCHAR) ||
+      |      '.com","enrichment":{' ||
+      |      CASE WHEN c_custkey % 9 = 0 THEN ''
+      |           ELSE '"industry":"I' || CAST(c_custkey % 12 AS VARCHAR) || '",' END ||
+      |      '"employees":' || CAST((c_custkey % 5000) * 3 AS VARCHAR) || '}}'
+      |    END AS js
+      |  FROM customer
+      |)
+      |SELECT c_custkey AS id,
+      |  CASE WHEN json_valid(js)
+      |       THEN json_extract_string(js, '$.company_domain') END AS company_domain,
+      |  CASE WHEN json_valid(js)
+      |       THEN json_extract_string(js, '$.enrichment.industry') END AS industry,
+      |  CASE WHEN json_valid(js)
+      |       THEN CAST(json_extract(js, '$.enrichment.employees') AS INTEGER) END AS employees
+      |FROM raw ORDER BY id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types._
+    val k = col("c_custkey")
+    val schema = StructType(Seq(
+      StructField("company_domain", StringType),
+      StructField("enrichment", StructType(Seq(
+        StructField("industry", StringType),
+        StructField("employees", IntegerType))))))
+    val raw = Tables.customer(s, d).select(k.as("id"),
+      when(k % 31 === 0, lit("{broken"))
+        .otherwise(concat(
+          lit("{\"company_domain\":\"d"), k.cast("string"),
+          lit(".com\",\"enrichment\":{"),
+          when(k % 9 === 0, lit(""))
+            .otherwise(concat(lit("\"industry\":\"I"),
+              (k % 12).cast("string"), lit("\","))),
+          lit("\"employees\":"), ((k % 5000) * 3).cast("string"),
+          lit("}}"))).as("js"))
+    raw.select(col("id"),
+      from_json(col("js"), schema).as("doc"))
+      .select(col("id"),
+        col("doc.company_domain").as("company_domain"),
+        col("doc.enrichment.industry").as("industry"),
+        col("doc.enrichment.employees").as("employees"))
+      .orderBy("id")
+  }
+
+  val all: Seq[Q] = Seq(i4IngestChain, s7AppendExport, s8JsonParse)
 }
