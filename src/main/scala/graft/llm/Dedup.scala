@@ -247,6 +247,61 @@ object Dedup {
       .withColumn("is_duplicate", col("doc_id") =!= col("canonical_id"))
   }
 
+  /** CONNECTED COMPONENTS over a near-dup pair graph — the transitive
+    * step every production dedup needs (A≈B and B≈C put all three in
+    * ONE cluster even when A,C never pair): each node's component label
+    * converges to the MIN doc id reachable from it.
+    *
+    * Algorithm: alternating HOOK (label := min(label, neighbors'
+    * labels) — one shuffle on the edge key) and COMPRESS
+    * (label := label(label), pointer jumping — one self-join) rounds,
+    * so convergence is O(log diameter) rather than O(diameter); a
+    * 1M-long chain converges in ~20 rounds. Per-round driver work is
+    * one `count` (the convergence check) and a `localCheckpoint` that
+    * truncates the iterative lineage (without it the plan tree doubles
+    * every round). This is the DataFrame form of the classic
+    * Shiloach-Vishkin / large-star contraction used by web-scale dedup.
+    *
+    * `nodes` needs column `id`; `edges` columns `src`,`dst`
+    * (undirected — symmetrized internally). Returns (id, component). */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          maxIter: Int = 30): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    var labels = nodes.select(col("id"),
+      col("id").as("component")).localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("src"),
+          col("component").as("src_comp")), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("src_comp")).as("nmin"))
+      val hooked = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nmin"), col("component")))
+            .as("component"))
+      // Two pointer jumps per round (label(label(label)) ≈ distance/4):
+      // halves the number of rounds, and each jump is a cheap self-join
+      // next to the hook's shuffle.
+      def jump(l: org.apache.spark.sql.DataFrame) = l.as("h")
+        .join(l.select(col("id").as("cid"),
+          col("component").as("ccomp")).as("m"),
+          col("h.component") === col("m.cid"))
+        .select(col("h.id").as("id"), col("m.ccomp").as("component"))
+      val compressed = jump(jump(hooked)).localCheckpoint(true)
+      val changed = compressed
+        .join(labels.withColumnRenamed("component", "old"), Seq("id"))
+        .filter(col("component") =!= col("old")).count()
+      labels = compressed
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   /** LINE-LEVEL dedup, the CCNet/C4 boilerplate-removal pass: a line
     * whose normalized form (lower+trim) appears in MORE than `maxDocFreq`
     * distinct documents corpus-wide (nav menus, copyright footers,

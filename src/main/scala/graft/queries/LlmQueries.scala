@@ -195,6 +195,57 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Dedup — CONNECTED COMPONENTS over a synthesized near-dup graph
+    * through the REAL `Dedup.connectedComponents` (hook + pointer-jump
+    * rounds): star edges around multiples of 7, a LONG chain across the
+    * multiples of 13 (transitivity over hundreds of hops — the case a
+    * pair-only dedup misses), overlapping nodes merging stars into the
+    * chain, and singletons. The DuckDB twin computes the closure with a
+    * recursive CTE and labels each node with its min reachable id;
+    * component_size doubles as a reachability-set check. */
+  val ddConnectedComponents: Q = Q.sql(
+    "dd_cc_components",
+    """WITH RECURSIVE nodes AS (
+      |  SELECT doc_id FROM documents
+      |), star AS (
+      |  SELECT doc_id AS src, doc_id - (doc_id % 7) AS dst
+      |  FROM documents WHERE doc_id % 7 IN (1, 2, 3)
+      |), chain AS (
+      |  SELECT doc_id AS src, doc_id + 13 AS dst
+      |  FROM documents
+      |  WHERE doc_id % 13 = 0
+      |    AND doc_id + 13 IN (SELECT doc_id FROM documents)
+      |), edges AS (
+      |  SELECT src, dst FROM star UNION ALL SELECT src, dst FROM chain
+      |), sym AS (
+      |  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+      |), r(a, b) AS (
+      |  SELECT doc_id, doc_id FROM nodes
+      |  UNION
+      |  SELECT r.a, s.dst FROM r JOIN sym s ON r.b = s.src
+      |)
+      |SELECT a AS doc_id,
+      |  CAST(MIN(b) AS BIGINT) AS component,
+      |  CAST(COUNT(*) AS BIGINT) AS component_size
+      |FROM r GROUP BY a ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val id = col("doc_id")
+    val nodes = docs.select(id.as("id"))
+    val star = docs.filter((id % 7).isin(1, 2, 3))
+      .select(id.as("src"), (id - id % 7).as("dst"))
+    val chain = docs.filter(id % 13 === 0)
+      .select(id.as("src"), (id + 13).as("dst"))
+      .join(nodes.select(col("id").as("dst")), Seq("dst"), "left_semi")
+    val cc = Dedup.connectedComponents(nodes,
+      star.unionByName(chain.select(col("src"), col("dst"))))
+    cc.select(col("id").as("doc_id"), col("component"))
+      .withColumn("component_size",
+        count(lit(1)).over(Window.partitionBy(col("component")))
+          .cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** Dedup — URL canonicalization + dedup through the REAL
     * `TextAnalysis.canonicalizeUrl` / `Dedup.urlDedup`: synthesized
     * dirty URLs exercise every rule (uppercase scheme/host, default
@@ -1141,7 +1192,7 @@ object LlmQueries {
   val all: Seq[Q] = Seq(tTokens, tTokensBpe, tLangId, tQuality,
     tFingerprint, tRepetition, tContamination, tPiiScrub, tVocab,
     tCorpusCuration, tPacking, ddExact, ddUrlDedup, ddLineDedup,
-    ddMinhashLsh, ddSimhash,
+    ddConnectedComponents, ddMinhashLsh, ddSimhash,
     ddSimhashNearDup, ddEmbeddingNearDup, annBruteForce, annLsh, annRhLsh,
     annIvf, mmBinary, mmFeatures, mmResize, mmFrameSample)
 }

@@ -194,6 +194,23 @@ class LlmSpec extends SparkSpec {
       Multimodal.featureSchema)
   }
 
+  test("connectedComponents: transitive chains, merged stars, singletons") {
+    // 200-node chain 0-1-2-…-199 (diameter forces pointer jumping — a
+    // neighbor-only propagation would need 200 rounds, maxIter is 30),
+    // a triangle {500,501,502}, an edge {600,601}, singleton 700.
+    val nodes = ((0L to 199L) ++ Seq(500L, 501L, 502L, 600L, 601L, 700L))
+      .toDF("id")
+    val chain = (0L until 199L).map(i => (i, i + 1))
+    val edges = (chain ++ Seq((500L, 501L), (501L, 502L), (502L, 500L),
+      (601L, 600L))).toDF("src", "dst")
+    val got = Dedup.connectedComponents(nodes, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0L to 199L).foreach(i => assert(got(i) == 0L, s"chain node $i"))
+    assert(Seq(500L, 501L, 502L).forall(got(_) == 500L))
+    assert(got(600L) == 600L && got(601L) == 600L)
+    assert(got(700L) == 700L)
+  }
+
   test("canonicalizeUrl normalizes scheme/host/port/params, preserves path case") {
     val in = Seq(
       "HTTP://WWW.Example.COM:80/Products/3/?utm_source=a&item=7&fbclid=x#frag",
