@@ -16,6 +16,29 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
 
+  /** DETERMINISTIC QUOTA SAMPLING: keep at most `quota` documents per
+    * group (source/domain/language), selected by a seeded md5 hash of
+    * the doc id — the corpus-mixing primitive ("cap CommonCrawl at N
+    * docs per domain", "downsample source X"). Hash ordering makes the
+    * sample pseudo-random yet reproducible across engines, retries and
+    * re-runs (no rand()); the tie-break on doc_id keeps the window
+    * sort total. One `row_number` window per group key — the same
+    * WindowGroupLimit (partial top-k before the shuffle) plan shape as
+    * the dedup windows, so hot groups never materialize beyond the
+    * quota per partition. */
+  def quotaSample(docs: DataFrame, id: Column, group: Column,
+                  quota: Int, seed: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sample_group"))
+      .orderBy(col("sample_rank_key"), col("doc_id"))
+    docs.select(id.as("doc_id"), group.as("sample_group"))
+      .withColumn("sample_rank_key",
+        md5(concat(lit(seed), lit("|"), col("doc_id").cast("string"))))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= quota)
+      .drop("sample_rank_key")
+  }
+
   /** URL CANONICALIZATION for web-corpus dedup: fragment stripped,
     * scheme + host lowercased (path case PRESERVED — paths are
     * case-sensitive), default ports (:80 http, :443 https) dropped,

@@ -168,6 +168,28 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Curation — deterministic per-group quota sampling through the REAL
+    * `TextAnalysis.quotaSample`: at most 40 docs per source, chosen by
+    * seeded md5 order (reproducible pseudo-random mixing). */
+  val tQuotaSample: Q = Q.sql(
+    "t_quota_sample",
+    """WITH ranked AS (
+      |  SELECT doc_id, source AS sample_group,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY md5('mix1|' || CAST(doc_id AS VARCHAR)), doc_id)
+      |      AS sample_rank
+      |  FROM documents
+      |)
+      |SELECT doc_id, sample_group, CAST(sample_rank AS BIGINT) AS sample_rank
+      |FROM ranked WHERE sample_rank <= 40
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    TA.quotaSample(Tables.documents(s, d), col("doc_id"), col("source"),
+      quota = 40, seed = "mix1")
+      .select(col("doc_id"), col("sample_group"),
+        col("sample_rank").cast("long").as("sample_rank"))
+      .orderBy("doc_id")
+  }
+
   /** Packing — concat-and-chunk sequence packing (per-shard token
     * streams, window-parallel running sums; `Packing.packSequences`
     * scaladoc has the 100 TB argument). Budget 2048 tokens, 8 shards;
@@ -1191,7 +1213,8 @@ object LlmQueries {
 
   val all: Seq[Q] = Seq(tTokens, tTokensBpe, tLangId, tQuality,
     tFingerprint, tRepetition, tContamination, tPiiScrub, tVocab,
-    tCorpusCuration, tPacking, ddExact, ddUrlDedup, ddLineDedup,
+    tCorpusCuration, tPacking, tQuotaSample, ddExact, ddUrlDedup,
+    ddLineDedup,
     ddConnectedComponents, ddMinhashLsh, ddSimhash,
     ddSimhashNearDup, ddEmbeddingNearDup, annBruteForce, annLsh, annRhLsh,
     annIvf, mmBinary, mmFeatures, mmResize, mmFrameSample)
