@@ -205,6 +205,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents matches union-find on random graphs") {
+    import graft.llm.Dedup
+    // 5 random graphs of varying density; ground truth from a plain
+    // in-memory union-find with path compression.
+    (0 until 5).foreach { trial =>
+      val n = 30 + rnd.nextInt(50)
+      val nEdges = rnd.nextInt(2 * n)
+      val edges = (0 until nEdges)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // canonical = min id in component == find root when unions always
+      // hang the larger root under the smaller
+      val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val got = Dedup.connectedComponents(
+        (0L until n.toLong).toDF("id"),
+        edges.toDF("src", "dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == expected, s"trial $trial n=$n edges=$edges")
+    }
+  }
+
   test("xlsx 1900-epoch serial math matches java.time; date codes classify") {
     import graft.sources.Xlsx
     // modern serials (≥ 61, past the Lotus phantom day): the epoch shift
