@@ -233,6 +233,26 @@ object Dedup {
           when(col(s"v$i") > 0, "1").otherwise("0")): _*).as("simhash"))
   }
 
+  /** INCREMENTAL exact dedup — the daily-crawl discipline: a new batch
+    * is deduplicated within itself (min-id canonical per content
+    * fingerprint) AND against the historical corpus index (a frame of
+    * already-seen `content_fp`). `keep` marks the rows a pipeline
+    * appends to the corpus; the kept rows' fingerprints are the index
+    * delta for the next batch. One window + one fingerprint equi-join —
+    * daily work scales with |batch| + |index|, never with corpus
+    * re-reads (the same incremental discipline as MergeUpsert/I1). */
+  def incrementalExact(indexFps: DataFrame, batch: DataFrame,
+                       id: Column, text: Column): DataFrame = {
+    val w = Window.partitionBy(col("content_fp"))
+    batch.select(id.as("doc_id"), md5(lower(trim(text))).as("content_fp"))
+      .withColumn("batch_canonical_id", min(col("doc_id")).over(w))
+      .join(indexFps.select(col("content_fp")).distinct()
+        .withColumn("in_index", lit(true)), Seq("content_fp"), "left")
+      .withColumn("in_index", coalesce(col("in_index"), lit(false)))
+      .withColumn("keep",
+        col("doc_id") === col("batch_canonical_id") && !col("in_index"))
+  }
+
   /** URL dedup for web corpora: group by
     * [[TextAnalysis.canonicalizeUrl]] (NOT by lowercased raw text —
     * paths are case-sensitive, so [[exact]]'s lowering would

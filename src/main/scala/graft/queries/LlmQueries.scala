@@ -217,6 +217,44 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Dedup — INCREMENTAL exact dedup through the REAL
+    * `Dedup.incrementalExact`: the "index" is the fingerprint set of
+    * every third doc (yesterday's corpus), the batch is the full
+    * corpus plus injected within-batch copies (doc_id+100000 carrying
+    * an existing doc's text) — so all three suppression reasons occur:
+    * already-in-index, batch-internal duplicate, and both. */
+  val ddIncrementalDedup: Q = Q.sql(
+    "dd_incremental_dedup",
+    """WITH batch AS (
+      |  SELECT doc_id, md5(lower(trim(text))) AS content_fp FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, md5(lower(trim(text)))
+      |  FROM documents WHERE doc_id % 11 = 0
+      |), idx AS (
+      |  SELECT DISTINCT md5(lower(trim(text))) AS content_fp
+      |  FROM documents WHERE doc_id % 3 = 0
+      |), canon AS (
+      |  SELECT doc_id, content_fp,
+      |    MIN(doc_id) OVER (PARTITION BY content_fp) AS batch_canonical_id
+      |  FROM batch
+      |)
+      |SELECT c.doc_id, c.content_fp, c.batch_canonical_id,
+      |  i.content_fp IS NOT NULL AS in_index,
+      |  c.doc_id = c.batch_canonical_id AND i.content_fp IS NULL AS keep
+      |FROM canon c LEFT JOIN idx i USING (content_fp)
+      |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val batch = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    val idx = docs.filter(col("doc_id") % 3 === 0)
+      .select(md5(lower(trim(col("text")))).as("content_fp"))
+    Dedup.incrementalExact(idx, batch, col("doc_id"), col("text"))
+      .select("doc_id", "content_fp", "batch_canonical_id", "in_index",
+        "keep")
+      .orderBy("doc_id")
+  }
+
   /** Dedup — CONNECTED COMPONENTS over a synthesized near-dup graph
     * through the REAL `Dedup.connectedComponents` (hook + pointer-jump
     * rounds): star edges around multiples of 7, a LONG chain across the
@@ -1213,8 +1251,8 @@ object LlmQueries {
 
   val all: Seq[Q] = Seq(tTokens, tTokensBpe, tLangId, tQuality,
     tFingerprint, tRepetition, tContamination, tPiiScrub, tVocab,
-    tCorpusCuration, tPacking, tQuotaSample, ddExact, ddUrlDedup,
-    ddLineDedup,
+    tCorpusCuration, tPacking, tQuotaSample, ddExact, ddIncrementalDedup,
+    ddUrlDedup, ddLineDedup,
     ddConnectedComponents, ddMinhashLsh, ddSimhash,
     ddSimhashNearDup, ddEmbeddingNearDup, annBruteForce, annLsh, annRhLsh,
     annIvf, mmBinary, mmFeatures, mmResize, mmFrameSample)

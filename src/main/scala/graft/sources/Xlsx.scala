@@ -81,13 +81,15 @@ object Xlsx {
       val out = Vector.newBuilder[String]
       var cur: StringBuilder = null
       var inText = false
+      var inPhonetic = false // <rPh> phonetic runs are not cell text
       try {
         while (r.hasNext) {
           r.next() match {
             case XMLStreamConstants.START_ELEMENT =>
               r.getLocalName match {
                 case "si" => cur = new StringBuilder
-                case "t" if cur != null => inText = true
+                case "rPh" => inPhonetic = true
+                case "t" if cur != null && !inPhonetic => inText = true
                 case _ =>
               }
             case XMLStreamConstants.CHARACTERS if inText =>
@@ -95,6 +97,7 @@ object Xlsx {
             case XMLStreamConstants.END_ELEMENT =>
               r.getLocalName match {
                 case "t" => inText = false
+                case "rPh" => inPhonetic = false
                 case "si" => out += cur.toString; cur = null
                 case _ =>
               }

@@ -157,6 +157,21 @@ class IngestSpec extends SparkSpec {
     assert(mac(0) == "2028-01-09", "1904-system serial 45299")
   }
 
+  test("xlsx: phonetic rPh runs excluded from shared and inline strings") {
+    val wb = s"""<?xml version="1.0"?><workbook $wbNs xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>"""
+    val rels = """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>"""
+    val sst = s"""<?xml version="1.0"?><sst $wbNs><si><r><t>Tokyo HQ</t></r><rPh sb="0" eb="2"><t>トウキョウ</t></rPh></si></sst>"""
+    val sheet = s"""<?xml version="1.0"?><worksheet $wbNs><sheetData><row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="inlineStr"><is><r><t>Osaka </t></r><rPh sb="0" eb="2"><t>オオサカ</t></rPh><r><t>Branch</t></r></is></c></row></sheetData></worksheet>"""
+    val bytes = zipBytes(Seq(
+      "xl/workbook.xml" -> wb, "xl/_rels/workbook.xml.rels" -> rels,
+      "xl/sharedStrings.xml" -> sst,
+      "xl/worksheets/sheet1.xml" -> sheet))
+    val row = graft.sources.Xlsx.decodeSheet(bytes, "S").rows(0)
+    assert(row(0) == "Tokyo HQ", "shared string skips phonetic run")
+    assert(row(1) == "Osaka Branch",
+      "inline rich text skips phonetic run, concatenates real runs")
+  }
+
   test("xlsx: readManyAsRows skips non-xlsx files and sheetless workbooks") {
     import graft.sources.Xlsx
     val dir = Files.createTempDirectory("xlsx_mixed")
