@@ -286,9 +286,12 @@ object Dedup {
     * (undirected — symmetrized internally). Returns (id, component). */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIter: Int = 30): DataFrame = {
+    // Materialized once: without the checkpoint every round's hook
+    // recomputes the symmetrize+distinct shuffle from scratch.
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .localCheckpoint(true)
     var labels = nodes.select(col("id"),
       col("id").as("component")).localCheckpoint(true)
     var converged = false
