@@ -972,6 +972,37 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Multimodal — REAL audio codec round trip: per-doc RIFF/WAVE
+    * payloads (16-bit PCM — lossless) synthesized executor-side with
+    * `AudioSystem.write` from closed-form sample formulas, decoded with
+    * `AudioSystem.getAudioInputStream`, features from the actual PCM.
+    * The oracle predicts format fields, endpoint samples, and
+    * per-channel sums straight from doc_id. All-integer outputs;
+    * `sum_c1` exercises the mono-null arm. */
+  val mmAudio: Q = Q.sql(
+    "mm_audio_decode",
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+      |    CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+      |    CAST(50 + doc_id % 100 AS BIGINT) AS n_frames,
+      |    CAST(doc_id % 997 AS INTEGER) AS b0,
+      |    CAST(doc_id % 883 AS INTEGER) AS b1
+      |  FROM documents
+      |)
+      |SELECT doc_id, sample_rate, channels, n_frames,
+      |  b0 AS first_sample,
+      |  CAST(b0 + 7 * (n_frames - 1) AS INTEGER) AS last_sample,
+      |  CAST(n_frames * b0 + 7 * ((n_frames - 1) * n_frames // 2) AS BIGINT) AS sum_c0,
+      |  CASE WHEN channels = 2
+      |       THEN CAST(n_frames * b1 + 5 * ((n_frames - 1) * n_frames // 2) AS BIGINT)
+      |       END AS sum_c1
+      |FROM d ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Multimodal.decodeAudio(
+      Multimodal.asAudioTable(Tables.documents(s, d)))
+      .orderBy("doc_id")
+  }
+
   /** Multimodal — aspect-preserving resize spec over the REAL decoded
     * dims (ImageIO path). Target 12 px so the corpus mixes up- and
     * down-scales; the scale ratio/floor math is exact IEEE double in
@@ -1255,5 +1286,5 @@ object LlmQueries {
     ddUrlDedup, ddLineDedup,
     ddConnectedComponents, ddMinhashLsh, ddSimhash,
     ddSimhashNearDup, ddEmbeddingNearDup, annBruteForce, annLsh, annRhLsh,
-    annIvf, mmBinary, mmFeatures, mmResize, mmFrameSample)
+    annIvf, mmBinary, mmFeatures, mmAudio, mmResize, mmFrameSample)
 }

@@ -276,6 +276,25 @@ class LlmSpec extends SparkSpec {
     // 'alpha' appears in 2 docs = maxDocFreq, NOT strictly greater → kept
   }
 
+  test("real WAV round trip: decoded PCM matches the sample spec") {
+    val docs = Tables.documents(spark, sf).limit(30)
+    val decoded = Multimodal.decodeAudio(Multimodal.asAudioTable(docs))
+      .orderBy("doc_id").collect()
+    assert(decoded.length == 30)
+    decoded.foreach { r =>
+      val id = r.getLong(0)
+      val n = Multimodal.wavFrames(id)
+      assert(r.getInt(1) == Multimodal.wavSampleRate(id))
+      assert(r.getInt(2) == Multimodal.wavChannels(id))
+      assert(r.getLong(3) == n.toLong)
+      assert(r.getInt(4) == Multimodal.wavSample(id, 0, 0))
+      assert(r.getInt(5) == Multimodal.wavSample(id, n - 1, 0))
+      val expSum = (0 until n).map(Multimodal.wavSample(id, _, 0).toLong).sum
+      assert(r.getLong(6) == expSum)
+      if (Multimodal.wavChannels(id) == 1) assert(r.isNullAt(7))
+    }
+  }
+
   test("real ImageIO round trip: decoded raster matches the pixel spec") {
     val docs = Tables.documents(spark, sf).limit(40)
     val decoded = Multimodal.decodeImages(Multimodal.asImageTable(docs))
