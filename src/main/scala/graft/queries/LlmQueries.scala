@@ -1003,6 +1003,35 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Multimodal — REAL video container round trip: per-doc YUV4MPEG2
+    * streams (raw C420 planes — the codec-free interchange format)
+    * synthesized executor-side, parsed back by the real header/FRAME
+    * walk in `Multimodal.decodeVideo`. Dimensions and fps come from
+    * the actual header, frame counts from the actual markers, and the
+    * luma/chroma checksums from the actual plane bytes — all predicted
+    * in closed form by the oracle. */
+  val mmVideo: Q = Q.sql(
+    "mm_video_parse",
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(8 + (doc_id % 5) * 2 AS INTEGER) AS w,
+      |    CAST(6 + (doc_id % 4) * 2 AS INTEGER) AS h,
+      |    CAST(3 + doc_id % 5 AS BIGINT) AS n,
+      |    CAST(24 + doc_id % 6 AS INTEGER) AS fps_num,
+      |    CAST(doc_id % 120 AS BIGINT) AS b
+      |  FROM documents
+      |)
+      |SELECT doc_id, w AS width, h AS height, fps_num, n AS n_frames,
+      |  CAST(b AS INTEGER) AS luma_first,
+      |  CAST(w*h*(n*b + 3*((n-1)*n//2))
+      |       + n*(3*h*((w-1)*w//2) + 5*w*((h-1)*h//2)) AS BIGINT) AS luma_sum,
+      |  CAST(n * 2 * (w//2) * (h//2) * 128 AS BIGINT) AS chroma_sum
+      |FROM d ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Multimodal.decodeVideo(
+      Multimodal.asVideoTable(Tables.documents(s, d)))
+      .orderBy("doc_id")
+  }
+
   /** Multimodal — aspect-preserving resize spec over the REAL decoded
     * dims (ImageIO path). Target 12 px so the corpus mixes up- and
     * down-scales; the scale ratio/floor math is exact IEEE double in
@@ -1286,5 +1315,6 @@ object LlmQueries {
     ddUrlDedup, ddLineDedup,
     ddConnectedComponents, ddMinhashLsh, ddSimhash,
     ddSimhashNearDup, ddEmbeddingNearDup, annBruteForce, annLsh, annRhLsh,
-    annIvf, mmBinary, mmFeatures, mmAudio, mmResize, mmFrameSample)
+    annIvf, mmBinary, mmFeatures, mmAudio, mmVideo, mmResize,
+    mmFrameSample)
 }

@@ -295,6 +295,29 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("real Y4M round trip: parsed container matches the plane spec") {
+    val docs = Tables.documents(spark, sf).limit(25)
+    val decoded = Multimodal.decodeVideo(Multimodal.asVideoTable(docs))
+      .orderBy("doc_id").collect()
+    assert(decoded.length == 25)
+    decoded.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h, n) = (Multimodal.vidWidth(id), Multimodal.vidHeight(id),
+        Multimodal.vidFrames(id))
+      assert(r.getInt(1) == w && r.getInt(2) == h)
+      assert(r.getInt(3) == Multimodal.vidFpsNum(id))
+      assert(r.getLong(4) == n.toLong)
+      assert(r.getInt(5) == Multimodal.vidLuma(id, 0, 0, 0))
+      val expLuma = (for { f <- 0 until n; y <- 0 until h; x <- 0 until w }
+        yield Multimodal.vidLuma(id, x, y, f).toLong).sum
+      assert(r.getLong(6) == expLuma)
+      assert(r.getLong(7) == n.toLong * 2 * (w / 2) * (h / 2) * 128)
+    }
+    // malformed container fails fast, not silently
+    val bad = Seq((1L, "not a y4m".getBytes)).toDF("doc_id", "payload")
+    intercept[Exception] { Multimodal.decodeVideo(bad).collect() }
+  }
+
   test("real ImageIO round trip: decoded raster matches the pixel spec") {
     val docs = Tables.documents(spark, sf).limit(40)
     val decoded = Multimodal.decodeImages(Multimodal.asImageTable(docs))
