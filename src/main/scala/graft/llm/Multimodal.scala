@@ -248,8 +248,11 @@ object Multimodal {
           if (channels > 1) s1 += sample(i, 1)
           i += 1
         }
+        // frames==0 is a valid (if degenerate) WAV: null endpoint
+        // samples, zero sums — the frameSample empty-payload precedent.
         Row(id, fmt.getSampleRate.toInt, channels, frames.toLong,
-          sample(0, 0), sample(frames - 1, 0), s0,
+          if (frames > 0) sample(0, 0) else null,
+          if (frames > 0) sample(frames - 1, 0) else null, s0,
           if (channels > 1) s1 else null)
       }
     }

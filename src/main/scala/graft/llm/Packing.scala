@@ -17,15 +17,22 @@ import org.apache.spark.sql.functions._
   * PER SHARD (each output shard is its own token stream), which is
   * exactly window-parallel: shard = pmod(doc_id, nShards), running sum
   * partitioned by shard ordered by doc_id. nShards = O(cluster cores)
-  * keeps every window partition independent; pack ids are globally
-  * unique via the (shard, pack-within-shard) composite. Deterministic:
+  * keeps every window partition independent. The authoritative pack
+  * identity is the (shard, pack_in_shard) PAIR — both emitted as
+  * columns; `pack_id` is a convenience composite shard·2^40 +
+  * pack_in_shard, collision-free up to 2^40 packs per shard (≈2.2e15
+  * tokens/shard at budget 2048 — beyond any single shard's stream) and
+  * up to 2^23 shards before overflowing a signed long. Deterministic:
   * same inputs → same packs, no RNG, no timestamps.
   */
 object Packing {
 
+  /** Packs per shard before the composite `pack_id` would collide. */
+  val PackIdRadix: Long = 1L << 40
+
   /** Per-doc pack assignment. `nTokens` must be a non-negative integer
-    * column. Emits (doc_id, shard, n_tokens, cum_before, pack_id,
-    * offset_in_pack, spans_boundary). */
+    * column. Emits (doc_id, shard, n_tokens, cum_before, pack_in_shard,
+    * pack_id, offset_in_pack, spans_boundary). */
   def packSequences(docs: DataFrame, id: Column, nTokens: Column,
                     budget: Long, nShards: Int): DataFrame = {
     val w = Window.partitionBy("shard").orderBy("doc_id")
@@ -37,8 +44,9 @@ object Packing {
         coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       // div: integer division on longs stays in integer space (a
       // double floor would be exact only below 2^53 — avoid the cliff)
+      .withColumn("pack_in_shard", expr(s"cum_before div ${budget}L"))
       .withColumn("pack_id",
-        col("shard") * 1000000L + expr(s"cum_before div ${budget}L"))
+        col("shard") * PackIdRadix + col("pack_in_shard"))
       .withColumn("offset_in_pack", pmod(col("cum_before"), lit(budget)))
       .withColumn("spans_boundary",
         col("offset_in_pack") + col("n_tokens") > budget)

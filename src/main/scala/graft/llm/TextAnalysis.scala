@@ -40,11 +40,13 @@ object TextAnalysis {
   }
 
   /** URL CANONICALIZATION for web-corpus dedup: fragment stripped,
-    * scheme + host lowercased (path case PRESERVED — paths are
+    * userinfo (`user@` / `user:pw@`) dropped from the authority, scheme
+    * + host lowercased (path case PRESERVED — paths are
     * case-sensitive), default ports (:80 http, :443 https) dropped,
-    * tracking params (utm_*, fbclid, gclid) removed with remaining
-    * params kept in order, trailing path slash normalized. Pure
-    * column-expression string ops, scan-shaped; every regex is
+    * tracking params (utm_* prefix; fbclid/gclid matched on the param
+    * KEY, so bare `fbclid` without `=` is also stripped) removed with
+    * remaining params kept in order, trailing path slash normalized.
+    * Pure column-expression string ops, scan-shaped; every regex is
     * Java-regex/RE2-portable so the DuckDB oracle canonicalizes
     * byte-identically. */
   def canonicalizeUrl(url: Column): Column = {
@@ -52,7 +54,10 @@ object TextAnalysis {
     val scheme = lower(regexp_extract(noFrag,
       "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    val hostPort = lower(regexp_extract(rest, "^([^/?]*)", 1))
+    // greedy .*@ drops userinfo up to the LAST '@' (RFC 3986: '@' in
+    // userinfo must be pct-encoded, so the last one is the delimiter)
+    val hostPort = regexp_replace(
+      lower(regexp_extract(rest, "^([^/?]*)", 1)), ".*@", "")
     val afterHost = regexp_replace(rest, "^[^/?]*", "")
     val host = when(scheme === "http",
         regexp_replace(hostPort, ":80$", ""))
@@ -63,8 +68,8 @@ object TextAnalysis {
       regexp_replace(afterHost, "^[^?]*\\?", "")).otherwise(lit(""))
     val kept = array_join(
       filter(split(query, "&"), p =>
-        p =!= "" && !p.startsWith("utm_") && !p.startsWith("fbclid=") &&
-          !p.startsWith("gclid=")), "&")
+        p =!= "" && !p.startsWith("utm_") &&
+          !regexp_extract(p, "^([^=]*)", 1).isin("fbclid", "gclid")), "&")
     val pathNorm = when(path === "" || path === "/", lit(""))
       .otherwise(regexp_replace(path, "/$", ""))
     concat(scheme, lit("://"), host, pathNorm,

@@ -164,7 +164,13 @@ object AtomicTable {
             finally out.close()
             None
           } catch {
-            case _: java.io.IOException => readWriterId(f, dir)
+            case e: java.io.IOException =>
+              // Only a LOST RACE leaves the file present; a transient IO
+              // failure must surface, not silently skip lineage binding.
+              readWriterId(f, dir) match {
+                case some @ Some(_) => some
+                case None => throw e
+              }
           }
       }
       bound.filter(_ != id).foreach { existing =>

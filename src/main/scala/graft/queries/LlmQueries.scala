@@ -208,7 +208,8 @@ object LlmQueries {
       |)
       |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
       |  CAST(cum_before AS BIGINT) AS cum_before,
-      |  CAST(shard * 1000000 + cum_before // 2048 AS BIGINT) AS pack_id,
+      |  CAST(cum_before // 2048 AS BIGINT) AS pack_in_shard,
+      |  CAST(shard * 1099511627776 + cum_before // 2048 AS BIGINT) AS pack_id,
       |  CAST(cum_before % 2048 AS BIGINT) AS offset_in_pack,
       |  cum_before % 2048 + n_tokens > 2048 AS spans_boundary
       |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
@@ -333,7 +334,7 @@ object LlmQueries {
       |), p1 AS (
       |  SELECT doc_id,
       |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-      |    lower(regexp_extract(regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?]*)', 1)) AS hostport,
+      |    regexp_replace(lower(regexp_extract(regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?]*)', 1)), '.*@', '') AS hostport,
       |    regexp_replace(regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^[^/?]*', '') AS afterhost
       |  FROM c1
       |), p2 AS (
@@ -355,8 +356,7 @@ object LlmQueries {
       |  FROM (
       |    SELECT *, array_to_string(list_filter(string_split(query, '&'),
       |      p -> p <> '' AND NOT starts_with(p, 'utm_')
-      |        AND NOT starts_with(p, 'fbclid=')
-      |        AND NOT starts_with(p, 'gclid=')), '&') AS kept
+      |        AND regexp_extract(p, '^([^=]*)', 1) NOT IN ('fbclid', 'gclid')), '&') AS kept
       |    FROM p2)
       |)
       |SELECT doc_id, canonical_url,

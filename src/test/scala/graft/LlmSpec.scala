@@ -217,7 +217,9 @@ class LlmSpec extends SparkSpec {
       "https://www.example.com:443/Products/3?item=7",
       "https://example.com/",
       "https://example.com/CaseSensitive/Path?gclid=z",
-      "ftp://Host.Example.com:80/file")
+      "ftp://Host.Example.com:80/file",
+      "https://User:Pw@Example.com/x?fbclid&item=2", // userinfo + bare fbclid
+      "https://a%40b@Example.com/y?gclid") // pct-encoded '@' inside userinfo
       .zipWithIndex.map { case (u, i) => (i.toLong, u) }
       .toDF("doc_id", "url")
     val got = in.select(TA.canonicalizeUrl($"url").as("c"))
@@ -227,7 +229,9 @@ class LlmSpec extends SparkSpec {
       "https://www.example.com/Products/3?item=7",
       "https://example.com",
       "https://example.com/CaseSensitive/Path",
-      "ftp://host.example.com:80/file")) // :80 only default for http
+      "ftp://host.example.com:80/file", // :80 only default for http
+      "https://example.com/x?item=2",
+      "https://example.com/y"))
     val dd = Dedup.urlDedup(in, $"doc_id", $"url").orderBy("doc_id")
       .collect()
     // rows 0 and 1 differ only by scheme (http vs https) → NOT dups
@@ -244,16 +248,17 @@ class LlmSpec extends SparkSpec {
     val got = graft.llm.Packing.packSequences(docs, $"doc_id", $"n_tok",
       budget = 10, nShards = 2)
       .orderBy("doc_id")
-      .select("doc_id", "shard", "cum_before", "pack_id",
+      .select("doc_id", "shard", "cum_before", "pack_in_shard", "pack_id",
         "offset_in_pack", "spans_boundary")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getLong(4), r.getBoolean(5))).toSeq
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))).toSeq
+    val radix = graft.llm.Packing.PackIdRadix // 2^40: no cross-shard collision
     assert(got == Seq(
-      (0L, 0L, 0L, 0L, 0L, false),
-      (1L, 1L, 0L, 1000000L, 0L, false),
-      (2L, 0L, 4L, 0L, 4L, true),
-      (3L, 1L, 10L, 1000001L, 0L, false),
-      (4L, 0L, 11L, 1L, 1L, false)))
+      (0L, 0L, 0L, 0L, 0L, 0L, false),
+      (1L, 1L, 0L, 0L, radix, 0L, false),
+      (2L, 0L, 4L, 0L, 0L, 4L, true),
+      (3L, 1L, 10L, 1L, radix + 1L, 0L, false),
+      (4L, 0L, 11L, 1L, 1L, 1L, false)))
   }
 
   test("lineDedup removes corpus-wide boilerplate, keeps order and blanks") {
@@ -293,6 +298,21 @@ class LlmSpec extends SparkSpec {
       assert(r.getLong(6) == expSum)
       if (Multimodal.wavChannels(id) == 1) assert(r.isNullAt(7))
     }
+  }
+
+  test("decodeAudio: zero-frame WAV yields null endpoints, zero sums") {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(
+        new java.io.ByteArrayInputStream(Array.emptyByteArray), fmt, 0L),
+      AudioFileFormat.Type.WAVE, baos)
+    val in = Seq((0L, baos.toByteArray)).toDF("doc_id", "payload")
+    val r = Multimodal.decodeAudio(in).collect().head
+    assert(r.getLong(3) == 0L)   // n_frames
+    assert(r.isNullAt(4) && r.isNullAt(5)) // first/last sample
+    assert(r.getLong(6) == 0L)   // sum_c0
   }
 
   test("real Y4M round trip: parsed container matches the plane spec") {
