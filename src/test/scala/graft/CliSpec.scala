@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.cli.{DemoSource, Main}
+
+/** End-to-end drive of the unified pipeline driver (orchestrator.py:
+  * 506-573 counterpart): seed run → incremental run → unchanged re-run,
+  * over one generated source tree and one warehouse. Asserts the mode
+  * semantics (replace vs DLT merge), the mtime skip, and that the
+  * transform lands the reference-battery values at each stage.
+  */
+class CliSpec extends SparkSpec {
+
+  private lazy val data = DemoSource.write(spark,
+    java.nio.file.Files.createTempDirectory("cli_spec_src")).toString
+  private lazy val wh =
+    java.nio.file.Files.createTempDirectory("cli_spec_wh").toString
+
+  // Sequential lazy pipeline runs shared across tests (ScalaTest runs
+  // tests in declaration order within a suite).
+  private lazy val seedRun = Main.run(spark, "seed", data, wh)
+  private lazy val incRun = Main.run(spark, "incremental", data, wh)
+  private lazy val rerun = Main.run(spark, "incremental", data, wh)
+
+  private def cat = new graft.ref.Catalog(spark, wh)
+
+  test("seed: replaces raw layer, runs DAG, quality green") {
+    val qb = seedRun.source("quickbooks")
+    assert(qb.status == "loaded")
+    assert(qb.tables == Map("xlsx_customer" -> 7L, "xlsx_item" -> 5L,
+      "xlsx_invoice" -> 7L, "xlsx_sales_receipt" -> 3L))
+    assert(seedRun.source("trade_shows").status == "loaded")
+    assert(seedRun.models > 30)
+    assert(seedRun.overallStatus == "success", seedRun.quality.toString)
+    // seed carries only the 2024-05-01 snapshot → pre-raise price
+    val ak4 = cat.load("mart", "fct_products")
+      .filter(col("product_name") === "01-6310.AK4").head()
+    assert(ak4.getAs[Double]("sales_price") == 14.50)
+  }
+
+  test("incremental: merges daily files, marts pick up the new snapshot") {
+    seedRun // order the pipeline passes
+    val qb = incRun.source("quickbooks")
+    assert(qb.status == "loaded")
+    // items: 5 seed-snapshot rows + 5 daily-snapshot rows (merge keyed
+    // on item_name+snapshot_date appends the new snapshot)
+    assert(qb.tables("xlsx_item") == 10L)
+    // customers: same 7 ids → replaced in place, not duplicated
+    assert(qb.tables("xlsx_customer") == 7L)
+    // invoices: 7 seed lines + 1 new INV-1005 line
+    assert(qb.tables("xlsx_invoice") == 8L)
+    assert(incRun.source("trade_shows").status == "skipped")
+    assert(incRun.overallStatus == "success", incRun.quality.toString)
+    // latest-snapshot dedup now flips the AK4 price
+    val ak4 = cat.load("mart", "fct_products")
+      .filter(col("product_name") === "01-6310.AK4").head()
+    assert(ak4.getAs[Double]("sales_price") == 15.00)
+    // the daily invoice reached fct_orders with the right rollup
+    val o = cat.load("mart", "fct_orders")
+      .filter(col("order_number") === "INV-1005")
+    assert(o.count() == 1)
+    assert(math.abs(o.head().getAs[Double]("order_amount") - 120.0) < 1e-9)
+    // inventory history carries both snapshots for AK4
+    assert(cat.load("mart", "fct_inventory_history")
+      .filter(col("item_name") === "01-6310.AK4").count() == 2)
+  }
+
+  test("unchanged re-run: sources skipped, transform still green") {
+    seedRun; incRun
+    assert(rerun.source("quickbooks").status == "skipped")
+    assert(rerun.source("trade_shows").status == "skipped")
+    assert(rerun.models == incRun.models)
+    assert(rerun.overallStatus == "success")
+  }
+
+  test("touched daily file is picked up again (mtime skip is per file)") {
+    seedRun; incRun; rerun
+    val f = java.nio.file.Paths.get(
+      s"$data/input/2024-06-21_transactions.xlsx")
+    java.nio.file.Files.setLastModifiedTime(f,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 5000))
+    val again = Main.run(spark, "incremental", data, wh)
+    assert(again.source("quickbooks").status == "loaded")
+    // merge is idempotent on the same lines
+    assert(again.source("quickbooks").tables("xlsx_invoice") == 8L)
+  }
+
+  test("incremental without a seeded warehouse fails fast") {
+    val freshWh =
+      java.nio.file.Files.createTempDirectory("cli_spec_wh2").toString
+    val e = intercept[IllegalArgumentException] {
+      Main.run(spark, "incremental", data, freshWh)
+    }
+    assert(e.getMessage.contains("--seed"))
+  }
+
+  test("config files parsed: explicit mapping + individual domains applied") {
+    seedRun
+    val nm = cat.load("raw", "customer_name_mapping")
+      .filter(col("original_name") === "Bolt Supply Customer").head()
+    assert(nm.getAs[String]("normalized_name") == "Bolt Supply House")
+    assert(nm.getAs[String]("normalization_type") == "explicit")
+    val dm = cat.load("raw", "domain_mapping")
+      .filter(col("original_domain") === "gmail.com").head()
+    assert(dm.getAs[String]("domain_type") == "individual")
+  }
+}
