@@ -1,8 +1,9 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{Dedup, Multimodal, Packing, Similarity, TextAnalysis => TA}
+import graft.llm.{CorpusIndex, Dedup, Multimodal, Packing, Similarity, TextAnalysis => TA}
 
 /** Training-data-pipeline operators (builder-prompt first-class set):
   * text analysis, dedup family, similarity search, multimodal plumbing —
@@ -254,6 +255,81 @@ object LlmQueries {
       .select("doc_id", "content_fp", "batch_canonical_id", "in_index",
         "keep")
       .orderBy("doc_id")
+  }
+
+  /** Dedup — incremental dedup with a PERSISTED index (the storage half
+    * of the daily-crawl discipline, through the REAL
+    * `CorpusIndex.processBatch` → `AtomicTable` commits): day 1 (two
+    * thirds of the corpus + within-batch copies) bootstraps an empty
+    * index and commits kept fingerprints as v1; day 2 (the remaining
+    * third + re-crawled day-1 docs + two kinds of injected copies)
+    * dedups against the COMMITTED v1 parquet and commits v2. All three
+    * day-2 suppression reasons occur: already-in-index (the re-crawls),
+    * batch-internal duplicate (copies of fresh docs), and both (copies
+    * of re-crawls). The DuckDB twin replays both days with window
+    * minima and an IN-subquery index membership. */
+  val ddIncrementalIndexChain: Q = Q.sql(
+    "dd_incremental_index_chain",
+    """WITH day1 AS (
+      |  SELECT doc_id, md5(lower(trim(text))) AS fp
+      |  FROM documents WHERE doc_id % 3 <> 2
+      |  UNION ALL
+      |  SELECT doc_id + 500000, md5(lower(trim(text)))
+      |  FROM documents WHERE doc_id % 3 <> 2 AND doc_id % 7 = 0
+      |), day2 AS (
+      |  SELECT doc_id, md5(lower(trim(text))) AS fp
+      |  FROM documents WHERE doc_id % 3 = 2
+      |  UNION ALL
+      |  SELECT doc_id, md5(lower(trim(text)))
+      |  FROM documents WHERE doc_id % 3 <> 2 AND doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000, md5(lower(trim(text)))
+      |  FROM documents WHERE doc_id % 3 = 2 AND doc_id % 7 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 200000, md5(lower(trim(text)))
+      |  FROM documents WHERE doc_id % 3 <> 2 AND doc_id % 5 = 0 AND doc_id % 7 = 3
+      |), idx1 AS (
+      |  SELECT DISTINCT fp FROM day1
+      |), d1 AS (
+      |  SELECT 1 AS day, doc_id,
+      |    MIN(doc_id) OVER (PARTITION BY fp) AS batch_canonical_id,
+      |    FALSE AS in_index
+      |  FROM day1
+      |), d2 AS (
+      |  SELECT 2 AS day, doc_id,
+      |    MIN(doc_id) OVER (PARTITION BY fp) AS batch_canonical_id,
+      |    fp IN (SELECT fp FROM idx1) AS in_index
+      |  FROM day2
+      |)
+      |SELECT CAST(day AS BIGINT) AS day, doc_id, batch_canonical_id,
+      |  in_index, doc_id = batch_canonical_id AND NOT in_index AS keep
+      |FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+      |ORDER BY day, doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val id = col("doc_id")
+    def copies(src: DataFrame, offset: Long): DataFrame =
+      src.select((col("doc_id") + offset).as("doc_id"), col("text"))
+    val day1 = docs.filter(id % 3 =!= 2).select(id, col("text"))
+      .unionByName(copies(docs.filter(id % 3 =!= 2 && id % 7 === 0),
+        500000L))
+    val day2 = docs.filter(id % 3 === 2).select(id, col("text"))
+      .unionByName(docs.filter(id % 3 =!= 2 && id % 5 === 0)
+        .select(id, col("text")))
+      .unionByName(copies(docs.filter(id % 3 === 2 && id % 7 === 1),
+        100000L))
+      .unionByName(copies(
+        docs.filter(id % 3 =!= 2 && id % 5 === 0 && id % 7 === 3),
+        200000L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_fpindex")
+      .toString
+    val out1 = CorpusIndex.processBatch(s, dir, day1, col("doc_id"),
+      col("text"))
+    val out2 = CorpusIndex.processBatch(s, dir, day2, col("doc_id"),
+      col("text"))
+    out1.withColumn("day", lit(1L))
+      .unionByName(out2.withColumn("day", lit(2L)))
+      .select("day", "doc_id", "batch_canonical_id", "in_index", "keep")
+      .orderBy("day", "doc_id")
   }
 
   /** Dedup — CONNECTED COMPONENTS over a synthesized near-dup graph
@@ -1312,6 +1388,7 @@ object LlmQueries {
   val all: Seq[Q] = Seq(tTokens, tTokensBpe, tLangId, tQuality,
     tFingerprint, tRepetition, tContamination, tPiiScrub, tVocab,
     tCorpusCuration, tPacking, tQuotaSample, ddExact, ddIncrementalDedup,
+    ddIncrementalIndexChain,
     ddUrlDedup, ddLineDedup,
     ddConnectedComponents, ddMinhashLsh, ddSimhash,
     ddSimhashNearDup, ddEmbeddingNearDup, annBruteForce, annLsh, annRhLsh,

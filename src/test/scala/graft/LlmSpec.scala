@@ -261,6 +261,30 @@ class LlmSpec extends SparkSpec {
       (4L, 0L, 11L, 1L, 1L, 1L, false)))
   }
 
+  test("CorpusIndex: committed versions accumulate fps across batches") {
+    import graft.llm.CorpusIndex
+    import graft.operators.AtomicTable
+    val dir = java.nio.file.Files.createTempDirectory("fpidx_spec").toString
+    val day1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+      .toDF("doc_id", "text")
+    val out1 = CorpusIndex.processBatch(spark, dir, day1, $"doc_id", $"text")
+      .orderBy("doc_id").collect()
+    assert(out1.map(_.getAs[Boolean]("keep")).toSeq ==
+      Seq(true, true, false), "empty index: min-id per text kept")
+    assert(AtomicTable.committedVersions(spark, dir) == Seq(0L))
+    assert(CorpusIndex.load(spark, dir).count() == 2)
+    // day 2: one re-crawl (alpha), one fresh (gamma), one batch dup
+    val day2 = Seq((10L, "alpha"), (11L, "gamma"), (12L, "gamma"))
+      .toDF("doc_id", "text")
+    val out2 = CorpusIndex.processBatch(spark, dir, day2, $"doc_id", $"text")
+      .orderBy("doc_id").collect()
+    assert(out2.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Boolean]("in_index"), r.getAs[Boolean]("keep"))).toSeq ==
+      Seq((10L, true, false), (11L, false, true), (12L, false, false)))
+    assert(AtomicTable.committedVersions(spark, dir) == Seq(0L, 1L))
+    assert(CorpusIndex.load(spark, dir).count() == 3, "alpha, beta, gamma")
+  }
+
   test("lineDedup removes corpus-wide boilerplate, keeps order and blanks") {
     // 'footer' is in 3 of 4 docs (> maxDocFreq=2) → removed everywhere;
     // 'unique N' lines and the blank line survive in original order.
