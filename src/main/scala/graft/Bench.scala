@@ -76,6 +76,19 @@ object Bench {
         out.values.foreach(_.count())
         Some((System.nanoTime() - t0) / 1e9)
       } else None
+    // Same DAG at testdata volume (RefFixturesScale): refdemo_total
+    // tracks the sink/commit path, this key tracks model-plan
+    // throughput (sf0.1: 600k order lines through every mart).
+    val refdemoSf: Option[Double] =
+      if (only.forall(_.contains("refdemo_sf01_total"))) {
+        reclaim()
+        val wh = java.nio.file.Files.createTempDirectory("graft_bench_whsf")
+        val t0 = System.nanoTime()
+        val out = ref.ModelDag.run(new ref.Catalog(spark, wh.toString),
+          ref.RefFixturesScale.inputs(spark, sfDir))
+        out.values.foreach(_.count())
+        Some((System.nanoTime() - t0) / 1e9)
+      } else None
     val total = results.map(_._2).sum
     // Locale.ROOT: a comma decimal separator would corrupt the JSON.
     def sec(v: Double): String =
@@ -83,7 +96,9 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val refdemoJson =
-      refdemo.map(v => s""""refdemo_total":${sec(v)},""").getOrElse("")
+      refdemo.map(v => s""""refdemo_total":${sec(v)},""").getOrElse("") +
+        refdemoSf.map(v => s""""refdemo_sf01_total":${sec(v)},""")
+          .getOrElse("")
     // Stop Spark BEFORE printing so no executor-shutdown log line can land
     // after the JSON, and keep "metric"/"value" as the LAST keys: the
     // driver's tail capture keeps the END of stdout, so even if the
