@@ -53,7 +53,15 @@ final class Catalog(val spark: SparkSession, val root: String) {
     val p = path(layer, name)
     AtomicTable.commit(df, p, AtomicTable.nextVersion(spark, p),
       partitionCols = partitionCols)
-    AtomicTable.read(spark, p).get
+    // The hive layout moves partition columns to the end and partition-
+    // value inference retypes them (e.g. '2024-05-01' dirs → DATE), so
+    // restore the model's declared column order and types: downstream
+    // DAG consumers see the same frame whether or not a model is
+    // partitioned, while external readers of the committed table (via
+    // [[load]]) keep the raw partition column for directory pruning.
+    val committed = AtomicTable.read(spark, p).get
+    committed.select(df.schema.map(f =>
+      committed(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
   }
 
   /** dbt `materialized='view'`: register the logical plan, no write. */

@@ -274,9 +274,16 @@ object ModelDag {
       () => Seq(cat.saveTable("mart", "fct_product_pricing_history",
         TimeSeries.pricingHistory(typed, stgItems, Some(fctProducts)))),
       () => {
-        val inv = cat.saveTable("intermediate", "inventory_history",
+        // The reference's ONE incremental model (int_quickbooks__
+        // inventory_history.sql:7-12) — committed hive-partitioned on
+        // snapshot_date so date-ranged readers of the table prune whole
+        // snapshot directories instead of scanning history (daily
+        // snapshot grain = low cardinality; OperatorsSpec proves the
+        // pruned scan on the committed layout).
+        val inv = cat.saveTablePartitioned("intermediate",
+          "inventory_history",
           stgItems.select("item_name", "snapshot_date", "quantity_on_hand",
-            "sales_price").distinct())
+            "sales_price").distinct(), Seq("snapshot_date"))
         Seq(inv, cat.saveTable("mart", "fct_inventory_history",
           TimeSeries.fctInventoryHistory(inv, fctProducts)))
       })

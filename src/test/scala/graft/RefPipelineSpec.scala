@@ -497,6 +497,36 @@ class RefPipelineSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("inventory history commits hive-partitioned; reads prune by snapshot") {
+    out // run the DAG
+    val dataDir = graft.operators.AtomicTable.latestDataPath(spark,
+      s"$warehouse/intermediate/inventory_history").get
+    assert(new java.io.File(s"$dataDir/snapshot_date=2024-05-01").exists())
+    assert(new java.io.File(s"$dataDir/snapshot_date=2024-06-01").exists())
+    // a date-ranged reader of the committed table opens ONLY the
+    // selected snapshot directory
+    val read = new Catalog(spark, warehouse)
+      .load("intermediate", "inventory_history")
+      .filter(col("snapshot_date") === "2024-06-01")
+    assert(read.collect().length == 5)
+    // the executed scan's metrics prove pruning: only the matching
+    // snapshot directory's file was opened (inputFiles would list the
+    // whole relation — it ignores partition filters)
+    val scans = read.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.metadata("PartitionFilters").contains("snapshot_date"))
+    assert(scans.head.metrics("numFiles").value == 1,
+      "one snapshot dir = one file opened")
+    // the frame the DAG hands downstream keeps the declared order/types
+    val inv = out("intermediate.inventory_history")
+    assert(inv.columns.toSeq == Seq("item_name", "snapshot_date",
+      "quantity_on_hand", "sales_price"))
+    assert(inv.schema("snapshot_date").dataType ==
+      org.apache.spark.sql.types.StringType)
+  }
+
   test("inventory incremental appends only newer snapshots, fails on drift") {
     import graft.ref.TimeSeries
     val inv = out("intermediate.inventory_history")
