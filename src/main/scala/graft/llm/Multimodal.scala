@@ -52,24 +52,53 @@ object Multimodal {
   private[graft] def pixB(id: Long, x: Int, y: Int): Int =
     (id % 83).toInt + x + 2 * y
 
-  /** Real `ImageIO.write` encode of the spec image for one doc: PNG for
-    * most ids, BMP for every 4th (exercises ImageIO's format sniffing
-    * on the decode side). Runs on executors. */
+  /** Format per doc: BMP for every 4th, GIF for ids ≡1 (mod 8), PNG
+    * otherwise — three real JDK codecs through one decode path. */
+  private[graft] def imgFormat(id: Long): String =
+    if (id % 4 == 0) "bmp" else if (id % 8 == 1) "gif" else "png"
+
+  /** Real `ImageIO.write` encode of the spec image for one doc
+    * (exercises ImageIO's format sniffing on the decode side). GIF is
+    * palette-indexed, so its spec image is GRAYSCALE (gray = the R
+    * formula, < 256 distinct values) over an explicit IDENTITY-RAMP
+    * `IndexColorModel` — palette[i] = (i,i,i) in sRGB. That sidesteps
+    * both GIF-writer quantization (a truecolor input would be lossily
+    * palettized) and `TYPE_BYTE_GRAY`'s linear-gray → sRGB conversion
+    * (which shifts values in getRGB): the round trip stays bit-exact,
+    * which the closed-form oracle requires. Runs on executors. */
   private[graft] def synthImagePayload(id: Long): Array[Byte] = {
     val w = imgWidth(id); val h = imgHeight(id)
-    val img = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        img.setRGB(x, y,
-          (pixR(id, x, y) << 16) | (pixG(id, x, y) << 8) | pixB(id, x, y))
-        x += 1
+    val fmt = imgFormat(id)
+    val img = if (fmt == "gif") {
+      val ramp = Array.tabulate(256)(_.toByte)
+      val icm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          im.getRaster.setSample(x, y, 0, pixR(id, x, y))
+          x += 1
+        }
+        y += 1
       }
-      y += 1
+      im
+    } else {
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          im.setRGB(x, y,
+            (pixR(id, x, y) << 16) | (pixG(id, x, y) << 8) | pixB(id, x, y))
+          x += 1
+        }
+        y += 1
+      }
+      im
     }
-    val fmt = if (id % 4 == 0) "bmp" else "png"
     val baos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, fmt, baos)
     baos.toByteArray
@@ -87,8 +116,7 @@ object Multimodal {
     val rdd = docs.select("doc_id").rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
-        val fmt = if (id % 4 == 0) "bmp" else "png"
-        Row(id, fmt, synthImagePayload(id))
+        Row(id, imgFormat(id), synthImagePayload(id))
       }
     }
     spark.createDataFrame(rdd, schema)

@@ -383,6 +383,97 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Dedup — the FULL production near-dup pipeline in one hash-gated
+    * chain: REAL `simhashFromTokens` → `simhashNearDups` (banded
+    * candidates + Hamming verify, hot-bucket cap on) → REAL
+    * `connectedComponents` (transitive clustering) → cluster-
+    * REPRESENTATIVE selection (the W2 pattern: longest text, then min
+    * id — "keep the best copy", not "keep the first"). Same 1-in-10
+    * sample as dd_simhash_neardup (dense synthetic near-dups; the cap
+    * is a measured no-op on testdata so the capless SQL twin matches).
+    * The DuckDB twin recomputes pairs, closes them with a recursive
+    * CTE, and picks representatives with the same ordered window. */
+  val ddClusterCanonical: Q = {
+    val highHex = "('8','9','a','b','c','d','e','f')"
+    val votes = (1 to 32).map(i =>
+      s"SUM(CASE WHEN substr(md5(token), $i, 1) IN $highHex THEN 1 ELSE -1 END) AS v$i")
+      .mkString(",\n      |    ")
+    val bits = (1 to 32).map(i =>
+      s"CASE WHEN v$i > 0 THEN '1' ELSE '0' END").mkString(" || ")
+    Q.sql(
+      "dd_cluster_canonical",
+      s"""WITH RECURSIVE t AS (
+        |  SELECT doc_id, $toksSql AS toks,
+        |    CAST(length(trim(text)) AS BIGINT) AS text_len
+        |  FROM documents WHERE doc_id % 10 = 0
+        |), tok AS (
+        |  SELECT doc_id, unnest(toks) AS token FROM t
+        |), v AS (
+        |  SELECT doc_id,
+        |    $votes
+        |  FROM tok GROUP BY doc_id
+        |), sh AS (
+        |  SELECT doc_id, $bits AS simhash FROM v
+        |), banded AS (
+        |  SELECT doc_id, simhash, b AS band,
+        |    substr(simhash, b * 8 + 1, 8) AS band_key
+        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
+        |), pairs AS (
+        |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        |  FROM banded l JOIN banded r USING (band, band_key)
+        |  WHERE l.doc_id < r.doc_id
+        |    AND hamming(l.simhash, r.simhash) <= 3
+        |), sym AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs
+        |), r(a, b) AS (
+        |  SELECT doc_id, doc_id FROM t
+        |  UNION
+        |  SELECT r.a, s.dst FROM r JOIN sym s ON r.b = s.src
+        |), comp AS (
+        |  SELECT a AS doc_id, MIN(b) AS component FROM r GROUP BY a
+        |)
+        |SELECT c.doc_id, CAST(c.component AS BIGINT) AS component,
+        |  CAST(COUNT(*) OVER (PARTITION BY c.component) AS BIGINT)
+        |    AS component_size,
+        |  FIRST_VALUE(c.doc_id) OVER (PARTITION BY c.component
+        |    ORDER BY t.text_len DESC, c.doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS representative_id,
+        |  c.doc_id = FIRST_VALUE(c.doc_id) OVER (PARTITION BY c.component
+        |    ORDER BY t.text_len DESC, c.doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS is_representative
+        |FROM comp c JOIN t USING (doc_id)
+        |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+      val tokenRows = docs.select(col("doc_id"),
+        explode(TA.tokens(col("text"))).as("token"))
+      val pairs = Dedup.simhashNearDups(Dedup.simhashFromTokens(tokenRows),
+        maxBucketSize = 512)
+      val cc = Dedup.connectedComponents(
+        docs.select(col("doc_id").as("id")),
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      val w = Window.partitionBy(col("component"))
+        .orderBy(col("text_len").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      cc.select(col("id").as("doc_id"), col("component"))
+        .join(docs.select(col("doc_id"),
+          length(trim(col("text"))).cast("long").as("text_len")),
+          Seq("doc_id"))
+        .withColumn("component_size",
+          count(lit(1)).over(Window.partitionBy(col("component")))
+            .cast("long"))
+        .withColumn("representative_id", first(col("doc_id")).over(w))
+        .withColumn("is_representative",
+          col("doc_id") === col("representative_id"))
+        .select("doc_id", "component", "component_size",
+          "representative_id", "is_representative")
+        .orderBy("doc_id")
+    }
+  }
+
   /** Dedup — URL canonicalization + dedup through the REAL
     * `TextAnalysis.canonicalizeUrl` / `Dedup.urlDedup`: synthesized
     * dirty URLs exercise every rule (uppercase scheme/host, default
@@ -1012,10 +1103,13 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
-  /** Multimodal — REAL codec round trip: per-doc PNG/BMP bytes are
+  /** Multimodal — REAL codec round trip: per-doc PNG/BMP/GIF bytes are
     * synthesized executor-side with `ImageIO.write` from closed-form
     * pixel formulas (no channel value wraps mod 256), then decoded with
-    * `ImageIO.read` and feature-extracted from the actual raster. The
+    * `ImageIO.read` and feature-extracted from the actual raster. GIF
+    * docs (ids ≡1 mod 8) are grayscale over an identity-ramp palette
+    * (Multimodal.synthImagePayload scaladoc: the two lossless-GIF
+    * traps), so their G/B expectations collapse onto the R formula. The
     * oracle predicts dimensions, the (0,0)/(w-1,h-1) pixels, and the
     * full-image per-channel sums straight from doc_id — a wrong encode
     * OR decode on the Spark side breaks the hash. All-integer outputs. */
@@ -1023,26 +1117,39 @@ object LlmQueries {
     "mm_decode_features",
     """WITH dims AS (
       |  SELECT doc_id,
-      |    CASE WHEN doc_id % 4 = 0 THEN 'bmp' ELSE 'png' END AS format,
+      |    CASE WHEN doc_id % 4 = 0 THEN 'bmp'
+      |         WHEN doc_id % 8 = 1 THEN 'gif' ELSE 'png' END AS format,
+      |    doc_id % 8 = 1 AS gray,
       |    CAST(8 + doc_id % 9 AS INTEGER) AS width,
       |    CAST(8 + doc_id % 13 AS INTEGER) AS height,
       |    CAST(doc_id % 97 AS INTEGER) AS r0,
       |    CAST(doc_id % 89 AS INTEGER) AS g0,
       |    CAST(doc_id % 83 AS INTEGER) AS b0
       |  FROM documents
+      |), px AS (
+      |  SELECT *,
+      |    CAST(r0 + 3*(width-1) + 5*(height-1) AS INTEGER) AS cr,
+      |    CAST(g0 + 2*(width-1) + 4*(height-1) AS INTEGER) AS cg,
+      |    CAST(b0 + (width-1) + 2*(height-1) AS INTEGER) AS cb,
+      |    CAST(width*height*r0 + 3*height*((width-1)*width//2)
+      |         + 5*width*((height-1)*height//2) AS BIGINT) AS sr,
+      |    CAST(width*height*g0 + 2*height*((width-1)*width//2)
+      |         + 4*width*((height-1)*height//2) AS BIGINT) AS sg,
+      |    CAST(width*height*b0 + height*((width-1)*width//2)
+      |         + 2*width*((height-1)*height//2) AS BIGINT) AS sb
+      |  FROM dims
       |)
       |SELECT doc_id, format, width, height, CAST(3 AS INTEGER) AS channels,
-      |  r0 AS p00_r, g0 AS p00_g, b0 AS p00_b,
-      |  CAST(r0 + 3*(width-1) + 5*(height-1) AS INTEGER) AS pcorner_r,
-      |  CAST(g0 + 2*(width-1) + 4*(height-1) AS INTEGER) AS pcorner_g,
-      |  CAST(b0 + (width-1) + 2*(height-1) AS INTEGER) AS pcorner_b,
-      |  CAST(width*height*r0 + 3*height*((width-1)*width//2)
-      |       + 5*width*((height-1)*height//2) AS BIGINT) AS sum_r,
-      |  CAST(width*height*g0 + 2*height*((width-1)*width//2)
-      |       + 4*width*((height-1)*height//2) AS BIGINT) AS sum_g,
-      |  CAST(width*height*b0 + height*((width-1)*width//2)
-      |       + 2*width*((height-1)*height//2) AS BIGINT) AS sum_b
-      |FROM dims ORDER BY doc_id""".stripMargin) { (s, d) =>
+      |  r0 AS p00_r,
+      |  CASE WHEN gray THEN r0 ELSE g0 END AS p00_g,
+      |  CASE WHEN gray THEN r0 ELSE b0 END AS p00_b,
+      |  cr AS pcorner_r,
+      |  CASE WHEN gray THEN cr ELSE cg END AS pcorner_g,
+      |  CASE WHEN gray THEN cr ELSE cb END AS pcorner_b,
+      |  sr AS sum_r,
+      |  CASE WHEN gray THEN sr ELSE sg END AS sum_g,
+      |  CASE WHEN gray THEN sr ELSE sb END AS sum_b
+      |FROM px ORDER BY doc_id""".stripMargin) { (s, d) =>
     Multimodal.decodeImages(
       Multimodal.asImageTable(Tables.documents(s, d)))
       .orderBy("doc_id")
@@ -1116,7 +1223,8 @@ object LlmQueries {
     "mm_resize",
     """WITH dims AS (
       |  SELECT doc_id,
-      |    CASE WHEN doc_id % 4 = 0 THEN 'bmp' ELSE 'png' END AS format,
+      |    CASE WHEN doc_id % 4 = 0 THEN 'bmp'
+      |         WHEN doc_id % 8 = 1 THEN 'gif' ELSE 'png' END AS format,
       |    CAST(8 + doc_id % 9 AS INTEGER) AS width,
       |    CAST(8 + doc_id % 13 AS INTEGER) AS height
       |  FROM documents
@@ -1388,7 +1496,7 @@ object LlmQueries {
   val all: Seq[Q] = Seq(tTokens, tTokensBpe, tLangId, tQuality,
     tFingerprint, tRepetition, tContamination, tPiiScrub, tVocab,
     tCorpusCuration, tPacking, tQuotaSample, ddExact, ddIncrementalDedup,
-    ddIncrementalIndexChain,
+    ddIncrementalIndexChain, ddClusterCanonical,
     ddUrlDedup, ddLineDedup,
     ddConnectedComponents, ddMinhashLsh, ddSimhash,
     ddSimhashNearDup, ddEmbeddingNearDup, annBruteForce, annLsh, annRhLsh,

@@ -367,18 +367,21 @@ class LlmSpec extends SparkSpec {
     val decoded = Multimodal.decodeImages(Multimodal.asImageTable(docs))
       .orderBy("doc_id").collect()
     assert(decoded.length == 40)
-    assert(decoded.map(_.getString(1)).toSet == Set("png", "bmp"))
+    assert(decoded.map(_.getString(1)).toSet == Set("png", "bmp", "gif"))
     decoded.foreach { r =>
       val id = r.getLong(0)
+      val gray = id % 8 == 1 // gif arm: grayscale identity-ramp palette
       val w = Multimodal.imgWidth(id); val h = Multimodal.imgHeight(id)
       assert(r.getInt(2) == w && r.getInt(3) == h)
-      assert(r.getInt(4) == 3) // channels
+      assert(r.getInt(4) == 3) // channels (incl. decoded GIF palette)
       assert(r.getInt(5) == Multimodal.pixR(id, 0, 0))
       assert(r.getInt(8) == Multimodal.pixR(id, w - 1, h - 1))
-      assert(r.getInt(10) == Multimodal.pixB(id, w - 1, h - 1))
-      val expSumG = (0 until h).map(y => (0 until w)
-        .map(x => Multimodal.pixG(id, x, y).toLong).sum).sum
-      assert(r.getLong(12) == expSumG)
+      assert(r.getInt(10) == (if (gray) Multimodal.pixR(id, w - 1, h - 1)
+                              else Multimodal.pixB(id, w - 1, h - 1)))
+      def expSum(f: (Long, Int, Int) => Int) = (0 until h).map(y =>
+        (0 until w).map(x => f(id, x, y).toLong).sum).sum
+      assert(r.getLong(12) ==
+        (if (gray) expSum(Multimodal.pixR) else expSum(Multimodal.pixG)))
     }
   }
 
