@@ -154,10 +154,26 @@ object EventStream {
     * itself is a fully distributed plan. This is the parquet-native
     * equivalent of MERGE INTO a transactional table (Delta/Iceberg)
     * with the streaming batch id as the idempotent txn version.
-    * Read the result with `AtomicTable.read(spark, targetPath)`. */
+    * Read the result with `AtomicTable.read(spark, targetPath)`.
+    *
+    * RETENTION for long-running streams: `retainVersions` is the
+    * per-commit positional retention (default 2 = current + reader
+    * grace, the batch default). A deployment retaining MORE versions
+    * for time travel sets it higher and bounds the history by AGE
+    * instead: every `vacuumEvery` batches the sink calls
+    * [[graft.operators.AtomicTable.vacuum]] with `vacuumOlderThanMillis`
+    * — O(#versions) driver metadata work amortized across batches,
+    * safe against concurrent readers of retained versions (marker
+    * deleted before data). With the defaults the vacuum is a no-op
+    * (commit's own retention already keeps 2). */
   def upsertSink(stream: DataFrame, targetPath: String,
                  keys: Seq[String],
-                 checkpoint: String): DataStreamWriter[Row] = {
+                 checkpoint: String,
+                 retainVersions: Int = 2,
+                 vacuumEvery: Int = 0,
+                 vacuumRetainLast: Int = 2,
+                 vacuumOlderThanMillis: Option[Long] = None)
+      : DataStreamWriter[Row] = {
     import graft.operators.{AtomicTable, MergeUpsert}
     stream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -167,7 +183,12 @@ object EventStream {
           .getOrElse(batch.limit(0))
         AtomicTable.commit(
           MergeUpsert.upsert(target, batch, keys), targetPath, batchId,
-          writerId = Some(checkpoint))
+          writerId = Some(checkpoint), retainVersions = retainVersions)
+        if (vacuumEvery > 0 && batchId % vacuumEvery == vacuumEvery - 1) {
+          AtomicTable.vacuum(spark, targetPath, vacuumRetainLast,
+            vacuumOlderThanMillis)
+          ()
+        }
       }
   }
 

@@ -217,6 +217,49 @@ class StreamingSpec extends SparkSpec {
     assert(!got.exists(_._1 == 99L))
   }
 
+  test("upsert sink with deep retention: periodic age vacuum bounds history") {
+    import graft.operators.AtomicTable
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", StringType)))
+    val srcDir = java.nio.file.Files.createTempDirectory("vac_src")
+    val target = java.nio.file.Files.createTempDirectory("vac_tgt")
+      .resolve("t").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("vac_ckpt").toString
+    def stage(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("vac_stage")
+      import spark.implicits._
+      rows.toDF("k", "v").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.move(java.nio.file.Paths.get(part),
+        srcDir.resolve(name))
+    }
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
+      // time-travel-deep positional retention; history bounded by AGE
+      // (0 ms = everything beyond vacuumRetainLast) every 2nd batch
+      val q = EventStream.upsertSink(stream, target, Seq("k"), ckpt,
+        retainVersions = 10, vacuumEvery = 2, vacuumRetainLast = 2,
+        vacuumOlderThanMillis = Some(0L)).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    (0 until 4).foreach { i =>
+      stage(s"f$i.parquet", Seq((i.toLong, s"v$i")))
+      runOnce()
+    }
+    // batches 0-3 committed; vacuums after batches 1 and 3 pruned the
+    // aged-out history down to the retained pair
+    assert(AtomicTable.committedVersions(spark, target) == Seq(2L, 3L))
+    // merged data is complete across all batches
+    val got = AtomicTable.read(spark, target).get.orderBy("k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(0L, 1L, 2L, 3L))
+    // the previous version remains readable (reader grace / time travel)
+    assert(AtomicTable.readVersion(spark, target, 2L).get.count() == 3)
+  }
+
   test("session windows produce bounded per-user sessions") {
     val stream = EventStream.readEvents(spark, eventsDir)
     val q = EventStream.toMemorySink(
