@@ -302,10 +302,15 @@ object Dedup {
           col("component").as("src_comp")), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("src_comp")).as("nmin"))
+      // `old` rides along so the convergence check below is a plain
+      // scan of the checkpointed round result — the previous shape
+      // (re-joining compressed against labels) paid a full shuffle
+      // join job per round just to count changed labels.
       val hooked = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nmin"), col("component")))
-            .as("component"))
+            .as("component"),
+          col("component").as("old"))
       // Two pointer jumps per round (label(label(label)) ≈ distance/4):
       // halves the number of rounds, and each jump is a cheap self-join
       // next to the hook's shuffle.
@@ -313,12 +318,12 @@ object Dedup {
         .join(l.select(col("id").as("cid"),
           col("component").as("ccomp")).as("m"),
           col("h.component") === col("m.cid"))
-        .select(col("h.id").as("id"), col("m.ccomp").as("component"))
+        .select(col("h.id").as("id"), col("m.ccomp").as("component"),
+          col("h.old").as("old"))
       val compressed = jump(jump(hooked)).localCheckpoint(true)
       val changed = compressed
-        .join(labels.withColumnRenamed("component", "old"), Seq("id"))
         .filter(col("component") =!= col("old")).count()
-      labels = compressed
+      labels = compressed.select(col("id"), col("component"))
       converged = changed == 0
       i += 1
     }
