@@ -51,4 +51,36 @@ object Packing {
       .withColumn("spans_boundary",
         col("offset_in_pack") + col("n_tokens") > budget)
   }
+
+  /** TOKEN-WINDOW DOCUMENT CHUNKING — the context-window prep step
+    * (long doc → overlapping `chunkSize`-token windows every `stride`
+    * tokens, e.g. for embedding models or RAG indexing). One chunk per
+    * start offset 0, stride, 2·stride, … while the offset is inside the
+    * doc; the tail chunk may be short. Emits (doc_id, chunk_idx,
+    * start_tok, chunk_tokens, chunk_text).
+    *
+    * SCALE SHAPE: pure scan — tokens, `sequence` over chunk starts,
+    * one `posexplode`, `slice`+`array_join` per row; no shuffle, no
+    * window, no interpreted HOF (slice/array_join/sequence are
+    * codegen'd expressions). Work ∝ output chunks. Empty docs produce
+    * no chunks (the `sequence(0,-1)` guard — same trap as frameSample). */
+  def chunkDocuments(docs: DataFrame, id: Column, toks: Column,
+                     chunkSize: Int, stride: Int): DataFrame = {
+    require(stride > 0 && chunkSize >= stride,
+      s"need 0 < stride <= chunkSize, got stride=$stride size=$chunkSize")
+    docs.select(id.as("doc_id"), toks.as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("toks"), col("n"),
+        posexplode(expr(s"sequence(0L, (n - 1) div ${stride}L)"))
+          .as(Seq("chunk_idx", "k")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        (col("k") * stride).as("start_tok"),
+        slice(col("toks"), (col("k") * stride + 1).cast("int"),
+          lit(chunkSize))
+          .as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("chunk")).cast("long").as("chunk_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+  }
 }

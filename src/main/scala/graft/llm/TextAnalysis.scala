@@ -39,6 +39,63 @@ object TextAnalysis {
       .drop("sample_rank_key")
   }
 
+  /** DETERMINISTIC CORPUS SHUFFLE + SHARDING — the data-ordering
+    * primitive of a pretraining run: every doc gets a seeded
+    * pseudo-random rank (md5 of seed|id — reproducible across engines,
+    * retries, re-runs; no rand()), a shard = pmod(crc-like bucket of
+    * the same hash), and a within-shard position. Downstream writers
+    * emit shard files in position order and readers interleave shards —
+    * a full corpus shuffle without any global sort: ONE row_number
+    * window per shard (nShards = O(cluster cores) keeps every window
+    * partition independent), exactly the [[Packing.packSequences]]
+    * parallelism story. The tie-break on doc_id keeps the order total
+    * even under (astronomically unlikely) hash collisions. */
+  /** Engine-portable value of the first 6 hex chars of column `c`
+    * (2^24 uniform values): instr-based digit lookup — `instr(haystack,
+    * needle)` and `substr` have identical semantics in Spark SQL and
+    * DuckDB, and the Spark side stays codegen'd (StringInstr). `conv()`
+    * would be Spark-only. Non-negative, so plain `%` is portable too. */
+  private[graft] def hex6Expr(c: String): String =
+    (1 to 6).map(i =>
+      // plain int literals: Spark-side products stay < 2^24 (no
+      // overflow) and DuckDB has no 'L' suffix — the string must parse
+      // in BOTH engines
+      s"(instr('0123456789abcdef', substr($c, $i, 1)) - 1) * " +
+        s"${1L << (4 * (6 - i))}")
+      .mkString("(", " + ", ")")
+
+  def corpusShuffle(docs: DataFrame, id: Column, seed: String,
+                    nShards: Int): DataFrame = {
+    val rank = md5(concat(lit(seed), lit("|"), id.cast("string")))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("shuffle_rank"), col("doc_id"))
+    docs.select(id.as("doc_id"), rank.as("shuffle_rank"))
+      .withColumn("shard",
+        expr(s"${hex6Expr("shuffle_rank")} % ${nShards}L"))
+      .withColumn("position", row_number().over(w).cast("long") - 1L)
+  }
+
+  /** STRATIFIED TRAIN/VAL/TEST SPLIT: assignment by a seeded hash
+    * bucket (0-99) of the doc id — pure per-row projection, NO shuffle,
+    * no global state, so membership is stable under corpus growth (a
+    * doc's split never changes when other docs arrive — the property
+    * row_number-based splits lack). `valPct`+`testPct` bound the two
+    * holdout slices; stratification comes free because the hash is
+    * independent of any grouping column (each stratum gets ≈ the same
+    * proportions). Emits (doc_id, stratum, sample_bucket, split). */
+  def stratifiedSplit(docs: DataFrame, id: Column, stratum: Column,
+                      seed: String, valPct: Int,
+                      testPct: Int): DataFrame =
+    docs.select(id.as("doc_id"), stratum.as("stratum"),
+        md5(concat(lit(seed), lit("|"), id.cast("string"))).as("split_hash"))
+      .withColumn("sample_bucket",
+        expr(s"${hex6Expr("split_hash")} % 100L"))
+      .withColumn("split",
+        when(col("sample_bucket") < 100L - valPct - testPct, "train")
+          .when(col("sample_bucket") < 100L - testPct, "val")
+          .otherwise("test"))
+      .drop("split_hash")
+
   /** URL CANONICALIZATION for web-corpus dedup: fragment stripped,
     * userinfo (`user@` / `user:pw@`) dropped from the authority, scheme
     * + host lowercased (path case PRESERVED — paths are

@@ -219,6 +219,88 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Sampling — deterministic corpus shuffle + sharding through the
+    * REAL `TA.corpusShuffle`: seeded md5 rank, shard from an
+    * engine-portable hex6 bucket of the same hash, within-shard
+    * position from one per-shard window (the pretraining data-ordering
+    * primitive — full-corpus shuffle with NO global sort). The DuckDB
+    * twin evaluates the identical instr-based hex arithmetic. */
+  val tCorpusShuffle: Q = Q.sql(
+    "t_corpus_shuffle",
+    s"""WITH r AS (
+      |  SELECT doc_id,
+      |    md5('mix9|' || CAST(doc_id AS VARCHAR)) AS shuffle_rank
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, shuffle_rank,
+      |    CAST(${TA.hex6Expr("shuffle_rank")} % 8 AS BIGINT) AS shard
+      |  FROM r
+      |)
+      |SELECT doc_id, shuffle_rank, shard,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY shard
+      |    ORDER BY shuffle_rank, doc_id) - 1 AS BIGINT) AS position
+      |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+    TA.corpusShuffle(Tables.documents(s, d), col("doc_id"),
+      seed = "mix9", nShards = 8)
+      .orderBy("doc_id")
+  }
+
+  /** Sampling — stratified train/val/test split through the REAL
+    * `TA.stratifiedSplit`: seeded hash bucket per doc (membership
+    * stable under corpus growth — no row_number), 90/5/5, stratum
+    * carried through for per-source proportions. Scan-shaped. */
+  val tStratifiedSplit: Q = Q.sql(
+    "t_stratified_split",
+    s"""WITH h AS (
+      |  SELECT doc_id, source AS stratum,
+      |    md5('split7|' || CAST(doc_id AS VARCHAR)) AS split_hash
+      |  FROM documents
+      |), b AS (
+      |  SELECT doc_id, stratum,
+      |    CAST(${TA.hex6Expr("split_hash")} % 100 AS BIGINT)
+      |      AS sample_bucket
+      |  FROM h
+      |)
+      |SELECT doc_id, stratum, sample_bucket,
+      |  CASE WHEN sample_bucket < 90 THEN 'train'
+      |       WHEN sample_bucket < 95 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM b ORDER BY doc_id""".stripMargin) { (s, d) =>
+    TA.stratifiedSplit(Tables.documents(s, d), col("doc_id"),
+      col("source"), seed = "split7", valPct = 5, testPct = 5)
+      .orderBy("doc_id")
+  }
+
+  /** Packing — token-window document chunking through the REAL
+    * `Packing.chunkDocuments` (context-window prep: 12-token chunks
+    * every 8 tokens, short tail kept). DuckDB twin: generate_series
+    * starts + 1-based inclusive list slices (same clamping as Spark's
+    * `slice`), reassembled with array_to_string. */
+  val tDocChunking: Q = Q.sql(
+    "t_doc_chunking",
+    s"""WITH t AS (
+      |  SELECT doc_id, $toksSql AS toks FROM documents
+      |), s AS (
+      |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+      |  FROM t WHERE len(toks) > 0
+      |), k AS (
+      |  SELECT doc_id, toks, n,
+      |    unnest(generate_series(0, (n - 1) // 8)) AS k
+      |  FROM s
+      |)
+      |SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+      |  CAST(k * 8 AS BIGINT) AS start_tok,
+      |  CAST(len(toks[CAST(k*8+1 AS INTEGER):CAST(k*8+12 AS INTEGER)])
+      |    AS BIGINT) AS chunk_tokens,
+      |  array_to_string(
+      |    toks[CAST(k*8+1 AS INTEGER):CAST(k*8+12 AS INTEGER)], ' ')
+      |    AS chunk_text
+      |FROM k ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+    Packing.chunkDocuments(Tables.documents(s, d), col("doc_id"),
+      TA.tokens(col("text")), chunkSize = 12, stride = 8)
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Dedup — INCREMENTAL exact dedup through the REAL
     * `Dedup.incrementalExact`: the "index" is the fingerprint set of
     * every third doc (yesterday's corpus), the batch is the full
@@ -1495,7 +1577,8 @@ object LlmQueries {
 
   val all: Seq[Q] = Seq(tTokens, tTokensBpe, tLangId, tQuality,
     tFingerprint, tRepetition, tContamination, tPiiScrub, tVocab,
-    tCorpusCuration, tPacking, tQuotaSample, ddExact, ddIncrementalDedup,
+    tCorpusCuration, tPacking, tQuotaSample, tCorpusShuffle,
+    tStratifiedSplit, tDocChunking, ddExact, ddIncrementalDedup,
     ddIncrementalIndexChain, ddClusterCanonical,
     ddUrlDedup, ddLineDedup,
     ddConnectedComponents, ddMinhashLsh, ddSimhash,

@@ -261,6 +261,61 @@ class LlmSpec extends SparkSpec {
       (4L, 0L, 11L, 1L, 1L, 1L, false)))
   }
 
+  test("chunkDocuments: sliding windows, short tail, empty doc dropped") {
+    // doc 1: 10 tokens, size 4 / stride 3 → starts 0,3,6,9; tail = 1 tok
+    val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2L, ""))
+      .toDF("doc_id", "text")
+    val got = graft.llm.Packing.chunkDocuments(docs, $"doc_id",
+      TA.tokens($"text"), chunkSize = 4, stride = 3)
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getAs[Long]("chunk_idx"), r.getAs[Long]("start_tok"),
+        r.getAs[Long]("chunk_tokens"), r.getAs[String]("chunk_text")))
+    assert(got.toSeq == Seq(
+      (0L, 0L, 4L, "t0 t1 t2 t3"),
+      (1L, 3L, 4L, "t3 t4 t5 t6"),
+      (2L, 6L, 4L, "t6 t7 t8 t9"),
+      (3L, 9L, 1L, "t9")))
+  }
+
+  test("corpusShuffle: dense per-shard positions, deterministic, seeded") {
+    val docs = (0L until 200L).toDF("doc_id")
+    val a = TA.corpusShuffle(docs, $"doc_id", "s1", nShards = 4).collect()
+    assert(a.length == 200)
+    // positions are dense 0..k per shard
+    a.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("position")).sorted.toSeq ==
+        (0L until rows.length.toLong))
+    }
+    // identical rerun, different seed reorders
+    val b = TA.corpusShuffle(docs, $"doc_id", "s1", nShards = 4).collect()
+    assert(a.map(r => (r.getLong(0), r.getAs[Long]("position"))).toSet ==
+      b.map(r => (r.getLong(0), r.getAs[Long]("position"))).toSet)
+    val c = TA.corpusShuffle(docs, $"doc_id", "s2", nShards = 4).collect()
+    assert(a.map(r => (r.getLong(0), r.getAs[Long]("shard"))).toSet !=
+      c.map(r => (r.getLong(0), r.getAs[Long]("shard"))).toSet)
+  }
+
+  test("stratifiedSplit: stable membership, bounded buckets, ~90/5/5") {
+    val docs = (0L until 1000L).toDF("doc_id")
+      .withColumn("src", ($"doc_id" % 3).cast("string"))
+    val s = TA.stratifiedSplit(docs, $"doc_id", $"src", "sp", 5, 5)
+      .collect()
+    assert(s.forall(r => (0L until 100L)
+      .contains(r.getAs[Long]("sample_bucket"))))
+    val bySplit = s.groupBy(_.getAs[String]("split")).view
+      .mapValues(_.length).toMap
+    assert(bySplit("train") > 800 && bySplit("val") > 20 &&
+      bySplit("test") > 20)
+    // growth stability: the same doc keeps its split in a larger corpus
+    val bigger = TA.stratifiedSplit(
+      (0L until 2000L).toDF("doc_id").withColumn("src", lit("x")),
+      $"doc_id", $"src", "sp", 5, 5)
+      .filter($"doc_id" < 1000).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(s.forall(r =>
+      bigger(r.getAs[Long]("doc_id")) == r.getAs[String]("split")))
+  }
+
   test("CorpusIndex: committed versions accumulate fps across batches") {
     import graft.llm.CorpusIndex
     import graft.operators.AtomicTable
