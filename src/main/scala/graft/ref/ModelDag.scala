@@ -103,6 +103,14 @@ object ModelDag {
       Staging.orderItemsTaxStatus(base))
 
     // ---- intermediate ----
+    // order_items_typed stays a VIEW like the reference even though
+    // three separately-executed models consume it: materializing it was
+    // MEASURED AND REJECTED at data volume (refdemo_sf01_total min-of-3
+    // 52.0 s → 55.3 s, r09) — the full-width 600k-row parquet
+    // write+read-back costs more than recomputing the 3-way raw join
+    // per consumer, the same verdict as the r07 Mat.temp experiment on
+    // a9/minhash. Spark's scan+join is simply faster than 1×write+3×read
+    // at this width.
     val typed = cat.saveView("intermediate", "order_items_typed",
       Staging.orderItemsTyped(taxed))
     val orders = cat.saveTable("intermediate", "orders",
