@@ -281,6 +281,33 @@ object TextAnalysis {
           .as("token_share"))
   }
 
+  /** OOV-RATE scoring against a vocabulary — the tokenizer-coverage
+    * signal (docs full of out-of-vocab tokens are noise, another
+    * language, or domain drift; pipelines gate or reroute on it).
+    * `vocab` is a one-column (`token`) frame, typically
+    * [[vocabTopK]]'s survivors. Emits (doc_id, n_tokens, n_oov,
+    * n_distinct_oov) — counts, not ratios, so the gate is
+    * integer-exact; callers derive the rate.
+    *
+    * SCALE SHAPE: explode (scan) → BROADCAST left-semi-shaped mark
+    * against the small vocab (top-k is k rows by construction — never
+    * a shuffle join) → ONE groupBy(doc_id) with map-side combine.
+    * Work ∝ corpus tokens. */
+  def oovRate(docs: DataFrame, id: Column, text: Column,
+              vocab: DataFrame): DataFrame = {
+    val toks = docs.select(id.as("doc_id"),
+      explode(tokens(text)).as("token"))
+    toks.join(broadcast(vocab.select(col("token"))
+        .distinct().withColumn("in_vocab", lit(true))),
+        Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L))
+          .as("n_oov"),
+        countDistinct(when(col("in_vocab").isNull, col("token")))
+          .cast("long").as("n_distinct_oov"))
+  }
+
   /** PII patterns for the scrub pass — deliberately restricted to the
     * regex subset with identical semantics in Java regex and RE2 (no
     * lookaround, no backrefs, greedy quantifiers only) so the DuckDB

@@ -301,6 +301,33 @@ object LlmQueries {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Text analysis — OOV-rate scoring through the REAL `TA.vocabTopK`
+    * → `TA.oovRate` chain (tokenizer-coverage gate: per-doc token and
+    * out-of-vocab counts against the corpus top-500 vocabulary;
+    * broadcast vocab mark + one doc aggregate). Counts only —
+    * integer-exact. */
+  val tOovRate: Q = Q.sql(
+    "t_oov_rate",
+    s"""WITH tok AS (
+      |  SELECT doc_id, unnest($toksSql) AS token FROM documents
+      |), counts AS (
+      |  SELECT token, COUNT(*) AS freq FROM tok GROUP BY token
+      |), vocab AS (
+      |  SELECT token FROM counts ORDER BY freq DESC, token LIMIT 500
+      |)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_oov,
+      |  CAST(COUNT(DISTINCT CASE WHEN v.token IS NULL THEN t.token END)
+      |    AS BIGINT) AS n_distinct_oov
+      |FROM tok t LEFT JOIN vocab v USING (token)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val vocab = TA.vocabTopK(docs, col("text"), 500).select("token")
+    TA.oovRate(docs, col("doc_id"), col("text"), vocab)
+      .orderBy("doc_id")
+  }
+
   /** Dedup — INCREMENTAL exact dedup through the REAL
     * `Dedup.incrementalExact`: the "index" is the fingerprint set of
     * every third doc (yesterday's corpus), the batch is the full
@@ -1578,7 +1605,7 @@ object LlmQueries {
   val all: Seq[Q] = Seq(tTokens, tTokensBpe, tLangId, tQuality,
     tFingerprint, tRepetition, tContamination, tPiiScrub, tVocab,
     tCorpusCuration, tPacking, tQuotaSample, tCorpusShuffle,
-    tStratifiedSplit, tDocChunking, ddExact, ddIncrementalDedup,
+    tStratifiedSplit, tDocChunking, tOovRate, ddExact, ddIncrementalDedup,
     ddIncrementalIndexChain, ddClusterCanonical,
     ddUrlDedup, ddLineDedup,
     ddConnectedComponents, ddMinhashLsh, ddSimhash,

@@ -316,6 +316,19 @@ class LlmSpec extends SparkSpec {
       bigger(r.getAs[Long]("doc_id")) == r.getAs[String]("split")))
   }
 
+  test("oovRate: counts in/out-of-vocab tokens per doc") {
+    val docs = Seq((1L, "a b a zz"), (2L, "zz yy zz"), (3L, "a a a"))
+      .toDF("doc_id", "text")
+    val vocab = Seq("a", "b").toDF("token")
+    val got = TA.oovRate(docs, $"doc_id", $"text", vocab)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 4L, 1L, 1L),  // zz oov once
+      (2L, 3L, 3L, 2L),  // zz×2 + yy oov, 2 distinct
+      (3L, 3L, 0L, 0L)))
+  }
+
   test("CorpusIndex: committed versions accumulate fps across batches") {
     import graft.llm.CorpusIndex
     import graft.operators.AtomicTable
