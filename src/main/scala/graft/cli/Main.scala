@@ -84,7 +84,8 @@ object Main {
     dataArg match {
       case Some(data) =>
         require(seed || inc, "pass --seed or --incremental with --data")
-        print(run(spark, if (seed) "seed" else "incremental", data, wh))
+        print(run(spark, if (seed) "seed" else "incremental", data, wh,
+          optValue(args, "--source")))
       case None => // self-demo over a generated tree: seed → inc → skip
         val data = DemoSource.write(spark,
           Files.createTempDirectory("graft_cli_demo")).toString
@@ -118,17 +119,26 @@ object Main {
   }
 
   /** One full pipeline pass. Testable entry: everything `main` does
-    * minus session/arg handling. */
+    * minus session/arg handling. `sourceFilter` mirrors the reference's
+    * `--source` flag (orchestrator.py main): only the named source's
+    * pipeline runs; others report `filtered` and the transform reads
+    * their previously committed raw tables. */
   def run(spark: SparkSession, mode: String, dataDir: String,
-          warehouseDir: String): Report = {
+          warehouseDir: String,
+          sourceFilter: Option[String] = None): Report = {
     require(mode == "seed" || mode == "incremental", s"bad mode $mode")
     val cat = new Catalog(spark, warehouseDir)
     val store = new Ingest.StateStore(
       s"$warehouseDir/_state/processed_files.json")
 
     // ---- 1. sources, priority order (config/sources.yml semantics) ----
-    val qb = runQuickbooks(spark, cat, store, mode, dataDir)
-    val ts = runTradeShows(spark, cat, store, dataDir)
+    def ifSelected(name: String)(body: => SourceRun): SourceRun =
+      if (sourceFilter.forall(_ == name)) body
+      else SourceRun(name, "filtered", Nil, Map.empty)
+    val qb = ifSelected("quickbooks")(
+      runQuickbooks(spark, cat, store, mode, dataDir))
+    val ts = ifSelected("trade_shows")(
+      runTradeShows(spark, cat, store, dataDir))
     val sources = Seq(qb, ts)
 
     // ---- 2. transform DAG (dbt run_after_sources) ----

@@ -86,6 +86,17 @@ class CliSpec extends SparkSpec {
     assert(again.source("quickbooks").tables("xlsx_invoice") == 8L)
   }
 
+  test("--source filter runs only the named source pipeline") {
+    seedRun; incRun
+    val only = Main.run(spark, "incremental", data, wh,
+      sourceFilter = Some("trade_shows"))
+    assert(only.source("quickbooks").status == "filtered")
+    assert(only.source("trade_shows").status == "skipped",
+      "selected source still honors the mtime skip")
+    assert(only.overallStatus == "success",
+      "transform reads the committed raw layer for filtered sources")
+  }
+
   test("incremental without a seeded warehouse fails fast") {
     val freshWh =
       java.nio.file.Files.createTempDirectory("cli_spec_wh2").toString

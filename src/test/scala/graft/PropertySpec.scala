@@ -49,6 +49,87 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("chunkDocuments invariants: full coverage, stride starts, exact slices") {
+    import graft.llm.{Packing, TextAnalysis => TA}
+    // Random docs of 0..60 tokens; random (stride, chunkSize) per run.
+    val stride = 1 + rnd.nextInt(9)
+    val chunkSize = stride + rnd.nextInt(9)
+    val docs = (0 until 80).map { i =>
+      val n = rnd.nextInt(61)
+      (i.toLong, (0 until n).map(j => s"w${i}_$j").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = Packing.chunkDocuments(df, $"doc_id", TA.tokens($"text"),
+      chunkSize, stride).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    docs.foreach { case (id, text) =>
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      val chunks = got.getOrElse(id, Array.empty).sortBy(
+        _.getAs[Long]("chunk_idx"))
+      if (toks.isEmpty) assert(chunks.isEmpty, s"doc $id: empty → no chunks")
+      else {
+        // starts are exactly the stride multiples below n
+        assert(chunks.map(_.getAs[Long]("start_tok")).toSeq ==
+          (0L until toks.length.toLong by stride.toLong))
+        chunks.foreach { c =>
+          val s0 = c.getAs[Long]("start_tok").toInt
+          val expect = toks.slice(s0, s0 + chunkSize)
+          assert(c.getAs[String]("chunk_text") == expect.mkString(" "))
+          assert(c.getAs[Long]("chunk_tokens") == expect.length.toLong)
+        }
+        // every token position is covered by at least one chunk
+        val covered = chunks.flatMap { c =>
+          val s0 = c.getAs[Long]("start_tok").toInt
+          s0 until math.min(s0 + chunkSize, toks.length)
+        }.toSet
+        assert(covered == toks.indices.toSet, s"doc $id coverage gap")
+      }
+    }
+  }
+
+  test("packSequences invariants: offsets inside budget, contiguous packs") {
+    import graft.llm.Packing
+    val budget = 50L + rnd.nextInt(50)
+    val docs = (0 until 300).map(i => (i.toLong, rnd.nextInt(40)))
+      .toDF("doc_id", "n_tok")
+    val rows = Packing.packSequences(docs, $"doc_id", $"n_tok",
+      budget, nShards = 4).collect()
+    rows.foreach { r =>
+      val off = r.getAs[Long]("offset_in_pack")
+      assert(off >= 0 && off < budget)
+      assert(r.getAs[Long]("pack_id") == r.getAs[Long]("shard") *
+        Packing.PackIdRadix + r.getAs[Long]("pack_in_shard"))
+      assert(r.getAs[Boolean]("spans_boundary") ==
+        (off + r.getAs[Long]("n_tokens") > budget))
+    }
+    // per shard: packs are contiguous 0..max and cum_before is the
+    // running sum in doc order
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getAs[Long]("doc_id"))
+      var cum = 0L
+      ordered.foreach { r =>
+        assert(r.getAs[Long]("cum_before") == cum)
+        assert(r.getAs[Long]("pack_in_shard") == cum / budget)
+        cum += r.getAs[Long]("n_tokens")
+      }
+    }
+  }
+
+  test("corpusShuffle is a permutation: every doc exactly once, all shards used") {
+    import graft.llm.{TextAnalysis => TA}
+    val n = 500L
+    val docs = (0L until n).toDF("doc_id")
+    val rows = TA.corpusShuffle(docs, $"doc_id", "permcheck", nShards = 8)
+      .collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == (0L until n).toSet)
+    val byShard = rows.groupBy(_.getAs[Long]("shard"))
+    assert(byShard.keySet == (0L until 8L).toSet, "all shards populated")
+    // global identity: (shard, position) pairs are unique — a reader
+    // interleaving shards in position order sees each doc exactly once
+    assert(rows.map(r => (r.getAs[Long]("shard"),
+      r.getAs[Long]("position"))).distinct.length == n)
+  }
+
   test("safeNumeric parses any decorated numeric back to its value") {
     val cases = (1 to 200).map { _ =>
       val v = BigDecimal(rnd.nextInt(2000000) - 1000000, 2).toDouble
