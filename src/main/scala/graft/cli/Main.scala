@@ -130,11 +130,30 @@ object Main {
     val cat = new Catalog(spark, warehouseDir)
     val store = new Ingest.StateStore(
       s"$warehouseDir/_state/processed_files.json")
+    // Operator-error guard, NOT a source failure — checked before any
+    // source runs so it fails fast instead of being isolated below.
+    if (mode == "incremental")
+      require(cat.exists("raw", "xlsx_customer"),
+        "incremental mode needs a seeded raw layer — run --seed first")
 
-    // ---- 1. sources, priority order (config/sources.yml semantics) ----
+    // ---- 1. sources, priority order (config/sources.yml semantics).
+    //      A source failure is ISOLATED (status 'failed', overall
+    //      partial_failure) and the remaining sources + transform still
+    //      run — orchestrator.py:561-566 ("failed, continuing with
+    //      remaining sources"). The raw layer stays consistent because
+    //      every landed table is an already-committed AtomicTable
+    //      version. The unseeded-incremental precondition is NOT
+    //      swallowed: that is an operator error, not a source error. ----
     def ifSelected(name: String)(body: => SourceRun): SourceRun =
-      if (sourceFilter.forall(_ == name)) body
-      else SourceRun(name, "filtered", Nil, Map.empty)
+      if (!sourceFilter.forall(_ == name))
+        SourceRun(name, "filtered", Nil, Map.empty)
+      else
+        try body
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[cli] source $name failed: $e")
+            SourceRun(name, "failed", Nil, Map.empty)
+        }
     val qb = ifSelected("quickbooks")(
       runQuickbooks(spark, cat, store, mode, dataDir))
     val ts = ifSelected("trade_shows")(
@@ -183,9 +202,6 @@ object Main {
     val watched = files.map(_.path) ++ (if (mode == "seed") jsonl else Nil)
     if (!store.changed(watched))
       return SourceRun("quickbooks", "skipped", watched, Map.empty)
-    if (mode == "incremental")
-      require(cat.exists("raw", "xlsx_customer"),
-        "incremental mode needs a seeded raw layer — run --seed first")
 
     val replaced = mutable.Set[String]()
     val counts = mutable.Map[String, Long]()

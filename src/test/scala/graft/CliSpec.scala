@@ -97,6 +97,25 @@ class CliSpec extends SparkSpec {
       "transform reads the committed raw layer for filtered sources")
   }
 
+  test("a failing source is isolated: others load, transform still runs") {
+    val data2 = DemoSource.write(spark,
+      java.nio.file.Files.createTempDirectory("cli_spec_src2")).toString
+    // corrupt the trade-show workbook: not a zip at all
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$data2/trade_shows/trade_show_leads.xlsx"),
+      "this is not a workbook".getBytes)
+    val wh2 =
+      java.nio.file.Files.createTempDirectory("cli_spec_wh3").toString
+    val r = Main.run(spark, "seed", data2, wh2)
+    assert(r.source("quickbooks").status == "loaded")
+    assert(r.source("trade_shows").status == "failed")
+    assert(r.overallStatus == "partial_failure")
+    assert(r.models > 30, "transform ran without the failed source")
+    val cat2 = new graft.ref.Catalog(spark, wh2)
+    assert(!cat2.exists("raw", "trade_show_leads"))
+    assert(cat2.exists("mart", "fct_orders"))
+  }
+
   test("incremental without a seeded warehouse fails fast") {
     val freshWh =
       java.nio.file.Files.createTempDirectory("cli_spec_wh2").toString
