@@ -149,8 +149,8 @@ object DemoSource {
   /** Minimal real OOXML workbook: one worksheet part per sheet, every
     * cell an inline string (the shape QuickBooks CSV-ish exports take;
     * [[graft.sources.Xlsx]] exercises shared strings/serials elsewhere). */
-  private[cli] def writeXlsx(path: Path,
-                             sheets: Seq[(String, Seq[Seq[String]])]): Unit = {
+  private[graft] def writeXlsx(path: Path,
+                               sheets: Seq[(String, Seq[Seq[String]])]): Unit = {
     val ct = new StringBuilder
     ct ++= """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>"""
     ct ++= """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">"""

@@ -220,6 +220,36 @@ object AtomicTable {
     candidates
   }
 
+  /** SMALL-FILES COMPACTION (the Delta/Iceberg `OPTIMIZE` shape): a
+    * long-lived merge/streaming target accumulates one small parquet
+    * file per shuffle partition per commit; thousands of tiny files
+    * turn every downstream scan into an open-file storm. `compact`
+    * rewrites the LATEST committed snapshot as a new version with
+    * ⌈bytes / targetFileBytes⌉ output files (coalesce — a NARROW
+    * repartitioning: no shuffle, executors just concatenate input
+    * splits) and commits it through the normal marker protocol, so
+    * concurrent readers see either the fragmented or the compacted
+    * snapshot, never a mix, and a crash mid-compaction changes
+    * nothing. Hive-partitioned tables compact per partition directory
+    * via the same write path when `partitionCols` is passed. Returns
+    * the new version, or None when the table is empty/uncommitted.
+    * Row content is identical by construction — only the file layout
+    * changes. Pair with [[vacuum]] to reclaim the fragmented history. */
+  def compact(spark: SparkSession, dir: String,
+              targetFileBytes: Long = 128L * 1024 * 1024,
+              partitionCols: Seq[String] = Nil): Option[Long] =
+    committedVersions(spark, dir).lastOption.map { v =>
+      val f = fs(spark, dir)
+      val bytes = f.getContentSummary(dataPath(dir, v)).getLength
+      val files = math.max(1, math.ceil(
+        bytes.toDouble / targetFileBytes).toInt)
+      val df = spark.read.parquet(dataPath(dir, v).toString)
+        .coalesce(files)
+      val next = v + 1
+      commit(df, dir, next, partitionCols = partitionCols)
+      next
+    }
+
   /** True when `dir` holds data OUTSIDE the atomic layout (files that
     * are neither `v_<n>` dirs nor `_`-prefixed protocol markers) — a
     * legacy plain-parquet table. Resolved through the same Hadoop

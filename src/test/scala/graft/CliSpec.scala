@@ -125,6 +125,31 @@ class CliSpec extends SparkSpec {
     assert(e.getMessage.contains("--seed"))
   }
 
+  test("schema drift in a daily file degrades to nulls, not a failure") {
+    seedRun; incRun; rerun
+    // stage a NEW daily lists file whose Item sheet carries an extra
+    // column the raw table has never seen
+    val extra = Seq("Quick Books Internal Id", "Item Name", "Item Type",
+      "Sales Description", "Sales Price", "Purchase Cost",
+      "Quantity On Hand", "U M", "Status", "Warehouse Bin")
+    val row = Seq("I006", "NEW-SKU", "Inventory Part", "Drifted item",
+      "9.99", "4.00", "10", "ea", "Active", "BIN-7")
+    DemoSource.writeXlsx(java.nio.file.Paths.get(
+      s"$data/input/All Lists_06_22_2024_drift.xlsx"),
+      Seq("Item" -> Seq(extra, row)))
+    val r = Main.run(spark, "incremental", data, wh)
+    assert(r.source("quickbooks").status == "loaded")
+    // merged: prior 10 item rows + the drifted one
+    assert(r.source("quickbooks").tables("xlsx_item") == 11L)
+    val items = cat.load("raw", "xlsx_item")
+    assert(items.columns.contains("warehouse_bin"))
+    val drifted = items.filter(col("item_name") === "NEW-SKU").head()
+    assert(drifted.getAs[String]("warehouse_bin") == "BIN-7")
+    // pre-drift rows carry NULL for the new column
+    assert(items.filter(col("warehouse_bin").isNull).count() == 10L)
+    assert(r.overallStatus == "success")
+  }
+
   test("config files parsed: explicit mapping + individual domains applied") {
     seedRun
     val nm = cat.load("raw", "customer_name_mapping")

@@ -83,6 +83,28 @@ class OperatorsSpec extends SparkSpec {
     assert(new java.io.File(s"$dataDir/order_month=2024-02").exists())
   }
 
+  test("compact: rewrites the latest snapshot with fewer files, same rows") {
+    import graft.operators.AtomicTable
+    val dir = java.nio.file.Files.createTempDirectory("compact_spec")
+      .resolve("t").toString
+    val df = (0L until 1000L).toDF("v").repartition(16)
+    AtomicTable.commit(df, dir, 0L)
+    def parquetFiles(version: Long): Int =
+      new java.io.File(s"$dir/v_$version").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(0L) == 16, "fragmented starting layout")
+    val newV = AtomicTable.compact(spark, dir, targetFileBytes = 1L << 30)
+    assert(newV.contains(1L))
+    assert(AtomicTable.committedVersions(spark, dir) == Seq(0L, 1L),
+      "previous snapshot retained as the reader grace window")
+    assert(parquetFiles(1L) == 1, "one file at a huge byte target")
+    val got = AtomicTable.read(spark, dir).get.orderBy("v")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == (0L until 1000L))
+    // empty/uncommitted table → no-op
+    assert(AtomicTable.compact(spark, s"$dir-nope").isEmpty)
+  }
+
   test("upsert: incoming wins on key collision, both sides' strays survive") {
     val existing = Seq((1, "old1"), (2, "old2"), (3, "old3")).toDF("k", "v")
     val incoming = Seq((2, "new2"), (4, "new4")).toDF("k", "v")
