@@ -165,14 +165,20 @@ object EventStream {
     * — O(#versions) driver metadata work amortized across batches,
     * safe against concurrent readers of retained versions (marker
     * deleted before data). With the defaults the vacuum is a no-op
-    * (commit's own retention already keeps 2). */
+    * (commit's own retention already keeps 2). Layout health: every
+    * `compactEvery` batches the merged snapshot is coalesced to
+    * ⌈bytes/`compactTargetFileBytes`⌉ files INSIDE the batch commit
+    * (see the body comment for why a standalone compact commit is
+    * forbidden under a streaming target). */
   def upsertSink(stream: DataFrame, targetPath: String,
                  keys: Seq[String],
                  checkpoint: String,
                  retainVersions: Int = 2,
                  vacuumEvery: Int = 0,
                  vacuumRetainLast: Int = 2,
-                 vacuumOlderThanMillis: Option[Long] = None)
+                 vacuumOlderThanMillis: Option[Long] = None,
+                 compactEvery: Int = 0,
+                 compactTargetFileBytes: Long = 128L * 1024 * 1024)
       : DataStreamWriter[Row] = {
     import graft.operators.{AtomicTable, MergeUpsert}
     stream.writeStream
@@ -181,14 +187,37 @@ object EventStream {
         val spark = batch.sparkSession
         val target = AtomicTable.read(spark, targetPath)
           .getOrElse(batch.limit(0))
-        AtomicTable.commit(
-          MergeUpsert.upsert(target, batch, keys), targetPath, batchId,
+        val merged = MergeUpsert.upsert(target, batch, keys)
+        // Layout health (OPTIMIZE): each merge commit otherwise lands
+        // one file per shuffle partition. Because the merge output IS a
+        // full snapshot rewrite, compaction here is just size-targeted
+        // coalescing of THAT output inside the normal batch commit —
+        // never a separate commit. (A standalone AtomicTable.compact
+        // call between batches would claim version batchId+1, and the
+        // next micro-batch's commit of the same version would be
+        // treated as an already-committed replay and silently dropped —
+        // the exact idempotency collision the writer-lineage guard
+        // documents. Version numbers under a streaming target belong
+        // to batch ids ALONE.) Size comes from the previous committed
+        // version — a stable estimate one batch behind.
+        val toCommit =
+          if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+            AtomicTable.latestDataPath(spark, targetPath).map { p =>
+              val bytes = new org.apache.hadoop.fs.Path(p)
+                .getFileSystem(spark.sparkContext.hadoopConfiguration)
+                .getContentSummary(new org.apache.hadoop.fs.Path(p))
+                .getLength
+              merged.coalesce(math.max(1, math.ceil(
+                bytes.toDouble / compactTargetFileBytes).toInt))
+            }.getOrElse(merged)
+          else merged
+        AtomicTable.commit(toCommit, targetPath, batchId,
           writerId = Some(checkpoint), retainVersions = retainVersions)
         if (vacuumEvery > 0 && batchId % vacuumEvery == vacuumEvery - 1) {
           AtomicTable.vacuum(spark, targetPath, vacuumRetainLast,
             vacuumOlderThanMillis)
-          ()
         }
+        ()
       }
   }
 

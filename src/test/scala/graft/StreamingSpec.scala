@@ -242,7 +242,8 @@ class StreamingSpec extends SparkSpec {
       // (0 ms = everything beyond vacuumRetainLast) every 2nd batch
       val q = EventStream.upsertSink(stream, target, Seq("k"), ckpt,
         retainVersions = 10, vacuumEvery = 2, vacuumRetainLast = 2,
-        vacuumOlderThanMillis = Some(0L)).start()
+        vacuumOlderThanMillis = Some(0L),
+        compactEvery = 2, compactTargetFileBytes = 1L << 30).start()
       try q.processAllAvailable() finally q.stop()
     }
     (0 until 4).foreach { i =>
@@ -252,6 +253,11 @@ class StreamingSpec extends SparkSpec {
     // batches 0-3 committed; vacuums after batches 1 and 3 pruned the
     // aged-out history down to the retained pair
     assert(AtomicTable.committedVersions(spark, target) == Seq(2L, 3L))
+    // in-commit compaction (compactEvery=2): the size-targeted batches
+    // landed exactly one file — and version numbers stayed == batch ids
+    // (a standalone compact commit would have collided with batch ids)
+    assert(new java.io.File(s"$target/v_3").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1)
     // merged data is complete across all batches
     val got = AtomicTable.read(spark, target).get.orderBy("k")
       .collect().map(_.getLong(0)).toSeq
