@@ -253,6 +253,52 @@ object Dedup {
         col("doc_id") === col("batch_canonical_id") && !col("in_index"))
   }
 
+  /** [[incrementalExact]] with a BLOOM-PRUNED index probe — the shape
+    * that keeps the daily batch cheap once the corpus index dwarfs it.
+    * Plain `incrementalExact` shuffles the WHOLE index into the
+    * fingerprint join every day; at 100 TB the index is billions of
+    * rows while the daily batch is millions, so almost all of that
+    * shuffle is wasted motion. Here a Bloom filter is built over the
+    * SMALL side (the batch's fingerprints — one distributed partial
+    * aggregate, [[graft.plans.Bloom]]) and delivered to the index scan
+    * through a scalar subquery; index rows failing `might_contain`
+    * cannot match any batch row (Bloom filters have no false
+    * negatives) and are dropped BEFORE the distinct+join shuffle. The
+    * surviving index side is ≈ |matches| + fpp·|index| rows, and false
+    * positives only cost shuffle bytes — the exact equi-join still
+    * decides membership, so the output is bit-identical to
+    * [[incrementalExact]] (the oracle gate proves it). This is
+    * Catalyst's own `InjectRuntimeFilter` build-small/probe-big plan,
+    * made explicit because the rewrite rule never fires on this join
+    * shape (probe side under a distinct + outer join).
+    *
+    * Size `expectedFps` ≥ the daily batch's distinct-fingerprint count
+    * and `numBits` ≈ 10–16 bits per expected item (fpp ≲ 1%); both are
+    * capped by `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`
+    * / `.maxNumBits` — raise those confs for billion-row batches. */
+  def incrementalExactBloom(indexFps: DataFrame, batch: DataFrame,
+                            id: Column, text: Column,
+                            expectedFps: Long = 1L << 20,
+                            numBits: Long = 1L << 23): DataFrame = {
+    graft.plans.Bloom.register(batch.sparkSession)
+    val fps =
+      batch.select(id.as("doc_id"), md5(lower(trim(text))).as("content_fp"))
+    val bloom = fps.agg(
+      call_function(graft.plans.Bloom.aggName, xxhash64(col("content_fp")),
+        lit(expectedFps), lit(numBits)).as("bf"))
+    val prunedIdx = indexFps.select(col("content_fp"))
+      .filter(call_function(graft.plans.Bloom.containsName,
+        bloom.scalar(), xxhash64(col("content_fp"))))
+      .distinct()
+    val w = Window.partitionBy(col("content_fp"))
+    fps.withColumn("batch_canonical_id", min(col("doc_id")).over(w))
+      .join(prunedIdx.withColumn("in_index", lit(true)),
+        Seq("content_fp"), "left")
+      .withColumn("in_index", coalesce(col("in_index"), lit(false)))
+      .withColumn("keep",
+        col("doc_id") === col("batch_canonical_id") && !col("in_index"))
+  }
+
   /** URL dedup for web corpora: group by
     * [[TextAnalysis.canonicalizeUrl]] (NOT by lowercased raw text —
     * paths are case-sensitive, so [[exact]]'s lowering would

@@ -366,6 +366,49 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Dedup — incremental dedup through the BLOOM-PRUNED index probe
+    * ([[Dedup.incrementalExactBloom]]): same annotate semantics as
+    * `dd_incremental_dedup` but the committed-index side is filtered by
+    * a batch-built Bloom filter (Spark's own `BloomFilterAggregate` /
+    * `BloomFilterMightContain` via a scalar subquery) BEFORE the
+    * membership join. The oracle twin is bloom-free — passing the hash
+    * gate proves the pruning is output-invariant (no false negatives),
+    * while the executed plan ships ≈|matches| index rows instead of the
+    * whole index. Different batch/index split from its plain sibling so
+    * both suppression arms (in-index, batch-internal) still occur. */
+  val ddIncrementalBloom: Q = Q.sql(
+    "dd_incremental_bloom",
+    """WITH batch AS (
+      |  SELECT doc_id, md5(lower(trim(text))) AS content_fp FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 700000, md5(lower(trim(text)))
+      |  FROM documents WHERE doc_id % 13 = 0
+      |), idx AS (
+      |  SELECT DISTINCT md5(lower(trim(text))) AS content_fp
+      |  FROM documents WHERE doc_id % 4 = 1
+      |), canon AS (
+      |  SELECT doc_id, content_fp,
+      |    MIN(doc_id) OVER (PARTITION BY content_fp) AS batch_canonical_id
+      |  FROM batch
+      |)
+      |SELECT c.doc_id, c.content_fp, c.batch_canonical_id,
+      |  i.content_fp IS NOT NULL AS in_index,
+      |  c.doc_id = c.batch_canonical_id AND i.content_fp IS NULL AS keep
+      |FROM canon c LEFT JOIN idx i USING (content_fp)
+      |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val batch = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 700000L).as("doc_id"), col("text")))
+    val idx = docs.filter(col("doc_id") % 4 === 1)
+      .select(md5(lower(trim(col("text")))).as("content_fp"))
+    Dedup.incrementalExactBloom(idx, batch, col("doc_id"), col("text"),
+        expectedFps = 1L << 18, numBits = 1L << 21)
+      .select("doc_id", "content_fp", "batch_canonical_id", "in_index",
+        "keep")
+      .orderBy("doc_id")
+  }
+
   /** Dedup — incremental dedup with a PERSISTED index (the storage half
     * of the daily-crawl discipline, through the REAL
     * `CorpusIndex.processBatch` → `AtomicTable` commits): day 1 (two
@@ -1606,7 +1649,7 @@ object LlmQueries {
     tFingerprint, tRepetition, tContamination, tPiiScrub, tVocab,
     tCorpusCuration, tPacking, tQuotaSample, tCorpusShuffle,
     tStratifiedSplit, tDocChunking, tOovRate, ddExact, ddIncrementalDedup,
-    ddIncrementalIndexChain, ddClusterCanonical,
+    ddIncrementalBloom, ddIncrementalIndexChain, ddClusterCanonical,
     ddUrlDedup, ddLineDedup,
     ddConnectedComponents, ddMinhashLsh, ddSimhash,
     ddSimhashNearDup, ddEmbeddingNearDup, annBruteForce, annLsh, annRhLsh,

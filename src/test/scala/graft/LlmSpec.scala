@@ -25,6 +25,24 @@ class LlmSpec extends SparkSpec {
       (3L, 3L, false)))
   }
 
+  test("incrementalExactBloom is bit-identical to incrementalExact") {
+    val batch = Seq((1L, "Alpha"), (2L, " alpha"), (3L, "beta"),
+      (4L, "gamma"), (5L, "beta")).toDF("doc_id", "text")
+    val idx = Seq("beta", "delta").toDF("t")
+      .select(md5(lower(trim($"t"))).as("content_fp"))
+    val plain = Dedup.incrementalExact(idx, batch, $"doc_id", $"text")
+      .orderBy("doc_id").collect().toSeq
+    val bloom = Dedup.incrementalExactBloom(idx, batch, $"doc_id", $"text",
+      expectedFps = 1L << 10, numBits = 1L << 13)
+      .orderBy("doc_id").collect().toSeq
+    assert(bloom == plain)
+    // index hit (beta) suppressed even as batch-canonical; batch dup kept once
+    val keep = bloom.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Boolean]("keep")).toMap
+    assert(keep == Map(1L -> true, 2L -> false, 3L -> false, 4L -> true,
+      5L -> false))
+  }
+
   test("LSH candidates: identical docs collide in every band, disjoint docs never") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
