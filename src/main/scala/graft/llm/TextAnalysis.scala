@@ -39,6 +39,63 @@ object TextAnalysis {
       .drop("sample_rank_key")
   }
 
+  /** AGGRESSIVE DEDUP-KEY NORMALIZATION — the C4/RefinedWeb-style
+    * canonical form: lowercase, every non-alphanumeric run collapsed to
+    * one space, trimmed. Feeding this into [[Dedup.exact]] merges docs
+    * that differ only in punctuation, casing or whitespace ("Hello,
+    * world!" ≡ "hello world") — the standard step between byte-exact
+    * and MinHash fuzzy dedup. Pure scan-shaped Column expression.
+    *
+    * Portability note: `\\s`/`\\W`-style classes differ between Java
+    * regex (Spark) and RE2 (DuckDB) at the edges (\\x0B), so the
+    * pattern uses an explicit character class; the DuckDB twin needs
+    * the 'g' flag (its regexp_replace defaults to first-match-only). */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** TEMPERATURE-WEIGHTED CORPUS MIXING — the proportional sibling of
+    * [[quotaSample]]: instead of one fixed cap, each group's quota is
+    * `totalN · √n_g / Σ √n_g` (temperature T=2 sampling, α = 1/T = 0.5
+    * — the standard multilingual-pretraining rebalance: big groups are
+    * downweighted, small groups upweighted, relative order preserved).
+    * Membership is the same seeded-md5 rank as [[quotaSample]], so the
+    * mix is reproducible across engines/retries/re-runs.
+    *
+    * Determinism: √n is correctly rounded (IEEE) in every engine, but a
+    * double SUM over groups is summation-order-dependent — the
+    * denominator goes through [[graft.functions.Det.dsum]]'s exact
+    * decimal sum so `quota` is bit-identical in the DuckDB twin.
+    * General α would need `pow(n, α)` (NOT correctly rounded, engine-
+    * dependent) — extend only with an engine-portable power.
+    *
+    * Scale shape: one tiny per-group count aggregate (broadcast both
+    * ways), and the corpus-side window is filtered by the CONSTANT
+    * bound `totalN` before the per-group quota join — `rank ≤ constant`
+    * is what lets Spark plan WindowGroupLimit (partial top-k per
+    * partition), so hot groups never materialize past totalN rows even
+    * though the final quota is data-dependent. */
+  def temperatureMix(docs: DataFrame, id: Column, group: Column,
+                     totalN: Long, seed: String): DataFrame = {
+    val base = docs.select(id.as("doc_id"), group.as("mix_group"))
+    val counts = base.groupBy("mix_group")
+      .agg(count(lit(1)).as("group_n"))
+      .withColumn("w", sqrt(col("group_n").cast("double")))
+    val denom = counts.agg(graft.functions.Det.dsum(col("w")).as("denom"))
+    val quotas = counts.crossJoin(broadcast(denom))
+      .withColumn("quota",
+        floor(lit(totalN.toDouble) * col("w") / col("denom")).cast("long"))
+      .select(col("mix_group"), col("group_n"), col("quota"))
+    val w = Window.partitionBy(col("mix_group"))
+      .orderBy(col("mix_rank_key"), col("doc_id"))
+    base.withColumn("mix_rank_key",
+        md5(concat(lit(seed), lit("|"), col("doc_id").cast("string"))))
+      .withColumn("mix_rank", row_number().over(w))
+      .filter(col("mix_rank") <= totalN)
+      .join(broadcast(quotas), Seq("mix_group"))
+      .filter(col("mix_rank") <= col("quota"))
+      .drop("mix_rank_key")
+  }
+
   /** DETERMINISTIC CORPUS SHUFFLE + SHARDING — the data-ordering
     * primitive of a pretraining run: every doc gets a seeded
     * pseudo-random rank (md5 of seed|id — reproducible across engines,

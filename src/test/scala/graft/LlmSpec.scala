@@ -25,6 +25,32 @@ class LlmSpec extends SparkSpec {
       (3L, 3L, false)))
   }
 
+  test("normalizeForDedup merges casing/punctuation/whitespace variants") {
+    val df = Seq((1L, "Hello,  World!"), (2L, "hello world"),
+      (3L, "hello-world?"), (4L, "hell o world")).toDF("doc_id", "text")
+    val got = Dedup.exact(df, $"doc_id", TA.normalizeForDedup($"text"))
+      .orderBy("doc_id")
+      .select("doc_id", "canonical_id", "is_duplicate")
+      .as[(Long, Long, Boolean)].collect()
+    assert(got.toSeq == Seq((1L, 1L, false), (2L, 1L, true),
+      (3L, 1L, true), (4L, 4L, false)))
+  }
+
+  test("temperatureMix: quotas proportional to sqrt(count), capped by group size") {
+    // group a: 9 docs (w=3), b: 1 doc (w=1) -> denom 4; totalN=8 -> quotas 6, 2
+    val docs = ((1L to 9L).map(i => (i, "a")) :+ (10L, "b"))
+      .toDF("doc_id", "src")
+    val got = TA.temperatureMix(docs, $"doc_id", $"src", totalN = 8,
+      seed = "s1")
+    val quotas = got.select("mix_group", "quota").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(quotas == Map("a" -> 6L, "b" -> 2L))
+    val sizes = got.groupBy("mix_group").count()
+      .as[(String, Long)].collect().toMap
+    // b's quota exceeds its population -> all of b kept, a capped at 6
+    assert(sizes == Map("a" -> 6L, "b" -> 1L))
+  }
+
   test("incrementalExactBloom is bit-identical to incrementalExact") {
     val batch = Seq((1L, "Alpha"), (2L, " alpha"), (3L, "beta"),
       (4L, "gamma"), (5L, "beta")).toDF("doc_id", "text")
