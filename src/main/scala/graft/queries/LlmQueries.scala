@@ -169,6 +169,40 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Dedup — exact dedup over the AGGRESSIVE normalized key
+    * ([[TA.normalizeForDedup]] → [[Dedup.exact]]): casing/punctuation/
+    * whitespace variants collapse onto one canonical doc. Injected
+    * perturbed copies (`'  ' || UPPER(text) || '!!'`) prove the merge:
+    * every injected row must land in its original's dup group. DuckDB
+    * twin needs the 'g' regexp flag (first-match default). */
+  val ddExactNormalized: Q = Q.sql(
+    "dd_exact_normalized",
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 900000, '  ' || upper(text) || '!!'
+      |  FROM documents WHERE doc_id % 17 = 0
+      |), fp AS (
+      |  SELECT doc_id, md5(lower(trim(
+      |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+      |  ))) AS content_fp
+      |  FROM all_docs
+      |)
+      |SELECT doc_id, content_fp,
+      |  MIN(doc_id) OVER (PARTITION BY content_fp) AS canonical_id,
+      |  COUNT(*) OVER (PARTITION BY content_fp) AS dup_group_size,
+      |  doc_id <> MIN(doc_id) OVER (PARTITION BY content_fp) AS is_duplicate
+      |FROM fp ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val perturbed = docs.filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + 900000L).as("doc_id"),
+        concat(lit("  "), upper(col("text")), lit("!!")).as("text"))
+    Dedup.exact(docs.select(col("doc_id"), col("text"))
+        .unionByName(perturbed),
+      col("doc_id"), TA.normalizeForDedup(col("text")))
+      .orderBy("doc_id")
+  }
+
   /** Curation — deterministic per-group quota sampling through the REAL
     * `TextAnalysis.quotaSample`: at most 40 docs per source, chosen by
     * seeded md5 order (reproducible pseudo-random mixing). */
@@ -188,6 +222,44 @@ object LlmQueries {
       quota = 40, seed = "mix1")
       .select(col("doc_id"), col("sample_group"),
         col("sample_rank").cast("long").as("sample_rank"))
+      .orderBy("doc_id")
+  }
+
+  /** Sampling — temperature-weighted corpus mixing
+    * ([[TA.temperatureMix]]): per-source quotas ∝ √count (T=2
+    * rebalance), denominator through the exact-decimal `Det.dsum` so
+    * the data-dependent quota is bit-identical cross-engine; membership
+    * by the same seeded md5 rank as `t_quota_sample`. The DuckDB twin
+    * recomputes the quota formula verbatim. */
+  val tTemperatureMix: Q = Q.sql(
+    "t_temperature_mix",
+    """WITH counts AS (
+      |  SELECT source AS mix_group, COUNT(*) AS group_n,
+      |    SQRT(CAST(COUNT(*) AS DOUBLE)) AS w
+      |  FROM documents GROUP BY source
+      |), q AS (
+      |  SELECT mix_group, CAST(group_n AS BIGINT) AS group_n,
+      |    CAST(FLOOR(200 * w /
+      |      (SELECT CAST(SUM(CAST(w AS DECIMAL(38,6))) AS DOUBLE)
+      |       FROM counts)) AS BIGINT) AS quota
+      |  FROM counts
+      |), ranked AS (
+      |  SELECT doc_id, source AS mix_group,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY md5('tmix1|' || CAST(doc_id AS VARCHAR)), doc_id)
+      |      AS mix_rank
+      |  FROM documents
+      |)
+      |SELECT r.doc_id, r.mix_group, CAST(r.mix_rank AS BIGINT) AS mix_rank,
+      |  q.group_n, q.quota
+      |FROM ranked r JOIN q USING (mix_group)
+      |WHERE r.mix_rank <= q.quota
+      |ORDER BY r.doc_id""".stripMargin) { (s, d) =>
+    TA.temperatureMix(Tables.documents(s, d), col("doc_id"), col("source"),
+      totalN = 200, seed = "tmix1")
+      .select(col("doc_id"), col("mix_group"),
+        col("mix_rank").cast("long").as("mix_rank"),
+        col("group_n"), col("quota"))
       .orderBy("doc_id")
   }
 
@@ -1647,8 +1719,9 @@ object LlmQueries {
 
   val all: Seq[Q] = Seq(tTokens, tTokensBpe, tLangId, tQuality,
     tFingerprint, tRepetition, tContamination, tPiiScrub, tVocab,
-    tCorpusCuration, tPacking, tQuotaSample, tCorpusShuffle,
-    tStratifiedSplit, tDocChunking, tOovRate, ddExact, ddIncrementalDedup,
+    tCorpusCuration, tPacking, tQuotaSample, tTemperatureMix,
+    tCorpusShuffle,
+    tStratifiedSplit, tDocChunking, tOovRate, ddExact, ddExactNormalized, ddIncrementalDedup,
     ddIncrementalBloom, ddIncrementalIndexChain, ddClusterCanonical,
     ddUrlDedup, ddLineDedup,
     ddConnectedComponents, ddMinhashLsh, ddSimhash,
