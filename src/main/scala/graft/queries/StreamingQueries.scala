@@ -33,6 +33,38 @@ object StreamingQueries {
       .orderBy("window_start", "event_type")
   }
 
+  /** Sliding 1-hour windows every 30 minutes per event type — the
+    * overlapping twin of `st_tumbling_window` (each event in exactly 2
+    * windows). The DuckDB side replays Spark's epoch-aligned window
+    * assignment with integer-micros arithmetic (`//` floor-div on
+    * `epoch_us`; no double division — 2^53 discipline) and the
+    * unnest(generate_series) row-doubling idiom; window_start rendered
+    * via make_timestamp (tz-free, matching Spark's UTC session). */
+  val stSliding: Q = Q.sql(
+    "st_sliding_window",
+    """WITH e AS (
+      |  SELECT event_type, value,
+      |    (epoch_us(ts) // 1800000000) * 1800000000 AS b_us,
+      |    unnest(generate_series(0, 1)) AS k
+      |  FROM events
+      |)
+      |SELECT CAST(make_timestamp(b_us - k * 1800000000) AS VARCHAR)
+      |    AS window_start,
+      |  event_type, COUNT(*) AS event_count,
+      |  CAST(SUM(CAST((value) AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+      |FROM e
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(
+        window(col("ts"), "1 hour", "30 minutes")("start").cast("string")
+          .as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("event_count"),
+        dsum(col("value")).as("total_value"))
+      .orderBy("window_start", "event_type")
+  }
+
   /** Gap-based sessionization (30-min inactivity): lag → new-session
     * flag → running session index → per-session rollup. Identical
     * lag/cumsum formulation on both engines (the streaming module uses
@@ -201,6 +233,6 @@ object StreamingQueries {
       .orderBy("user_id", "click_id", "purchase_id")
   }
 
-  val all: Seq[Q] = Seq(stTumbling, stSessions, stFirstSeen,
+  val all: Seq[Q] = Seq(stTumbling, stSliding, stSessions, stFirstSeen,
     stStreamDedup, stStaticEnrich, stIntervalJoin)
 }

@@ -34,7 +34,9 @@ object EventStream {
     spark.readStream
       .schema(rawSchema)
       .parquet(path)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer `div`, NOT `/ 1000L`: epoch-nanos exceed 2^53, so the
+      // double division drifts ±1 µs (the Tables.events r08 bug twin)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** Watermarked tumbling-window counts/sums per event type. */
   def tumblingAgg(events: DataFrame, window: String = "1 hour",
@@ -42,6 +44,26 @@ object EventStream {
     events
       .withWatermark("ts", watermark)
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("event_count"),
+        sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("event_count"), col("total_value"))
+
+  /** Watermarked SLIDING-window counts/sums per event type — the
+    * overlapping-window sibling of [[tumblingAgg]] (duration a multiple
+    * of slide ⇒ every event lands in exactly duration/slide windows).
+    * State is keyed by (window, event_type) and bounded by the
+    * watermark exactly like the tumbling case — the overlap multiplies
+    * state rows by duration/slide, not by event volume. */
+  def slidingAgg(events: DataFrame, winDur: String = "1 hour",
+                 slide: String = "30 minutes",
+                 watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col("ts"), winDur, slide),
         col("event_type"))
       .agg(count(lit(1)).as("event_count"),
         sum(col("value")).as("total_value"))

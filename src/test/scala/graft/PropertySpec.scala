@@ -15,6 +15,49 @@ class PropertySpec extends SparkSpec {
 
   private val rnd = new scala.util.Random(42)
 
+  test("temperatureMix invariants: quota sum <= totalN, kept = min(quota, n)") {
+    import graft.llm.TextAnalysis
+    // Random skewed group sizes; floors make the quota sum land in
+    // (totalN - nGroups, totalN]; per-group kept rows are exactly
+    // min(quota, group size) whatever the seed.
+    val sizes = (0 until 12).map(g => (s"g$g", 1 + rnd.nextInt(400)))
+    val docs = sizes.zipWithIndex.flatMap { case ((g, n), gi) =>
+      (0 until n).map(i => (gi * 100000L + i, g)) }
+      .toDF("doc_id", "src")
+    val totalN = 500L
+    val got = TextAnalysis.temperatureMix(docs, $"doc_id", $"src",
+      totalN, seed = "prop7")
+    val quotas = got.select("mix_group", "quota").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(quotas.values.sum <= totalN)
+    assert(quotas.values.sum > totalN - sizes.size)
+    val kept = got.groupBy("mix_group").count()
+      .as[(String, Long)].collect().toMap
+    val bySize = sizes.toMap
+    kept.foreach { case (g, n) =>
+      assert(n == math.min(quotas(g), bySize(g).toLong),
+        s"group $g kept $n, quota ${quotas(g)}, size ${bySize(g)}") }
+  }
+
+  test("normalizeForDedup is idempotent and casing/punctuation-invariant") {
+    import graft.llm.TextAnalysis
+    val strings = (0 until 200).map { _ =>
+      val len = rnd.nextInt(40)
+      new String(Array.fill(len)(
+        "aZ9 ,.!-_\t&#:/\\\"'()".charAt(rnd.nextInt(19))))
+    }
+    val df = strings.toDF("s")
+      .select(TextAnalysis.normalizeForDedup($"s").as("n1"))
+      .select($"n1", TextAnalysis.normalizeForDedup($"n1").as("n2"))
+    assert(df.filter($"n1" =!= $"n2").count() == 0)
+    // perturbing case/punct/whitespace never changes the normal form
+    val perturbed = strings.toDF("s").select(
+      TextAnalysis.normalizeForDedup($"s").as("a"),
+      TextAnalysis.normalizeForDedup(
+        concat(lit("  "), upper($"s"), lit("!?"))).as("b"))
+    assert(perturbed.filter($"a" =!= $"b").count() == 0)
+  }
+
   test("simhash pigeonhole recall: every Hamming<=3 pair is found, none above") {
     import graft.llm.Dedup
     // Random 32-bit base signatures spaced far apart (independent

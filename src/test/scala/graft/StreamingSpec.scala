@@ -28,6 +28,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("file-source stream: sliding agg matches batch windows, 2x overlap") {
+    val stream = EventStream.readEvents(spark, eventsDir)
+    val q = EventStream.toMemorySink(
+      EventStream.slidingAgg(stream), "sliding_test", complete = true)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sliding_test")
+      .select("window_start", "event_type", "event_count").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes")("start").as("ws"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    // duration/slide = 2: every event lands in exactly two windows
+    val total = spark.table("sliding_test")
+      .select(sum("event_count")).head().getLong(0)
+    assert(total == 2 * Tables.events(spark, sf).count())
+  }
+
   test("flatMapGroupsWithState first-seen matches the batch twin") {
     val stream = EventStream.readEvents(spark, eventsDir)
     val q = EventStream.firstSeenByUser(stream)
