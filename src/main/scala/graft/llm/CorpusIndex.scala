@@ -43,3 +43,63 @@ object CorpusIndex {
     annotated
   }
 }
+
+/** NEAR-DUP sibling of [[CorpusIndex]] — the daily-crawl discipline for
+  * FUZZY duplicates: the committed index holds the MinHash LSH band
+  * keys of every kept document ((band, band_key) distinct — a few
+  * 16-byte keys per doc, corpus-text-free), and a new batch is flagged
+  * `hit_index` when ANY of its band keys collides with the index (the
+  * standard LSH decision: same recall knobs — bands × rowsPerBand — as
+  * [[Dedup.lshCandidates]], no text re-read of history). Kept docs'
+  * bands are upserted as the next [[AtomicTable]] version, so day-N
+  * work is one band equi-join against uniformly-hashed committed keys —
+  * never a re-scan of the historical corpus, and the commit semantics
+  * (crash-safe, idempotent per version, re-runnable against the
+  * pre-batch index) are exactly [[CorpusIndex.processBatch]]'s.
+  *
+  * Scope: batch-INTERNAL near-dup clustering stays with the composed
+  * `simhashNearDups → connectedComponents → representative` chain
+  * (`dd_cluster_canonical`); this operator decides batch-vs-HISTORY.
+  * At extreme index sizes the probe composes with the same
+  * build-small/probe-big Bloom prune as [[Dedup.incrementalExactBloom]]
+  * (build over the batch's band keys, prune the index scan). */
+object NearDupIndex {
+
+  /** Latest committed band index at `dir`; empty when none committed. */
+  def load(spark: SparkSession, dir: String): DataFrame =
+    AtomicTable.read(spark, dir).getOrElse(
+      spark.createDataFrame(java.util.Collections.emptyList[Row](),
+        StructType(Seq(
+          StructField("band", org.apache.spark.sql.types.IntegerType),
+          StructField("band_key", StringType)))))
+
+  /** One daily batch: shingle → [[Dedup.minhashBands]] → flag docs
+    * sharing any band with the committed index → commit index ∪ kept
+    * docs' bands as the next version. Returns (doc_id, hit_index,
+    * keep); docs too short to shingle have no bands — never flagged,
+    * never indexed. */
+  def processBatch(spark: SparkSession, dir: String, batch: DataFrame,
+                   id: Column, text: Column,
+                   nBands: Int = 4, rowsPerBand: Int = 2,
+                   shingleN: Int = 3): DataFrame = {
+    val base = batch.select(id.as("doc_id"), text.as("text"))
+    val shingled = TextAnalysis.shingleRows(base, col("doc_id"),
+      col("text"), shingleN).distinct()
+    val bb = Dedup.minhashBands(shingled, nBands, rowsPerBand)
+    val idx = load(spark, dir)
+    val hits = bb.join(idx, Seq("band", "band_key"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("hit_index", lit(true))
+    val annotated = base.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("hit_index", coalesce(col("hit_index"), lit(false)))
+      .withColumn("keep", !col("hit_index"))
+    val keptBands = bb
+      .join(annotated.filter(col("keep")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .select(col("band"), col("band_key")).distinct()
+    val next = MergeUpsert.upsert(idx, keptBands, Seq("band", "band_key"))
+    AtomicTable.commit(next, dir, AtomicTable.nextVersion(spark, dir))
+    annotated
+  }
+}

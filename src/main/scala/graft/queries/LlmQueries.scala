@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{CorpusIndex, Dedup, Multimodal, Packing, Similarity, TextAnalysis => TA}
+import graft.llm.{CorpusIndex, Dedup, Multimodal, NearDupIndex, Packing, Similarity, TextAnalysis => TA}
 
 /** Training-data-pipeline operators (builder-prompt first-class set):
   * text analysis, dedup family, similarity search, multimodal plumbing —
@@ -553,6 +553,86 @@ object LlmQueries {
     out1.withColumn("day", lit(1L))
       .unionByName(out2.withColumn("day", lit(2L)))
       .select("day", "doc_id", "batch_canonical_id", "in_index", "keep")
+      .orderBy("day", "doc_id")
+  }
+
+  /** Dedup — incremental NEAR-dup dedup with a PERSISTED band index
+    * (the fuzzy sibling of `dd_incremental_index_chain`, through the
+    * REAL `NearDupIndex.processBatch` → `AtomicTable` commits): day 1
+    * (two thirds of the corpus) bootstraps an empty index and commits
+    * its MinHash band keys as v1; day 2 (the remaining third + NEAR-dup
+    * re-crawls of day-1 docs — two junk tokens appended, so the text is
+    * NOT byte-identical) probes the COMMITTED v1 bands and flags any
+    * doc sharing ≥1 band key. The DuckDB twin replays both days'
+    * 4×2-row MinHash banding (same `mh<k>|` seed family as
+    * `dd_minhash_lsh_jaccard`) and an IN-subquery band membership. */
+  val ddNearDupIndexChain: Q = Q.sql(
+    "dd_neardup_index_chain",
+    s"""WITH d1 AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 2
+      |), d2 AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
+      |  UNION ALL
+      |  SELECT doc_id + 300000, text || ' zz qq' FROM documents
+      |  WHERE doc_id % 3 <> 2 AND doc_id % 7 = 0
+      |), t1 AS (
+      |  SELECT doc_id, $toksSql AS toks FROM d1
+      |), t2 AS (
+      |  SELECT doc_id, $toksSql AS toks FROM d2
+      |), s1 AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(1, len(toks) - 2),
+      |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS sh
+      |  FROM t1
+      |), s2 AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(1, len(toks) - 2),
+      |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS sh
+      |  FROM t2
+      |), b1 AS (
+      |  SELECT doc_id, b AS band,
+      |    md5(concat_ws('|',
+      |      list_min(list_transform(sh, x -> md5('mh' || CAST(b*2 AS VARCHAR) || '|' || x))),
+      |      list_min(list_transform(sh, x -> md5('mh' || CAST(b*2+1 AS VARCHAR) || '|' || x))))) AS band_key
+      |  FROM s1 CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
+      |  WHERE len(sh) > 0
+      |), b2 AS (
+      |  SELECT doc_id, b AS band,
+      |    md5(concat_ws('|',
+      |      list_min(list_transform(sh, x -> md5('mh' || CAST(b*2 AS VARCHAR) || '|' || x))),
+      |      list_min(list_transform(sh, x -> md5('mh' || CAST(b*2+1 AS VARCHAR) || '|' || x))))) AS band_key
+      |  FROM s2 CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
+      |  WHERE len(sh) > 0
+      |), hits AS (
+      |  SELECT DISTINCT s.doc_id
+      |  FROM b2 s JOIN (SELECT DISTINCT band, band_key FROM b1) i
+      |    USING (band, band_key)
+      |)
+      |SELECT CAST(1 AS BIGINT) AS day, doc_id,
+      |  FALSE AS hit_index, TRUE AS keep
+      |FROM d1
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), doc_id,
+      |  doc_id IN (SELECT doc_id FROM hits),
+      |  NOT (doc_id IN (SELECT doc_id FROM hits))
+      |FROM d2
+      |ORDER BY day, doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val id = col("doc_id")
+    val day1 = docs.filter(id % 3 =!= 2).select(id, col("text"))
+    val day2 = docs.filter(id % 3 === 2).select(id, col("text"))
+      .unionByName(docs.filter(id % 3 =!= 2 && id % 7 === 0)
+        .select((id + 300000L).as("doc_id"),
+          concat(col("text"), lit(" zz qq")).as("text")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndindex")
+      .toString
+    val out1 = NearDupIndex.processBatch(s, dir, day1, col("doc_id"),
+      col("text"))
+    val out2 = NearDupIndex.processBatch(s, dir, day2, col("doc_id"),
+      col("text"))
+    out1.withColumn("day", lit(1L))
+      .unionByName(out2.withColumn("day", lit(2L)))
+      .select("day", "doc_id", "hit_index", "keep")
       .orderBy("day", "doc_id")
   }
 
@@ -1722,7 +1802,8 @@ object LlmQueries {
     tCorpusCuration, tPacking, tQuotaSample, tTemperatureMix,
     tCorpusShuffle,
     tStratifiedSplit, tDocChunking, tOovRate, ddExact, ddExactNormalized, ddIncrementalDedup,
-    ddIncrementalBloom, ddIncrementalIndexChain, ddClusterCanonical,
+    ddIncrementalBloom, ddIncrementalIndexChain, ddNearDupIndexChain,
+    ddClusterCanonical,
     ddUrlDedup, ddLineDedup,
     ddConnectedComponents, ddMinhashLsh, ddSimhash,
     ddSimhashNearDup, ddEmbeddingNearDup, annBruteForce, annLsh, annRhLsh,

@@ -51,6 +51,31 @@ class LlmSpec extends SparkSpec {
     assert(sizes == Map("a" -> 6L, "b" -> 1L))
   }
 
+  test("NearDupIndex: day-2 re-crawl hits committed bands, fresh doc does not") {
+    import graft.llm.NearDupIndex
+    val dir = java.nio.file.Files.createTempDirectory("ndidx").toString
+    val day1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different words appear in this one here now"))
+      .toDF("doc_id", "text")
+    val out1 = NearDupIndex.processBatch(spark, dir, day1, $"doc_id",
+      $"text")
+    assert(out1.filter($"hit_index").count() == 0)
+    val day2 = Seq(
+      // same text as doc 1 -> every band collides
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      (11L, "unrelated fresh content with nothing shared at all whatsoever"))
+      .toDF("doc_id", "text")
+    val out2 = NearDupIndex.processBatch(spark, dir, day2, $"doc_id",
+      $"text")
+    val flags = out2.select("doc_id", "hit_index")
+      .as[(Long, Boolean)].collect().toMap
+    assert(flags == Map(10L -> true, 11L -> false))
+    // committed index grew: v2 holds day-1 bands plus doc 11's
+    val idx = NearDupIndex.load(spark, dir)
+    assert(idx.count() == 12) // 3 kept docs x 4 bands, all distinct
+  }
+
   test("incrementalExactBloom is bit-identical to incrementalExact") {
     val batch = Seq((1L, "Alpha"), (2L, " alpha"), (3L, "beta"),
       (4L, "gamma"), (5L, "beta")).toDF("doc_id", "text")
