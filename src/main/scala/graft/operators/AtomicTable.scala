@@ -250,6 +250,46 @@ object AtomicTable {
       next
     }
 
+  /** CDC-style DIFF of two COMMITTED versions keyed by `keys`: one row
+    * per key whose presence or payload changed between `oldVersion` and
+    * `newVersion`, tagged `insert` (key only in new), `delete` (only in
+    * old) or `update` (both, any common non-key column differs
+    * null-safely); unchanged keys drop out inside the join, so the
+    * result is ∝ the change set, not the table. This is the audit/CDC
+    * primitive the versioned layout makes cheap — downstream consumers
+    * (cache invalidation, incremental reprocessing, replication) read
+    * the delta instead of re-scanning snapshots.
+    *
+    * Scale shape: ONE full-outer equi-join on the key across the two
+    * snapshot scans — shuffle keyed by the table key (uniform whenever
+    * the table key is), payloads compared as a single null-safe struct
+    * equality inside codegen. Columns present in only one version
+    * (schema drift between commits) are ignored by the comparison —
+    * presence changes still surface as insert/delete. */
+  def diff(spark: SparkSession, dir: String, oldVersion: Long,
+           newVersion: Long, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def snap(v: Long): DataFrame = readVersion(spark, dir, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"version $v is not committed at $dir"))
+    val o = snap(oldVersion)
+    val n = snap(newVersion)
+    val common = o.columns.toSeq.intersect(n.columns.toSeq)
+      .filterNot(keys.contains)
+    def payload(df: DataFrame, as: String): DataFrame = {
+      val p = if (common.isEmpty) lit(0) else struct(common.map(col): _*)
+      df.select(keys.map(col) :+ p.as(as): _*)
+        .withColumn(s"_in$as", lit(true))
+    }
+    payload(o, "_old").join(payload(n, "_new"), keys, "full_outer")
+      .withColumn("change_type",
+        when(col("_in_old").isNull, "insert")
+          .when(col("_in_new").isNull, "delete")
+          .when(!(col("_old") <=> col("_new")), "update"))
+      .filter(col("change_type").isNotNull)
+      .select(keys.map(col) :+ col("change_type"): _*)
+  }
+
   /** True when `dir` holds data OUTSIDE the atomic layout (files that
     * are neither `v_<n>` dirs nor `_`-prefixed protocol markers) — a
     * legacy plain-parquet table. Resolved through the same Hadoop

@@ -273,6 +273,52 @@ object UnionScalarQueries {
       .orderBy("o_orderkey")
   }
 
+  /** S6 — CDC version diff through the REAL `AtomicTable`: commit v-old
+    * (80% of documents) and v-new (deletes every 7th key, inserts fresh
+    * +400000 keys, rewrites text on every 11th) as two versions of one
+    * atomic table, then `AtomicTable.diff` tags
+    * insert/delete/update keys — the audit primitive of the versioned
+    * replace sink. DuckDB twin replays the two synthesized snapshots
+    * with a FULL OUTER JOIN and IS DISTINCT FROM. */
+  val s6VersionDiff: Q = Q.sql(
+    "s6_version_diff",
+    """WITH v1 AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 5 < 4
+      |), v2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 0 THEN text || ' upd' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 5 < 4 AND doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 400000, text FROM documents WHERE doc_id % 5 = 4
+      |), j AS (
+      |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+      |    CASE WHEN a.doc_id IS NULL THEN 'insert'
+      |         WHEN b.doc_id IS NULL THEN 'delete'
+      |         WHEN a.text IS DISTINCT FROM b.text THEN 'update' END
+      |      AS change_type
+      |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+      |)
+      |SELECT doc_id, change_type FROM j WHERE change_type IS NOT NULL
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.operators.AtomicTable
+    val docs = Tables.documents(s, d)
+    val id = col("doc_id")
+    val v1 = docs.filter(id % 5 < 4).select(id, col("text"))
+    val v2 = docs.filter(id % 5 < 4 && id % 7 =!= 0)
+      .select(id, when(id % 11 === 0, concat(col("text"), lit(" upd")))
+        .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(id % 5 === 4)
+        .select((id + 400000L).as("doc_id"), col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_vdiff")
+      .toString
+    val va = AtomicTable.nextVersion(s, dir)
+    AtomicTable.commit(v1, dir, va)
+    val vb = AtomicTable.nextVersion(s, dir)
+    AtomicTable.commit(v2, dir, vb)
+    AtomicTable.diff(s, dir, va, vb, Seq("doc_id"))
+      .orderBy("doc_id")
+  }
+
   /** I1 — incremental append semantics: only rows newer than the target's
     * max snapshot key are appended
     * (int_quickbooks__inventory_history.sql:7-12,58-64). */
@@ -325,5 +371,6 @@ object UnionScalarQueries {
 
   val all: Seq[Q] = Seq(p1UnionAlign, p2p3FlagExcept, a15MultiLevel,
     u2UnionDistinct, fString, fHash, fDate, fSafeNumeric, s5MergeUpsert,
+    s6VersionDiff,
     i1Incremental, a17EventRollup)
 }

@@ -248,6 +248,23 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("AtomicTable.diff tags insert/delete/update, drops unchanged, rejects uncommitted") {
+    import graft.operators.AtomicTable
+    val dir = java.nio.file.Files.createTempDirectory("at_diff").toString
+    val v1 = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("k", "s", "n")
+    val v2 = Seq((1L, "a", 10), (2L, "B", 20), (4L, "d", 40))
+      .toDF("k", "s", "n") // 1 unchanged, 2 updated, 3 deleted, 4 inserted
+    AtomicTable.commit(v1, dir, 0L)
+    AtomicTable.commit(v2, dir, 1L)
+    val got = AtomicTable.diff(spark, dir, 0L, 1L, Seq("k"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(2L -> "update", 3L -> "delete", 4L -> "insert"))
+    intercept[IllegalArgumentException] {
+      AtomicTable.diff(spark, dir, 0L, 9L, Seq("k"))
+    }
+  }
+
   test("AtomicTable: vacuum applies count and age retention, keeps latest") {
     import graft.operators.AtomicTable
     val dir = java.nio.file.Files.createTempDirectory("atomic_vacuum")
