@@ -132,6 +132,20 @@ object TextAnalysis {
       .withColumn("position", row_number().over(w).cast("long") - 1L)
   }
 
+  /** Materialize a [[corpusShuffle]] ordering as ONE parquet file per
+    * shard with rows in position order — the layout a pretraining
+    * reader consumes (stream each shard file sequentially, interleave
+    * across shards). `repartition(shard)` co-locates every shard in
+    * exactly one task, `sortWithinPartitions` orders it, and the hive
+    * `partitionBy` split writes each shard's single ordered file — no
+    * global sort, no driver collect, at any scale; file count =
+    * nShards = O(reader parallelism), never O(rows). */
+  def writeShards(shuffled: DataFrame, outDir: String): Unit =
+    shuffled
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("position"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
   /** STRATIFIED TRAIN/VAL/TEST SPLIT: assignment by a seeded hash
     * bucket (0-99) of the doc id — pure per-row projection, NO shuffle,
     * no global state, so membership is stable under corpus growth (a

@@ -233,6 +233,47 @@ object StreamingQueries {
       .orderBy("user_id", "click_id", "purchase_id")
   }
 
+  /** LEFT OUTER stream-stream interval join — the funnel "clicks that
+    * never converted" shape: unmatched clicks survive with NULL
+    * purchase columns (streaming emits them once the watermark passes
+    * the match window; batch twin is a plain left join — same rows).
+    * NULL-sensitive projections (`lag_us`, timestamps) go through
+    * null-propagating expressions on both engines; the match flag is
+    * emitted so the hash gate pins exactly WHICH clicks converted. */
+  val stIntervalJoinOuter: Q = Q.sql(
+    "st_interval_join_outer",
+    """WITH clicks AS (
+      |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+      |), purchases AS (
+      |  SELECT user_id, event_id, ts, value FROM events
+      |  WHERE event_type = 'purchase'
+      |)
+      |SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      |  CAST(DATE_TRUNC('second', c.ts) AS VARCHAR) AS click_ts,
+      |  CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us,
+      |  p.value AS purchase_value,
+      |  p.event_id IS NOT NULL AS converted
+      |FROM clicks c LEFT JOIN purchases p
+      |  ON c.user_id = p.user_id
+      | AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+      |ORDER BY c.user_id, click_id, purchase_id""".stripMargin) { (s, d) =>
+    import graft.streaming.EventStream
+    val e = Tables.events(s, d)
+    val joined = EventStream.intervalJoinLeftOuter(
+      e.filter(col("event_type") === "click"),
+      e.filter(col("event_type") === "purchase"))
+    joined.select(
+      col("user_id"),
+      col("left_id").as("click_id"),
+      col("right_id").as("purchase_id"),
+      date_trunc("second", col("left_ts")).cast("string").as("click_ts"),
+      (unix_micros(col("right_ts")) - unix_micros(col("left_ts")))
+        .as("lag_us"),
+      col("right_value").as("purchase_value"),
+      col("right_id").isNotNull.as("converted"))
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
   val all: Seq[Q] = Seq(stTumbling, stSliding, stSessions, stFirstSeen,
-    stStreamDedup, stStaticEnrich, stIntervalJoin)
+    stStreamDedup, stStaticEnrich, stIntervalJoin, stIntervalJoinOuter)
 }

@@ -127,7 +127,8 @@ object EventStream {
     * twin `st_interval_join` checks the REAL function. */
   def intervalJoin(left: DataFrame, right: DataFrame,
                    horizon: String = "30 minutes",
-                   watermark: String = "2 hours"): DataFrame = {
+                   watermark: String = "2 hours",
+                   joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", watermark)
       .select(col("user_id"), col("event_id").as("left_id"),
         col("ts").as("left_ts"), col("value").as("left_value"))
@@ -138,9 +139,24 @@ object EventStream {
     l.join(r,
       col("user_id") === col("right_user_id") &&
         col("right_ts") >= col("left_ts") &&
-        col("right_ts") < col("left_ts") + expr(s"interval $horizon"))
+        col("right_ts") < col("left_ts") + expr(s"interval $horizon"),
+      joinType)
       .drop("right_user_id")
   }
+
+  /** LEFT OUTER stream-stream interval join — [[intervalJoin]] with the
+    * unmatched-left semantics a funnel analysis needs ("clicks that
+    * never converted"): a left row with no right match inside the
+    * horizon emits with NULL right columns once the watermark passes
+    * the end of its match window (Spark holds it in state exactly that
+    * long — the same watermark bound that sizes the inner join's
+    * state, so the outer variant adds latency, not unbounded state).
+    * On batch frames `withWatermark` is a no-op and this is a plain
+    * left join — the oracle-gate equivalence. */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame,
+                            horizon: String = "30 minutes",
+                            watermark: String = "2 hours"): DataFrame =
+    intervalJoin(left, right, horizon, watermark, "left_outer")
 
   /** STREAMING MERGE SINK — foreachBatch bridging to the batch
     * [[graft.operators.MergeUpsert]] discipline (SURVEY S5/I2): each

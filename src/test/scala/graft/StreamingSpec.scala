@@ -89,6 +89,58 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("left-outer interval join: matches = inner join, null-rights emit past watermark") {
+    val clicks = EventStream.readEvents(spark, eventsDir)
+      .filter(col("event_type") === "click")
+    val purchases = EventStream.readEvents(spark, eventsDir)
+      .filter(col("event_type") === "purchase")
+    val q = EventStream.intervalJoinLeftOuter(clicks, purchases)
+      .writeStream.format("memory").queryName("interval_outer_test")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("interval_outer_test")
+      .select(col("left_id"), col("right_id")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    val e = Tables.events(spark, sf)
+    val batchOuter = EventStream.intervalJoinLeftOuter(
+      e.filter(col("event_type") === "click"),
+      e.filter(col("event_type") === "purchase"))
+      .select(col("left_id"), col("right_id")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    // matched rows identical to the batch twin; unmatched (None) rows
+    // are the batch's unmatched set MINUS clicks the final watermark
+    // hasn't released (max event ts - 2h) — so subset, and non-empty
+    // because the corpus spans far more than the watermark delay.
+    val sm = streamed.filter(_._2.isDefined).toSet
+    val bm = batchOuter.filter(_._2.isDefined).toSet
+    assert(sm == bm)
+    val sNull = streamed.filter(_._2.isEmpty).map(_._1).toSet
+    val bNull = batchOuter.filter(_._2.isEmpty).map(_._1).toSet
+    assert(sNull.nonEmpty)
+    assert(sNull.subsetOf(bNull))
+  }
+
+  test("writeShards: one ordered file per shard, lossless round trip") {
+    import graft.llm.{TextAnalysis => TA}
+    import spark.implicits._
+    val docs = (1L to 500L).toList.toDF("doc_id")
+    val shuffled = TA.corpusShuffle(docs, col("doc_id"), "sh1", nShards = 4)
+    val out = java.nio.file.Files.createTempDirectory("shards").toString
+    TA.writeShards(shuffled, out)
+    val shardDirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(shardDirs.length == 4)
+    shardDirs.foreach { sd =>
+      assert(sd.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+      val pos = spark.read.parquet(sd.toString)
+        .select("position").collect().map(_.getLong(0)).toSeq
+      assert(pos == pos.sorted && pos.head == 0L) // file order = positions
+    }
+    val roundTrip = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(roundTrip == (1L to 500L).toSet)
+  }
+
   test("streaming dedup collapses redelivered events to one row each") {
     // Simulate at-least-once redelivery: the same events file staged
     // twice in the source dir; dropDuplicatesWithinWatermark must emit
