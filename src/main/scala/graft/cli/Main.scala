@@ -178,8 +178,14 @@ object Main {
       explicitNameMappings = mappingsConfig(dataDir))
     val out = ModelDag.run(cat, raw)
 
-    // ---- 3. quality checks, non-fatal (orchestrator.py:466-504) ----
-    val quality = Checks.runAll(qualityBattery(out))
+    // ---- 3. quality checks, non-fatal (orchestrator.py:466-504).
+    //      Drift checks compare the two most recent committed versions,
+    //      so a seed run passes vacuously and every incremental run gets
+    //      a real "did the refresh halve the table" alarm. ----
+    val quality = Checks.runAll(qualityBattery(out) ++
+      Seq("fct_orders", "fct_companies").map(t =>
+        Checks.snapshotDrift(spark, s"${cat.root}/mart/$t", t,
+          maxRelDrift = 0.5)))
     val overall =
       if (sources.exists(_.status == "failed")) "partial_failure"
       else if (quality.exists(!_.passed)) "quality_issues"

@@ -52,6 +52,33 @@ object Checks {
       if (ratio >= threshold) 0L else 1L)
   }
 
+  /** SNAPSHOT DRIFT between the two most recent committed versions of
+    * an [[graft.operators.AtomicTable]]: fails when the row count moved
+    * by more than `maxRelDrift` (e.g. 0.5 = ±50%) — the "did a refresh
+    * silently drop half the table" alarm a replace-sink pipeline needs
+    * before consumers read the new version. Tables with fewer than two
+    * versions pass vacuously (nothing to compare). Two count-only scans;
+    * composes with [[graft.operators.AtomicTable.diff]] when the alarm
+    * fires and the investigator needs WHICH keys moved. */
+  def snapshotDrift(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    table: String, maxRelDrift: Double): Result = {
+    import graft.operators.AtomicTable
+    val versions = AtomicTable.committedVersions(spark, dir)
+    val violations = versions.takeRight(2) match {
+      case Seq(prev, latest) if versions.size >= 2 =>
+        val before = AtomicTable.readVersion(spark, dir, prev)
+          .map(_.count()).getOrElse(0L)
+        val after = AtomicTable.readVersion(spark, dir, latest)
+          .map(_.count()).getOrElse(0L)
+        val drift =
+          if (before == 0L) { if (after == 0L) 0.0 else 1.0 }
+          else math.abs(after - before).toDouble / before
+        if (drift <= maxRelDrift) 0L else 1L
+      case _ => 0L
+    }
+    Result(f"snapshot_drift(<=$maxRelDrift%.2f)", table, violations)
+  }
+
   def runAll(results: Seq[Result]): Seq[Result] = {
     results.filterNot(_.passed).foreach(r =>
       System.err.println(s"[quality] FAIL ${r.table}.${r.check}: " +

@@ -287,4 +287,26 @@ class OperatorsSpec extends SparkSpec {
     assert(AtomicTable.read(spark, dir).get.collect()
       .map(_.getString(1)).toSeq == Seq("v4"))
   }
+
+  test("Checks.snapshotDrift flags a large version-over-version count swing") {
+    import graft.operators.AtomicTable
+    import graft.quality.Checks
+    val dir = java.nio.file.Files.createTempDirectory("atomic_drift")
+      .resolve("t").toString
+    def df(n: Int) = (1 to n).map(i => (i.toLong, s"r$i")).toDF("k", "v")
+    // Fewer than two versions: vacuously passes (incl. missing table).
+    assert(Checks.snapshotDrift(spark, s"$dir-nope", "t", 0.5).passed)
+    AtomicTable.commit(df(10), dir, 0L, retainVersions = 10)
+    assert(Checks.snapshotDrift(spark, dir, "t", 0.5).passed)
+    // 10 -> 9 rows = 10% drift: inside a 50% tolerance.
+    AtomicTable.commit(df(9), dir, 1L, retainVersions = 10)
+    assert(Checks.snapshotDrift(spark, dir, "t", 0.5).passed)
+    // 9 -> 2 rows = 78% drift: alarm fires.
+    AtomicTable.commit(df(2), dir, 2L, retainVersions = 10)
+    val r = Checks.snapshotDrift(spark, dir, "t", 0.5)
+    assert(!r.passed && r.violations == 1L)
+    // Only the two MOST RECENT versions are compared: 2 -> 2 is flat.
+    AtomicTable.commit(df(2), dir, 3L, retainVersions = 10)
+    assert(Checks.snapshotDrift(spark, dir, "t", 0.5).passed)
+  }
 }
