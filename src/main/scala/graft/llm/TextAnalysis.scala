@@ -217,6 +217,40 @@ object TextAnalysis {
                   pattern: String = BpeishPattern): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0)))
 
+  /** BPE PAIR STATISTICS — the distributed core of tokenizer training.
+    * Real BPE alternates (1) count adjacent-symbol pair frequencies over
+    * the whole corpus and (2) pick the argmax pair as the next merge;
+    * step 1 is the only corpus-scale work (step 2 runs driver-side on
+    * the tiny top-k, exactly like published distributed BPE trainers).
+    * This computes one round of step 1 over the BPE-ish pre-tokens
+    * ([[BpeishPattern]]) and returns the deterministic top-`k` pairs
+    * (count desc, then left/right asc — a total order, so the limit
+    * boundary is engine-stable).
+    *
+    * SCALE SHAPE: posexplode (scan) → ONE lead window keyed by doc
+    * (pos is unique per doc, so the sort is tie-free) → ONE
+    * groupBy(left,right) with map-side combine — Zipf-hot pairs
+    * collapse per partition before the shuffle — → top-k via
+    * `orderBy.limit` (TakeOrderedAndProject: per-partition heaps, k
+    * rows to one node, never a global sort). Work ∝ corpus tokens;
+    * nothing materializes beyond the k survivors. The adjacent-pair
+    * join is deliberately a window, not a self-join on pos+1: one
+    * shuffle by doc instead of two plus a join. */
+  def bpePairStats(docs: DataFrame, id: Column, text: Column,
+                   k: Int): DataFrame = {
+    val tok = docs.select(id.as("doc_id"),
+      posexplode(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+        .as(Seq("pos", "token")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    tok.select(col("token").as("left_tok"),
+        lead(col("token"), 1).over(w).as("right_tok"))
+      .filter(col("right_tok").isNotNull)
+      .groupBy(col("left_tok"), col("right_tok"))
+      .agg(count(lit(1)).cast("long").as("pair_count"))
+      .orderBy(col("pair_count").desc, col("left_tok"), col("right_tok"))
+      .limit(k)
+  }
+
   /** Exploded (doc_id, shingle) rows built with posexplode + lead
     * windows — fully codegen'd, unlike the array form below (Spark's
     * higher-order functions are interpreted per element; on a 5k-doc

@@ -103,6 +103,31 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer training — one distributed BPE pair-count round: global
+    * adjacent-pair frequencies over the BPE-ish pre-tokens, deterministic
+    * top-50 (count desc, pair asc — total order, engine-stable limit).
+    * DuckDB twin builds the pairs by direct list indexing
+    * (`toks[i]`/`toks[i+1]` zipped via parallel unnest); Spark uses the
+    * codegen'd posexplode + lead-window row form (HOFs are interpreted). */
+  val tBpePairCounts: Q = Q.sql(
+    "t_bpe_pair_counts",
+    """WITH t AS (
+      |  SELECT regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]') AS toks
+      |  FROM documents
+      |), p AS (
+      |  SELECT
+      |    unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i])) AS left_tok,
+      |    unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i + 1])) AS right_tok
+      |  FROM t
+      |)
+      |SELECT left_tok, right_tok, CAST(COUNT(*) AS BIGINT) AS pair_count
+      |FROM p GROUP BY left_tok, right_tok
+      |ORDER BY pair_count DESC, left_tok, right_tok LIMIT 50""".stripMargin) {
+    (s, d) =>
+      TA.bpePairStats(Tables.documents(s, d), col("doc_id"), col("text"),
+        k = 50)
+  }
+
   /** Text analysis — quality scoring (length/punct/stopword/diversity). */
   val tQuality: Q = Q.sql(
     "t_text_quality",
@@ -1797,7 +1822,8 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(tTokens, tTokensBpe, tLangId, tQuality,
+  val all: Seq[Q] = Seq(tTokens, tTokensBpe, tBpePairCounts, tLangId,
+    tQuality,
     tFingerprint, tRepetition, tContamination, tPiiScrub, tVocab,
     tCorpusCuration, tPacking, tQuotaSample, tTemperatureMix,
     tCorpusShuffle,
