@@ -369,8 +369,43 @@ object UnionScalarQueries {
       .orderBy("event_month", "event_type")
   }
 
+  /** Z-order layout key ([[graft.operators.ZOrder]]): 16-bit Morton
+    * interleave of (p_size, p_partkey & 255) plus the 16-way tile id the
+    * pruning demo buckets on. The DuckDB twin replays the identical
+    * three-step magic-mask spread with plain `<<`/`&`/`|` integer
+    * arithmetic — the whole point of keeping the key free of engine bit
+    * intrinsics. */
+  val fZOrderKey: Q = Q.sql(
+    "f_zorder_key",
+    """WITH q AS (
+      |  SELECT p_partkey,
+      |    CAST(p_size AS BIGINT) & 255 AS a,
+      |    CAST(p_partkey AS BIGINT) & 255 AS b
+      |  FROM part
+      |), s1 AS (
+      |  SELECT p_partkey, (a | (a << 4)) & 3855 AS a, (b | (b << 4)) & 3855 AS b FROM q
+      |), s2 AS (
+      |  SELECT p_partkey, (a | (a << 2)) & 13107 AS a, (b | (b << 2)) & 13107 AS b FROM s1
+      |), s3 AS (
+      |  SELECT p_partkey, (a | (a << 1)) & 21845 AS a, (b | (b << 1)) & 21845 AS b FROM s2
+      |)
+      |SELECT p_partkey,
+      |  CAST(a | (b << 1) AS BIGINT) AS z_key,
+      |  CAST((a | (b << 1)) >> 12 AS BIGINT) AS z_tile
+      |FROM s3 ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    import graft.operators.ZOrder
+    val z = ZOrder.zKey8(col("p_size").cast("long"),
+      col("p_partkey").cast("long"))
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      z.as("z_key"),
+      shiftright(z, 12).as("z_tile"))
+      .orderBy("p_partkey")
+  }
+
   val all: Seq[Q] = Seq(p1UnionAlign, p2p3FlagExcept, a15MultiLevel,
-    u2UnionDistinct, fString, fHash, fDate, fSafeNumeric, s5MergeUpsert,
+    u2UnionDistinct, fString, fHash, fDate, fSafeNumeric, fZOrderKey,
+    s5MergeUpsert,
     s6VersionDiff,
     i1Incremental, a17EventRollup)
 }

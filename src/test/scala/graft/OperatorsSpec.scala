@@ -288,6 +288,47 @@ class OperatorsSpec extends SparkSpec {
       .map(_.getString(1)).toSeq == Seq("v4"))
   }
 
+  test("ZOrder: tiles prune on BOTH dims; clusterBy yields disjoint key ranges") {
+    import graft.operators.ZOrder
+    // Known spread values: dense bits map to alternating bits.
+    val sp = spark.range(1).select(
+      ZOrder.spread8(lit(255L)).as("all"),
+      ZOrder.spread8(lit(0L)).as("none"),
+      ZOrder.zKey8(lit(255L), lit(255L)).as("full")).head()
+    assert(sp.getLong(0) == 0x5555L && sp.getLong(1) == 0L &&
+      sp.getLong(2) == 0xFFFFL)
+
+    // 64x64 grid; 12-bit Morton key; 16 tiles = key >> 8 (16x16 squares).
+    val grid = spark.range(64L * 64L).select(
+      shiftright(col("id"), 6).as("a"),
+      col("id").bitwiseAND(lit(63L)).as("b"))
+    def touched(slab: org.apache.spark.sql.Column,
+                tile: org.apache.spark.sql.Column): Long =
+      grid.filter(slab).select(tile.as("t")).distinct().count()
+    val zTile = shiftright(ZOrder.zKey8(col("a"), col("b")), 8)
+    val linTile = shiftright(col("a") * 64L + col("b"), 8) // a-major sort
+    // b-slab: a-major linear layout cannot prune (16/16 tiles); Z
+    // touches 4. a-slab: linear is perfect (1), Z again 4 — the
+    // balanced-pruning trade the scaladoc documents.
+    assert(touched(col("b") <= 3, zTile) == 4L)
+    assert(touched(col("b") <= 3, linTile) == 16L)
+    assert(touched(col("a") <= 3, zTile) == 4L)
+    assert(touched(col("a") <= 3, linTile) == 1L)
+
+    // clusterBy: every output slice owns a contiguous, disjoint curve
+    // segment (what turns file min/max stats into tile bounding boxes).
+    val ranges = ZOrder.clusterBy(grid, col("a"), col("b"), 16)
+      .select(col("a"), col("b"), spark_partition_id().as("pid"))
+      .withColumn("z", ZOrder.zKey8(col("a"), col("b")))
+      .groupBy("pid").agg(min("z").as("lo"), max("z").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.size >= 8, s"too few non-empty ranges: ${ranges.size}")
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi < lo, "overlapping ranges")
+      case _ =>
+    }
+  }
+
   test("Checks.snapshotDrift flags a large version-over-version count swing") {
     import graft.operators.AtomicTable
     import graft.quality.Checks
