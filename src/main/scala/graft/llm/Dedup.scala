@@ -376,6 +376,66 @@ object Dedup {
     labels
   }
 
+  /** DUPLICATED-SUBSTRING SPAN COVERAGE — the exact-substring dedup
+    * signal of Lee et al. 2021 ("Deduplicating Training Data Makes
+    * Language Models Better"): for each document, how many token
+    * positions sit inside a `k`-gram that also occurs in ANOTHER
+    * document. Their suffix-array finds exact spans ≥ k tokens; the
+    * equivalent corpus-scale signal is k-gram fingerprints with
+    * cross-doc frequency > 1, whose per-doc interval union is exactly
+    * the union of duplicated spans (any duplicated run of length
+    * L ≥ k is covered by its L−k+1 duplicated k-grams). Emits
+    * (doc_id, n_tokens, n_dup_spans, covered_tokens) — integer-exact
+    * counts; callers derive the coverage ratio and drop/trim docs
+    * above threshold.
+    *
+    * Scale shape: posexplode (scan) → ONE lead window keyed by doc
+    * (tie-free: pos is unique per doc) builds k-gram fingerprints →
+    * ONE groupBy(fp) for cross-doc frequency (uniform 128-bit keys,
+    * two-phase distinct-count) → fp equi-join of spans against the
+    * shared set (never per-pair) → per-doc interval union as ONE
+    * running-max window (classic merge: each span contributes
+    * max(0, end − max(prev_max_end, start−1)) positions) → ONE
+    * groupBy(doc_id). Every shuffle is keyed by doc or fingerprint;
+    * nothing is quadratic in corpus size. */
+  def dupSpanCoverage(docs: DataFrame, id: Column, text: Column,
+                      k: Int): DataFrame = {
+    val tok = docs.select(id.as("doc_id"),
+      posexplode(TextAnalysis.tokens(text)).as(Seq("pos", "token")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // concat (not concat_ws) null-propagates: trailing positions with
+    // fewer than k-1 successors drop out via the isNotNull filter.
+    val parts = col("token") +: (1 until k).flatMap(j =>
+      Seq(lit(" "), lead(col("token"), j).over(w)))
+    val sh = tok.select(col("doc_id"), col("pos"),
+        md5(concat(parts: _*)).as("fp"))
+      .filter(col("fp").isNotNull)
+    val shared = sh.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).select("fp")
+    val spans = sh.join(shared, Seq("fp"))
+      .select(col("doc_id"), col("pos").cast("long").as("start"),
+        (col("pos") + (k - 1)).cast("long").as("end"))
+    val prev = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val contrib = spans
+      .withColumn("prev_end", coalesce(max(col("end")).over(prev),
+        lit(-1L)))
+      .select(col("doc_id"),
+        greatest(col("end") -
+          greatest(col("prev_end"), col("start") - 1L), lit(0L))
+          .as("covered"))
+    val perDoc = contrib.groupBy(col("doc_id"))
+      .agg(sum(col("covered")).cast("long").as("covered_tokens"),
+        count(lit(1)).cast("long").as("n_dup_spans"))
+    docs.select(id.as("doc_id"),
+        size(TextAnalysis.tokens(text)).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+  }
+
   /** LINE-LEVEL dedup, the CCNet/C4 boilerplate-removal pass: a line
     * whose normalized form (lower+trim) appears in MORE than `maxDocFreq`
     * distinct documents corpus-wide (nav menus, copyright footers,

@@ -933,6 +933,48 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Dedup — duplicated-substring span coverage (Lee et al. exact-substring
+    * signal): per doc, token positions covered by 5-grams that occur in
+    * another document, via cross-doc k-gram frequency + interval union.
+    * DuckDB twin indexes lists directly and zips start positions with
+    * fingerprints through the parallel-unnest idiom; the running-max
+    * interval merge is the same window in both engines. */
+  val ddDupSpanCoverage: Q = Q.sql(
+    "dd_dup_span_coverage",
+    s"""WITH t AS (
+      |  SELECT doc_id, $toksSql AS toks FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    unnest(generate_series(1, len(toks) - 4)) - 1 AS start,
+      |    unnest(list_transform(generate_series(1, len(toks) - 4),
+      |      i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])))) AS fp
+      |  FROM t
+      |), shared AS (
+      |  SELECT fp FROM sh GROUP BY fp HAVING COUNT(DISTINCT doc_id) > 1
+      |), spans AS (
+      |  SELECT doc_id, start, start + 4 AS fin FROM sh JOIN shared USING (fp)
+      |), merged AS (
+      |  SELECT doc_id,
+      |    GREATEST(fin - GREATEST(
+      |      COALESCE(MAX(fin) OVER (PARTITION BY doc_id ORDER BY start
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1),
+      |      start - 1), 0) AS covered
+      |  FROM spans
+      |), perdoc AS (
+      |  SELECT doc_id, CAST(SUM(covered) AS BIGINT) AS covered_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS n_dup_spans
+      |  FROM merged GROUP BY doc_id
+      |)
+      |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  COALESCE(n_dup_spans, 0) AS n_dup_spans,
+      |  COALESCE(covered_tokens, 0) AS covered_tokens
+      |FROM t LEFT JOIN perdoc ON t.doc_id = perdoc.doc_id
+      |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+    Dedup.dupSpanCoverage(Tables.documents(s, d), col("doc_id"),
+      col("text"), k = 5)
+      .orderBy("doc_id")
+  }
+
   /** Dedup — MinHash + LSH banding (4 bands × 2 rows, md5-seeded) with
     * exact n-gram-Jaccard verification of the candidates; emits pairs
     * with jaccard >= 0.8. Covers both the minhash-LSH and ngram-jaccard
@@ -1830,7 +1872,7 @@ object LlmQueries {
     tStratifiedSplit, tDocChunking, tOovRate, ddExact, ddExactNormalized, ddIncrementalDedup,
     ddIncrementalBloom, ddIncrementalIndexChain, ddNearDupIndexChain,
     ddClusterCanonical,
-    ddUrlDedup, ddLineDedup,
+    ddUrlDedup, ddLineDedup, ddDupSpanCoverage,
     ddConnectedComponents, ddMinhashLsh, ddSimhash,
     ddSimhashNearDup, ddEmbeddingNearDup, annBruteForce, annLsh, annRhLsh,
     annIvf, mmBinary, mmFeatures, mmAudio, mmVideo, mmResize,
