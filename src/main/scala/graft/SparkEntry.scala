@@ -15,7 +15,8 @@ object SparkEntry {
   /** All registered queries, grouped by SURVEY §2 section. */
   def registry: Seq[Q] =
     AggQueries.all ++ WindowQueries.all ++ JoinQueries.all ++
-      UnionScalarQueries.all ++ LlmQueries.all ++ StreamingQueries.all ++
+      UnionScalarQueries.all ++ LlmQueries.all ++ ClusteringQueries.all ++
+      StreamingQueries.all ++
       RefOpQueries.all ++ CompanyProductQueries.all ++
       PricingHistoryQueries.all ++ OrdersChainQueries.all ++
       ConsolidationChainQueries.all ++ ShopifyChainQueries.all ++

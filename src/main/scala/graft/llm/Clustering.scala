@@ -1,0 +1,234 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Distributed k-means (Lloyd's algorithm) over an embedding column,
+  * in EXACT integer arithmetic so every iteration — assignment argmin,
+  * centroid update, final distances — is bit-identical across engines
+  * and cluster sizes (the DuckDB oracle replays the full iteration
+  * chain in SQL).
+  *
+  * Determinism design (see README "Determinism rules"):
+  *  - vectors are quantized per-dimension to `round(v*1e6) + 4_000_000`
+  *    BIGINT. The +4e6 offset keeps every value, centroid sum and
+  *    centroid quotient strictly positive, which makes Spark's `div`
+  *    (truncate toward zero) and DuckDB's `//` (floor) agree — the two
+  *    only differ on negatives. Squared distances are offset-invariant,
+  *    so clustering geometry is unchanged. Requires |v| < 3.4 (testdata
+  *    embeddings are unit-scale, |v| < 0.6).
+  *  - assignment ties break on smaller centroid id; centroid update is
+  *    `sum(qv) div count` per dimension (exact integer floor-mean);
+  *    clusters that lose all members simply drop out — both engines
+  *    drop them identically.
+  *  - overflow headroom: |qv| ≤ 8e6 ⇒ dist² ≤ 64·(8e6)² ≈ 4.1e15 ≪ 2^63.
+  *
+  * Scale shape (the 100 TB story): this is the canonical MLlib-style
+  * Lloyd loop. Centroids (k×dims longs) are collected to the driver
+  * after each update and rebroadcast — k ≪ n always; the data side is
+  * touched only by scans. Per iteration: one broadcast-join scoring
+  * pass producing n×k partial-aggregated rows (map-side combined on
+  * (vec_id, cid)), one argmin window partitioned by vec_id, and one
+  * (cid, pos)-keyed update aggregate — no shuffle is ever keyed on
+  * anything wider than the id. The exploded (vec_id, pos, qv) row form
+  * keeps everything codegen'd (Spark array HOFs are interpreted).
+  *
+  * Reference scope: the reference engine has no clustering operator —
+  * this belongs to the builder-prompt "training-data pipeline"
+  * first-class set (SemDeDup pruning, trained-IVF ANN).
+  */
+object Clustering {
+
+  /** Quantization offset; see class doc. */
+  val Offset: Long = 4000000L
+
+  /** Exploded quantized row form: (vec_id, pos, qv) with qv offset-
+    * positive. One row per (vector, dimension). */
+  def quantRows(emb: DataFrame, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol).as("vec_id"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos"),
+        (round(col("v").cast("double") * 1e6).cast("long") + Offset)
+          .as("qv"))
+
+  /** Stride-sampled initial centroids as (cid, pos, cv) rows:
+    * every `stride`-th vec_id, renumbered cid = vec_id div stride. */
+  def initCentroids(rows: DataFrame, stride: Int): DataFrame =
+    rows.filter(col("vec_id") % stride === 0)
+      .select(expr(s"vec_id div $stride").as("cid"), col("pos"),
+        col("qv").as("cv"))
+
+  /** Ranked nearest centroids per vector by exact integer squared
+    * distance, ties to the smaller cid. Returns
+    * (vec_id, cid, dist_sq, rn) with rn ≤ n. `cent` is (cid, pos, cv) —
+    * always k×dims rows, broadcast. rn=1 is the Lloyd assignment; n>1
+    * gives the IVF probe list. */
+  def nearestCentroids(rows: DataFrame, cent: DataFrame,
+                       n: Int): DataFrame = {
+    val d = col("qv") - col("cv")
+    val scored = rows.join(broadcast(cent), Seq("pos"))
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum(d * d).as("dist_sq"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist_sq"), col("cid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+  }
+
+  /** One Lloyd assignment pass: (vec_id, cid, dist_sq). */
+  def assign(rows: DataFrame, cent: DataFrame): DataFrame =
+    nearestCentroids(rows, cent, 1).drop("rn")
+
+  /** One Lloyd update pass: per-dimension exact floor-mean of members.
+    * Returns (cid, pos, cv); empty clusters drop out. */
+  def update(rows: DataFrame, assignment: DataFrame): DataFrame =
+    rows.join(assignment.select("vec_id", "cid"), Seq("vec_id"))
+      .groupBy(col("cid"), col("pos"))
+      .agg(expr("sum(qv) div count(1)").as("cv"))
+
+  /** Train `iters` Lloyd rounds from the stride init and return the
+    * final centroids (cid, pos, cv) as a driver-literal frame.
+    * Centroids are collected to the driver each round (k×dims longs —
+    * the classic Lloyd synchronization point) and re-entered as a
+    * literal frame, which truncates the iteration lineage exactly like
+    * a checkpoint and keeps every pass a one-broadcast-join scan. */
+  def train(spark: SparkSession, rows: DataFrame, stride: Int,
+            iters: Int): DataFrame = {
+    import spark.implicits._
+    var cent = initCentroids(rows, stride)
+    for (_ <- 1 to iters) {
+      val a = assign(rows, cent)
+      val collected = update(rows, a)
+        .as[(Long, Int, Long)].collect().toSeq.sortBy(r => (r._1, r._2))
+      cent = collected.toDF("cid", "pos", "cv")
+    }
+    cent
+  }
+
+  /** Full Lloyd loop: train then one final assignment. Returns
+    * (assignment = (vec_id, cid, dist_sq), centroids = (cid, pos, cv)). */
+  def kmeans(spark: SparkSession, emb: DataFrame, stride: Int, iters: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, DataFrame) = {
+    val rows = quantRows(emb, idCol, vecCol)
+    val cent = train(spark, rows, stride, iters)
+    (assign(rows, cent), cent)
+  }
+
+  /** SemDeDup (Abbas et al. 2023) semantic pruning: k-means-cluster the
+    * embeddings, then within each cluster flag every vector that has a
+    * SMALLER-id cluster-mate with cosine ≥ `threshold` (quantized-dot
+    * cosine — the same scoring as the ANN family). Pair generation is
+    * bounded by cluster sizes (never cross-cluster, never O(n²)) — the
+    * whole point of clustering first; at 100 TB the pair join is keyed
+    * on cid and each cluster is a small fraction of the corpus.
+    * Returns (vec_id, cluster_id, is_pruned, pruned_by). */
+  def semDeDup(spark: SparkSession, emb: DataFrame, stride: Int,
+               iters: Int, threshold: Double,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    graft.plans.QuantDot.register(spark)
+    val (a, _) = kmeans(spark, emb, stride, iters, idCol, vecCol)
+    val assigned = a.select(col("vec_id"), col("cid"))
+      .join(emb.select(col(idCol).as("vec_id"), col(vecCol).as("vec")),
+        Seq("vec_id"))
+    val l = assigned.select(col("cid"), col("vec_id").as("doc_a"),
+      col("vec").as("q_vec"))
+    val r = assigned.select(col("cid"), col("vec_id").as("doc_b"),
+      col("vec").as("c_vec"))
+    val dot = expr("graft_quant_dot(q_vec, c_vec)")
+    val qSq = expr("graft_quant_dot(q_vec, q_vec)")
+    val cSq = expr("graft_quant_dot(c_vec, c_vec)")
+    val matches = l.join(r, Seq("cid"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("cosine",
+        dot.cast("double") /
+          (sqrt(qSq.cast("double")) * sqrt(cSq.cast("double"))))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("doc_b").as("vec_id"))
+      .agg(min(col("doc_a")).as("pruned_by"))
+    a.select(col("vec_id"), col("cid").as("cluster_id"))
+      .join(matches, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"),
+        col("pruned_by").isNotNull.as("is_pruned"), col("pruned_by"))
+  }
+
+  /** IVF ANN top-k over TRAINED centroids — the production upgrade of
+    * [[Similarity.ivfTopK]]'s stride-sample coarse quantizer: cells come
+    * from [[train]], so they follow the data distribution (tighter
+    * cells ⇒ better recall at the same nProbe). Same plan shape:
+    * broadcast centroids, scan-shaped assignment, cell-keyed candidate
+    * join. */
+  def ivfTopKTrained(spark: SparkSession, emb: DataFrame,
+                     queryIds: DataFrame, k: Int, cent: DataFrame,
+                     nProbe: Int, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    graft.plans.QuantDot.register(spark)
+    val rows = quantRows(emb, idCol, vecCol)
+    val ranked = nearestCentroids(rows, cent, nProbe)
+    val cand = ranked.filter(col("rn") === 1)
+      .select(col("vec_id").as("cand_id"), col("cid"))
+      .join(emb.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec")),
+        Seq("cand_id"))
+    val probes = ranked
+      .join(broadcast(queryIds.select(col(idCol).as("vec_id"))),
+        Seq("vec_id"))
+      .select(col("vec_id").as("query_id"), col("cid"))
+      .join(emb.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+        Seq("query_id"))
+    val pairs = probes.join(cand, Seq("cid"))
+      .filter(col("query_id") =!= col("cand_id"))
+    Similarity.scoreAndRank(pairs, k, Seq.empty)
+  }
+
+  /** DuckDB twin of [[kmeans]]: the iteration chain as CTE text.
+    * Emits CTEs `ve` (quantized rows), `c0` (init), per round
+    * `a{t}`/`c{t}` (assignment / updated centroids), and a final RANKED
+    * assignment CTE `af` (vec_id, cid, dist_sq, rn — unfiltered)
+    * against `c{iters}`: rn=1 is the k-means assignment, rn ≤ p the
+    * IVF probe list. Callers prepend `WITH `, may prepend their own
+    * CTE as `table`, and append their SELECT. */
+  def kmeansOracleCtes(table: String, stride: Int, iters: Int,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): String = {
+    val qv = s"CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT) + $Offset"
+    val sb = new StringBuilder
+    sb ++= s"""ve AS (
+      |  SELECT vec_id, pos, $qv AS qv FROM (
+      |    SELECT $idCol AS vec_id, unnest($vecCol) AS v,
+      |           unnest(generate_series(1, len($vecCol))) AS pos
+      |    FROM $table)
+      |), c0 AS (
+      |  SELECT vec_id // $stride AS cid, pos, qv AS cv
+      |  FROM ve WHERE vec_id % $stride = 0
+      |)""".stripMargin
+    def rankedSql(centCte: String): String =
+      s"""SELECT vec_id, cid, dist_sq, ROW_NUMBER() OVER (
+      |      PARTITION BY vec_id ORDER BY dist_sq, cid) AS rn
+      |    FROM (
+      |      SELECT ve.vec_id, c.cid,
+      |             CAST(SUM((ve.qv - c.cv) * (ve.qv - c.cv)) AS BIGINT) AS dist_sq
+      |      FROM ve JOIN $centCte c ON c.pos = ve.pos
+      |      GROUP BY 1, 2)""".stripMargin
+    for (t <- 1 to iters) {
+      sb ++=
+        s""", a$t AS (
+      |  SELECT vec_id, cid FROM (
+      |    ${rankedSql(s"c${t - 1}")})
+      |  WHERE rn = 1
+      |), c$t AS (
+      |  SELECT a$t.cid, ve.pos, SUM(ve.qv) // COUNT(*) AS cv
+      |  FROM ve JOIN a$t ON a$t.vec_id = ve.vec_id
+      |  GROUP BY 1, 2
+      |)""".stripMargin
+    }
+    sb ++=
+      s""", af AS (
+      |  SELECT * FROM (
+      |    ${rankedSql(s"c$iters")})
+      |)""".stripMargin
+    sb.toString
+  }
+}

@@ -25,8 +25,8 @@ import graft.plans.QuantDot
   */
 object Similarity {
 
-  private def scoreAndRank(pairs: DataFrame, k: Int,
-                           extraCols: Seq[String]): DataFrame = {
+  private[llm] def scoreAndRank(pairs: DataFrame, k: Int,
+                                extraCols: Seq[String]): DataFrame = {
     val dot = expr("graft_quant_dot(q_vec, c_vec)")
     val qSq = expr("graft_quant_dot(q_vec, q_vec)")
     val cSq = expr("graft_quant_dot(c_vec, c_vec)")

@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.llm.Clustering
+
+/** Clustering family: distributed integer-exact k-means (Lloyd),
+  * SemDeDup semantic pruning, and trained-centroid IVF ANN. The DuckDB
+  * oracles replay the FULL Lloyd iteration chain
+  * ([[Clustering.kmeansOracleCtes]]) — assignment argmin, floor-mean
+  * centroid updates, final ranked assignment — in exact integer
+  * arithmetic, so these are hash-gated end to end, iterations included.
+  */
+object ClusteringQueries {
+
+  private val Stride = 50
+  private val Iters  = 2
+
+  private val qq = "CAST(ROUND(CAST(%s AS DOUBLE) * 1000000) AS BIGINT)"
+  private val dotSql = s"SUM(${qq.format("qv2")} * ${qq.format("cv2")})"
+
+  /** k-means — final assignment, exact integer distance, cluster size.
+    * Two Lloyd rounds from the stride-sample init (stride=50 ⇒ k scales
+    * with the corpus: 10 cells at sf0.01, 40 at sf0.1). */
+  val cKmeans: Q = Q.sql(
+    "c_kmeans",
+    s"""WITH ${Clustering.kmeansOracleCtes("embeddings", Stride, Iters)}
+      |SELECT vec_id, cid AS cluster_id, dist_sq,
+      |  COUNT(*) OVER (PARTITION BY cid) AS cluster_size
+      |FROM af WHERE rn = 1
+      |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val (a, _) = Clustering.kmeans(s, Tables.embeddings(s, d),
+      Stride, Iters)
+    a.select(col("vec_id"), col("cid").as("cluster_id"), col("dist_sq"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .orderBy("vec_id")
+  }
+
+  /** SemDeDup — cluster, then prune any vector with a smaller-id
+    * cluster-mate at cosine ≥ 0.999. The random corpus has no natural
+    * near-dups (max pairwise cosine ≈ 0.5), so exact copies are planted
+    * (vec_id+100000 for vec_id < 50): identical vectors have identical
+    * integer distance profiles, land in the same cell, and must be the
+    * exact set pruned. */
+  val ddSemDeDup: Q = Q.sql(
+    "dd_semdedup",
+    s"""WITH corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000 AS vec_id, embedding
+      |  FROM embeddings WHERE vec_id < 50
+      |), ${Clustering.kmeansOracleCtes("corpus", Stride, Iters)}
+      |, mem AS (
+      |  SELECT vec_id, cid FROM af WHERE rn = 1
+      |), prs AS (
+      |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+      |  FROM mem a JOIN mem b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      |), qe AS (
+      |  SELECT vec_id AS doc_a, unnest(embedding) AS qv2,
+      |         unnest(generate_series(1, len(embedding))) AS pos
+      |  FROM corpus
+      |), ce AS (
+      |  SELECT vec_id AS doc_b, unnest(embedding) AS cv2,
+      |         unnest(generate_series(1, len(embedding))) AS pos
+      |  FROM corpus
+      |), dots AS (
+      |  SELECT prs.doc_a, prs.doc_b, $dotSql AS dot
+      |  FROM prs
+      |  JOIN qe ON qe.doc_a = prs.doc_a
+      |  JOIN ce ON ce.doc_b = prs.doc_b AND ce.pos = qe.pos
+      |  GROUP BY prs.doc_a, prs.doc_b
+      |), norms AS (
+      |  SELECT vec_id AS id,
+      |    SQRT(CAST(SUM(${qq.format("v")} * ${qq.format("v")}) AS DOUBLE)) AS norm
+      |  FROM (SELECT vec_id, unnest(embedding) AS v FROM corpus)
+      |  GROUP BY vec_id
+      |), matches AS (
+      |  SELECT doc_b AS vec_id, MIN(doc_a) AS pruned_by
+      |  FROM dots
+      |  JOIN norms qn ON qn.id = doc_a
+      |  JOIN norms cn ON cn.id = doc_b
+      |  WHERE CAST(dot AS DOUBLE) / (qn.norm * cn.norm) >= 0.999
+      |  GROUP BY doc_b
+      |)
+      |SELECT mem.vec_id, mem.cid AS cluster_id,
+      |  (pruned_by IS NOT NULL) AS is_pruned, pruned_by
+      |FROM mem LEFT JOIN matches USING (vec_id)
+      |ORDER BY mem.vec_id""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val corpus = emb.unionByName(
+      emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    Clustering.semDeDup(s, corpus, Stride, Iters, threshold = 0.999)
+      .orderBy("vec_id")
+  }
+
+  /** Trained-IVF ANN — every vector queries its 2 nearest TRAINED cells
+    * (same probe/assign shape as ann_ivf_topk, but the coarse quantizer
+    * is the 2-round Lloyd result instead of a stride sample). */
+  val annKmeansIvf: Q = Q.sql(
+    "ann_kmeans_ivf",
+    s"""WITH ${Clustering.kmeansOracleCtes("embeddings", Stride, Iters)}
+      |, assign AS (
+      |  SELECT vec_id AS cand_id, cid FROM af WHERE rn = 1
+      |), probes AS (
+      |  SELECT vec_id AS query_id, cid FROM af WHERE rn <= 2
+      |), cand AS (
+      |  SELECT query_id, cand_id
+      |  FROM probes JOIN assign USING (cid)
+      |  WHERE query_id <> cand_id
+      |), qe AS (
+      |  SELECT vec_id AS query_id, unnest(embedding) AS qv2,
+      |         unnest(generate_series(1, len(embedding))) AS pos
+      |  FROM embeddings
+      |), ce AS (
+      |  SELECT vec_id AS cand_id, unnest(embedding) AS cv2,
+      |         unnest(generate_series(1, len(embedding))) AS pos
+      |  FROM embeddings
+      |), dots AS (
+      |  SELECT cand.query_id, cand.cand_id, $dotSql AS dot
+      |  FROM cand
+      |  JOIN qe ON qe.query_id = cand.query_id
+      |  JOIN ce ON ce.cand_id = cand.cand_id AND ce.pos = qe.pos
+      |  GROUP BY cand.query_id, cand.cand_id
+      |), norms AS (
+      |  SELECT vec_id AS id,
+      |    SQRT(CAST(SUM(${qq.format("v")} * ${qq.format("v")}) AS DOUBLE)) AS norm
+      |  FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings)
+      |  GROUP BY vec_id
+      |), scored AS (
+      |  SELECT query_id, cand_id,
+      |         CAST(dot AS DOUBLE) / (qn.norm * cn.norm) AS cosine
+      |  FROM dots
+      |  JOIN norms qn ON qn.id = query_id
+      |  JOIN norms cn ON cn.id = cand_id
+      |)
+      |SELECT query_id, cand_id, cosine, rank FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, cand_id) AS rank
+      |  FROM scored
+      |) WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val rows = Clustering.quantRows(emb)
+    val cent = Clustering.train(s, rows, Stride, Iters)
+    Clustering.ivfTopKTrained(s, emb, emb.select("vec_id"), k = 5,
+      cent, nProbe = 2)
+      .orderBy("query_id", "rank")
+  }
+
+  val all: Seq[Q] = Seq(cKmeans, ddSemDeDup, annKmeansIvf)
+}

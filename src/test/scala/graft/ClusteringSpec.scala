@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Clustering
+
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Two well-separated 2-d blobs: ids 0-2 near (0,0), ids 50-52 near
+    * (0.4, 0.4). Stride-50 init picks ids 0 and 50 as seeds. */
+  private def blobs = Seq(
+    (0L, Seq(0.00f, 0.01f)), (1L, Seq(0.02f, 0.00f)),
+    (2L, Seq(0.01f, 0.02f)),
+    (50L, Seq(0.40f, 0.41f)), (51L, Seq(0.42f, 0.40f)),
+    (52L, Seq(0.41f, 0.42f))).toDF("vec_id", "embedding")
+
+  test("kmeans separates blobs and assigns each to its own seed cell") {
+    val (a, cent) = Clustering.kmeans(spark, blobs, stride = 50, iters = 2)
+    val got = a.select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      50L -> 1L, 51L -> 1L, 52L -> 1L))
+    // centroid of cell 0 = floor-mean of quantized members per dim:
+    // dim0 qvs (offset 4e6): 4000000, 4020000, 4010000 -> mean 4010000
+    val c0 = cent.filter($"cid" === 0 && $"pos" === 0)
+      .select("cv").as[Long].head()
+    assert(c0 == 4010000L)
+  }
+
+  test("kmeans update drops emptied cells; assignment ties to smaller cid") {
+    // identical vectors at ids 0 and 50: both seeds coincide, every
+    // vector ties between cid 0 and 1 -> all assigned to 0, cell 1
+    // survives only as long as it has members (it never does).
+    val dup = Seq((0L, Seq(0.1f, 0.1f)), (1L, Seq(0.1f, 0.1f)),
+      (50L, Seq(0.1f, 0.1f))).toDF("vec_id", "embedding")
+    val (a, cent) = Clustering.kmeans(spark, dup, stride = 50, iters = 1)
+    assert(a.select("cid").distinct().as[Long].collect().toSeq == Seq(0L))
+    assert(cent.select("cid").distinct().as[Long].collect().toSeq ==
+      Seq(0L))
+  }
+
+  test("quantization offset keeps every qv and centroid positive") {
+    val rows = Clustering.quantRows(blobs)
+    assert(rows.filter($"qv" <= 0).count() == 0)
+    val cent = Clustering.train(spark, rows, stride = 50, iters = 2)
+    assert(cent.filter($"cv" <= 0).count() == 0)
+  }
+
+  test("semDeDup prunes the larger id of an identical pair, keeps rest") {
+    val emb = blobs.unionByName(
+      Seq((100L, Seq(0.00f, 0.01f))).toDF("vec_id", "embedding"))
+    val got = Clustering.semDeDup(spark, emb, stride = 50, iters = 1,
+      threshold = 0.999)
+      .select("vec_id", "is_pruned").as[(Long, Boolean)].collect().toMap
+    assert(got(100L))
+    assert(!got(0L))
+    // near-but-not-identical blob mates stay (cosine of (0,.01) vs
+    // (.02,0) is 0)
+    assert(!got(1L) && !got(2L))
+  }
+
+  test("ivfTopKTrained finds the true blob-mates as top neighbors") {
+    val rows = Clustering.quantRows(blobs)
+    val cent = Clustering.train(spark, rows, stride = 50, iters = 2)
+    val got = Clustering.ivfTopKTrained(spark, blobs,
+      blobs.select("vec_id"), k = 2, cent, nProbe = 1)
+      .select("query_id", "cand_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    // with one probe, candidates stay within the query's own cell
+    val byQuery = got.groupBy(_._1)
+    assert(byQuery(50L).map(_._2).toSet.subsetOf(Set(51L, 52L)))
+    assert(byQuery(0L).map(_._2).toSet.subsetOf(Set(1L, 2L)))
+  }
+}
