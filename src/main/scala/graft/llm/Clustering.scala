@@ -77,9 +77,21 @@ object Clustering {
       .filter(col("rn") <= n)
   }
 
-  /** One Lloyd assignment pass: (vec_id, cid, dist_sq). */
-  def assign(rows: DataFrame, cent: DataFrame): DataFrame =
-    nearestCentroids(rows, cent, 1).drop("rn")
+  /** One Lloyd assignment pass: (vec_id, cid, dist_sq). Argmin via
+    * `min(struct(dist_sq, cid))` — lexicographic struct ordering IS the
+    * (distance, smaller-cid) tie rule — which partial-aggregates
+    * map-side instead of sort+window; [[nearestCentroids]]'s ranked
+    * form is only needed when rn > 1 (IVF probes). */
+  def assign(rows: DataFrame, cent: DataFrame): DataFrame = {
+    val d = col("qv") - col("cv")
+    rows.join(broadcast(cent), Seq("pos"))
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum(d * d).as("dist_sq"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist_sq"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"),
+        col("m.dist_sq").as("dist_sq"))
+  }
 
   /** One Lloyd update pass: per-dimension exact floor-mean of members.
     * Returns (cid, pos, cv); empty clusters drop out. */
