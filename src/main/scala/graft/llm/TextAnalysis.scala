@@ -332,6 +332,60 @@ object TextAnalysis {
           + col("distinct_token_ratio") * 0.2)
   }
 
+  /** EXACT corpus-quantile threshold filter — "keep the top
+    * keepNum/keepDen fraction of the corpus by score" — with no
+    * row-level global sort: one map-side-combined groupBy builds the
+    * VALUE HISTOGRAM of the integer score (the only corpus-scale
+    * pass); the descending cumulative count is a window over DISTINCT
+    * score values, bounded by the quantized domain (≤ 1e6+1 rows for a
+    * [0,1] score at 1e-6 resolution) never by corpus size; the
+    * threshold is the largest score whose from-the-top cumulative
+    * reaches ceil(keepNum·n/keepDen), re-broadcast as one row. Ties AT
+    * the threshold are kept (standard threshold semantics — the kept
+    * count exceeds the target only by ties). The target test is the
+    * cross-multiplied integer predicate `cum·keepDen ≥ n·keepNum`
+    * (≡ cum ≥ ceil(keepNum·n/keepDen) for integer cum), so no
+    * division — floor-vs-trunc and double rounding never enter.
+    * Returns the input plus `threshold` and `is_kept`. */
+  def quantileKeep(scored: DataFrame, scoreCol: String,
+                   keepNum: Int, keepDen: Int): DataFrame = {
+    val hist = scored.groupBy(col(scoreCol))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val w = Window.orderBy(col(scoreCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+    val tot = cum.agg(max(col("cum")).as("n_total"))
+    val thr = cum.crossJoin(broadcast(tot))
+      .filter(col("cum") * keepDen >= col("n_total") * keepNum)
+      .agg(max(col(scoreCol)).as("threshold"))
+    scored.crossJoin(broadcast(thr))
+      .withColumn("is_kept", col(scoreCol) >= col("threshold"))
+  }
+
+  /** Per-GROUP exact quantile threshold — [[quantileKeep]] partitioned
+    * by a group key (language, domain, source): each group gets its own
+    * histogram, cumulative and threshold (the CCNet per-language-bucket
+    * discipline — a global threshold would drown low-resource
+    * languages). Same scale shape: the histogram groupBy is the only
+    * corpus-scale pass; the cumulative window and the per-group totals
+    * run over (group × distinct score) rows; thresholds come back as a
+    * broadcast group-keyed join. */
+  def groupedQuantileKeep(scored: DataFrame, groupCol: String,
+                          scoreCol: String, keepNum: Int,
+                          keepDen: Int): DataFrame = {
+    val hist = scored.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+    val tot = cum.groupBy(col(groupCol)).agg(max(col("cum")).as("n_total"))
+    val thr = cum.join(broadcast(tot), Seq(groupCol))
+      .filter(col("cum") * keepDen >= col("n_total") * keepNum)
+      .groupBy(col(groupCol)).agg(max(col(scoreCol)).as("threshold"))
+    scored.join(broadcast(thr), Seq(groupCol))
+      .withColumn("is_kept", col(scoreCol) >= col("threshold"))
+  }
+
   /** Gopher-style REPETITION signals per document: the fraction of
     * n-gram occurrences taken by the single most frequent n-gram and
     * the fraction covered by n-grams occurring more than once — the

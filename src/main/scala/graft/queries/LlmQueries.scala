@@ -158,6 +158,116 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Corpus-hygiene threshold — keep the top 3/4 of documents by the
+    * composite quality score, EXACT quantile at scale: score-value
+    * histogram + descending cumulative (a window over distinct
+    * quantized scores, never corpus rows), threshold re-broadcast as
+    * one row; ties at the threshold kept. Integer-exact: quantized
+    * score, cross-multiplied target predicate `cum·4 ≥ n·3` — no
+    * division in either engine. */
+  val tQualityQuantile: Q = Q.sql(
+    "t_quality_quantile",
+    s"""WITH t AS (
+      |  SELECT doc_id, text, $toksSql AS toks FROM documents
+      |), f AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CASE WHEN length(text) > 0
+      |         THEN CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS DOUBLE) / length(text)
+      |         ELSE 0.0 END AS punct_ratio,
+      |    CASE WHEN len(toks) > 0
+      |         THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','an','of','and','to','in','is','for','on','with'], x))) AS DOUBLE) / len(toks)
+      |         ELSE 0.0 END AS stopword_ratio,
+      |    CASE WHEN len(toks) > 0
+      |         THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+      |         ELSE 0.0 END AS distinct_token_ratio
+      |  FROM t
+      |), q AS (
+      |  SELECT doc_id, CAST(ROUND((
+      |    LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.4
+      |      + (1.0 - punct_ratio) * 0.2 + stopword_ratio * 0.2
+      |      + distinct_token_ratio * 0.2) * 1000000) AS BIGINT) AS qscore
+      |  FROM f
+      |), hist AS (
+      |  SELECT qscore, CAST(COUNT(*) AS BIGINT) AS cnt FROM q GROUP BY 1
+      |), cum AS (
+      |  SELECT qscore, CAST(SUM(cnt) OVER (ORDER BY qscore DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM hist
+      |), tot AS (
+      |  SELECT MAX(cum) AS n_total FROM cum
+      |), thr AS (
+      |  SELECT MAX(qscore) AS threshold FROM cum, tot
+      |  WHERE cum * 4 >= n_total * 3
+      |)
+      |SELECT q.doc_id, q.qscore, thr.threshold,
+      |  (q.qscore >= thr.threshold) AS is_kept
+      |FROM q, thr ORDER BY q.doc_id""".stripMargin) { (s, d) =>
+    val scored = TA.withQuality(Tables.documents(s, d), col("text"))
+      .select(col("doc_id"),
+        round(col("quality_score") * 1e6).cast("long").as("qscore"))
+    TA.quantileKeep(scored, "qscore", keepNum = 3, keepDen = 4)
+      .select("doc_id", "qscore", "threshold", "is_kept")
+      .orderBy("doc_id")
+  }
+
+  /** Per-LANGUAGE exact quantile threshold (the CCNet per-bucket
+    * discipline): each language keeps its own top 3/4 by quality, so
+    * low-resource languages are not drowned by a global cutoff. Same
+    * histogram + partitioned-cumulative plan as `t_quality_quantile`,
+    * thresholds joined back group-keyed. */
+  val tQualityQuantileByLang: Q = Q.sql(
+    "t_quality_quantile_by_lang",
+    s"""WITH t AS (
+      |  SELECT doc_id, lang, text, $toksSql AS toks FROM documents
+      |), f AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CASE WHEN length(text) > 0
+      |         THEN CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS DOUBLE) / length(text)
+      |         ELSE 0.0 END AS punct_ratio,
+      |    CASE WHEN len(toks) > 0
+      |         THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','an','of','and','to','in','is','for','on','with'], x))) AS DOUBLE) / len(toks)
+      |         ELSE 0.0 END AS stopword_ratio,
+      |    CASE WHEN len(toks) > 0
+      |         THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+      |         ELSE 0.0 END AS distinct_token_ratio
+      |  FROM t
+      |), q AS (
+      |  SELECT doc_id, lang, CAST(ROUND((
+      |    LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.4
+      |      + (1.0 - punct_ratio) * 0.2 + stopword_ratio * 0.2
+      |      + distinct_token_ratio * 0.2) * 1000000) AS BIGINT) AS qscore
+      |  FROM f
+      |), hist AS (
+      |  SELECT lang, qscore, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM q GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT lang, qscore, CAST(SUM(cnt) OVER (PARTITION BY lang
+      |    ORDER BY qscore DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM hist
+      |), tot AS (
+      |  SELECT lang, MAX(cum) AS n_total FROM cum GROUP BY lang
+      |), thr AS (
+      |  SELECT cum.lang, MAX(qscore) AS threshold
+      |  FROM cum JOIN tot ON tot.lang = cum.lang
+      |  WHERE cum * 4 >= n_total * 3
+      |  GROUP BY cum.lang
+      |)
+      |SELECT q.doc_id, q.lang, q.qscore, thr.threshold,
+      |  (q.qscore >= thr.threshold) AS is_kept
+      |FROM q JOIN thr ON thr.lang = q.lang
+      |ORDER BY q.doc_id""".stripMargin) { (s, d) =>
+    val scored = TA.withQuality(Tables.documents(s, d), col("text"))
+      .select(col("doc_id"), col("lang"),
+        round(col("quality_score") * 1e6).cast("long").as("qscore"))
+    TA.groupedQuantileKeep(scored, "lang", "qscore",
+      keepNum = 3, keepDen = 4)
+      .select("doc_id", "lang", "qscore", "threshold", "is_kept")
+      .orderBy("doc_id")
+  }
+
   /** Text analysis — document fingerprinting (exact / bag / min-shingle). */
   val tFingerprint: Q = Q.sql(
     "t_text_fingerprint",
@@ -1865,7 +1975,7 @@ object LlmQueries {
   }
 
   val all: Seq[Q] = Seq(tTokens, tTokensBpe, tBpePairCounts, tLangId,
-    tQuality,
+    tQuality, tQualityQuantile, tQualityQuantileByLang,
     tFingerprint, tRepetition, tContamination, tPiiScrub, tVocab,
     tCorpusCuration, tPacking, tQuotaSample, tTemperatureMix,
     tCorpusShuffle,

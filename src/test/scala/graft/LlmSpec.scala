@@ -6,6 +6,41 @@ import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
 class LlmSpec extends SparkSpec {
   import spark.implicits._
 
+  test("quantileKeep: exact top-fraction threshold, ties kept") {
+    // 8 rows, keep 1/2 -> target ceil(4) = 4; descending cum reaches 4
+    // at score 30 (counts: 40->1, 30->3 cum 4) -> threshold 30.
+    val df = Seq(10L, 20L, 20L, 30L, 30L, 30L, 40L, 5L).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "qscore")
+    val got = TA.quantileKeep(df, "qscore", 1, 2)
+    assert(got.select("threshold").distinct().as[Long].collect().toSeq
+      == Seq(30L))
+    assert(got.filter($"is_kept").count() == 4)
+    // keep 1/4 -> target 2; cum: 40->1, 30->4 crosses 2 at score 30;
+    // ties at the threshold are kept, so 4 rows survive a target of 2.
+    val q = TA.quantileKeep(df, "qscore", 1, 4)
+    assert(q.select("threshold").distinct().as[Long].collect().toSeq
+      == Seq(30L))
+    assert(q.filter($"is_kept").count() == 4)
+    // keep all: threshold is the minimum score.
+    assert(TA.quantileKeep(df, "qscore", 1, 1)
+      .filter($"is_kept").count() == 8)
+  }
+
+  test("groupedQuantileKeep: each group gets its own threshold") {
+    // group a: scores 1..4 keep 1/2 -> threshold 3 (cum desc: 4->1,
+    // 3->2 = target 2); group b: all equal -> everything kept.
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
+      ("b", 7L), ("b", 7L)).zipWithIndex
+      .map { case ((g, s), i) => (i.toLong, g, s) }
+      .toDF("doc_id", "grp", "qscore")
+    val got = TA.groupedQuantileKeep(df, "grp", "qscore", 1, 2)
+      .select("grp", "threshold").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 3L, "b" -> 7L))
+    assert(TA.groupedQuantileKeep(df, "grp", "qscore", 1, 2)
+      .filter($"is_kept").count() == 4) // a: {3,4}; b: both (ties)
+  }
+
   test("tokens drops empties; shingles guard short docs (ANSI-safe)") {
     val df = Seq("a b  c", "x", "", "one two three four").toDF("text")
     val got = df.select(size(TA.tokens($"text")).as("n"),
