@@ -386,6 +386,32 @@ object TextAnalysis {
       .withColumn("is_kept", col(scoreCol) >= col("threshold"))
   }
 
+  /** EXACT multi-quantile summary from ONE histogram pass — the corpus
+    * reporting companion of [[quantileKeep]]: p50/p90/p99 of an integer
+    * metric (tokens per doc, bytes per doc) computed as the standard
+    * lower quantile (smallest value whose ascending cumulative count
+    * reaches ceil(p·n)), every requested quantile answered from the
+    * same cumulative histogram via one broadcast of the tiny quantile
+    * list — no per-quantile passes, no row-level sort, same
+    * cross-multiplied integer predicate as quantileKeep. Returns one
+    * row per requested (q_num, q_den) with the quantile `value`. */
+  def exactQuantiles(scored: DataFrame, scoreCol: String,
+                     quantiles: Seq[(Int, Int)]): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val hist = scored.groupBy(col(scoreCol))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val w = Window.orderBy(col(scoreCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+    val tot = cum.agg(max(col("cum")).as("n_total"))
+    val quants = quantiles.toDF("q_num", "q_den")
+    cum.crossJoin(broadcast(tot)).crossJoin(broadcast(quants))
+      .filter(col("cum") * col("q_den") >= col("n_total") * col("q_num"))
+      .groupBy(col("q_num"), col("q_den"))
+      .agg(min(col(scoreCol)).as("value"))
+  }
+
   /** Gopher-style REPETITION signals per document: the fraction of
     * n-gram occurrences taken by the single most frequent n-gram and
     * the fraction covered by n-grams occurring more than once — the

@@ -448,7 +448,30 @@ object JoinQueries {
       .orderBy("s_nationkey")
   }
 
+  /** Skew AUDIT — the measurement that justifies (or spares) the
+    * salting above: top-20 heaviest event users with integer ppm share
+    * and an is_heavy flag at the 0.1% threshold. TakeOrderedAndProject
+    * top-k (per-partition heaps), 1-row broadcast total, total
+    * (cnt DESC, key ASC) tie order. */
+  val jSkewAudit: Q = Q.sql(
+    "j_skew_audit",
+    """WITH c AS (
+      |  SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1
+      |), t AS (
+      |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM c
+      |)
+      |SELECT key, cnt, n_total,
+      |  cnt * 1000000 // n_total AS share_ppm,
+      |  (cnt * 1000 >= n_total * 1) AS is_heavy
+      |FROM c, t
+      |ORDER BY cnt DESC, key LIMIT 20""".stripMargin) { (s, d) =>
+    graft.operators.SkewAudit.topKeys(Tables.events(s, d),
+      col("user_id"), k = 20, heavyNum = 1, heavyDen = 1000)
+  }
+
   val all: Seq[Q] = Seq(j1BroadcastDims, j5OrderContact, j7FactBridge,
     j8FullOuterMatch, j11AsOf, j12AttributionWindows,
-    j14LeadEmailCustomer, j13CrossAgg, jAntiSemi, jSaltedSkew)
+    j14LeadEmailCustomer, j13CrossAgg, jAntiSemi, jSaltedSkew,
+    jSkewAudit)
 }

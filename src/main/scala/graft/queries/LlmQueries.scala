@@ -268,6 +268,39 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Corpus reporting — exact p50/p90/p99 of tokens-per-document from
+    * ONE histogram pass: every quantile answered from the same
+    * ascending cumulative over distinct token counts (standard lower
+    * quantile, smallest value with cum ≥ ceil(p·n)); no row-level
+    * sort, no per-quantile passes. */
+  val tTokenQuantiles: Q = Q.sql(
+    "t_token_quantiles",
+    s"""WITH d AS (
+      |  SELECT CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents
+      |), hist AS (
+      |  SELECT n_tokens, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM d GROUP BY 1
+      |), cum AS (
+      |  SELECT n_tokens, CAST(SUM(cnt) OVER (ORDER BY n_tokens
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM hist
+      |), tot AS (
+      |  SELECT MAX(cum) AS n_total FROM cum
+      |), qs AS (
+      |  SELECT * FROM (VALUES (1, 2), (9, 10), (99, 100)) AS v(q_num, q_den)
+      |)
+      |SELECT q_num, q_den, MIN(n_tokens) AS value
+      |FROM cum, tot, qs
+      |WHERE cum * q_den >= n_total * q_num
+      |GROUP BY q_num, q_den
+      |ORDER BY q_num, q_den""".stripMargin) { (s, d) =>
+    val scored = Tables.documents(s, d)
+      .select(size(TA.tokens(col("text"))).cast("long").as("n_tokens"))
+    TA.exactQuantiles(scored, "n_tokens",
+      Seq((1, 2), (9, 10), (99, 100)))
+      .orderBy("q_num", "q_den")
+  }
+
   /** Text analysis — document fingerprinting (exact / bag / min-shingle). */
   val tFingerprint: Q = Q.sql(
     "t_text_fingerprint",
@@ -1975,7 +2008,7 @@ object LlmQueries {
   }
 
   val all: Seq[Q] = Seq(tTokens, tTokensBpe, tBpePairCounts, tLangId,
-    tQuality, tQualityQuantile, tQualityQuantileByLang,
+    tQuality, tQualityQuantile, tQualityQuantileByLang, tTokenQuantiles,
     tFingerprint, tRepetition, tContamination, tPiiScrub, tVocab,
     tCorpusCuration, tPacking, tQuotaSample, tTemperatureMix,
     tCorpusShuffle,

@@ -26,6 +26,18 @@ class LlmSpec extends SparkSpec {
       .filter($"is_kept").count() == 8)
   }
 
+  test("exactQuantiles: lower quantile from one histogram") {
+    // values 1..10: p50 -> ceil(5) = 5, p90 -> 9, p99 -> ceil(9.9) = 10
+    val df = (1L to 10L).toDF("v")
+    val got = TA.exactQuantiles(df, "v", Seq((1, 2), (9, 10), (99, 100)))
+      .select("q_num", "value").as[(Int, Long)].collect().toMap
+    assert(got == Map(1 -> 5L, 9 -> 9L, 99 -> 10L))
+    // duplicates: 1,1,1,9 -> p50 at ceil(2) = rank 2 -> value 1
+    val dup = Seq(1L, 1L, 1L, 9L).toDF("v")
+    assert(TA.exactQuantiles(dup, "v", Seq((1, 2)))
+      .select("value").as[Long].head() == 1L)
+  }
+
   test("groupedQuantileKeep: each group gets its own threshold") {
     // group a: scores 1..4 keep 1/2 -> threshold 3 (cum desc: 4->1,
     // 3->2 = target 2); group b: all equal -> everything kept.

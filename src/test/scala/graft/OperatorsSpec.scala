@@ -35,6 +35,21 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("skew audit flags heavy keys with exact ppm shares") {
+    import org.apache.spark.sql.functions._
+    // 100 rows: 60 HOT, 30 warm, 10 spread over k0..k9
+    val df = ((1 to 60).map(_ => "HOT") ++ (1 to 30).map(_ => "warm") ++
+      (0 until 10).map(i => s"k$i")).toDF("k")
+    val got = graft.operators.SkewAudit
+      .topKeys(df, col("k"), k = 3, heavyNum = 1, heavyDen = 4)
+      .select("key", "cnt", "share_ppm", "is_heavy")
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(got(0) == ("HOT", 60L, 600000L, true))
+    assert(got(1) == ("warm", 30L, 300000L, true))
+    assert(got(2)._2 == 1L && !got(2)._4) // a k* singleton, 1% < 25%
+    assert(got(2)._1 == "k0")             // count-tie broken by key asc
+  }
+
   test("salted join: left outer preserves unmatched fact rows exactly once") {
     val fact = Seq((1L, "HOT"), (2L, "HOT"), (3L, "orphan"))
       .toDF("row_id", "k")
