@@ -251,6 +251,79 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Distributed BPE — train AND apply `rounds` merges end to end with
+    * NO driver synchronization: each round (1) counts global adjacent
+    * symbol pairs inside pre-token boundaries (GPT-2 style — merges
+    * never cross the regex pre-tokens), (2) picks the single most
+    * frequent pair IN-PLAN (count DESC, then binary pair order — a
+    * total order, so both engines learn the identical merge) as a
+    * 1-row broadcast, (3) applies it with greedy LEFTMOST
+    * NON-OVERLAPPING semantics, renumbers, and repeats on the merged
+    * symbols. Greedy-leftmost without a sequential scan: matches can
+    * only overlap when left==right (runs like "aaaa"), and within a
+    * maximal run of CONSECUTIVE match positions the sequential scan
+    * applies exactly the 1st, 3rd, 5th … match — a gaps-and-islands
+    * group (pos − row_number) plus a parity test reproduces it in two
+    * windows. Right halves of applied matches drop via a lag, and
+    * positions renumber with one more (doc, tok)-keyed window.
+    * Scale shape: every sequence window is (doc_id, tok_idx)-keyed —
+    * never wider than one pre-token; the learned merge is the only
+    * global state per round (one map-side-combined count + top-1),
+    * which is exactly how published distributed BPE trainers
+    * synchronize rounds. Returns per-doc
+    * (doc_id, n_syms_before, n_syms_after, merge_1 … merge_rounds). */
+  def bpeTrainApply(docs: DataFrame, id: Column, text: Column,
+                    rounds: Int): DataFrame = {
+    val tok = docs.select(id.as("doc_id"),
+      posexplode(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+        .as(Seq("tok_idx", "tok")))
+    var rows = tok
+      .select(col("doc_id"), col("tok_idx"), col("tok"),
+        posexplode(sequence(lit(1), length(col("tok"))))
+          .as(Seq("gen_idx", "i")))
+      .select(col("doc_id"), col("tok_idx"), col("i").as("pos"),
+        expr("substring(tok, i, 1)").as("sym"))
+    val bef = rows.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_syms_before"))
+    val wSeq = Window.partitionBy(col("doc_id"), col("tok_idx"))
+      .orderBy(col("pos"))
+    var merges = Seq.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val paired = rows.withColumn("nxt", lead(col("sym"), 1).over(wSeq))
+      val top = paired.filter(col("nxt").isNotNull)
+        .groupBy(col("sym"), col("nxt"))
+        .agg(count(lit(1)).cast("long").as("pc"))
+        .orderBy(col("pc").desc, col("sym"), col("nxt")).limit(1)
+        .select(col("sym").as("m_l"), col("nxt").as("m_r"))
+      merges = merges :+ top.select(
+        concat(col("m_l"), lit("+"), col("m_r")).as(s"merge_$r"))
+      val j = paired.crossJoin(broadcast(top))
+        .withColumn("is_pair",
+          col("sym") === col("m_l") && col("nxt") === col("m_r"))
+      val applyFlags = j.filter(col("is_pair"))
+        .withColumn("grp", col("pos") - row_number().over(wSeq))
+        .withColumn("do_merge",
+          row_number().over(Window
+            .partitionBy(col("doc_id"), col("tok_idx"), col("grp"))
+            .orderBy(col("pos"))) % 2 === 1)
+        .select(col("doc_id"), col("tok_idx"), col("pos"), col("do_merge"))
+      rows = j.join(applyFlags, Seq("doc_id", "tok_idx", "pos"), "left")
+        .withColumn("dm", coalesce(col("do_merge"), lit(false)))
+        .withColumn("prev_dm",
+          coalesce(lag(col("dm"), 1).over(wSeq), lit(false)))
+        .filter(!col("prev_dm"))
+        .select(col("doc_id"), col("tok_idx"),
+          row_number().over(wSeq).as("pos"),
+          when(col("dm"), concat(col("sym"), col("nxt")))
+            .otherwise(col("sym")).as("sym"))
+    }
+    val aft = rows.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_syms_after"))
+    merges.foldLeft(bef.join(aft, Seq("doc_id"))) {
+      (acc, m) => acc.crossJoin(broadcast(m))
+    }
+  }
+
   /** Exploded (doc_id, shingle) rows built with posexplode + lead
     * windows — fully codegen'd, unlike the array form below (Spark's
     * higher-order functions are interpreted per element; on a 5k-doc

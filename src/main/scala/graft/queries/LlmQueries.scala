@@ -268,6 +268,95 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Round CTEs for the DuckDB twin of [[TA.bpeTrainApply]]: per round
+    * t, `p{t}` pairs symbols with LEAD, `top{t}` learns the most
+    * frequent pair (count DESC, binary pair order), `pr{t}` marks the
+    * greedy-leftmost applications via gaps-and-islands parity, and
+    * `r{t}` drops right halves and renumbers. Expects `r0` =
+    * (doc_id, tok_idx, pos, sym). */
+  private def bpeRoundCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    for (t <- 1 to rounds) {
+      sb ++= s""", p$t AS (
+        |  SELECT doc_id, tok_idx, pos, sym, LEAD(sym) OVER (
+        |    PARTITION BY doc_id, tok_idx ORDER BY pos) AS nxt
+        |  FROM r${t - 1}
+        |), top$t AS (
+        |  SELECT sym AS m_l, nxt AS m_r FROM (
+        |    SELECT sym, nxt, COUNT(*) AS pc FROM p$t
+        |    WHERE nxt IS NOT NULL GROUP BY 1, 2)
+        |  ORDER BY pc DESC, sym, nxt LIMIT 1
+        |), m$t AS (
+        |  SELECT p.*, (p.sym = t.m_l AND p.nxt = t.m_r) AS is_pair
+        |  FROM p$t p, top$t t
+        |), pr$t AS (
+        |  SELECT doc_id, tok_idx, pos, (ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id, tok_idx, grp ORDER BY pos) % 2 = 1)
+        |    AS do_merge
+        |  FROM (
+        |    SELECT doc_id, tok_idx, pos, pos - ROW_NUMBER() OVER (
+        |      PARTITION BY doc_id, tok_idx ORDER BY pos) AS grp
+        |    FROM m$t WHERE is_pair)
+        |), a$t AS (
+        |  SELECT doc_id, tok_idx, pos, sym, nxt, do_merge,
+        |    COALESCE(LAG(do_merge) OVER (
+        |      PARTITION BY doc_id, tok_idx ORDER BY pos), FALSE)
+        |      AS prev_dm
+        |  FROM (
+        |    SELECT m.doc_id, m.tok_idx, m.pos, m.sym, m.nxt,
+        |      COALESCE(pr.do_merge, FALSE) AS do_merge
+        |    FROM m$t m LEFT JOIN pr$t pr
+        |      ON pr.doc_id = m.doc_id AND pr.tok_idx = m.tok_idx
+        |     AND pr.pos = m.pos)
+        |), r$t AS (
+        |  SELECT doc_id, tok_idx, ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id, tok_idx ORDER BY pos) AS pos,
+        |    CASE WHEN do_merge THEN sym || nxt ELSE sym END AS sym
+        |  FROM a$t WHERE NOT prev_dm
+        |)""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** Tokenizer training + application — two full distributed BPE
+    * rounds: learn the globally most frequent adjacent symbol pair,
+    * apply it greedy-leftmost inside pre-token boundaries, renumber,
+    * repeat on the merged symbols. Both engines replay the identical
+    * two-round chain (learned merges included in the output), so
+    * training AND application are hash-gated end to end. */
+  val tBpeTrainApply: Q = Q.sql(
+    "t_bpe_train_apply",
+    s"""WITH tk AS (
+      |  SELECT doc_id, tok_idx, tok FROM (
+      |    SELECT doc_id,
+      |      unnest(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS tok,
+      |      unnest(generate_series(1, len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')))) AS tok_idx
+      |    FROM documents)
+      |), r0 AS (
+      |  SELECT doc_id, tok_idx, i AS pos, substr(tok, i, 1) AS sym
+      |  FROM (SELECT doc_id, tok_idx, tok,
+      |          unnest(generate_series(1, length(tok))) AS i
+      |        FROM tk)
+      |)${bpeRoundCtes(2)}
+      |, bef AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_syms_before
+      |  FROM r0 GROUP BY 1
+      |), aft AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_syms_after
+      |  FROM r2 GROUP BY 1
+      |)
+      |SELECT bef.doc_id, n_syms_before, n_syms_after,
+      |  (SELECT m_l || '+' || m_r FROM top1) AS merge_1,
+      |  (SELECT m_l || '+' || m_r FROM top2) AS merge_2
+      |FROM bef JOIN aft ON aft.doc_id = bef.doc_id
+      |ORDER BY bef.doc_id""".stripMargin) { (s, d) =>
+    TA.bpeTrainApply(Tables.documents(s, d), col("doc_id"), col("text"),
+      rounds = 2)
+      .select("doc_id", "n_syms_before", "n_syms_after",
+        "merge_1", "merge_2")
+      .orderBy("doc_id")
+  }
+
   /** Corpus reporting — exact p50/p90/p99 of tokens-per-document from
     * ONE histogram pass: every quantile answered from the same
     * ascending cumulative over distinct token counts (standard lower
@@ -2009,6 +2098,7 @@ object LlmQueries {
 
   val all: Seq[Q] = Seq(tTokens, tTokensBpe, tBpePairCounts, tLangId,
     tQuality, tQualityQuantile, tQualityQuantileByLang, tTokenQuantiles,
+    tBpeTrainApply,
     tFingerprint, tRepetition, tContamination, tPiiScrub, tVocab,
     tCorpusCuration, tPacking, tQuotaSample, tTemperatureMix,
     tCorpusShuffle,

@@ -26,6 +26,27 @@ class LlmSpec extends SparkSpec {
       .filter($"is_kept").count() == 8)
   }
 
+  test("bpeTrainApply: greedy leftmost merges, overlap parity, rounds") {
+    // "aaaa": pair (a,a) x3; greedy applies matches 1 and 3 -> "aa","aa"
+    val d1 = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val r1 = TA.bpeTrainApply(d1, $"doc_id", $"text", rounds = 1)
+      .select("n_syms_before", "n_syms_after", "merge_1")
+      .as[(Long, Long, String)].head()
+    assert(r1 == ((4L, 2L, "a+a")))
+    // "aaa": matches at 1,2 -> only 1 applies -> "aa","a"
+    val d2 = Seq((1L, "aaa")).toDF("doc_id", "text")
+    assert(TA.bpeTrainApply(d2, $"doc_id", $"text", 1)
+      .select("n_syms_after").as[Long].head() == 2L)
+    // "abab ab": round 1 learns (a,b) -> 3 syms; round 2 learns
+    // (ab,ab) inside the first pre-token -> 2 syms. Merges never
+    // cross the whitespace pre-token boundary.
+    val d3 = Seq((1L, "abab ab")).toDF("doc_id", "text")
+    val r3 = TA.bpeTrainApply(d3, $"doc_id", $"text", rounds = 2)
+      .select("n_syms_before", "n_syms_after", "merge_1", "merge_2")
+      .as[(Long, Long, String, String)].head()
+    assert(r3 == ((6L, 2L, "a+b", "ab+ab")))
+  }
+
   test("exactQuantiles: lower quantile from one histogram") {
     // values 1..10: p50 -> ceil(5) = 5, p90 -> 9, p99 -> ceil(9.9) = 10
     val df = (1L to 10L).toDF("v")
