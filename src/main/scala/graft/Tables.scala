@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Readers for the driver-provided TPC-H-ish testdata tables
   * (`/root/testdata/sf*`, see TESTDATA.md). One parquet file per table.
@@ -23,13 +23,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * unless `spark.sql.legacy.parquet.nanosAsLong=true` (set by
-    * [[Sessions]]); under that flag it surfaces as nanos-since-epoch LONG.
-    * Normalize to a microsecond TimestampType column either way so every
-    * consumer sees one schema. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = table(s, d, "events")
+  /** The physical flavor of `events.ts` has drifted across testdata
+    * generations: parquet TIMESTAMP(NANOS) (surfaced as nanos-since-epoch
+    * LONG under `spark.sql.legacy.parquet.nanosAsLong`, set by
+    * [[Sessions]]), then TIMESTAMP_MICROS `isAdjustedToUTC=0` (surfaced
+    * as TIMESTAMP_NTZ by Spark 4). Normalize EVERY flavor to a
+    * microsecond TimestampType column in ONE place so each consumer —
+    * batch readers here and the streaming reader
+    * ([[graft.streaming.EventStream.readEvents]]) — sees one schema.
+    * This is the ingest-boundary type smoothing the reference does for
+    * the same reason (pipelines/quickbooks/pipeline.py:151-183). */
+  def normalizeEventTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case LongType =>
         // div, not /: SQL division on longs is DOUBLE, and epoch nanos
@@ -37,9 +41,15 @@ object Tables {
         // up to a microsecond (caught by st_interval_join's exact
         // micros lag; whole-second surfaces never noticed).
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // Session tz is UTC (Sessions.scala), so reinterpreting the NTZ
+        // wall-clock as an instant is exact to the microsecond.
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }
-  }
+
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(table(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -214,6 +214,56 @@ object Clustering {
     Similarity.scoreAndRank(pairs, k, Seq.empty)
   }
 
+  /** Recall/cost sweep — IVF top-k at SEVERAL nProbe settings from ONE
+    * shared computation: the ranked probe list is computed once at
+    * max(nProbes) and each sweep point is a filter on `rn`, so the
+    * expensive parts (centroid scoring shuffle, cell assignment, the
+    * candidate join) are shared or exchange-reused across the whole
+    * curve instead of re-run per setting. Returns
+    * (n_probe, query_id, cand_id, cosine, rank) with the rank window
+    * keyed by (n_probe, query_id). A candidate never repeats within one
+    * (n_probe, query): cells partition the corpus (rn=1 assignment) and
+    * the probe list is distinct cells. This is the measurement a
+    * production ANN deployment runs to PICK nProbe — recall@k against
+    * the exact baseline as a function of probe cost (`ann_recall_curve`
+    * wires it against [[Similarity.bruteForceTopK]]). */
+  def ivfProbeSweep(spark: SparkSession, emb: DataFrame,
+                    queryIds: DataFrame, k: Int, cent: DataFrame,
+                    nProbes: Seq[Int], idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    graft.plans.QuantDot.register(spark)
+    import spark.implicits._
+    val rows = quantRows(emb, idCol, vecCol)
+    val ranked = nearestCentroids(rows, cent, nProbes.max)
+    val cand = ranked.filter(col("rn") === 1)
+      .select(col("vec_id").as("cand_id"), col("cid"))
+      .join(emb.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec")),
+        Seq("cand_id"))
+    val pn = nProbes.map(_.toLong).toDF("n_probe")
+    val probes = ranked
+      .join(broadcast(queryIds.select(col(idCol).as("vec_id"))),
+        Seq("vec_id"))
+      .crossJoin(broadcast(pn))
+      .filter(col("rn") <= col("n_probe"))
+      .select(col("n_probe"), col("vec_id").as("query_id"), col("cid"))
+      .join(emb.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+        Seq("query_id"))
+    val pairs = probes.join(cand, Seq("cid"))
+      .filter(col("query_id") =!= col("cand_id"))
+    val dot = expr("graft_quant_dot(q_vec, c_vec)")
+    val qSq = expr("graft_quant_dot(q_vec, q_vec)")
+    val cSq = expr("graft_quant_dot(c_vec, c_vec)")
+    val w = Window.partitionBy(col("n_probe"), col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    pairs
+      .withColumn("cosine",
+        dot.cast("double") /
+          (sqrt(qSq.cast("double")) * sqrt(cSq.cast("double"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("n_probe", "query_id", "cand_id", "cosine", "rank")
+  }
+
   /** DuckDB twin of [[kmeans]]: the iteration chain as CTE text.
     * Emits CTEs `ve` (quantized rows), `c0` (init), per round
     * `a{t}`/`c{t}` (assignment / updated centroids), and a final RANKED

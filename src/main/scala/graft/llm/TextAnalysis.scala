@@ -316,6 +316,17 @@ object TextAnalysis {
           row_number().over(wSeq).as("pos"),
           when(col("dm"), concat(col("sym"), col("nxt")))
             .otherwise(col("sym")).as("sym"))
+        // Round-depth hardening (r11): truncate lineage per merge round,
+        // exactly like Dedup.connectedComponents. Without this every
+        // round stacks ~4 windows + 1 aggregate + 1 broadcast join onto
+        // the plan, so analysis/codegen cost grows superlinearly with
+        // rounds — fine at rounds=2, fatal at real tokenizer depth
+        // (hundreds of merges). With it each round re-plans against a
+        // materialized block-store scan: flat per-round wall time
+        // (measured r11: rounds 2→16 scale ~linearly, see LlmSpec
+        // round-depth test), values unchanged (checkpoint is
+        // plan-transparent), so the rounds=2 oracle hash is untouched.
+        .localCheckpoint(true)
     }
     val aft = rows.groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_syms_after"))

@@ -263,5 +263,111 @@ object ClusteringQueries {
       .orderBy("query_id")
   }
 
-  val all: Seq[Q] = Seq(cKmeans, ddSemDeDup, annKmeansIvf, annRecallEval)
+  /** ANN recall-vs-cost CURVE — recall@5 of the trained-IVF index at
+    * nProbe ∈ {1,2,4,8} against the exact brute-force top-5, one row
+    * per sweep point (integer overlap counts; recall = n_overlap /
+    * n_exact). Monotone in nProbe by construction (a larger probe list
+    * is a superset of candidates), so the curve MEASURES the
+    * recall/cost trade-off `ann_recall_eval` reports a single point of
+    * — the index-tuning decision a production deployment makes before
+    * trusting an nProbe setting. One shared ranked-probe computation
+    * serves the whole sweep ([[Clustering.ivfProbeSweep]]). */
+  val annRecallCurve: Q = Q.sql(
+    "ann_recall_curve",
+    s"""WITH ${Clustering.kmeansOracleCtes("embeddings", Stride, Iters)}
+      |, assign AS (
+      |  SELECT vec_id AS cand_id, cid FROM af WHERE rn = 1
+      |), pn AS (
+      |  SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS n_probe
+      |), probes AS (
+      |  SELECT pn.n_probe, af.vec_id AS query_id, af.cid
+      |  FROM af CROSS JOIN pn
+      |  WHERE af.vec_id < 100 AND af.rn <= pn.n_probe
+      |), qe AS (
+      |  SELECT vec_id AS query_id, unnest(embedding) AS qv2,
+      |         unnest(generate_series(1, len(embedding))) AS pos
+      |  FROM embeddings WHERE vec_id < 100
+      |), ce AS (
+      |  SELECT vec_id AS cand_id, unnest(embedding) AS cv2,
+      |         unnest(generate_series(1, len(embedding))) AS pos
+      |  FROM embeddings
+      |), norms AS (
+      |  SELECT vec_id AS id,
+      |    SQRT(CAST(SUM(${qq.format("v")} * ${qq.format("v")}) AS DOUBLE)) AS norm
+      |  FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings)
+      |  GROUP BY vec_id
+      |), exact_dots AS (
+      |  SELECT query_id, cand_id, $dotSql AS dot
+      |  FROM qe JOIN ce USING (pos)
+      |  WHERE query_id <> cand_id
+      |  GROUP BY query_id, cand_id
+      |), ex AS (
+      |  SELECT query_id, cand_id FROM (
+      |    SELECT d.query_id, d.cand_id, ROW_NUMBER() OVER (
+      |      PARTITION BY d.query_id
+      |      ORDER BY CAST(dot AS DOUBLE) / (qn.norm * cn.norm) DESC,
+      |               d.cand_id) AS rank
+      |    FROM exact_dots d
+      |    JOIN norms qn ON qn.id = d.query_id
+      |    JOIN norms cn ON cn.id = d.cand_id
+      |  ) WHERE rank <= 5
+      |), ivf_cand AS (
+      |  SELECT p.n_probe, p.query_id, a.cand_id
+      |  FROM probes p JOIN assign a USING (cid)
+      |  WHERE p.query_id <> a.cand_id
+      |), ivf_dots AS (
+      |  SELECT c.n_probe, c.query_id, c.cand_id, $dotSql AS dot
+      |  FROM ivf_cand c
+      |  JOIN qe ON qe.query_id = c.query_id
+      |  JOIN ce ON ce.cand_id = c.cand_id AND ce.pos = qe.pos
+      |  GROUP BY 1, 2, 3
+      |), iv AS (
+      |  SELECT n_probe, query_id, cand_id FROM (
+      |    SELECT d.n_probe, d.query_id, d.cand_id, ROW_NUMBER() OVER (
+      |      PARTITION BY d.n_probe, d.query_id
+      |      ORDER BY CAST(dot AS DOUBLE) / (qn.norm * cn.norm) DESC,
+      |               d.cand_id) AS rank
+      |    FROM ivf_dots d
+      |    JOIN norms qn ON qn.id = d.query_id
+      |    JOIN norms cn ON cn.id = d.cand_id
+      |  ) WHERE rank <= 5
+      |), exc AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM ex
+      |), ivc AS (
+      |  SELECT n_probe, CAST(COUNT(*) AS BIGINT) AS n_ivf
+      |  FROM iv GROUP BY 1
+      |), ovc AS (
+      |  SELECT iv.n_probe, CAST(COUNT(*) AS BIGINT) AS n_overlap
+      |  FROM iv JOIN ex ON ex.query_id = iv.query_id
+      |               AND ex.cand_id = iv.cand_id
+      |  GROUP BY 1
+      |)
+      |SELECT ivc.n_probe, exc.n_exact, ivc.n_ivf,
+      |  COALESCE(ovc.n_overlap, CAST(0 AS BIGINT)) AS n_overlap
+      |FROM ivc CROSS JOIN exc
+      |LEFT JOIN ovc ON ovc.n_probe = ivc.n_probe
+      |ORDER BY ivc.n_probe""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val qset = emb.filter(col("vec_id") < 100)
+    val exact = Similarity.bruteForceTopK(qset, emb, k = 5)
+      .select("query_id", "cand_id")
+    val cent = Clustering.train(s, Clustering.quantRows(emb), Stride, Iters)
+    val ivf = Clustering.ivfProbeSweep(s, emb, qset.select("vec_id"),
+      k = 5, cent, nProbes = Seq(1, 2, 4, 8))
+      .select("n_probe", "query_id", "cand_id")
+    val nEx = exact.agg(count(lit(1)).cast("long").as("n_exact"))
+    val ivc = ivf.groupBy("n_probe")
+      .agg(count(lit(1)).cast("long").as("n_ivf"))
+    val ovc = ivf.join(exact, Seq("query_id", "cand_id"))
+      .groupBy("n_probe")
+      .agg(count(lit(1)).cast("long").as("n_overlap"))
+    ivc.crossJoin(broadcast(nEx))
+      .join(ovc, Seq("n_probe"), "left")
+      .select(col("n_probe"), col("n_exact"), col("n_ivf"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .orderBy("n_probe")
+  }
+
+  val all: Seq[Q] =
+    Seq(cKmeans, ddSemDeDup, annKmeansIvf, annRecallEval, annRecallCurve)
 }

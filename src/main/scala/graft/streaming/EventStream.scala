@@ -19,24 +19,20 @@ import org.apache.spark.sql.Row
   */
 object EventStream {
 
-  /** Schema of events.parquet with ts as raw nanos (see Tables.events —
-    * the parquet type is TIMESTAMP(NANOS)). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** File-source stream of events with normalized timestamp. */
-  def readEvents(spark: SparkSession, path: String): DataFrame =
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(path)
-      // integer `div`, NOT `/ 1000L`: epoch-nanos exceed 2^53, so the
-      // double division drifts ±1 µs (the Tables.events r08 bug twin)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** File-source stream of events with normalized timestamp. The
+    * physical flavor of `ts` drifts across testdata generations
+    * (INT64-nanos, TIMESTAMP_MICROS utc, TIMESTAMP_NTZ), so the stream
+    * schema is taken from the files already present (a driver-side
+    * footer read — file-source streams require an upfront schema
+    * anyway) and the SAME normalizer the batch reader uses
+    * ([[graft.Tables.normalizeEventTs]]) smooths it to TimestampType
+    * micros. One shared normalization point = batch and stream can
+    * never diverge again when the data contract drifts. */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    val fileSchema = spark.read.parquet(path).schema
+    graft.Tables.normalizeEventTs(
+      spark.readStream.schema(fileSchema).parquet(path))
+  }
 
   /** Watermarked tumbling-window counts/sums per event type. */
   def tumblingAgg(events: DataFrame, window: String = "1 hour",

@@ -58,6 +58,32 @@ class ClusteringSpec extends SparkSpec {
     assert(!got(1L) && !got(2L))
   }
 
+  test("ivfProbeSweep: per-point results match ivfTopKTrained; recall monotone") {
+    val emb = Tables.embeddings(spark, sf)
+    val qset = emb.filter($"vec_id" < 20)
+    val cent = Clustering.train(spark, Clustering.quantRows(emb),
+      stride = 50, iters = 2)
+    val sweep = Clustering.ivfProbeSweep(spark, emb, qset.select("vec_id"),
+      k = 5, cent, nProbes = Seq(1, 2, 4))
+      .select("n_probe", "query_id", "cand_id")
+      .as[(Long, Long, Long)].collect().toSet
+    // each sweep point == the single-setting operator at that nProbe
+    Seq(1, 2, 4).foreach { np =>
+      val single = Clustering.ivfTopKTrained(spark, emb,
+        qset.select("vec_id"), k = 5, cent, nProbe = np)
+        .select("query_id", "cand_id")
+        .as[(Long, Long)].collect().toSet
+      assert(sweep.filter(_._1 == np).map(t => (t._2, t._3)) == single,
+        s"nProbe=$np")
+    }
+    // recall (overlap with exact top-5) is monotone in nProbe
+    val exact = graft.llm.Similarity.bruteForceTopK(qset, emb, k = 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val overlaps = Seq(1, 2, 4).map(np =>
+      sweep.filter(_._1 == np).map(t => (t._2, t._3)).count(exact))
+    assert(overlaps == overlaps.sorted, s"not monotone: $overlaps")
+  }
+
   test("ivfTopKTrained finds the true blob-mates as top neighbors") {
     val rows = Clustering.quantRows(blobs)
     val cent = Clustering.train(spark, rows, stride = 50, iters = 2)

@@ -47,6 +47,24 @@ class LlmSpec extends SparkSpec {
     assert(r3 == ((6L, 2L, "a+b", "ab+ab")))
   }
 
+  test("bpeTrainApply: deep rounds (16) — checkpointed lineage stays sane") {
+    // 17 distinct chars, every adjacent pair count 1: ties break on
+    // binary pair order, so round 1 merges a+b, and each later round
+    // merges (prefix, next char) — the prefix always sorts first. 16
+    // rounds collapse the doc to ONE symbol with a fully predictable
+    // merge table. Pre-r11 this plan stacked 16 rounds of windows and
+    // took unboundedly long to analyze; per-round localCheckpoint keeps
+    // each round's plan depth constant.
+    val d = Seq((1L, "abcdefghijklmnopq")).toDF("doc_id", "text")
+    val r = TA.bpeTrainApply(d, $"doc_id", $"text", rounds = 16)
+    val row = r.select("n_syms_before", "n_syms_after",
+      "merge_1", "merge_8", "merge_16").head()
+    assert(row.getLong(0) == 17L && row.getLong(1) == 1L)
+    assert(row.getString(2) == "a+b")
+    assert(row.getString(3) == "abcdefgh+i")
+    assert(row.getString(4) == "abcdefghijklmnop+q")
+  }
+
   test("exactQuantiles: lower quantile from one histogram") {
     // values 1..10: p50 -> ceil(5) = 5, p90 -> 9, p99 -> ceil(9.9) = 10
     val df = (1L to 10L).toDF("v")

@@ -35,6 +35,17 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # Silent-drop guard (r10): every query Verify was asked to run must
+    # have a result dir — a build/write failure leaves none, and a
+    # comparator that only iterates dirs would report a false all-clear.
+    reg_path = os.path.join(out_dir, "_registry.txt")
+    if os.path.exists(reg_path):
+        wanted = [l.strip() for l in open(reg_path) if l.strip()]
+        missing = [n for n in wanted
+                   if not os.path.isdir(os.path.join(out_dir, n))]
+        for n in missing:
+            print(f"FAIL {n}: MISSING result dir (query errored in Verify)")
+            n_fail += 1
     for name in sorted(os.listdir(out_dir)):
         qdir = os.path.join(out_dir, name)
         if not os.path.isdir(qdir):
