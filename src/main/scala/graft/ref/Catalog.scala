@@ -64,6 +64,35 @@ final class Catalog(val spark: SparkSession, val root: String) {
       committed(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
   }
 
+  /** `materialized='table'` with Z-ORDERED layout + per-file stats
+    * manifest — the `OPTIMIZE ZORDER BY` shape for marts probed on TWO
+    * dimensions neither of which justifies hive partitioning (e.g.
+    * pricing history by product AND period: partitioning on either
+    * leaves the other unpruned; interleaving both gives every file a
+    * tight bounding box in each). `dims` are (name, quantized-LONG
+    * expr) pairs — the same two exprs feed [[graft.operators.ZOrder]]'s
+    * Morton key and the [[graft.operators.DataSkipping]] manifest, and
+    * a reader probes with `DataSkipping.readSkipping(spark, path,
+    * ranges)` using buckets computed the same way. Commit protocol
+    * identical to [[saveTable]]; the manifest lives inside the version
+    * dir and dies with it. */
+  def saveTableZOrdered(layer: String, name: String, df: DataFrame,
+                        dims: Seq[(String, org.apache.spark.sql.Column)],
+                        numRanges: Int): DataFrame = {
+    require(dims.size == 2, "Z-order interleaves exactly two dimensions")
+    val p = path(layer, name)
+    val clustered = graft.operators.ZOrder.clusterBy(df,
+      dims(0)._2, dims(1)._2, numRanges)
+    AtomicTable.commit(clustered, p, AtomicTable.nextVersion(spark, p))
+    val dataPath = AtomicTable.latestDataPath(spark, p).get
+    graft.operators.DataSkipping.writeManifest(spark, dataPath, dims)
+    AtomicTable.read(spark, p).get
+  }
+
+  /** Filesystem dir of a table (for stats-manifest probes in tests /
+    * tooling). */
+  def tablePath(layer: String, name: String): String = path(layer, name)
+
   /** dbt `materialized='view'`: register the logical plan, no write. */
   def saveView(layer: String, name: String, df: DataFrame): DataFrame = {
     views(s"$layer.$name") = df

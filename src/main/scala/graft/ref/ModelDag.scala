@@ -279,8 +279,17 @@ object ModelDag {
         TimeSeries.companyOrdersTimeSeries(companyOrders))),
       () => Seq(cat.saveTable("mart", "mart_product_unit_sales",
         TimeSeries.productUnitSales(fctLineItems))),
-      () => Seq(cat.saveTable("mart", "fct_product_pricing_history",
-        TimeSeries.pricingHistory(typed, stgItems, Some(fctProducts)))),
+      // Z-ordered commit (r11): pricing history is probed by product
+      // AND by period — partitioning on either dimension leaves the
+      // other unpruned, so the mart is laid out along the Morton curve
+      // of (product-bucket, month-bucket) with a per-file stats
+      // manifest; two-dimensional probes then open only the files whose
+      // tile overlaps (RefPipelineSpec proves the pruned scan on the
+      // committed table). Dims defined once in TimeSeries.pricingZDims
+      // so writers and readers bucket identically.
+      () => Seq(cat.saveTableZOrdered("mart", "fct_product_pricing_history",
+        TimeSeries.pricingHistory(typed, stgItems, Some(fctProducts)),
+        TimeSeries.pricingZDims, numRanges = 16)),
       () => {
         // The reference's ONE incremental model (int_quickbooks__
         // inventory_history.sql:7-12) — committed hive-partitioned on

@@ -1,6 +1,6 @@
 package graft.ref
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.Fns
@@ -75,6 +75,21 @@ object TimeSeries {
     * Scale shape: one hash aggregate over the line items, then windows
     * partitioned by product (or product×cluster) — high-cardinality
     * keys, no global windows, no correlated subqueries. */
+  /** Z-order dimensions for the committed pricing-history mart: 8-bit
+    * buckets of the two probe axes. `product_bucket` hashes the product
+    * name (equality probes — a hash bucket has no meaningful order, so
+    * range probes on product don't prune, and don't need to);
+    * `month_bucket` is monotone months-since-year-0 mod 256 (wraps
+    * every 21.3 years — any real mart's date span; a date-RANGE probe
+    * maps to a contiguous bucket range). Defined once so the writer
+    * ([[graft.ref.Catalog.saveTableZOrdered]] in ModelDag) and every
+    * stats-manifest reader bucket identically. */
+  val pricingZDims: Seq[(String, Column)] = Seq(
+    "product_bucket" -> pmod(crc32(col("product_service")), lit(256L)),
+    "month_bucket" ->
+      pmod(year(col("order_date")).cast("long") * 12L +
+        month(col("order_date")).cast("long") - 1L, lit(256L)))
+
   def pricingHistory(lineItems: DataFrame,
                      itemSnapshots: DataFrame,
                      fctProducts: Option[DataFrame] = None): DataFrame = {

@@ -344,6 +344,50 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("DataSkipping: manifest round-trips; 2-d probe reads a strict file subset") {
+    import graft.operators.{AtomicTable, DataSkipping, ZOrder}
+    val dir = java.nio.file.Files.createTempDirectory("skip_tbl")
+      .resolve("t").toString
+    // 64x64 grid of (a, b) dims with a payload; z-clustered into 16
+    // files, stats manifest per file.
+    val grid = spark.range(64L * 64L).select(
+      shiftright(col("id"), 6).as("a"),
+      col("id").bitwiseAND(lit(63L)).as("b"),
+      (col("id") * 7L).as("payload"))
+    val dims = Seq("a" -> col("a"), "b" -> col("b"))
+    val clustered = ZOrder.clusterBy(grid, col("a"), col("b"), 16)
+    AtomicTable.commit(clustered, dir, 0L)
+    val dataPath = AtomicTable.latestDataPath(spark, dir).get
+    val written = DataSkipping.writeManifest(spark, dataPath, dims)
+    assert(DataSkipping.readManifest(spark, dataPath).get == written)
+    assert(written.size >= 8) // one stats row per non-empty file
+
+    // Probe a small (a, b) box: the skipping read must return exactly
+    // the full-scan rows for the box while OPENING fewer files.
+    val full = AtomicTable.read(spark, dir).get
+    val pred = col("a").between(10, 13) && col("b").between(20, 23)
+    val pruned = DataSkipping.readSkipping(spark, dir,
+      Map("a" -> ((10L, 13L)), "b" -> ((20L, 23L))))
+    val want = full.filter(pred).select("a", "b", "payload")
+      .collect().map(_.toSeq).toSet
+    val got = pruned.filter(pred).select("a", "b", "payload")
+      .collect().map(_.toSeq).toSet
+    assert(got == want && want.size == 16)
+    assert(pruned.inputFiles.toSet.subsetOf(full.inputFiles.toSet))
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      s"no skipping: ${pruned.inputFiles.length}/${full.inputFiles.length}")
+
+    // Out-of-domain probe: empty selection falls back to an empty frame
+    // with the full schema (plans stay resolvable).
+    val none = DataSkipping.readSkipping(spark, dir,
+      Map("a" -> ((1000L, 2000L))))
+    assert(none.columns.toSeq == full.columns.toSeq && none.count() == 0)
+    // Unknown dim name cannot prune: full file set.
+    assert(DataSkipping.readSkipping(spark, dir,
+      Map("nope" -> ((0L, 0L))).toMap).inputFiles.length ==
+      full.inputFiles.length)
+  }
+
   test("Checks.snapshotDrift flags a large version-over-version count swing") {
     import graft.operators.AtomicTable
     import graft.quality.Checks

@@ -527,6 +527,47 @@ class RefPipelineSpec extends SparkSpec {
       org.apache.spark.sql.types.StringType)
   }
 
+  test("pricing mart commits z-ordered; 2-d probe skips files via manifest") {
+    import graft.operators.{AtomicTable, DataSkipping}
+    import graft.ref.TimeSeries
+    out // run the DAG
+    val tableDir = s"$warehouse/mart/fct_product_pricing_history"
+    val dataDir = AtomicTable.latestDataPath(spark, tableDir).get
+    // the z-ordered commit wrote the per-file stats manifest
+    val stats = DataSkipping.readManifest(spark, dataDir).get
+    assert(stats.nonEmpty &&
+      stats.head.mins.keySet == Set("product_bucket", "month_bucket"))
+    val full = AtomicTable.read(spark, tableDir).get
+    // probe a real (product, month): bucket it EXACTLY like the writer
+    val probe = full.orderBy("product_service", "order_date")
+      .select(col("product_service"), col("order_date"),
+        TimeSeries.pricingZDims(0)._2.as("pb"),
+        TimeSeries.pricingZDims(1)._2.as("mb")).head()
+    val (prod, pb, mb) = (probe.getString(0), probe.getLong(2),
+      probe.getLong(3))
+    val pruned = DataSkipping.readSkipping(spark, tableDir,
+      Map("product_bucket" -> ((pb, pb)), "month_bucket" -> ((mb, mb))))
+    // row-correct: the probe's rows survive file selection exactly
+    // (month side re-uses the shared bucket expr — same mod-256 math)
+    val pred = col("product_service") === prod &&
+      TimeSeries.pricingZDims(1)._2 === mb
+    val want = full.filter(pred).select("product_service", "order_date",
+      "avg_unit_price").collect().map(_.toSeq).toSet
+    val got = pruned.filter(pred).select("product_service", "order_date",
+      "avg_unit_price").collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got == want)
+    // and the executed scan opened a strict subset of the mart's files
+    assert(pruned.inputFiles.toSet.subsetOf(full.inputFiles.toSet))
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      s"no skipping: ${pruned.inputFiles.length} of " +
+        s"${full.inputFiles.length} files")
+    val scans = pruned.filter(pred).queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    pruned.filter(pred).collect()
+    assert(scans.nonEmpty)
+  }
+
   test("inventory incremental appends only newer snapshots, fails on drift") {
     import graft.ref.TimeSeries
     val inv = out("intermediate.inventory_history")
