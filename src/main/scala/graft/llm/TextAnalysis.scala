@@ -272,17 +272,49 @@ object TextAnalysis {
     * which is exactly how published distributed BPE trainers
     * synchronize rounds. Returns per-doc
     * (doc_id, n_syms_before, n_syms_after, merge_1 … merge_rounds). */
-  def bpeTrainApply(docs: DataFrame, id: Column, text: Column,
-                    rounds: Int): DataFrame = {
-    val tok = docs.select(id.as("doc_id"),
-      posexplode(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
-        .as(Seq("tok_idx", "tok")))
-    var rows = tok
+  /** Symbol rows for the BPE machinery: one row per (doc, pre-token,
+    * position, single character), pre-tokens from [[BpeishPattern]]. */
+  private def bpeSymbolRows(docs: DataFrame, id: Column,
+                            text: Column): DataFrame =
+    docs.select(id.as("doc_id"),
+        posexplode(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+          .as(Seq("tok_idx", "tok")))
       .select(col("doc_id"), col("tok_idx"), col("tok"),
         posexplode(sequence(lit(1), length(col("tok"))))
           .as(Seq("gen_idx", "i")))
       .select(col("doc_id"), col("tok_idx"), col("i").as("pos"),
         expr("substring(tok, i, 1)").as("sym"))
+
+  /** One greedy-leftmost merge application over `j` = paired rows with
+    * an `is_pair` flag: gaps-and-islands run parity picks the 1st, 3rd,
+    * 5th … of consecutive matches, right halves drop via a lag, and
+    * positions renumber — the shared apply step of [[bpeTrainApply]]
+    * (learned pair) and [[bpeApplyMerges]] (fixed pair). One pass
+    * suffices per pair: merging (l, r) cannot create a new (l, r)
+    * adjacency (the merged symbol l+r differs from both halves). */
+  private def bpeMergeFlagged(j: DataFrame,
+      wSeq: org.apache.spark.sql.expressions.WindowSpec): DataFrame = {
+    val applyFlags = j.filter(col("is_pair"))
+      .withColumn("grp", col("pos") - row_number().over(wSeq))
+      .withColumn("do_merge",
+        row_number().over(Window
+          .partitionBy(col("doc_id"), col("tok_idx"), col("grp"))
+          .orderBy(col("pos"))) % 2 === 1)
+      .select(col("doc_id"), col("tok_idx"), col("pos"), col("do_merge"))
+    j.join(applyFlags, Seq("doc_id", "tok_idx", "pos"), "left")
+      .withColumn("dm", coalesce(col("do_merge"), lit(false)))
+      .withColumn("prev_dm",
+        coalesce(lag(col("dm"), 1).over(wSeq), lit(false)))
+      .filter(!col("prev_dm"))
+      .select(col("doc_id"), col("tok_idx"),
+        row_number().over(wSeq).as("pos"),
+        when(col("dm"), concat(col("sym"), col("nxt")))
+          .otherwise(col("sym")).as("sym"))
+  }
+
+  def bpeTrainApply(docs: DataFrame, id: Column, text: Column,
+                    rounds: Int): DataFrame = {
+    var rows = bpeSymbolRows(docs, id, text)
     val bef = rows.groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_syms_before"))
     val wSeq = Window.partitionBy(col("doc_id"), col("tok_idx"))
@@ -300,39 +332,66 @@ object TextAnalysis {
       val j = paired.crossJoin(broadcast(top))
         .withColumn("is_pair",
           col("sym") === col("m_l") && col("nxt") === col("m_r"))
-      val applyFlags = j.filter(col("is_pair"))
-        .withColumn("grp", col("pos") - row_number().over(wSeq))
-        .withColumn("do_merge",
-          row_number().over(Window
-            .partitionBy(col("doc_id"), col("tok_idx"), col("grp"))
-            .orderBy(col("pos"))) % 2 === 1)
-        .select(col("doc_id"), col("tok_idx"), col("pos"), col("do_merge"))
-      rows = j.join(applyFlags, Seq("doc_id", "tok_idx", "pos"), "left")
-        .withColumn("dm", coalesce(col("do_merge"), lit(false)))
-        .withColumn("prev_dm",
-          coalesce(lag(col("dm"), 1).over(wSeq), lit(false)))
-        .filter(!col("prev_dm"))
-        .select(col("doc_id"), col("tok_idx"),
-          row_number().over(wSeq).as("pos"),
-          when(col("dm"), concat(col("sym"), col("nxt")))
-            .otherwise(col("sym")).as("sym"))
-        // Round-depth hardening (r11): truncate lineage per merge round,
-        // exactly like Dedup.connectedComponents. Without this every
-        // round stacks ~4 windows + 1 aggregate + 1 broadcast join onto
-        // the plan, so analysis/codegen cost grows superlinearly with
-        // rounds — fine at rounds=2, fatal at real tokenizer depth
-        // (hundreds of merges). With it each round re-plans against a
-        // materialized block-store scan: flat per-round wall time
-        // (measured r11: rounds 2→16 scale ~linearly, see LlmSpec
-        // round-depth test), values unchanged (checkpoint is
-        // plan-transparent), so the rounds=2 oracle hash is untouched.
-        .localCheckpoint(true)
+      // Round-depth hardening (r11): truncate lineage per merge round,
+      // exactly like Dedup.connectedComponents. Without this every
+      // round stacks ~4 windows + 1 aggregate + 1 broadcast join onto
+      // the plan, so analysis/codegen cost grows superlinearly with
+      // rounds — fine at rounds=2, fatal at real tokenizer depth
+      // (hundreds of merges). With it each round re-plans against a
+      // materialized block-store scan: flat per-round wall time
+      // (measured r11: rounds 2→16 scale ~linearly, see LlmSpec
+      // round-depth test), values unchanged (checkpoint is
+      // plan-transparent), so the rounds=2 oracle hash is untouched.
+      rows = bpeMergeFlagged(j, wSeq).localCheckpoint(true)
     }
     val aft = rows.groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_syms_after"))
     merges.foldLeft(bef.join(aft, Seq("doc_id"))) {
       (acc, m) => acc.crossJoin(broadcast(m))
     }
+  }
+
+  /** TOKENIZER APPLY — the production-serving half of distributed BPE:
+    * tokenize the corpus with a FIXED, already-learned merge table
+    * (train once with [[bpeTrainApply]]'s machinery, apply everywhere;
+    * what an inference/data pipeline does with a published tokenizer's
+    * merges.txt). Merges apply in RANK ORDER, each in one
+    * greedy-leftmost pass — equivalent to the classic lowest-rank-first
+    * reference algorithm because a merge's output symbol can only
+    * participate in pairs learned LATER (each learned pair is built
+    * from symbols that existed when it was learned), and one pass per
+    * pair suffices (see [[bpeMergeFlagged]]).
+    *
+    * Scale shape: identical to training minus the count/top-1 — each
+    * merge is a literal predicate (no aggregate, no broadcast at all),
+    * (doc, tok)-keyed windows only, `localCheckpoint` per round keeps
+    * plan depth flat, so wall time is linear in |merges| and the
+    * corpus never re-shuffles wider than one pre-token.
+    *
+    * Returns per-doc (doc_id, n_syms_before, n_syms_after,
+    * n_merge_1 … n_merge_k) where n_merge_i counts final symbols equal
+    * to the i-th merge's output — the per-doc vocabulary histogram a
+    * token-count accounting needs. */
+  def bpeApplyMerges(docs: DataFrame, id: Column, text: Column,
+                     merges: Seq[(String, String)]): DataFrame = {
+    var rows = bpeSymbolRows(docs, id, text)
+    val bef = rows.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_syms_before"))
+    val wSeq = Window.partitionBy(col("doc_id"), col("tok_idx"))
+      .orderBy(col("pos"))
+    merges.foreach { case (l, r) =>
+      val j = rows.withColumn("nxt", lead(col("sym"), 1).over(wSeq))
+        .withColumn("is_pair",
+          col("sym") === lit(l) && col("nxt") === lit(r))
+      rows = bpeMergeFlagged(j, wSeq).localCheckpoint(true)
+    }
+    val counts = merges.zipWithIndex.map { case ((l, r), i) =>
+      sum(when(col("sym") === lit(l + r), 1L).otherwise(0L))
+        .cast("long").as(s"n_merge_${i + 1}")
+    }
+    val aft = rows.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_syms_after"), counts: _*)
+    bef.join(aft, Seq("doc_id"))
   }
 
   /** Exploded (doc_id, shingle) rows built with posexplode + lead

@@ -274,18 +274,26 @@ object LlmQueries {
     * greedy-leftmost applications via gaps-and-islands parity, and
     * `r{t}` drops right halves and renumbers. Expects `r0` =
     * (doc_id, tok_idx, pos, sym). */
-  private def bpeRoundCtes(rounds: Int): String = {
+  private def bpeRoundCtes(rounds: Int,
+                           fixed: Seq[(String, String)] = Nil): String = {
     val sb = new StringBuilder
     for (t <- 1 to rounds) {
+      val topSql =
+        if (fixed.nonEmpty) {
+          // apply-only: the merge table is given, not learned
+          val (l, r) = fixed(t - 1)
+          s"SELECT '$l' AS m_l, '$r' AS m_r"
+        } else
+          s"""SELECT sym AS m_l, nxt AS m_r FROM (
+        |    SELECT sym, nxt, COUNT(*) AS pc FROM p$t
+        |    WHERE nxt IS NOT NULL GROUP BY 1, 2)
+        |  ORDER BY pc DESC, sym, nxt LIMIT 1""".stripMargin
       sb ++= s""", p$t AS (
         |  SELECT doc_id, tok_idx, pos, sym, LEAD(sym) OVER (
         |    PARTITION BY doc_id, tok_idx ORDER BY pos) AS nxt
         |  FROM r${t - 1}
         |), top$t AS (
-        |  SELECT sym AS m_l, nxt AS m_r FROM (
-        |    SELECT sym, nxt, COUNT(*) AS pc FROM p$t
-        |    WHERE nxt IS NOT NULL GROUP BY 1, 2)
-        |  ORDER BY pc DESC, sym, nxt LIMIT 1
+        |  $topSql
         |), m$t AS (
         |  SELECT p.*, (p.sym = t.m_l AND p.nxt = t.m_r) AS is_pair
         |  FROM p$t p, top$t t
@@ -354,6 +362,54 @@ object LlmQueries {
       rounds = 2)
       .select("doc_id", "n_syms_before", "n_syms_after",
         "merge_1", "merge_2")
+      .orderBy("doc_id")
+  }
+
+  /** Fixed merge table for the tokenizer-APPLY oracle: the corpus's own
+    * first learned merges (e+r, then the chained er+e — exercises a
+    * merge whose left half is itself a merged symbol) plus two common
+    * English pairs. */
+  private val ApplyMerges =
+    Seq(("e", "r"), ("er", "e"), ("i", "n"), ("a", "n"))
+
+  /** Tokenizer APPLY — tokenize with a FIXED learned merge table (the
+    * merges.txt serving path: train once, apply everywhere). Both
+    * engines replay the identical 4-merge chain from literal pairs —
+    * no counting, no top-1 — and report per-doc symbol totals plus the
+    * per-merge output-symbol counts, so the application semantics
+    * (greedy leftmost, rank order, pre-token boundaries) are hash-gated
+    * without the training half. */
+  val tBpeApplyMerges: Q = Q.sql(
+    "t_bpe_apply_merges",
+    s"""WITH tk AS (
+      |  SELECT doc_id, tok_idx, tok FROM (
+      |    SELECT doc_id,
+      |      unnest(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS tok,
+      |      unnest(generate_series(1, len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')))) AS tok_idx
+      |    FROM documents)
+      |), r0 AS (
+      |  SELECT doc_id, tok_idx, i AS pos, substr(tok, i, 1) AS sym
+      |  FROM (SELECT doc_id, tok_idx, tok,
+      |          unnest(generate_series(1, length(tok))) AS i
+      |        FROM tk)
+      |)${bpeRoundCtes(ApplyMerges.size, ApplyMerges)}
+      |, bef AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_syms_before
+      |  FROM r0 GROUP BY 1
+      |), aft AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_syms_after,
+      |${ApplyMerges.zipWithIndex.map { case ((l, r), i) =>
+            s"    CAST(SUM(CASE WHEN sym = '$l$r' THEN 1 ELSE 0 END) " +
+              s"AS BIGINT) AS n_merge_${i + 1}"
+          }.mkString(",\n")}
+      |  FROM r${ApplyMerges.size} GROUP BY 1
+      |)
+      |SELECT bef.doc_id, n_syms_before, n_syms_after,
+      |  ${ApplyMerges.indices.map(i => s"n_merge_${i + 1}").mkString(", ")}
+      |FROM bef JOIN aft ON aft.doc_id = bef.doc_id
+      |ORDER BY bef.doc_id""".stripMargin) { (s, d) =>
+    TA.bpeApplyMerges(Tables.documents(s, d), col("doc_id"), col("text"),
+      ApplyMerges)
       .orderBy("doc_id")
   }
 
@@ -2125,7 +2181,7 @@ object LlmQueries {
 
   val all: Seq[Q] = Seq(tTokens, tTokensBpe, tBpePairCounts, tLangId,
     tQuality, tQualityQuantile, tQualityQuantileByLang, tTokenQuantiles,
-    tBpeTrainApply,
+    tBpeTrainApply, tBpeApplyMerges,
     tFingerprint, tRepetition, tContamination, tPiiScrub, tVocab,
     tCorpusCuration, tPacking, tQuotaSample, tTemperatureMix,
     tCorpusShuffle,

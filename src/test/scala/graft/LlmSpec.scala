@@ -47,6 +47,23 @@ class LlmSpec extends SparkSpec {
     assert(r3 == ((6L, 2L, "a+b", "ab+ab")))
   }
 
+  test("bpeApplyMerges: fixed merge table, rank order, chained merges") {
+    // "erer ere" -> pre-tokens "erer","ere". Merge 1 (e,r): "erer" has
+    // matches at pos 1 and 3 (non-overlapping) -> er,er; "ere" -> er,e.
+    // Merge 2 (er,e): only "ere"'s er,e pair matches -> ere. Final
+    // symbols: er,er,ere -> counts n_merge_1=2 (er), n_merge_2=1 (ere).
+    val d = Seq((1L, "erer ere")).toDF("doc_id", "text")
+    val r = TA.bpeApplyMerges(d, $"doc_id", $"text",
+      Seq(("e", "r"), ("er", "e")))
+      .select("n_syms_before", "n_syms_after", "n_merge_1", "n_merge_2")
+      .as[(Long, Long, Long, Long)].head()
+    assert(r == ((7L, 3L, 2L, 1L)))
+    // a merge pair absent from the corpus applies as a no-op
+    val r2 = TA.bpeApplyMerges(d, $"doc_id", $"text", Seq(("x", "y")))
+      .select("n_syms_after", "n_merge_1").as[(Long, Long)].head()
+    assert(r2 == ((7L, 0L)))
+  }
+
   test("bpeTrainApply: deep rounds (16) — checkpointed lineage stays sane") {
     // 17 distinct chars, every adjacent pair count 1: ties break on
     // binary pair order, so round 1 merges a+b, and each later round
