@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.llm.{CorpusIndex, Dedup, Multimodal, NearDupIndex, Packing, Similarity, TextAnalysis => TA}
@@ -411,6 +412,132 @@ object LlmQueries {
     TA.bpeApplyMerges(Tables.documents(s, d), col("doc_id"), col("text"),
       ApplyMerges)
       .orderBy("doc_id")
+  }
+
+  /** COUNT-MIN SKETCH — fixed-size frequency summary (d=3 hash rows ×
+    * w=1024 buckets) built in one scan + one map-side-combined
+    * aggregate over the corpus 3-GRAM stream (tens of thousands of
+    * distinct shingles ⇒ real bucket collisions at w=1024 — the
+    * documents vocabulary alone is only 31 tokens, which would make
+    * the sketch trivially exact), then point-estimates for the exact
+    * top-20. The CM guarantee (estimate ≥ true count, overshoot ≤
+    * corpus/w per row) is hash-gated row by row: both engines build
+    * the sketch from the same engine-portable md5→hex6 bucket hashing,
+    * so counters — collisions included — are bit-identical. */
+  val tCountMin: Q = {
+    import graft.llm.Sketches
+    val (d2, w2) = (3, 1024)
+    def bucketUnion(src: String): String =
+      (0 until d2).map(i =>
+        s"SELECT token, $i AS hash_idx, " +
+          s"${Sketches.cmBucketSql(i, "token", w2)} AS bucket FROM $src")
+        .mkString("\n      |  UNION ALL ")
+    Q.sql(
+      "t_countmin_topk",
+      s"""WITH t AS (
+        |  SELECT doc_id, $toksSql AS toks FROM documents
+        |), tok AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(toks) - 2),
+        |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS token
+        |  FROM t
+        |), hashed AS (
+        |  ${bucketUnion("tok")}
+        |), sk AS (
+        |  SELECT hash_idx, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM hashed GROUP BY 1, 2
+        |), c AS (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+        |  FROM tok GROUP BY 1
+        |), top AS (
+        |  SELECT token, freq, CAST(ROW_NUMBER() OVER (
+        |    ORDER BY freq DESC, token) AS BIGINT) AS rank
+        |  FROM c QUALIFY rank <= 20
+        |), probes AS (
+        |  ${bucketUnion("top")}
+        |), est AS (
+        |  SELECT probes.token, MIN(sk.cnt) AS cm_estimate
+        |  FROM probes JOIN sk USING (hash_idx, bucket)
+        |  GROUP BY 1
+        |)
+        |SELECT tp.rank, tp.token, tp.freq, e.cm_estimate
+        |FROM top tp JOIN est e ON e.token = tp.token
+        |ORDER BY tp.rank""".stripMargin) { (s, d) =>
+      val tokens = TA.shingleRows(Tables.documents(s, d),
+        col("doc_id"), col("text"), 3)
+        .select(col("shingle").as("token"))
+      val sketch = Sketches.countMinSketch(tokens, "token", d2, w2)
+      val counts = tokens.groupBy("token")
+        .agg(count(lit(1)).cast("long").as("freq"))
+      val top = counts
+        .orderBy(col("freq").desc, col("token")).limit(20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("freq").desc, col("token"))).cast("long"))
+      val est = Sketches.countMinEstimate(sketch,
+        top.select("token"), "token", d2, w2)
+      top.join(est, Seq("token"))
+        .select(col("rank"), col("token"), col("freq"),
+          col("cm_estimate"))
+        .orderBy("rank")
+    }
+  }
+
+  /** HYPERLOGLOG — fixed-size distinct-cardinality sketch (m=256
+    * registers, ~6.5% standard error) over the corpus 3-GRAM stream
+    * (tens of thousands of distinct shingles — far above the 2.5·m
+    * small-range threshold, so the raw estimator is in its valid
+    * regime and every register is touched; the 31-token vocabulary
+    * would sit in linear-counting territory where the raw estimator is
+    * honest-to-goodness wrong). Register state is per-register MAX of
+    * the leading-zero rank of the portable hash, merged across
+    * partitions by the aggregate itself (max is the merge). The
+    * register sum is carried as the exact integer Σ2^(maxρ−ρ) so the
+    * whole sketch state is hash-gated; the closing α·m²·2^maxρ/S is
+    * one correctly-rounded IEEE divide of identical inputs, estimate
+    * gated too, next to the exact distinct count it approximates. */
+  val tHll: Q = {
+    import graft.llm.Sketches
+    val m2 = 256
+    val bits = Sketches.hllValueBits(m2) // 16
+    val maxRho = bits + 1
+    Q.sql(
+      "t_hll_distinct",
+      s"""WITH t AS (
+        |  SELECT doc_id, $toksSql AS toks FROM documents
+        |), tok AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(toks) - 2),
+        |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS token
+        |  FROM t
+        |), h AS (
+        |  SELECT ${TA.hex6Expr("md5(token)")} AS hv FROM tok
+        |), regs AS (
+        |  SELECT hv % $m2 AS reg,
+        |    MAX(${Sketches.rhoSql(s"(hv // $m2)", bits)}) AS max_rho
+        |  FROM h GROUP BY 1
+        |), agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_registers,
+        |    CAST(SUM(CAST(1 AS BIGINT) << ($maxRho - max_rho))
+        |      AS BIGINT) AS s_present
+        |  FROM regs
+        |)
+        |SELECT CAST($m2 AS BIGINT) AS m,
+        |  (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) FROM tok)
+        |    AS n_exact,
+        |  n_registers,
+        |  CAST(s_present + ($m2 - n_registers) * ${1L << maxRho}
+        |    AS BIGINT) AS sum_scaled,
+        |  CAST(ROUND(${Sketches.hllNumerator(m2)} /
+        |    CAST(s_present + ($m2 - n_registers) * ${1L << maxRho}
+        |      AS DOUBLE)) AS BIGINT) AS estimate
+        |FROM agg""".stripMargin) { (s, d) =>
+      val tokens = TA.shingleRows(Tables.documents(s, d),
+        col("doc_id"), col("text"), 3)
+        .select(col("shingle").as("token"))
+      val exact = tokens.agg(
+        count_distinct(col("token")).cast("long").as("n_exact"))
+      Sketches.hllEstimate(Sketches.hllRegisters(tokens, "token", m2), m2)
+        .crossJoin(broadcast(exact))
+        .select("m", "n_exact", "n_registers", "sum_scaled", "estimate")
+    }
   }
 
   /** Corpus reporting — exact p50/p90/p99 of tokens-per-document from
@@ -2181,7 +2308,7 @@ object LlmQueries {
 
   val all: Seq[Q] = Seq(tTokens, tTokensBpe, tBpePairCounts, tLangId,
     tQuality, tQualityQuantile, tQualityQuantileByLang, tTokenQuantiles,
-    tBpeTrainApply, tBpeApplyMerges,
+    tBpeTrainApply, tBpeApplyMerges, tCountMin, tHll,
     tFingerprint, tRepetition, tContamination, tPiiScrub, tVocab,
     tCorpusCuration, tPacking, tQuotaSample, tTemperatureMix,
     tCorpusShuffle,

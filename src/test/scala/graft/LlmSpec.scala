@@ -47,6 +47,57 @@ class LlmSpec extends SparkSpec {
     assert(r3 == ((6L, 2L, "a+b", "ab+ab")))
   }
 
+  test("count-min: estimates dominate true counts; exact when w is ample") {
+    import graft.llm.Sketches
+    val tokens = (1 to 400).flatMap(i => Seq.fill(i % 7 + 1)(s"tok$i"))
+      .toDF("token")
+    val exact = tokens.groupBy("token").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // tight sketch: collisions certain (400 keys, 64 buckets) but every
+    // estimate must still dominate its true count (the CM invariant)
+    val sk = Sketches.countMinSketch(tokens, "token", d = 3, w = 64)
+    val est = Sketches.countMinEstimate(sk, tokens.distinct(), "token",
+      d = 3, w = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, c) =>
+      assert(est(t) >= c, s"$t: ${est(t)} < $c")
+    }
+    // ample sketch: 2^20 buckets, 400 keys — collisions (p ~ 7%) may
+    // nudge a few estimates up, but never below the true count, and
+    // most must be exact
+    val sk2 = Sketches.countMinSketch(tokens, "token", d = 3, w = 1 << 20)
+    val est2 = Sketches.countMinEstimate(sk2, tokens.distinct(), "token",
+      d = 3, w = 1 << 20)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.count { case (t, c) => est2(t) == c } >= 390)
+    exact.foreach { case (t, c) => assert(est2(t) >= c) }
+  }
+
+  test("hll: duplicates are free; registers merge by max; sane estimate") {
+    import graft.llm.Sketches
+    val a = (1 to 3000).map(i => s"k$i").toDF("token")
+    val b = (2000 to 5000).map(i => s"k$i").toDF("token")
+    val dup = a.unionByName(a).unionByName(a)
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hllRegisters(df, "token", 64)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // idempotent under duplication
+    assert(regs(a) == regs(dup))
+    // union registers == per-partition registers merged by max — the
+    // property that makes HLL a distributed partial aggregate
+    val merged = (regs(a).keySet ++ regs(b).keySet).map { k =>
+      k -> math.max(regs(a).getOrElse(k, 0L), regs(b).getOrElse(k, 0L))
+    }.toMap
+    assert(regs(a.unionByName(b)) == merged)
+    // estimate lands within 4 sigma of the true 5000 (1.04/sqrt(64))
+    val est = Sketches.hllEstimate(regs2df(a.unionByName(b)), 64)
+      .select("estimate").as[Long].head()
+    assert(math.abs(est - 5000.0) / 5000.0 < 4 * 1.04 / 8.0, s"est=$est")
+  }
+
+  private def regs2df(df: org.apache.spark.sql.DataFrame) =
+    graft.llm.Sketches.hllRegisters(df, "token", 64)
+
   test("bpeApplyMerges: fixed merge table, rank order, chained merges") {
     // "erer ere" -> pre-tokens "erer","ere". Merge 1 (e,r): "erer" has
     // matches at pos 1 and 3 (non-overlapping) -> er,er; "ere" -> er,e.
