@@ -16,7 +16,7 @@ object SparkEntry {
   def registry: Seq[Q] =
     AggQueries.all ++ WindowQueries.all ++ JoinQueries.all ++
       UnionScalarQueries.all ++ LlmQueries.all ++ ClusteringQueries.all ++
-      StreamingQueries.all ++
+      StreamingQueries.all ++ GraphQueries.all ++
       RefOpQueries.all ++ CompanyProductQueries.all ++
       PricingHistoryQueries.all ++ OrdersChainQueries.all ++
       ConsolidationChainQueries.all ++ ShopifyChainQueries.all ++

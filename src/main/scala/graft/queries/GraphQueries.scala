@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.operators.{Funnel, GraphOps}
+
+/** Graph/behavioral analytics: multi-stage conversion funnels over the
+  * event stream and co-occurrence graph + triangle counting over the
+  * order line items — both exactly replayable in the DuckDB oracle.
+  */
+object GraphQueries {
+
+  /** Three-stage conversion funnel view → click → purchase, each stage
+    * within 2 hours of the previous, anchored at each user's FIRST
+    * view. Emits per-user stage timestamps (exact micros — NULL where
+    * the funnel broke) and the reached stage; both engines run the
+    * identical chained filtered-min semantics. */
+  val stFunnel: Q = Q.sql(
+    "st_funnel",
+    """WITH s1 AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1
+      |), s2 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2
+      |  FROM events e JOIN s1 ON s1.user_id = e.user_id
+      |  WHERE e.event_type = 'click'
+      |    AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 2 HOUR
+      |  GROUP BY 1
+      |), s3 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3
+      |  FROM events e JOIN s2 ON s2.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase'
+      |    AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 2 HOUR
+      |  GROUP BY 1
+      |)
+      |SELECT s1.user_id,
+      |  CAST(epoch_us(t1) AS BIGINT) AS t1_us,
+      |  CAST(epoch_us(t2) AS BIGINT) AS t2_us,
+      |  CAST(epoch_us(t3) AS BIGINT) AS t3_us,
+      |  CAST(CASE WHEN t3 IS NOT NULL THEN 3
+      |            WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT)
+      |    AS reached_stage
+      |FROM s1
+      |LEFT JOIN s2 ON s2.user_id = s1.user_id
+      |LEFT JOIN s3 ON s3.user_id = s1.user_id
+      |ORDER BY s1.user_id""".stripMargin) { (s, d) =>
+    Funnel.funnel(Tables.events(s, d), "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"), "2 hours")
+      .select(col("user_id"),
+        unix_micros(col("t_1")).as("t1_us"),
+        unix_micros(col("t_2")).as("t2_us"),
+        unix_micros(col("t_3")).as("t3_us"),
+        col("reached_stage"))
+      .orderBy("user_id")
+  }
+
+  /** Co-purchase graph (parts co-occurring in ≥2 orders) + triangle
+    * count via the degree-oriented enumeration; emits the top-10
+    * highest-degree parts with their local triangle counts plus the
+    * global edge/triangle totals — graph construction, orientation,
+    * wedge closure, and the final counts all hash-gated against the
+    * same arithmetic in DuckDB. */
+  val gTriangles: Q = Q.sql(
+    "g_copurchase_triangles",
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
+      |), edges AS (
+      |  SELECT a.item AS src, b.item AS dst,
+      |    CAST(COUNT(*) AS BIGINT) AS support
+      |  FROM li a JOIN li b ON b.g = a.g AND a.item < b.item
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      |), deg AS (
+      |  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+      |    SELECT src AS node FROM edges
+      |    UNION ALL SELECT dst FROM edges)
+      |  GROUP BY 1
+      |), oriented AS (
+      |  SELECT
+      |    CASE WHEN ds.degree < dd.degree
+      |           OR (ds.degree = dd.degree AND e.src < e.dst)
+      |         THEN e.src ELSE e.dst END AS lo,
+      |    CASE WHEN ds.degree < dd.degree
+      |           OR (ds.degree = dd.degree AND e.src < e.dst)
+      |         THEN e.dst ELSE e.src END AS hi
+      |  FROM edges e
+      |  JOIN deg ds ON ds.node = e.src
+      |  JOIN deg dd ON dd.node = e.dst
+      |), wedges AS (
+      |  SELECT w1.lo, w1.hi AS x, w2.hi AS y
+      |  FROM oriented w1 JOIN oriented w2
+      |    ON w2.lo = w1.lo AND w1.hi < w2.hi
+      |), closing AS (
+      |  SELECT lo AS x, hi AS y FROM oriented
+      |  UNION ALL SELECT hi, lo FROM oriented
+      |), tri AS (
+      |  SELECT LEAST(w.lo, w.x, w.y) AS a,
+      |    w.lo + w.x + w.y - LEAST(w.lo, w.x, w.y)
+      |      - GREATEST(w.lo, w.x, w.y) AS b,
+      |    GREATEST(w.lo, w.x, w.y) AS c
+      |  FROM wedges w JOIN closing cl ON cl.x = w.x AND cl.y = w.y
+      |), ntri AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM tri
+      |), nedge AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges
+      |), nodetri AS (
+      |  SELECT node, CAST(COUNT(*) AS BIGINT) AS node_triangles FROM (
+      |    SELECT a AS node FROM tri
+      |    UNION ALL SELECT b FROM tri
+      |    UNION ALL SELECT c FROM tri)
+      |  GROUP BY 1
+      |), top AS (
+      |  SELECT node, degree, CAST(ROW_NUMBER() OVER (
+      |    ORDER BY degree DESC, node) AS BIGINT) AS rank
+      |  FROM deg QUALIFY rank <= 10
+      |)
+      |SELECT t.rank, t.node, t.degree,
+      |  COALESCE(nt.node_triangles, CAST(0 AS BIGINT)) AS node_triangles,
+      |  ne.n_edges, ntr.n_triangles
+      |FROM top t
+      |LEFT JOIN nodetri nt ON nt.node = t.node
+      |CROSS JOIN nedge ne CROSS JOIN ntri ntr
+      |ORDER BY t.rank""".stripMargin) { (s, d) =>
+    val edges = GraphOps.coOccurrenceEdges(Tables.lineitem(s, d),
+      "l_orderkey", "l_partkey", minSupport = 2L)
+    val deg = GraphOps.degrees(edges)
+    val tri = GraphOps.triangles(edges)
+    val nodeTri = tri.select(col("a").as("node"))
+      .unionAll(tri.select(col("b").as("node")))
+      .unionAll(tri.select(col("c").as("node")))
+      .groupBy("node")
+      .agg(count(lit(1)).cast("long").as("node_triangles"))
+    val globals = edges.agg(count(lit(1)).cast("long").as("n_edges"))
+      .crossJoin(tri.agg(count(lit(1)).cast("long").as("n_triangles")))
+    deg.orderBy(col("degree").desc, col("node")).limit(10)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("degree").desc, col("node"))).cast("long"))
+      .join(nodeTri, Seq("node"), "left")
+      .crossJoin(broadcast(globals))
+      .select(col("rank"), col("node"), col("degree"),
+        coalesce(col("node_triangles"), lit(0L)).as("node_triangles"),
+        col("n_edges"), col("n_triangles"))
+      .orderBy("rank")
+  }
+
+  val all: Seq[Q] = Seq(stFunnel, gTriangles)
+}

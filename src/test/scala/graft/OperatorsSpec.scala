@@ -388,6 +388,53 @@ class OperatorsSpec extends SparkSpec {
       full.inputFiles.length)
   }
 
+  test("GraphOps: co-occurrence support filter; K4 has 4 triangles") {
+    import graft.operators.GraphOps
+    // groups: (1,2) together twice, (1,3) once -> only edge (1,2)
+    // survives minSupport=2
+    val facts = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 3L)).toDF("g", "item")
+    val e = GraphOps.coOccurrenceEdges(facts, "g", "item", 2L)
+      .select("src", "dst", "support").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(e == Set((1L, 2L, 2L)))
+    // K4 on {1,2,3,4}: C(4,3) = 4 triangles, each counted exactly once
+    val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b))
+      .toDF("src", "dst")
+    val tris = GraphOps.triangles(k4)
+      .select("a", "b", "c").as[(Long, Long, Long)].collect().toSet
+    assert(tris == Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L),
+      (2L, 3L, 4L)))
+    // square + one diagonal: exactly the two diagonal triangles
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L))
+      .toDF("src", "dst")
+    assert(GraphOps.triangles(sq).select("a", "b", "c")
+      .as[(Long, Long, Long)].collect().toSet ==
+      Set((1L, 2L, 3L), (1L, 3L, 4L)))
+  }
+
+  test("Funnel: stage windows anchor at the previous stage's first event") {
+    import graft.operators.Funnel
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val events = Seq(
+      // user 1 converts fully: view@0, click@30, purchase@60
+      (1L, "view", ts(0)), (1L, "click", ts(30)), (1L, "purchase", ts(60)),
+      // user 2: click BEFORE the first view never counts; the next
+      // click lands outside the 1h horizon -> stuck at stage 1
+      (2L, "click", ts(5)), (2L, "view", ts(10)), (2L, "click", ts(80)),
+      // user 3: view + click, purchase outside horizon of the click
+      (3L, "view", ts(0)), (3L, "click", ts(10)),
+      (3L, "purchase", ts(200)),
+      // user 4: never views -> not a funnel member
+      (4L, "click", ts(0)), (4L, "purchase", ts(1)))
+      .toDF("user_id", "event_type", "ts")
+    val got = Funnel.funnel(events, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"), "1 hour")
+      .select("user_id", "reached_stage").as[(Long, Long)]
+      .collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 2L))
+  }
+
   test("Checks.snapshotDrift flags a large version-over-version count swing") {
     import graft.operators.AtomicTable
     import graft.quality.Checks
