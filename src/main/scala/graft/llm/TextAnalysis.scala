@@ -394,6 +394,37 @@ object TextAnalysis {
     bef.join(aft, Seq("doc_id"))
   }
 
+  /** INVERTED INDEX — the search-engine primitive over the corpus:
+    * per token, document frequency, collection frequency, and the head
+    * of the doc-ordered posting list as a compact string. Postings are
+    * one (token, doc)-keyed aggregate (tf + first position, map-side
+    * combined); the per-token assembly uses the order-preserving
+    * reassembly pattern (`sort_array(collect_list(struct(...)))` —
+    * README determinism rules) so the emitted head is deterministic;
+    * the `transform` HOF runs on a ≤`headK`-element array per TOKEN
+    * row (vocabulary grain, not corpus grain), which keeps the
+    * interpreted-HOF cost off the hot path. At 100 TB the posting
+    * lists themselves would be written doc-sharded (writeShards); the
+    * head string here is the index METADATA a query planner reads.
+    * Returns (token, df, cf, postings_head). */
+  def invertedIndex(docs: DataFrame, id: Column, text: Column,
+                    headK: Int): DataFrame = {
+    val postings = docs
+      .select(id.as("doc_id"), posexplode(tokens(text))
+        .as(Seq("pos", "token")))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    postings.groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("df"),
+        sum(col("tf")).cast("long").as("cf"),
+        slice(sort_array(collect_list(struct(col("doc_id"), col("tf")))),
+          1, headK).as("head"))
+      .select(col("token"), col("df"), col("cf"),
+        array_join(transform(col("head"), p =>
+          concat(p.getField("doc_id").cast("string"), lit(":"),
+            p.getField("tf").cast("string"))), ",").as("postings_head"))
+  }
+
   /** Exploded (doc_id, shingle) rows built with posexplode + lead
     * windows — fully codegen'd, unlike the array form below (Spark's
     * higher-order functions are interpreted per element; on a 5k-doc

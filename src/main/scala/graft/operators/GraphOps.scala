@@ -26,6 +26,76 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** INTEGER-EXACT PAGERANK over the undirected edge set (each edge
+    * walked both ways): ranks carried as BIGINT millionths, damping
+    * 0.85 as `(85 · Σ) div 100`, per-neighbor contribution as
+    * `pr div deg` — every operation an integer truncating division
+    * both engines execute identically, so the iteration chain is
+    * hash-gateable end to end (the same quantization discipline as
+    * k-means; floating PageRank would drift in the last ulps across
+    * summation orders). Unnormalized form: base mass 0.15 per node,
+    * no global-N division — rankings identical to the normalized
+    * variant.
+    *
+    * Scale shape: per iteration ONE join of the directed edge list
+    * with the (node, pr, deg) state — shuffle keyed on the node id —
+    * and one map-side-combined sum; `localCheckpoint` per round keeps
+    * the plan flat at any depth (the connectedComponents /
+    * bpeTrainApply discipline). Returns (node, deg, pr). */
+  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    val dirs = edges.select(col("src").as("u"), col("dst").as("v"))
+      .unionAll(edges.select(col("dst").as("u"), col("src").as("v")))
+    val outdeg = dirs.groupBy(col("u"))
+      .agg(count(lit(1)).cast("long").as("deg"))
+    var pr = outdeg.select(col("u").as("node"), col("deg"),
+      lit(1000000L).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = dirs
+        .join(pr.select(col("node").as("u"), col("deg"), col("pr")),
+          Seq("u"))
+        .select(col("v").as("node"), expr("pr div deg").as("c"))
+        .groupBy(col("node"))
+        .agg(sum(col("c")).as("in_sum"))
+      pr = outdeg.select(col("u").as("node"), col("deg"))
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          (lit(150000L) +
+            expr("85 * coalesce(in_sum, 0L) div 100")).as("pr"))
+        .localCheckpoint(true)
+    }
+    pr
+  }
+
+  /** DuckDB twin of [[pageRank]]: the iteration chain as CTE text.
+    * Expects an `edges(src, dst)` CTE; emits `dirs`, `outdeg`, `pr0`,
+    * per-round `c{t}`/`pr{t}`. Callers read `pr{iters}` =
+    * (node, deg, pr). */
+  def pageRankOracleCtes(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s""", dirs AS (
+      |  SELECT src AS u, dst AS v FROM edges
+      |  UNION ALL SELECT dst, src FROM edges
+      |), outdeg AS (
+      |  SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM dirs GROUP BY 1
+      |), pr0 AS (
+      |  SELECT u AS node, deg, CAST(1000000 AS BIGINT) AS pr
+      |  FROM outdeg
+      |)""".stripMargin
+    for (t <- 1 to iters) {
+      sb ++= s""", c$t AS (
+      |  SELECT d.v AS node, CAST(SUM(r.pr // r.deg) AS BIGINT) AS in_sum
+      |  FROM dirs d JOIN pr${t - 1} r ON r.node = d.u
+      |  GROUP BY 1
+      |), pr$t AS (
+      |  SELECT o.u AS node, o.deg,
+      |    CAST(150000 + (85 * COALESCE(c.in_sum, 0)) // 100 AS BIGINT)
+      |      AS pr
+      |  FROM outdeg o LEFT JOIN c$t c ON c.node = o.u
+      |)""".stripMargin
+    }
+    sb.toString
+  }
+
   /** Undirected support-filtered co-occurrence edges:
     * (src < dst, support). */
   def coOccurrenceEdges(facts: DataFrame, groupCol: String,

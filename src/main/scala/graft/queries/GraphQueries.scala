@@ -143,5 +143,93 @@ object GraphQueries {
       .orderBy("rank")
   }
 
-  val all: Seq[Q] = Seq(stFunnel, gTriangles)
+  /** COHORT RETENTION — the signup-cohort activity matrix: users
+    * grouped by the ISO week of their FIRST signup event, then for
+    * each later week-offset, how many of that cohort were active (any
+    * event). One min-aggregate for the cohort anchor, one distinct
+    * (user, week) projection, one join, one (cohort, offset) rollup —
+    * all user-keyed or cohort-keyed shuffles, map-side combined.
+    * Week truncation is ISO-Monday in BOTH engines (Spark
+    * date_trunc('week') and DuckDB DATE_TRUNC('week')); offsets are
+    * exact integer day-diffs div 7 on week-aligned dates. */
+  val stCohort: Q = Q.sql(
+    "st_cohort_retention",
+    """WITH su AS (
+      |  SELECT user_id,
+      |    CAST(DATE_TRUNC('week', MIN(ts)) AS DATE) AS cohort_week
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1
+      |), act AS (
+      |  SELECT DISTINCT e.user_id,
+      |    CAST(DATE_TRUNC('week', e.ts) AS DATE) AS act_week
+      |  FROM events e
+      |), m AS (
+      |  SELECT su.cohort_week, act.act_week, su.user_id
+      |  FROM su JOIN act ON act.user_id = su.user_id
+      |  WHERE act.act_week >= su.cohort_week
+      |), sizes AS (
+      |  SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_cohort
+      |  FROM su GROUP BY 1
+      |)
+      |SELECT CAST(m.cohort_week AS VARCHAR) AS cohort_week,
+      |  CAST(DATEDIFF('day', m.cohort_week, m.act_week) // 7 AS BIGINT)
+      |    AS week_offset,
+      |  CAST(COUNT(DISTINCT m.user_id) AS BIGINT) AS n_active,
+      |  s.n_cohort
+      |FROM m JOIN sizes s ON s.cohort_week = m.cohort_week
+      |GROUP BY 1, 2, s.n_cohort
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+    val su = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).cast("date")
+        .as("cohort_week"))
+    val act = e.select(col("user_id"),
+      date_trunc("week", col("ts")).cast("date").as("act_week"))
+      .distinct()
+    val sizes = su.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).cast("long").as("n_cohort"))
+    su.join(act, Seq("user_id"))
+      .filter(col("act_week") >= col("cohort_week"))
+      .groupBy(col("cohort_week"),
+        expr("datediff(act_week, cohort_week) div 7")
+          .cast("long").as("week_offset"))
+      .agg(count_distinct(col("user_id")).cast("long").as("n_active"))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week").cast("string").as("cohort_week"),
+        col("week_offset"), col("n_active"), col("n_cohort"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** Integer-exact PageRank (3 rounds, damping 0.85, BIGINT-millionth
+    * ranks) over the co-purchase graph — the full iteration chain
+    * replayed in SQL, so initialization, per-neighbor integer
+    * division, damped sums, and the final ranking are all hash-gated.
+    * Top-20 by (pr DESC, node). */
+  val gPageRank: Q = Q.sql(
+    "g_pagerank",
+    s"""WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
+      |), edges AS (
+      |  SELECT a.item AS src, b.item AS dst
+      |  FROM li a JOIN li b ON b.g = a.g AND a.item < b.item
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      |)${GraphOps.pageRankOracleCtes(3)}
+      |SELECT rank_pos, node, deg, pr FROM (
+      |  SELECT node, deg, pr, CAST(ROW_NUMBER() OVER (
+      |    ORDER BY pr DESC, node) AS BIGINT) AS rank_pos
+      |  FROM pr3
+      |) WHERE rank_pos <= 20
+      |ORDER BY rank_pos""".stripMargin) { (s, d) =>
+    val edges = GraphOps.coOccurrenceEdges(Tables.lineitem(s, d),
+      "l_orderkey", "l_partkey", minSupport = 2L)
+      .select("src", "dst")
+    GraphOps.pageRank(edges, iters = 3)
+      .orderBy(col("pr").desc, col("node")).limit(20)
+      .withColumn("rank_pos", row_number().over(
+        Window.orderBy(col("pr").desc, col("node"))).cast("long"))
+      .select("rank_pos", "node", "deg", "pr")
+      .orderBy("rank_pos")
+  }
+
+  val all: Seq[Q] = Seq(stFunnel, gTriangles, stCohort, gPageRank)
 }

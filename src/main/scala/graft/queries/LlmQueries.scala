@@ -540,6 +540,43 @@ object LlmQueries {
     }
   }
 
+  /** INVERTED INDEX — per token: document frequency, collection
+    * frequency, and the doc-ordered head of the posting list as a
+    * compact `doc:tf` string (the index metadata a query planner
+    * reads). The DuckDB twin assembles the identical head with
+    * STRING_AGG ORDER BY under a ROW_NUMBER cap — the r08
+    * order-preserving-reassembly pattern — so posting content AND
+    * order are hash-gated. */
+  val tInvertedIndex: Q = Q.sql(
+    "t_inverted_index",
+    s"""WITH tok AS (
+      |  SELECT doc_id, unnest(toks) AS token
+      |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+      |), postings AS (
+      |  SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM tok GROUP BY 1, 2
+      |), agg AS (
+      |  SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+      |    CAST(SUM(tf) AS BIGINT) AS cf
+      |  FROM postings GROUP BY 1
+      |), headp AS (
+      |  SELECT token, STRING_AGG(
+      |    CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+      |    ',' ORDER BY doc_id) AS postings_head
+      |  FROM (
+      |    SELECT token, doc_id, tf, ROW_NUMBER() OVER (
+      |      PARTITION BY token ORDER BY doc_id) AS rn
+      |    FROM postings)
+      |  WHERE rn <= 5 GROUP BY 1
+      |)
+      |SELECT a.token, a.df, a.cf, h.postings_head
+      |FROM agg a JOIN headp h USING (token)
+      |ORDER BY a.token""".stripMargin) { (s, d) =>
+    TA.invertedIndex(Tables.documents(s, d), col("doc_id"), col("text"),
+      headK = 5)
+      .orderBy("token")
+  }
+
   /** Corpus reporting — exact p50/p90/p99 of tokens-per-document from
     * ONE histogram pass: every quantile answered from the same
     * ascending cumulative over distinct token counts (standard lower
@@ -2308,7 +2345,7 @@ object LlmQueries {
 
   val all: Seq[Q] = Seq(tTokens, tTokensBpe, tBpePairCounts, tLangId,
     tQuality, tQualityQuantile, tQualityQuantileByLang, tTokenQuantiles,
-    tBpeTrainApply, tBpeApplyMerges, tCountMin, tHll,
+    tBpeTrainApply, tBpeApplyMerges, tCountMin, tHll, tInvertedIndex,
     tFingerprint, tRepetition, tContamination, tPiiScrub, tVocab,
     tCorpusCuration, tPacking, tQuotaSample, tTemperatureMix,
     tCorpusShuffle,
