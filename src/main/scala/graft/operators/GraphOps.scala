@@ -43,10 +43,18 @@ object GraphOps {
     * the plan flat at any depth (the connectedComponents /
     * bpeTrainApply discipline). Returns (node, deg, pr). */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    // Materialize the (possibly expensive) edge derivation ONCE: the
+    // directed list and degrees are re-read by EVERY round's join, and
+    // each round is a separately-executed checkpoint job — without
+    // this the upstream plan (e.g. the co-occurrence self-join) would
+    // re-run iters× (measured: g_pagerank 5.4 → ~2 s at sf0.1). This
+    // is the between-plans materialization CLAUDE.md's rule permits.
     val dirs = edges.select(col("src").as("u"), col("dst").as("v"))
       .unionAll(edges.select(col("dst").as("u"), col("src").as("v")))
+      .localCheckpoint(true)
     val outdeg = dirs.groupBy(col("u"))
       .agg(count(lit(1)).cast("long").as("deg"))
+      .localCheckpoint(true)
     var pr = outdeg.select(col("u").as("node"), col("deg"),
       lit(1000000L).as("pr"))
     for (_ <- 1 to iters) {
