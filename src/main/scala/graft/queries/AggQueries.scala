@@ -452,8 +452,59 @@ object AggQueries {
     }
   }
 
+  /** A20 — native CUBE: all four grouping-set grains of
+    * (status, priority) in ONE pass (Spark expands the sets into a
+    * single Expand + aggregate — one shuffle, not four queries; the
+    * a13 two-grain union is the hand-built special case). Rollup nulls
+    * are COALESCEd to 'ALL' (neither column is nullable in the data,
+    * so the marker is unambiguous). */
+  val a20Cube: Q = Q.sql(
+    "a20_cube_rollup",
+    """SELECT
+      |  COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST((o_totalprice) AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("total_price"))
+      .orderBy("status", "priority")
+  }
+
+  /** A21 — native PIVOT: order counts per priority pivoted across the
+    * three order statuses with Spark's `.pivot` (planned as one
+    * conditional aggregate — exactly the SQL the oracle states, which
+    * is also why the twin uses portable CASE aggregation rather than
+    * DuckDB's PIVOT statement sugar). Missing cells coalesce to 0. */
+  val a21Pivot: Q = Q.sql(
+    "a21_pivot_status",
+    """SELECT o_orderpriority AS priority,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("priority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy("priority")
+  }
+
   val all: Seq[Q] = Seq(q1PricingSummary, aCompanyHealth, a1OrderRollup,
     a2CustomerRevenue,
     a3StringAgg, a4Mode, a7PeriodMetrics, a12MultiGrain, a13MarginGrains,
-    a18Quality)
+    a18Quality, a20Cube, a21Pivot)
 }

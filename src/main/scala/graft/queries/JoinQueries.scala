@@ -470,8 +470,67 @@ object JoinQueries {
       col("user_id"), k = 20, heavyNum = 1, heavyDen = 1000)
   }
 
+  /** J16 — BLOCKED FUZZY JOIN (approximate string matching): dirty
+    * names (a deterministic single-character deletion of part names,
+    * synthesized identically in both engines — the r07 model-chain
+    * pattern) matched back to the clean catalog by levenshtein ≤ 2,
+    * with 4-char-prefix BLOCKING so the candidate set is block-local
+    * instead of the full cross product — the standard
+    * entity-resolution shape (the reference's domain consolidation
+    * does the exact-key version; fuzzy is its recall upgrade). Best
+    * match per dirty row by (distance, key). Blocking trades recall
+    * for boundedness (a corruption inside the prefix escapes its
+    * block) — both engines lose the SAME pairs, so the trade-off
+    * itself is hash-gated. At 100 TB blocking is what keeps fuzzy
+    * matching feasible: pairs ∝ Σ block² ≪ n². */
+  val j16FuzzyMatch: Q = Q.sql(
+    "j16_fuzzy_match",
+    """WITH dirty AS (
+      |  SELECT p_partkey AS dirty_key,
+      |    substr(p_name, 1, 1 + p_partkey % length(p_name) - 1) ||
+      |      substr(p_name, 1 + p_partkey % length(p_name) + 1)
+      |      AS dirty_name
+      |  FROM part WHERE p_partkey % 20 = 0
+      |), cand AS (
+      |  SELECT d.dirty_key, p.p_partkey AS cand_key,
+      |    CAST(levenshtein(d.dirty_name, p.p_name) AS BIGINT) AS lev
+      |  FROM dirty d JOIN part p
+      |    ON substr(p.p_name, 1, 4) = substr(d.dirty_name, 1, 4)
+      |  WHERE levenshtein(d.dirty_name, p.p_name) <= 2
+      |), best AS (
+      |  SELECT dirty_key, cand_key, lev, ROW_NUMBER() OVER (
+      |    PARTITION BY dirty_key ORDER BY lev, cand_key) AS rn
+      |  FROM cand
+      |)
+      |SELECT dirty_key, cand_key AS matched_key, lev
+      |FROM best WHERE rn = 1
+      |ORDER BY dirty_key""".stripMargin) { (s, d) =>
+    val part = Tables.part(s, d)
+    val dirty = part.filter(col("p_partkey") % 20 === 0)
+      .select(col("p_partkey").as("dirty_key"),
+        expr("concat(" +
+          "substr(p_name, 1, 1 + p_partkey % length(p_name) - 1), " +
+          "substr(p_name, 1 + p_partkey % length(p_name) + 1))")
+          .as("dirty_name"))
+    val cand = dirty
+      .join(part.select(col("p_partkey"), col("p_name")),
+        expr("substr(p_name, 1, 4) = substr(dirty_name, 1, 4)"))
+      .filter(levenshtein(col("dirty_name"), col("p_name")) <= 2)
+      .select(col("dirty_key"), col("p_partkey").as("cand_key"),
+        levenshtein(col("dirty_name"), col("p_name")).cast("long")
+          .as("lev"))
+    cand
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("dirty_key"))
+          .orderBy(col("lev"), col("cand_key"))))
+      .filter(col("rn") === 1)
+      .select(col("dirty_key"), col("cand_key").as("matched_key"),
+        col("lev"))
+      .orderBy("dirty_key")
+  }
+
   val all: Seq[Q] = Seq(j1BroadcastDims, j5OrderContact, j7FactBridge,
     j8FullOuterMatch, j11AsOf, j12AttributionWindows,
     j14LeadEmailCustomer, j13CrossAgg, jAntiSemi, jSaltedSkew,
-    jSkewAudit)
+    jSkewAudit, j16FuzzyMatch)
 }

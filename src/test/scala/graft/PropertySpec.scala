@@ -15,6 +15,36 @@ class PropertySpec extends SparkSpec {
 
   private val rnd = new scala.util.Random(42)
 
+  test("BPE: applying the TRAINED merge table reproduces training's result") {
+    import graft.llm.TextAnalysis
+    // Cross-validation of the two halves of distributed BPE: train
+    // rounds=3 on a random corpus, read the learned merges out of the
+    // result, replay them with the fixed-table apply path — per-doc
+    // final symbol counts must be IDENTICAL (they run different plans:
+    // in-plan learned broadcast vs literal predicates).
+    val words = Seq("the", "there", "then", "other", "her", "here",
+      "where", "ere", "ore", "err")
+    val docs = (1L to 40L).map { i =>
+      (i, Seq.fill(6)(words(rnd.nextInt(words.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val trained = TextAnalysis.bpeTrainApply(docs, $"doc_id", $"text",
+      rounds = 3)
+    val merges = trained.select("merge_1", "merge_2", "merge_3")
+      .head() match {
+      case r => (0 until 3).map { i =>
+        val Array(l, tr) = r.getString(i).split("\\+", 2)
+        (l, tr)
+      }
+    }
+    val applied = TextAnalysis.bpeApplyMerges(docs, $"doc_id", $"text",
+      merges)
+    val a = trained.select("doc_id", "n_syms_after")
+      .as[(Long, Long)].collect().toMap
+    val b = applied.select("doc_id", "n_syms_after")
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
   test("temperatureMix invariants: quota sum <= totalN, kept = min(quota, n)") {
     import graft.llm.TextAnalysis
     // Random skewed group sizes; floors make the quota sum land in
