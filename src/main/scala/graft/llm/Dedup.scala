@@ -127,6 +127,47 @@ object Dedup {
         col("intersection_size").cast("double") / col("union_size"))
   }
 
+  /** EXACT set-similarity self-join via PREFIX FILTERING (the
+    * PPJoin-family algorithm): order every doc's shingles by GLOBAL
+    * rarity (df asc, shingle), keep each doc's prefix of length
+    * ⌊(1−t)·|s|⌋+1, and generate candidates only from docs sharing a
+    * PREFIX shingle — the classical lemma guarantees any pair with
+    * Jaccard ≥ t shares one, so unlike MinHash/LSH this candidate set
+    * has NO false negatives: the verified output is the exact
+    * similarity join. Threshold is the rational simNum/simDen and the
+    * final test is the integer cross-multiplication
+    * `inter·simDen ≥ simNum·union` — no doubles anywhere.
+    *
+    * Scale shape: df ordering is one shingle-keyed aggregate; prefix
+    * selection one (doc)-keyed window; candidates one equi-join on the
+    * prefix shingle — rare shingles by construction, so buckets are
+    * small exactly where the join would explode (the df-ascending
+    * order IS the skew guard: a stopword-grade shingle is never in
+    * anyone's prefix unless the doc is tiny); verification is the
+    * bounded [[jaccardVerify]] equi-join. */
+  def prefixFilterJoin(shingled: DataFrame, simNum: Int,
+                       simDen: Int): DataFrame = {
+    val dfq = shingled.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+    val sizes = shingled.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("set_size"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("shingle"))
+    val prefixes = shingled.join(dfq, Seq("shingle"))
+      .withColumn("ord", row_number().over(wDoc))
+      .join(sizes, Seq("doc_id"))
+      .filter(col("ord") <=
+        expr(s"(($simDen - $simNum) * set_size) div $simDen") + 1)
+      .select(col("doc_id"), col("shingle"))
+    val cand = prefixes.toDF("doc_a", "shingle")
+      .join(prefixes.toDF("doc_b", "shingle"), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    jaccardVerify(cand, shingled)
+      .filter(col("intersection_size") * simDen >=
+        lit(simNum.toLong) * col("union_size"))
+  }
+
   /** SimHash NEAR-DUP pairS via PIGEONHOLE BANDING: split the 32-bit
     * signature into 4 exact-match bands of 8 bits — any pair within
     * Hamming distance 3 differs in at most 3 bands, so at least one

@@ -540,6 +540,63 @@ object LlmQueries {
     }
   }
 
+  /** EXACT set-similarity join via prefix filtering — the
+    * no-false-negative counterpart of `dd_minhash_lsh_jaccard`: docs
+    * ordered by global shingle rarity keep only a ⌊(1−t)n⌋+1 prefix,
+    * candidates come from shared PREFIX shingles (the classical lemma:
+    * a pair at Jaccard ≥ 0.8 must share one), and the verified result
+    * IS the exact join. Candidate generation, the rarity order, and
+    * the integer cross-multiplied threshold are all replayed in SQL. */
+  val ddSsjoinPrefix: Q = Q.sql(
+    "dd_ssjoin_prefix",
+    s"""WITH t AS (
+      |  SELECT doc_id, $toksSql AS toks FROM documents
+      |), s AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(generate_series(1, len(toks) - 2),
+      |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shingle
+      |  FROM t
+      |), dfq AS (
+      |  SELECT shingle, COUNT(*) AS df FROM s GROUP BY 1
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS set_size FROM s GROUP BY 1
+      |), pfx AS (
+      |  SELECT doc_id, shingle FROM (
+      |    SELECT s.doc_id, s.shingle, sizes.set_size,
+      |      ROW_NUMBER() OVER (PARTITION BY s.doc_id
+      |        ORDER BY dfq.df, s.shingle) AS ord
+      |    FROM s JOIN dfq USING (shingle) JOIN sizes USING (doc_id))
+      |  WHERE ord <= ((10 - 8) * set_size) // 10 + 1
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM pfx a JOIN pfx b USING (shingle)
+      |  WHERE a.doc_id < b.doc_id
+      |), inter AS (
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS intersection_size
+      |  FROM cand c
+      |  JOIN s x ON x.doc_id = c.doc_a
+      |  JOIN s y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      |  GROUP BY 1, 2
+      |)
+      |SELECT i.doc_a, i.doc_b,
+      |  CAST(i.intersection_size AS BIGINT) AS intersection_size,
+      |  CAST(sa.set_size + sb.set_size - i.intersection_size AS BIGINT)
+      |    AS union_size
+      |FROM inter i
+      |JOIN sizes sa ON sa.doc_id = i.doc_a
+      |JOIN sizes sb ON sb.doc_id = i.doc_b
+      |WHERE i.intersection_size * 10 >=
+      |  8 * (sa.set_size + sb.set_size - i.intersection_size)
+      |ORDER BY i.doc_a, i.doc_b""".stripMargin) { (s, d) =>
+    val shingled = TA.shingleRows(Tables.documents(s, d),
+      col("doc_id"), col("text"), 3).distinct()
+    Dedup.prefixFilterJoin(shingled, simNum = 8, simDen = 10)
+      .select(col("doc_a"), col("doc_b"),
+        col("intersection_size").cast("long").as("intersection_size"),
+        col("union_size").cast("long").as("union_size"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** INVERTED INDEX — per token: document frequency, collection
     * frequency, and the doc-ordered head of the posting list as a
     * compact `doc:tf` string (the index metadata a query planner
@@ -2346,6 +2403,7 @@ object LlmQueries {
   val all: Seq[Q] = Seq(tTokens, tTokensBpe, tBpePairCounts, tLangId,
     tQuality, tQualityQuantile, tQualityQuantileByLang, tTokenQuantiles,
     tBpeTrainApply, tBpeApplyMerges, tCountMin, tHll, tInvertedIndex,
+    ddSsjoinPrefix,
     tFingerprint, tRepetition, tContamination, tPiiScrub, tVocab,
     tCorpusCuration, tPacking, tQuotaSample, tTemperatureMix,
     tCorpusShuffle,

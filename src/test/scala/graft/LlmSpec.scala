@@ -47,6 +47,30 @@ class LlmSpec extends SparkSpec {
     assert(r3 == ((6L, 2L, "a+b", "ab+ab")))
   }
 
+  test("prefixFilterJoin == brute-force exact similarity join (no false negatives)") {
+    import graft.llm.{Dedup, TextAnalysis => TAx}
+    // small corpus with planted near-dups and decoys
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (4L, "one two three four five six seven eight nine ten"),
+      (5L, "totally different words everywhere nothing shared at all x y"))
+      .toDF("doc_id", "text")
+    val sh = TAx.shingleRows(docs, $"doc_id", $"text", 3).distinct()
+    val got = Dedup.prefixFilterJoin(sh, 8, 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // brute force: every pair, exact jaccard, same threshold
+    val ids = docs.select("doc_id").as[Long].collect()
+    val all = (for (a <- ids; b <- ids if a < b) yield (a, b)).toSeq
+      .toDF("doc_a", "doc_b")
+    val want = Dedup.jaccardVerify(all, sh)
+      .filter($"intersection_size" * 10 >= $"union_size" * 8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == want)
+    assert(want.contains((1L, 3L))) // the identical pair is found
+  }
+
   test("count-min: estimates dominate true counts; exact when w is ample") {
     import graft.llm.Sketches
     val tokens = (1 to 400).flatMap(i => Seq.fill(i % 7 + 1)(s"tok$i"))
