@@ -273,6 +273,85 @@ object UnionScalarQueries {
       .orderBy("o_orderkey")
   }
 
+  /** S13 — SCD TYPE-2 SNAPSHOT (the dbt `snapshot` check strategy)
+    * through the REAL [[graft.operators.Scd2]]: a current snapshot
+    * (one open row per customer + synthetic closed history for every
+    * 7th key) receives a batch where every 3rd key CHANGED segment,
+    * every 5th (and not 3rd) key arrived UNCHANGED, and 50 brand-new
+    * keys appear — exercising close-and-reopen, untouched-open,
+    * absent-key retention, history pass-through, and first-open in one
+    * hash-gated result. All validity bounds come from literal dates in
+    * the data (never wall clock), so both engines replay the identical
+    * transition. */
+  val s13Scd2: Q = Q.sql(
+    "s13_scd2_snapshot",
+    """WITH cur_open AS (
+      |  SELECT c_custkey, c_mktsegment AS segment,
+      |    '2024-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+      |  FROM customer
+      |), cur_closed AS (
+      |  SELECT c_custkey, 'old-' || c_mktsegment AS segment,
+      |    '2023-01-01' AS valid_from, '2024-01-01' AS valid_to
+      |  FROM customer WHERE c_custkey % 7 = 0
+      |), batch AS (
+      |  SELECT c_custkey, c_mktsegment || '-new' AS segment
+      |  FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_mktsegment FROM customer
+      |  WHERE c_custkey % 5 = 1 AND c_custkey % 3 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey + 100000, 'NEWSEG' FROM customer
+      |  WHERE c_custkey < 50
+      |), to_close AS (
+      |  SELECT o.c_custkey, o.segment, o.valid_from,
+      |    '2024-06-01' AS valid_to
+      |  FROM cur_open o JOIN batch b ON b.c_custkey = o.c_custkey
+      |  WHERE b.segment IS DISTINCT FROM o.segment
+      |), still_open AS (
+      |  SELECT o.c_custkey, o.segment, o.valid_from, o.valid_to
+      |  FROM cur_open o LEFT JOIN batch b ON b.c_custkey = o.c_custkey
+      |  WHERE b.c_custkey IS NULL
+      |     OR b.segment IS NOT DISTINCT FROM o.segment
+      |), new_open AS (
+      |  SELECT b.c_custkey, b.segment, '2024-06-01' AS valid_from,
+      |    CAST(NULL AS VARCHAR) AS valid_to
+      |  FROM batch b LEFT JOIN cur_open o ON o.c_custkey = b.c_custkey
+      |  WHERE o.c_custkey IS NULL
+      |     OR b.segment IS DISTINCT FROM o.segment
+      |)
+      |SELECT c_custkey, segment, valid_from, valid_to FROM (
+      |  SELECT * FROM cur_closed
+      |  UNION ALL SELECT * FROM to_close
+      |  UNION ALL SELECT * FROM still_open
+      |  UNION ALL SELECT * FROM new_open
+      |)
+      |ORDER BY c_custkey, valid_from, COALESCE(valid_to, '9999')""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val curOpen = c.select(col("c_custkey"),
+      col("c_mktsegment").as("segment"),
+      lit("2024-01-01").as("valid_from"),
+      lit(null).cast("string").as("valid_to"))
+    val curClosed = c.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"),
+        concat(lit("old-"), col("c_mktsegment")).as("segment"),
+        lit("2023-01-01").as("valid_from"),
+        lit("2024-01-01").as("valid_to"))
+    val batch = c.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"),
+        concat(col("c_mktsegment"), lit("-new")).as("segment"))
+      .unionByName(c.filter(col("c_custkey") % 5 === 1 &&
+          col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment")))
+      .unionByName(c.filter(col("c_custkey") < 50)
+        .select((col("c_custkey") + 100000).as("c_custkey"),
+          lit("NEWSEG").as("segment")))
+    graft.operators.Scd2.apply(curOpen.unionByName(curClosed), batch,
+      keys = Seq("c_custkey"), payload = Seq("segment"),
+      effectiveDate = "2024-06-01")
+      .orderBy(col("c_custkey"), col("valid_from"),
+        coalesce(col("valid_to"), lit("9999")))
+  }
+
   /** S6 — CDC version diff through the REAL `AtomicTable`: commit v-old
     * (80% of documents) and v-new (deletes every 7th key, inserts fresh
     * +400000 keys, rewrites text on every 11th) as two versions of one
@@ -406,6 +485,6 @@ object UnionScalarQueries {
   val all: Seq[Q] = Seq(p1UnionAlign, p2p3FlagExcept, a15MultiLevel,
     u2UnionDistinct, fString, fHash, fDate, fSafeNumeric, fZOrderKey,
     s5MergeUpsert,
-    s6VersionDiff,
+    s6VersionDiff, s13Scd2,
     i1Incremental, a17EventRollup)
 }

@@ -388,6 +388,31 @@ class OperatorsSpec extends SparkSpec {
       full.inputFiles.length)
   }
 
+  test("Scd2: close-and-reopen, retention, pass-through, idempotent re-apply") {
+    import graft.operators.Scd2
+    val current = Seq(
+      (1L, "a", "2024-01-01", null: String),  // will change
+      (2L, "b", "2024-01-01", null: String),  // arrives unchanged
+      (3L, "c", "2024-01-01", null: String),  // absent from batch
+      (1L, "z", "2023-01-01", "2024-01-01"))  // closed history
+      .toDF("k", "v", "valid_from", "valid_to")
+    val batch = Seq((1L, "A"), (2L, "b"), (9L, "n")).toDF("k", "v")
+    val next = Scd2.apply(current, batch, Seq("k"), Seq("v"), "2024-06-01")
+    val got = next.select("k", "v", "valid_from", "valid_to")
+      .as[(Long, String, String, Option[String])].collect().toSet
+    assert(got == Set(
+      (1L, "z", "2023-01-01", Some("2024-01-01")), // history untouched
+      (1L, "a", "2024-01-01", Some("2024-06-01")), // closed at change
+      (1L, "A", "2024-06-01", None),               // reopened
+      (2L, "b", "2024-01-01", None),               // unchanged stays
+      (3L, "c", "2024-01-01", None),               // absent key retained
+      (9L, "n", "2024-06-01", None)))              // first open
+    // re-applying the SAME batch is a no-op (every arrival equal now)
+    val again = Scd2.apply(next, batch, Seq("k"), Seq("v"), "2024-07-01")
+    assert(again.select("k", "v", "valid_from", "valid_to")
+      .as[(Long, String, String, Option[String])].collect().toSet == got)
+  }
+
   test("GraphOps: co-occurrence support filter; K4 has 4 triangles") {
     import graft.operators.GraphOps
     // groups: (1,2) together twice, (1,3) once -> only edge (1,2)
