@@ -231,5 +231,58 @@ object GraphQueries {
       .orderBy("rank_pos")
   }
 
-  val all: Seq[Q] = Seq(stFunnel, gTriangles, stCohort, gPageRank)
+  /** TOP BEHAVIORAL PATHS — the "what do users actually do" query:
+    * per (user, day) session, the ordered chain of the first 8 event
+    * types, then the 20 most frequent chains. Path assembly uses the
+    * order-preserving reassembly pattern (rank under a WindowGroupLimit
+    * window, `sort_array(collect_list(struct(rn, type)))` — the r08
+    * discipline; the `transform` HOF touches ≤8 elements per SESSION
+    * row); the DuckDB twin assembles the identical string with
+    * STRING_AGG ORDER BY under the same rank cap, so path content,
+    * order, truncation, and the final ranking are all hash-gated. */
+  val stTopPaths: Q = Q.sql(
+    "st_top_paths",
+    """WITH ranked AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM events
+      |), paths AS (
+      |  SELECT user_id, day,
+      |    STRING_AGG(event_type, '>' ORDER BY rn) AS path
+      |  FROM ranked WHERE rn <= 8 GROUP BY 1, 2
+      |), counts AS (
+      |  SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+      |  FROM paths GROUP BY 1
+      |)
+      |SELECT rank, path, n_sessions FROM (
+      |  SELECT path, n_sessions, CAST(ROW_NUMBER() OVER (
+      |    ORDER BY n_sessions DESC, path) AS BIGINT) AS rank
+      |  FROM counts
+      |) WHERE rank <= 20
+      |ORDER BY rank""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+    val ranked = e.select(col("user_id"),
+        col("ts").cast("date").as("day"),
+        col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("day"))
+          .orderBy(col("ts"), col("event_id"))))
+      .filter(col("rn") <= 8)
+    val paths = ranked.groupBy(col("user_id"), col("day"))
+      .agg(array_join(
+        transform(
+          sort_array(collect_list(struct(col("rn"), col("event_type")))),
+          p => p.getField("event_type")), ">").as("path"))
+    paths.groupBy(col("path"))
+      .agg(count(lit(1)).cast("long").as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path")).limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_sessions").desc, col("path"))).cast("long"))
+      .select("rank", "path", "n_sessions")
+      .orderBy("rank")
+  }
+
+  val all: Seq[Q] = Seq(stFunnel, gTriangles, stCohort, gPageRank,
+    stTopPaths)
 }

@@ -352,6 +352,60 @@ object UnionScalarQueries {
         coalesce(col("valid_to"), lit("9999")))
   }
 
+  /** J17 — POINT-IN-TIME (PIT) JOIN against a type-2 history: each
+    * order joins the dim version whose validity range contains the
+    * order date — the consumption half of [[s13Scd2]]'s snapshot
+    * discipline, and the join that prevents the classic star-schema
+    * bug of reporting yesterday's facts under today's dimension
+    * attributes. The half-open [from, to) range with a NULL-open tail
+    * guarantees exactly ONE version matches per order, so the join
+    * never duplicates facts (the rollup row-count equals the order
+    * count — checked by the gate). Range predicate rides on the
+    * custkey equi-join: Spark plans the equi-key hash join with the
+    * range as a post-join filter — at 100 TB the dim history is
+    * broadcast-size (versions ≪ facts). */
+  val j17PitJoin: Q = Q.sql(
+    "j17_pit_join",
+    """WITH hist AS (
+      |  SELECT c_custkey, c_mktsegment || '/v1' AS segment,
+      |    DATE '1992-01-01' AS valid_from, DATE '1995-07-01' AS valid_to
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, c_mktsegment || '/v2' AS segment,
+      |    DATE '1995-07-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+      |  FROM customer
+      |)
+      |SELECT h.segment,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST((o.o_totalprice) AS DECIMAL(38,6))) AS DOUBLE)
+      |    AS total_price
+      |FROM orders o JOIN hist h
+      |  ON h.c_custkey = o.o_custkey
+      | AND CAST(o.o_orderdate AS DATE) >= h.valid_from
+      | AND (h.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) < h.valid_to)
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val hist = c.select(col("c_custkey"),
+        concat(col("c_mktsegment"), lit("/v1")).as("segment"),
+        to_date(lit("1992-01-01")).as("valid_from"),
+        to_date(lit("1995-07-01")).as("valid_to"))
+      .unionByName(c.select(col("c_custkey"),
+        concat(col("c_mktsegment"), lit("/v2")).as("segment"),
+        to_date(lit("1995-07-01")).as("valid_from"),
+        lit(null).cast("date").as("valid_to")))
+    val o = Tables.orders(s, d)
+    val od = col("o_orderdate").cast("date")
+    o.join(broadcast(hist),
+        col("c_custkey") === col("o_custkey") &&
+          od >= col("valid_from") &&
+          (col("valid_to").isNull || od < col("valid_to")))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        graft.functions.Det.dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("segment")
+  }
+
   /** S6 — CDC version diff through the REAL `AtomicTable`: commit v-old
     * (80% of documents) and v-new (deletes every 7th key, inserts fresh
     * +400000 keys, rewrites text on every 11th) as two versions of one
@@ -485,6 +539,6 @@ object UnionScalarQueries {
   val all: Seq[Q] = Seq(p1UnionAlign, p2p3FlagExcept, a15MultiLevel,
     u2UnionDistinct, fString, fHash, fDate, fSafeNumeric, fZOrderKey,
     s5MergeUpsert,
-    s6VersionDiff, s13Scd2,
+    s6VersionDiff, s13Scd2, j17PitJoin,
     i1Incremental, a17EventRollup)
 }
