@@ -40,6 +40,20 @@ object Checks {
   def nonEmpty(df: DataFrame, table: String): Result =
     Result("non_empty", table, if (df.isEmpty) 1L else 0L)
 
+  /** dbt `relationships` — referential integrity: every NON-NULL value
+    * of `column` must exist in `parent.refColumn`; violations = orphan
+    * CHILD ROWS (dbt counts rows, not distinct keys). One left-anti
+    * join against the deduplicated parent keys — at scale the parent
+    * key set broadcasts when dimension-sized, and the anti join stops
+    * probing a row at its first match. */
+  def relationships(child: DataFrame, table: String, column: String,
+                    parent: DataFrame, refColumn: String): Result =
+    Result(s"relationships($column->$refColumn)", table,
+      child.filter(col(column).isNotNull)
+        .join(parent.select(col(refColumn).as(column)).distinct(),
+          Seq(column), "left_anti")
+        .count())
+
   /** Column completeness must be >= threshold (data_quality.py:96-130). */
   def completeness(df: DataFrame, table: String, column: String,
                    threshold: Double): Result = {

@@ -266,6 +266,69 @@ object AggQueries {
         col("freshness_max_date"))
   }
 
+  /** A18b — dbt `relationships` referential-integrity audit through
+    * the REAL `quality.Checks.relationships`: the star schema's three
+    * FK edges (all intact — 0 orphans proves the check can PASS) plus
+    * a deliberately-broken child (lineitems of every 9th order key re-pointed at an
+    * order key that cannot exist) whose orphan count both engines must
+    * agree on exactly — the check catching real breakage is the half a
+    * green-only test never demonstrates. */
+  val a18bRefIntegrity: Q = Q.sql(
+    "a18b_ref_integrity",
+    """SELECT 'lineitem->orders' AS rel, (
+      |  SELECT COUNT(*) FROM lineitem l LEFT JOIN
+      |    (SELECT DISTINCT o_orderkey FROM orders) o
+      |    ON o.o_orderkey = l.l_orderkey
+      |  WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
+      |) AS violations
+      |UNION ALL
+      |SELECT 'lineitem->part', (
+      |  SELECT COUNT(*) FROM lineitem l LEFT JOIN
+      |    (SELECT DISTINCT p_partkey FROM part) p
+      |    ON p.p_partkey = l.l_partkey
+      |  WHERE l.l_partkey IS NOT NULL AND p.p_partkey IS NULL
+      |)
+      |UNION ALL
+      |SELECT 'orders->customer', (
+      |  SELECT COUNT(*) FROM orders o LEFT JOIN
+      |    (SELECT DISTINCT c_custkey FROM customer) c
+      |    ON c.c_custkey = o.o_custkey
+      |  WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+      |)
+      |UNION ALL
+      |SELECT 'broken->orders', (
+      |  SELECT COUNT(*) FROM (
+      |    SELECT CASE WHEN l_orderkey % 9 = 0
+      |                THEN -l_orderkey - 1 ELSE l_orderkey END AS fk
+      |    FROM lineitem) b
+      |  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+      |    ON o.o_orderkey = b.fk
+      |  WHERE b.fk IS NOT NULL AND o.o_orderkey IS NULL
+      |)
+      |ORDER BY rel""".stripMargin) { (s, d) =>
+    import graft.quality.Checks
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val broken = li.select(
+      when(col("l_orderkey") % 9 === 0, -col("l_orderkey") - 1)
+        .otherwise(col("l_orderkey")).as("fk"))
+    val checks = Seq(
+      "lineitem->orders" ->
+        Checks.relationships(li, "lineitem", "l_orderkey", o, "o_orderkey"),
+      "lineitem->part" ->
+        Checks.relationships(li, "lineitem", "l_partkey",
+          Tables.part(s, d), "p_partkey"),
+      "orders->customer" ->
+        Checks.relationships(o, "orders", "o_custkey",
+          Tables.customer(s, d), "c_custkey"),
+      "broken->orders" ->
+        Checks.relationships(broken, "broken", "fk", o, "o_orderkey"))
+    import s.implicits._
+    checks.map { case (rel, r) => (rel, r.violations) }
+      .toDF("rel", "violations")
+      .orderBy("rel")
+  }
+
   /** dim_company_health (dim_company_health.sql:14-297) — the full
     * activity/archetype/health-score battery, driven through the actual
     * `Marts.dimCompanyHealth` model over company-orders synthesized from
@@ -506,5 +569,5 @@ object AggQueries {
   val all: Seq[Q] = Seq(q1PricingSummary, aCompanyHealth, a1OrderRollup,
     a2CustomerRevenue,
     a3StringAgg, a4Mode, a7PeriodMetrics, a12MultiGrain, a13MarginGrains,
-    a18Quality, a20Cube, a21Pivot)
+    a18Quality, a18bRefIntegrity, a20Cube, a21Pivot)
 }
