@@ -586,6 +586,27 @@ object TextAnalysis {
       .agg(min(col(scoreCol)).as("value"))
   }
 
+  /** ROBUST OUTLIER FLAGGING via Median Absolute Deviation — the
+    * anomaly rule that survives the anomalies themselves (mean/stddev
+    * z-scores move with the outliers they hunt; medians don't). Over
+    * an INTEGER metric: med = exact lower median, dev = |x − med|,
+    * MAD = exact lower median of dev, outlier ⇔ dev > k·MAD — every
+    * comparison integer, both medians from [[exactQuantiles]]'s
+    * histogram-over-distinct-values plan (never a corpus row sort),
+    * the two scalar medians broadcast. Emits per-row
+    * (…, dev, med, mad, is_outlier). */
+  def madOutliers(scored: DataFrame, scoreCol: String,
+                  k: Int): DataFrame = {
+    val med = exactQuantiles(scored, scoreCol, Seq((1, 2)))
+      .select(col("value").as("med"))
+    val withDev = scored.crossJoin(broadcast(med))
+      .withColumn("dev", abs(col(scoreCol) - col("med")))
+    val mad = exactQuantiles(withDev, "dev", Seq((1, 2)))
+      .select(col("value").as("mad"))
+    withDev.crossJoin(broadcast(mad))
+      .withColumn("is_outlier", col("dev") > lit(k.toLong) * col("mad"))
+  }
+
   /** Gopher-style REPETITION signals per document: the fraction of
     * n-gram occurrences taken by the single most frequent n-gram and
     * the fraction covered by n-grams occurring more than once — the

@@ -212,6 +212,76 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** ROBUST OUTLIER FLAGGING — MAD rule over the quality score: both
+    * medians (value, then absolute deviation) computed exactly from
+    * histograms over DISTINCT quantized scores (never a corpus row
+    * sort), every comparison integer, so the robust-z flag is
+    * hash-gated per doc. k=2: on this corpus ~uniform quality scores
+    * put the max deviation near 2·MAD, so the flag isolates exactly
+    * the distribution's tails. */
+  val tMadOutliers: Q = Q.sql(
+    "t_mad_outliers",
+    s"""WITH t AS (
+      |  SELECT doc_id, text, $toksSql AS toks FROM documents
+      |), f AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CASE WHEN length(text) > 0
+      |         THEN CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS DOUBLE) / length(text)
+      |         ELSE 0.0 END AS punct_ratio,
+      |    CASE WHEN len(toks) > 0
+      |         THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','an','of','and','to','in','is','for','on','with'], x))) AS DOUBLE) / len(toks)
+      |         ELSE 0.0 END AS stopword_ratio,
+      |    CASE WHEN len(toks) > 0
+      |         THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+      |         ELSE 0.0 END AS distinct_token_ratio
+      |  FROM t
+      |), q AS (
+      |  SELECT doc_id, CAST(ROUND((
+      |    LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.4
+      |      + (1.0 - punct_ratio) * 0.2 + stopword_ratio * 0.2
+      |      + distinct_token_ratio * 0.2) * 1000000) AS BIGINT) AS qscore
+      |  FROM f
+      |), hist1 AS (
+      |  SELECT qscore AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM q GROUP BY 1
+      |), cum1 AS (
+      |  SELECT v, CAST(SUM(cnt) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum
+      |  FROM hist1
+      |), tot1 AS (
+      |  SELECT MAX(cum) AS n FROM cum1
+      |), medc AS (
+      |  SELECT MIN(v) AS med FROM cum1, tot1 WHERE cum * 2 >= n
+      |), devs AS (
+      |  SELECT q.doc_id, q.qscore, ABS(q.qscore - medc.med) AS dev,
+      |    medc.med
+      |  FROM q, medc
+      |), hist2 AS (
+      |  SELECT dev AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM devs GROUP BY 1
+      |), cum2 AS (
+      |  SELECT v, CAST(SUM(cnt) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum
+      |  FROM hist2
+      |), tot2 AS (
+      |  SELECT MAX(cum) AS n FROM cum2
+      |), madc AS (
+      |  SELECT MIN(v) AS mad FROM cum2, tot2 WHERE cum * 2 >= n
+      |)
+      |SELECT d.doc_id, d.qscore, d.dev, d.med, madc.mad,
+      |  (d.dev > 2 * madc.mad) AS is_outlier
+      |FROM devs d, madc ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val scored = TA.withQuality(Tables.documents(s, d), col("text"))
+      .select(col("doc_id"),
+        round(col("quality_score") * 1e6).cast("long").as("qscore"))
+    TA.madOutliers(scored, "qscore", k = 2)
+      .select("doc_id", "qscore", "dev", "med", "mad", "is_outlier")
+      .orderBy("doc_id")
+  }
+
   /** Per-LANGUAGE exact quantile threshold (the CCNet per-bucket
     * discipline): each language keeps its own top 3/4 by quality, so
     * low-resource languages are not drowned by a global cutoff. Same
@@ -2401,7 +2471,8 @@ object LlmQueries {
   }
 
   val all: Seq[Q] = Seq(tTokens, tTokensBpe, tBpePairCounts, tLangId,
-    tQuality, tQualityQuantile, tQualityQuantileByLang, tTokenQuantiles,
+    tQuality, tQualityQuantile, tQualityQuantileByLang, tMadOutliers,
+    tTokenQuantiles,
     tBpeTrainApply, tBpeApplyMerges, tCountMin, tHll, tInvertedIndex,
     ddSsjoinPrefix,
     tFingerprint, tRepetition, tContamination, tPiiScrub, tVocab,
