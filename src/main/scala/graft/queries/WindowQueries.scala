@@ -122,6 +122,48 @@ object WindowQueries {
       .orderBy("l_suppkey", "ship_date", "l_orderkey", "l_linenumber")
   }
 
+  /** W10 — SLIDING COUNT DISTINCT (trailing-30-day active customers
+    * per day): the rolling metric a plain window frame CANNOT express
+    * (COUNT(DISTINCT) OVER a moving frame is unsupported in Spark and
+    * most engines). Scalable rewrite: each DISTINCT (customer, day)
+    * pair is exploded to the ≤30 report-days it contributes to —
+    * bounded 30× expansion of the DEDUPLICATED pairs, never of raw
+    * facts — then one (day)-keyed distinct-count aggregate. The DuckDB
+    * twin states the semantics directly as a day×orders range join, so
+    * the gate proves the explode rewrite IS sliding count-distinct.
+    * Report days restricted to days with ≥1 order (both engines). */
+  val w10SlidingDistinct: Q = Q.sql(
+    "w10_sliding_distinct",
+    """WITH days AS (
+      |  SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders
+      |)
+      |SELECT CAST(d.day AS VARCHAR) AS day,
+      |  CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT)
+      |    AS active_customers_30d
+      |FROM days d JOIN orders o
+      |  ON CAST(o.o_orderdate AS DATE) > d.day - 30
+      | AND CAST(o.o_orderdate AS DATE) <= d.day
+      |GROUP BY d.day
+      |ORDER BY d.day""".stripMargin) { (s, d) =>
+    val pairs = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        col("o_orderdate").cast("date").as("order_day"))
+      .distinct()
+    val days = pairs.select(col("order_day").as("day")).distinct()
+    // each (customer, order_day) contributes to report days
+    // [order_day, order_day+29]; keep only days that exist
+    val contrib = pairs
+      .withColumn("day",
+        explode(expr("sequence(order_day, date_add(order_day, 29))")))
+      .join(days, Seq("day"), "left_semi")
+    contrib.groupBy(col("day"))
+      .agg(count_distinct(col("o_custkey")).cast("long")
+        .as("active_customers_30d"))
+      .select(col("day").cast("string").as("day"),
+        col("active_customers_30d"))
+      .orderBy("day")
+  }
+
   /** W5 — running max / unbounded-preceding frames
     * (fct_product_pricing_history.sql:190-196,165-171). */
   val w5RunningMax: Q = Q.sql(
@@ -235,5 +277,6 @@ object WindowQueries {
   }
 
   val all: Seq[Q] = Seq(w1DedupTop1, w2FirstValue, w3LagTrend, w4Rolling30d,
-    w5RunningMax, w6PercentRank, w7PartitionCount, w8Posexplode, w9LatestTag)
+    w5RunningMax, w6PercentRank, w7PartitionCount, w8Posexplode, w9LatestTag,
+    w10SlidingDistinct)
 }
