@@ -103,3 +103,61 @@ object NearDupIndex {
     annotated
   }
 }
+
+/** IMAGE sibling of [[NearDupIndex]] — persisted perceptual-hash index
+  * for daily-crawl image dedup: the committed index holds, for every
+  * kept image, its 4×16-bit dHash pigeonhole band rows WITH the full
+  * 64-bit hash ((band, band_key, hash_lo, hash_hi)). A probe batch
+  * joins on (band, band_key) — candidates only, never all-pairs — and
+  * then VERIFIES Hamming ≤ maxHamming against the indexed hash before
+  * flagging. The verify step is load-bearing at scale: 16-bit band keys
+  * saturate as the index grows (≈ |index|·4/65536 expected candidates
+  * per probe), so band collision alone would flag nearly everything;
+  * carrying the hash into the index makes the decision exact-recall
+  * (pigeonhole, Hamming ≤ 3) AND exact-precision, unlike the text
+  * index whose 128-bit md5 band keys never collide by accident.
+  * Commit semantics (crash-safe, idempotent per version, re-runnable
+  * against the pre-batch index) are [[CorpusIndex.processBatch]]'s. */
+object PhashIndex {
+
+  /** Latest committed band+hash index at `dir`; empty when none. */
+  def load(spark: SparkSession, dir: String): DataFrame =
+    AtomicTable.read(spark, dir).getOrElse(
+      spark.createDataFrame(java.util.Collections.emptyList[Row](),
+        StructType(Seq(
+          StructField("band", org.apache.spark.sql.types.IntegerType),
+          StructField("band_key", org.apache.spark.sql.types.LongType),
+          StructField("hash_lo", org.apache.spark.sql.types.LongType),
+          StructField("hash_hi", org.apache.spark.sql.types.LongType)))))
+
+  /** One daily image batch: real decode → dHash → band-join the
+    * committed index → Hamming-verify → flag; kept images' band rows
+    * are upserted as the next version. Returns (doc_id, hit_index,
+    * keep). */
+  def processBatch(spark: SparkSession, dir: String, images: DataFrame,
+                   maxHamming: Int = 3): DataFrame = {
+    val hashes = Multimodal.dHash64(images)
+    val bands = Multimodal.phashBands(hashes)
+    val idx = load(spark, dir)
+    val hits = bands.join(
+        idx.withColumnRenamed("hash_lo", "idx_lo")
+          .withColumnRenamed("hash_hi", "idx_hi"),
+        Seq("band", "band_key"))
+      .filter(expr("bit_count(hash_lo ^ idx_lo) + " +
+        s"bit_count(hash_hi ^ idx_hi) <= $maxHamming"))
+      .select("doc_id").distinct()
+      .withColumn("hit_index", lit(true))
+    val annotated = hashes.select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("hit_index", coalesce(col("hit_index"), lit(false)))
+      .withColumn("keep", !col("hit_index"))
+    val keptBands = bands
+      .join(annotated.filter(col("keep")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .select("band", "band_key", "hash_lo", "hash_hi").distinct()
+    val next = MergeUpsert.upsert(idx, keptBands,
+      Seq("band", "band_key", "hash_lo", "hash_hi"))
+    AtomicTable.commit(next, dir, AtomicTable.nextVersion(spark, dir))
+    annotated
+  }
+}

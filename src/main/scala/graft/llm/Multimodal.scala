@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -287,6 +288,73 @@ object Multimodal {
     spark.createDataFrame(rdd, audioFeatureSchema)
   }
 
+  val audioFrameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("channels", IntegerType),
+    StructField("frame", IntegerType),
+    StructField("c0", IntegerType),
+    StructField("c1", IntegerType)))
+
+  /** REAL audio decode to the per-frame ROW shape (doc_id, frame, c0,
+    * c1) — the layout downstream feature extractors consume. One output
+    * row per PCM frame, produced inside the same mapPartitions codec
+    * boundary (flatMap — no driver involvement, no whole-file
+    * buffering beyond the payload itself); `c1` null for mono. */
+  def decodeAudioFrames(audio: DataFrame): DataFrame = {
+    val spark = audio.sparkSession
+    val rdd = audio.select("doc_id", "payload").rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        val channels = ais.getFormat.getChannels
+        val bytes = ais.readAllBytes()
+        val frames = bytes.length / (channels * 2)
+        def sample(i: Int, c: Int): Int = {
+          val off = (i * channels + c) * 2
+          (bytes(off + 1).toInt << 8) | (bytes(off) & 0xff)
+        }
+        (0 until frames).iterator.map { i =>
+          Row(id, channels, i, sample(i, 0),
+            if (channels > 1) sample(i, 1) else null)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, audioFrameSchema)
+  }
+
+  /** Windowed ENERGY features over decoded PCM rows: fixed windows of
+    * `windowFrames` frames, per-window sum-of-squares (integer-exact
+    * for 16-bit PCM), then per-doc totals and the PEAK window (argmax
+    * by energy, ties to the earliest window — a total order). The plan
+    * is a scan + two doc-keyed map-side-combined aggregates + one
+    * bounded per-doc window (≤ n_frames/windowFrames rows per doc) —
+    * the standard audio-feature pipeline shape at any corpus size. */
+  def audioEnergyFeatures(frames: DataFrame,
+                          windowFrames: Int = 16): DataFrame = {
+    val w = frames
+      .withColumn("window_idx", expr(s"frame div $windowFrames"))
+      .groupBy(col("doc_id"), col("window_idx"))
+      .agg(
+        sum(col("c0").cast("long") * col("c0")).cast("long").as("energy"),
+        sum(col("c1").cast("long") * col("c1")).cast("long")
+          .as("energy_c1"),
+        count(lit(1)).cast("long").as("window_frames"))
+    val rw = Window.partitionBy(col("doc_id"))
+      .orderBy(col("energy").desc, col("window_idx"))
+    w.withColumn("rn", row_number().over(rw))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("window_frames")).cast("long").as("n_frames"),
+        (max(col("window_idx")) + 1).cast("long").as("n_windows"),
+        sum(col("energy")).cast("long").as("total_energy"),
+        max(when(col("rn") === 1, col("window_idx"))).cast("long")
+          .as("peak_window"),
+        max(when(col("rn") === 1, col("energy"))).cast("long")
+          .as("peak_energy"),
+        sum(col("energy_c1")).cast("long").as("total_energy_c1"))
+  }
+
   // ---------------------------------------------------------------------
   // Real-container video path (YUV4MPEG2 raw-frame parse — no codec
   // needed: Y4M is the uncompressed interchange format ffmpeg/mplayer
@@ -566,6 +634,158 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rdd, aviFeatureSchema)
+  }
+
+  // ---------------------------------------------------------------------
+  // Perceptual-hash (dHash) image near-dup path
+  // ---------------------------------------------------------------------
+
+  /** Deterministic 9×8 grayscale spec for the perceptual-hash family.
+    * Pixel values are md5-derived with the same hex6 semantics as
+    * [[TextAnalysis.hex6Expr]] (first 6 hex digits of `md5("ph|b|x|y")`
+    * as an integer), so dHash bits are genuinely pseudo-random: 16-bit
+    * band keys spread uniformly and the bucket join below stays tiny.
+    * Every 5th doc (id % 5 == 4, id ≥ 4) is a NEAR-COPY of doc id-3 —
+    * identical pixels except ONE (x, y) position shifted by +100
+    * (mod 251), which flips at most 2 of the 64 dHash bits: inside the
+    * 4×16-bit pigeonhole guarantee (any pair at Hamming ≤ 3 agrees on
+    * at least one band). */
+  private[graft] val phW = 9
+  private[graft] val phH = 8
+  private[graft] def phBase(id: Long): Long =
+    if (id % 5 == 4 && id >= 4) id - 3 else id
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+  private[graft] def phGray(id: Long, x: Int, y: Int): Int = {
+    val b = phBase(id)
+    val hv =
+      java.lang.Integer.parseInt(md5Hex(s"ph|$b|$x|$y").substring(0, 6), 16)
+    val g = hv % 251
+    if (id != b && x == (id % 9).toInt && y == ((id / 9) % 8).toInt)
+      (g + 100) % 251
+    else g
+  }
+
+  /** Real PNG encode of the phash spec image (gray replicated into all
+    * three channels — PNG truecolor is lossless, so the decode side
+    * reads back exact values). Runs executor-side like the other
+    * payload synthesizers. */
+  private[graft] def synthPhashPayload(id: Long): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(
+      phW, phH, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < phH) {
+      var x = 0
+      while (x < phW) {
+        val g = phGray(id, x, y)
+        im.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", baos)
+    baos.toByteArray
+  }
+
+  /** (doc_id, payload) with REAL PNG bytes for the perceptual-hash
+    * family, synthesized per-partition. */
+  def asPhashImageTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val rdd = docs.select("doc_id").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, synthPhashPayload(id))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  val dhashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("hash_lo", LongType),
+    StructField("hash_hi", LongType)))
+
+  /** dHash (difference hash) over the REAL decoded raster: bit (r, c) =
+    * [gray(c+1, r) > gray(c, r)] on the 9×8 grid, 64 bits packed as two
+    * 32-bit halves so both engines stay in non-negative BIGINT space
+    * (no sign-bit traps in band extraction). dHash is the standard
+    * image near-dup fingerprint; its canonical downsample size IS 9×8,
+    * so for this family the resize stage is the identity and the
+    * decode is the real codec boundary. */
+  def dHash64(images: DataFrame): DataFrame = {
+    val spark = images.sparkSession
+    val rdd = images.select("doc_id", "payload").rdd.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        require(img != null && img.getWidth == phW && img.getHeight == phH,
+          s"bad phash payload for doc $id")
+        var lo = 0L; var hi = 0L
+        var row = 0
+        while (row < phH) {
+          var c = 0
+          while (c < phW - 1) {
+            val a = img.getRGB(c, row) & 0xff
+            val b = img.getRGB(c + 1, row) & 0xff
+            if (b > a) {
+              val pos = row * 8 + c
+              if (pos < 32) lo |= 1L << pos else hi |= 1L << (pos - 32)
+            }
+            c += 1
+          }
+          row += 1
+        }
+        Row(id, lo, hi)
+      }
+    }
+    spark.createDataFrame(rdd, dhashSchema)
+  }
+
+  /** Banded Hamming near-dup pairing over 64-bit dHashes: 4×16-bit
+    * pigeonhole bands (EXACT recall for Hamming ≤ 3) generate
+    * candidates — the same LSH bucket-join shape as
+    * [[Dedup.simhashNearDups]], never all-pairs — then one codegen'd
+    * xor + bit_count per half verifies, BEFORE the multi-band pair
+    * dedup shuffle. At 100 TB the knob is band width: wider keys (more,
+    * narrower bands) keep buckets small as the corpus grows. */
+  /** The 4×16-bit pigeonhole band rows of each 64-bit dHash —
+    * (doc_id, hash_lo, hash_hi, band, band_key). Shared by the
+    * in-batch pairing below and the persisted [[PhashIndex]]. */
+  def phashBands(hashes: DataFrame): DataFrame =
+    hashes.select(col("doc_id"), col("hash_lo"), col("hash_hi"),
+      explode(array(
+        struct(lit(0).as("band"), (col("hash_lo") % 65536L).as("band_key")),
+        struct(lit(1).as("band"),
+          expr("hash_lo div 65536").as("band_key")),
+        struct(lit(2).as("band"), (col("hash_hi") % 65536L).as("band_key")),
+        struct(lit(3).as("band"),
+          expr("hash_hi div 65536").as("band_key")))).as("bk"))
+      .select(col("doc_id"), col("hash_lo"), col("hash_hi"),
+        col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+
+  def phashNearDups(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val banded = phashBands(hashes)
+    val l = banded.select(col("band"), col("band_key"),
+      col("doc_id").as("doc_a"), col("hash_lo").as("lo_a"),
+      col("hash_hi").as("hi_a"))
+    val r = banded.select(col("band"), col("band_key"),
+      col("doc_id").as("doc_b"), col("hash_lo").as("lo_b"),
+      col("hash_hi").as("hi_b"))
+    l.join(r, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming",
+        expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming", "lo_a", "hi_a", "lo_b", "hi_b")
+      .distinct()
   }
 
   /** Typed media wrapper: payload + metadata, media type derived

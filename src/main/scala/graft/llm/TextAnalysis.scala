@@ -425,6 +425,53 @@ object TextAnalysis {
             p.getField("tf").cast("string"))), ",").as("postings_head"))
   }
 
+  /** TF-IDF retrieval ranking — the query-serving half of the inverted
+    * index: score(q, d) = Σ_{t∈q} tf(t, d) · idf_int(t) with an
+    * engine-portable INTEGER idf (N·10⁶ div df — no ln(), which is not
+    * bit-portable across engines), so the whole ranking is inside the
+    * hash gate. Queries are data-derived df-rank bands of the
+    * vocabulary (rank termRankLo … termRankLo+nQueries·termsPerQuery−1,
+    * ties broken by token), making the pipeline deterministic without
+    * any external query file.
+    *
+    * Scale shape: tf and df are map-side-combined aggregates keyed by
+    * (doc, token) / token; term selection is a distributed top-k
+    * (TakeOrderedAndProject — per-partition heaps, no global sort); the
+    * tiny term set broadcasts into the tf join; the final per-query
+    * top-k is one bounded window (WindowGroupLimit). The only global
+    * window orders the ≤ hi pre-limited term rows. */
+  def tfidfTopK(docs: DataFrame, id: Column, text: Column,
+                termRankLo: Int = 5, termsPerQuery: Int = 3,
+                nQueries: Int = 3, k: Int = 10): DataFrame = {
+    val tf = docs
+      .select(id.as("doc_id"), explode(tokens(text)).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val df = tf.groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("df"))
+    val nDocs = docs.select(count(lit(1)).cast("long").as("n_docs"))
+    val hi = termRankLo + termsPerQuery * nQueries - 1
+    val top = df.orderBy(col("df").desc, col("token")).limit(hi)
+    val w = Window.orderBy(col("df").desc, col("token"))
+    val terms = top
+      .withColumn("trank", row_number().over(w).cast("long"))
+      .filter(col("trank") >= termRankLo)
+      .crossJoin(broadcast(nDocs))
+      .select(col("token"),
+        expr(s"(trank - $termRankLo) div $termsPerQuery").as("query_id"),
+        expr("(n_docs * 1000000) div df").as("idf"))
+    val scored = tf.join(broadcast(terms), Seq("token"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("tf") * col("idf")).cast("long").as("score"),
+        count(lit(1)).cast("long").as("terms_matched"))
+    val rw = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(rw).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score"), col("terms_matched"))
+  }
+
   /** Exploded (doc_id, shingle) rows built with posexplode + lead
     * windows — fully codegen'd, unlike the array form below (Spark's
     * higher-order functions are interpreted per element; on a 5k-doc

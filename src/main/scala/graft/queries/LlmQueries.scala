@@ -704,6 +704,49 @@ object LlmQueries {
       .orderBy("token")
   }
 
+  /** TF-IDF RETRIEVAL — the query-serving half of the inverted index:
+    * three data-derived queries (df-rank bands 5-7, 8-10, 11-13 of the
+    * vocabulary) ranked over the corpus with the engine-portable
+    * integer idf (N·10⁶ div df; no ln() — not bit-portable). Scores,
+    * term-match counts, and the full top-10 per query are hash-gated;
+    * ties broken by doc_id so the ranking is total. */
+  val tTfidfTopK: Q = Q.sql(
+    "t_tfidf_topk",
+    s"""WITH t AS (
+      |  SELECT doc_id, unnest($toksSql) AS token FROM documents
+      |), tf AS (
+      |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM t GROUP BY 1, 2
+      |), dfq AS (
+      |  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+      |), n AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+      |), top AS (
+      |  SELECT token, df, ROW_NUMBER() OVER (ORDER BY df DESC, token) AS trank
+      |  FROM dfq ORDER BY df DESC, token LIMIT 13
+      |), terms AS (
+      |  SELECT token, CAST((trank - 5) // 3 AS BIGINT) AS query_id,
+      |    (n.n_docs * 1000000) // df AS idf
+      |  FROM top CROSS JOIN n
+      |  WHERE trank >= 5
+      |), scored AS (
+      |  SELECT terms.query_id, tf.doc_id,
+      |    CAST(SUM(tf.tf * terms.idf) AS BIGINT) AS score,
+      |    CAST(COUNT(*) AS BIGINT) AS terms_matched
+      |  FROM tf JOIN terms ON terms.token = tf.token
+      |  GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (
+      |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+      |  FROM scored
+      |)
+      |SELECT query_id, rank, doc_id, score, terms_matched
+      |FROM ranked WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    TA.tfidfTopK(Tables.documents(s, d), col("doc_id"), col("text"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Corpus reporting — exact p50/p90/p99 of tokens-per-document from
     * ONE histogram pass: every quantile answered from the same
     * ascending cumulative over distinct token counts (standard lower
@@ -2136,6 +2179,112 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Multimodal + incremental dedup — PERSISTED perceptual-hash index
+    * (the daily-crawl discipline for IMAGES): day 1 commits the base
+    * images' dHash band+hash rows through the real `PhashIndex`
+    * AtomicTable; day 2 probes a mix of one-pixel near-copies, exact
+    * re-crawls, and genuinely fresh images against the COMMITTED
+    * version. Band join generates candidates, the indexed full hash
+    * Hamming-verifies them (load-bearing: 16-bit bands saturate with
+    * index size — see PhashIndex scaladoc). Expected and gate-checked:
+    * every near-copy and re-crawl flagged, every fresh image kept. */
+  val ddPhashIndexChain: Q = Q.sql(
+    "dd_phash_index_chain",
+    s"""${phashHashCtes(
+         """SELECT doc_id FROM documents
+           |  UNION
+           |  SELECT doc_id * 2 + 1000000 FROM documents WHERE doc_id % 9 = 0""".stripMargin)}, bnd AS (
+      |  SELECT h.doc_id, h.hash_lo, h.hash_hi, bs.band,
+      |    CASE bs.band WHEN 0 THEN h.hash_lo % 65536
+      |                 WHEN 1 THEN h.hash_lo // 65536
+      |                 WHEN 2 THEN h.hash_hi % 65536
+      |                 ELSE h.hash_hi // 65536 END AS band_key
+      |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) bs
+      |), idx AS (
+      |  SELECT DISTINCT band, band_key, hash_lo, hash_hi
+      |  FROM bnd WHERE doc_id < 1000000 AND doc_id % 5 <> 4
+      |), probe AS (
+      |  SELECT * FROM bnd
+      |  WHERE doc_id >= 1000000 OR doc_id % 5 = 4
+      |     OR (doc_id % 7 = 0 AND doc_id % 5 <> 4)
+      |), hits AS (
+      |  SELECT DISTINCT p.doc_id
+      |  FROM probe p JOIN idx i
+      |    ON i.band = p.band AND i.band_key = p.band_key
+      |  WHERE bit_count(xor(p.hash_lo, i.hash_lo))
+      |      + bit_count(xor(p.hash_hi, i.hash_hi)) <= 3
+      |)
+      |SELECT p.doc_id,
+      |  p.doc_id IN (SELECT doc_id FROM hits) AS hit_index,
+      |  p.doc_id NOT IN (SELECT doc_id FROM hits) AS keep
+      |FROM (SELECT DISTINCT doc_id FROM probe) p
+      |ORDER BY p.doc_id""".stripMargin) { (s, d) =>
+    import graft.llm.PhashIndex
+    val ids = Tables.documents(s, d).select("doc_id")
+    val day1 = ids.filter(col("doc_id") % 5 =!= 4)
+    val day2 = ids.filter(col("doc_id") % 5 === 4 ||
+        (col("doc_id") % 7 === 0 && col("doc_id") % 5 =!= 4))
+      .unionByName(ids.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") * 2 + 1000000L).as("doc_id")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_phidx")
+      .toString
+    PhashIndex.processBatch(s, dir, Multimodal.asPhashImageTable(day1))
+    PhashIndex.processBatch(s, dir, Multimodal.asPhashImageTable(day2))
+      .orderBy("doc_id")
+  }
+
+  /** Multimodal — audio FEATURE EXTRACTION over the real codec path:
+    * WAV payloads decoded to per-frame PCM rows (`decodeAudioFrames`),
+    * then fixed 16-frame windowed sum-of-squares energy, per-doc
+    * totals, and the peak window — the framing/energy pipeline a
+    * speech-data curator runs. The oracle replays every sample from
+    * the closed-form spec; one wrong decoded sample anywhere moves an
+    * energy sum and breaks the hash. */
+  val mmAudioEnergy: Q = Q.sql(
+    "mm_audio_energy",
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+      |    CAST(50 + doc_id % 100 AS BIGINT) AS n_frames,
+      |    CAST(doc_id % 997 AS BIGINT) AS b0,
+      |    CAST(doc_id % 883 AS BIGINT) AS b1
+      |  FROM documents
+      |), f AS (
+      |  SELECT doc_id, channels, n_frames, b0, b1,
+      |    unnest(generate_series(0, CAST(n_frames - 1 AS INTEGER))) AS frame
+      |  FROM d
+      |), w AS (
+      |  SELECT doc_id, frame // 16 AS window_idx,
+      |    CAST(SUM((b0 + 7*frame) * (b0 + 7*frame)) AS BIGINT) AS energy,
+      |    CAST(SUM(CASE WHEN channels = 2
+      |      THEN (b1 + 5*frame) * (b1 + 5*frame) END) AS BIGINT) AS energy_c1,
+      |    CAST(COUNT(*) AS BIGINT) AS window_frames
+      |  FROM f GROUP BY 1, 2
+      |), peak AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |    ORDER BY energy DESC, window_idx) AS rn
+      |  FROM w
+      |), agg AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(window_frames) AS BIGINT) AS n_frames,
+      |    CAST(MAX(window_idx) + 1 AS BIGINT) AS n_windows,
+      |    CAST(SUM(energy) AS BIGINT) AS total_energy,
+      |    CAST(SUM(energy_c1) AS BIGINT) AS total_energy_c1
+      |  FROM w GROUP BY 1
+      |)
+      |SELECT a.doc_id, a.n_frames, a.n_windows, a.total_energy,
+      |  CAST(p.window_idx AS BIGINT) AS peak_window,
+      |  p.energy AS peak_energy, a.total_energy_c1
+      |FROM agg a JOIN peak p ON p.doc_id = a.doc_id AND p.rn = 1
+      |ORDER BY a.doc_id""".stripMargin) { (s, d) =>
+    Multimodal.audioEnergyFeatures(
+      Multimodal.decodeAudioFrames(
+        Multimodal.asAudioTable(Tables.documents(s, d))))
+      .select("doc_id", "n_frames", "n_windows", "total_energy",
+        "peak_window", "peak_energy", "total_energy_c1")
+      .orderBy("doc_id")
+  }
+
   /** Multimodal — REAL video container round trip: per-doc YUV4MPEG2
     * streams (raw C420 planes — the codec-free interchange format)
     * synthesized executor-side, parsed back by the real header/FRAME
@@ -2249,6 +2398,104 @@ object LlmQueries {
     Multimodal.frameSample(
       Multimodal.asMediaTable(Tables.documents(s, d)))
       .orderBy("doc_id", "frame_idx")
+  }
+
+  /** Shared oracle CTE chain for the perceptual-hash family: replays
+    * the md5-derived 9×8 pixel grid (hex6 semantics — the expr string
+    * parses in BOTH engines, here run by DuckDB only), the single
+    * perturbed pixel of each near-copy doc, the 64 dHash comparison
+    * bits, and the 2×32-bit packing. Ends at CTE `h(doc_id, hash_lo,
+    * hash_hi)`; `phdocs` is the doc-id set to hash. */
+  private def phashHashCtes(
+      phdocs: String = "SELECT doc_id FROM documents"): String = {
+    val h6 = TA.hex6Expr("md5('ph|' || b || '|' || x || '|' || y)")
+    s"""WITH phdocs AS ($phdocs), d AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 4 AND doc_id >= 4
+      |         THEN doc_id - 3 ELSE doc_id END AS b
+      |  FROM phdocs
+      |), px AS (
+      |  SELECT d.doc_id, d.b, xs.x, ys.y
+      |  FROM d
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS x) xs
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y) ys
+      |), g0 AS (
+      |  SELECT doc_id, x, y, $h6 % 251 AS gray0,
+      |    doc_id <> b AND x = doc_id % 9 AND y = (doc_id // 9) % 8 AS pert
+      |  FROM px
+      |), g AS (
+      |  SELECT doc_id, x, y,
+      |    CASE WHEN pert THEN (gray0 + 100) % 251 ELSE gray0 END AS gray
+      |  FROM g0
+      |), bits AS (
+      |  SELECT a.doc_id, a.y * 8 + a.x AS pos,
+      |    CASE WHEN bb.gray > a.gray THEN 1 ELSE 0 END AS bit
+      |  FROM g a JOIN g bb
+      |    ON bb.doc_id = a.doc_id AND bb.y = a.y AND bb.x = a.x + 1
+      |  WHERE a.x < 8
+      |), h AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN pos < 32
+      |      THEN bit * CAST(POWER(2, pos) AS BIGINT) ELSE 0 END) AS BIGINT)
+      |      AS hash_lo,
+      |    CAST(SUM(CASE WHEN pos >= 32
+      |      THEN bit * CAST(POWER(2, pos - 32) AS BIGINT) ELSE 0 END) AS BIGINT)
+      |      AS hash_hi
+      |  FROM bits GROUP BY 1
+      |)""".stripMargin
+  }
+
+  /** Multimodal — perceptual hash (dHash) through the REAL codec: PNG
+    * payloads synthesized executor-side from md5-derived pixel
+    * formulas, decoded with `ImageIO.read`, and dHashed from the actual
+    * raster. The oracle recomputes every pixel, every comparison bit,
+    * and the 2×32-bit packing in SQL — one wrong pixel anywhere in the
+    * encode/decode/hash chain breaks the hash gate. */
+  val mmDhash: Q = Q.sql(
+    "mm_dhash",
+    s"""${phashHashCtes()}
+      |SELECT doc_id, hash_lo, hash_hi FROM h
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Multimodal.dHash64(
+      Multimodal.asPhashImageTable(Tables.documents(s, d)))
+      .orderBy("doc_id")
+  }
+
+  /** Multimodal — image NEAR-DUP detection: banded Hamming pairing over
+    * the real-decode dHashes (4×16-bit pigeonhole bands — exact recall
+    * at Hamming ≤ 3 — then xor/bit_count verify). Every planted
+    * near-copy (one perturbed pixel, ≤ 2 flipped bits) must surface
+    * with its exact Hamming distance; both engines replay the identical
+    * band/verify arithmetic, so recall AND precision of the pairing are
+    * inside the hash gate. */
+  val mmPhashNearDup: Q = Q.sql(
+    "mm_phash_neardup",
+    s"""${phashHashCtes()}, banded AS (
+      |  SELECT h.doc_id, h.hash_lo, h.hash_hi, bs.band,
+      |    CASE bs.band WHEN 0 THEN h.hash_lo % 65536
+      |                 WHEN 1 THEN h.hash_lo // 65536
+      |                 WHEN 2 THEN h.hash_hi % 65536
+      |                 ELSE h.hash_hi // 65536 END AS band_key
+      |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) bs
+      |), cand AS (
+      |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+      |    l.hash_lo AS lo_a, l.hash_hi AS hi_a,
+      |    r.hash_lo AS lo_b, r.hash_hi AS hi_b
+      |  FROM banded l JOIN banded r
+      |    ON r.band = l.band AND r.band_key = l.band_key
+      |    AND l.doc_id < r.doc_id
+      |  WHERE bit_count(xor(l.hash_lo, r.hash_lo))
+      |      + bit_count(xor(l.hash_hi, r.hash_hi)) <= 3
+      |)
+      |SELECT doc_a, doc_b,
+      |  CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
+      |    AS BIGINT) AS hamming,
+      |  lo_a, hi_a, lo_b, hi_b
+      |FROM cand ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    Multimodal.phashNearDups(
+      Multimodal.dHash64(
+        Multimodal.asPhashImageTable(Tables.documents(s, d))))
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Text analysis — Gopher-style repetition signals: top-bigram and
@@ -2474,6 +2721,7 @@ object LlmQueries {
     tQuality, tQualityQuantile, tQualityQuantileByLang, tMadOutliers,
     tTokenQuantiles,
     tBpeTrainApply, tBpeApplyMerges, tCountMin, tHll, tInvertedIndex,
+    tTfidfTopK,
     ddSsjoinPrefix,
     tFingerprint, tRepetition, tContamination, tPiiScrub, tVocab,
     tCorpusCuration, tPacking, tQuotaSample, tTemperatureMix,
@@ -2485,5 +2733,6 @@ object LlmQueries {
     ddConnectedComponents, ddMinhashLsh, ddSimhash,
     ddSimhashNearDup, ddEmbeddingNearDup, annBruteForce, annLsh, annRhLsh,
     annIvf, mmBinary, mmFeatures, mmAudio, mmVideo, mmMjpeg, mmResize,
-    mmFrameSample)
+    mmFrameSample, mmDhash, mmPhashNearDup, mmAudioEnergy,
+    ddPhashIndexChain)
 }

@@ -406,6 +406,76 @@ object UnionScalarQueries {
       .orderBy("segment")
   }
 
+  /** TIME SERIES — date-spine gap fill + forward fill (dbt-utils
+    * `date_spine` + LOCF) through `operators.DateSpine`: the 5 most
+    * active parts of a 2-month window densified to one row per day,
+    * quantity zero-filled, the day's min price carried forward, and a
+    * days-since-last-sale counter. Leading days before a part's first
+    * sale keep NULL price/counter — the gate pins that edge too. */
+  val tsSpineFill: Q = Q.sql(
+    "ts_spine_fill",
+    """WITH li AS (
+      |  SELECT l_partkey AS part, CAST(l_shipdate AS DATE) AS day,
+      |    l_quantity, l_extendedprice
+      |  FROM lineitem
+      |  WHERE CAST(l_shipdate AS DATE)
+      |    BETWEEN DATE '1995-02-01' AND DATE '1995-03-31'
+      |), totals AS (
+      |  SELECT part, SUM(CAST(l_quantity AS DECIMAL(38,6))) AS tq
+      |  FROM li GROUP BY 1
+      |), keys AS (
+      |  SELECT part FROM totals ORDER BY tq DESC, part LIMIT 5
+      |), daily AS (
+      |  SELECT part, day,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty,
+      |    MIN(l_extendedprice) AS day_min_price
+      |  FROM li JOIN keys USING (part)
+      |  GROUP BY 1, 2
+      |), spine AS (
+      |  SELECT k.part,
+      |    CAST(unnest(generate_series(DATE '1995-02-01', DATE '1995-03-31',
+      |      INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM keys k
+      |), joined AS (
+      |  SELECT s.part, s.day, d.qty, d.day_min_price,
+      |    d.day IS NOT NULL AS has_sale
+      |  FROM spine s LEFT JOIN daily d ON d.part = s.part AND d.day = s.day
+      |)
+      |SELECT part, STRFTIME(day, '%Y-%m-%d') AS day, has_sale,
+      |  COALESCE(qty, 0.0) AS qty,
+      |  LAST_VALUE(day_min_price IGNORE NULLS) OVER w AS price_filled,
+      |  CAST(day - LAST_VALUE(CASE WHEN has_sale THEN day END IGNORE NULLS)
+      |    OVER w AS BIGINT) AS days_since_sale
+      |FROM joined
+      |WINDOW w AS (PARTITION BY part ORDER BY day
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY part, day""".stripMargin) { (s, d) =>
+    import graft.operators.DateSpine
+    val li = Tables.lineitem(s, d).select(
+        col("l_partkey").as("part"),
+        col("l_shipdate").cast("date").as("day"),
+        col("l_quantity"), col("l_extendedprice"))
+      .filter(col("day").between(to_date(lit("1995-02-01")),
+        to_date(lit("1995-03-31"))))
+    val totals = li.groupBy("part")
+      .agg(sum(col("l_quantity")
+        .cast(org.apache.spark.sql.types.DecimalType(38, 6))).as("tq"))
+    val keys = totals.orderBy(col("tq").desc, col("part")).limit(5)
+      .select("part")
+    val daily = li.join(broadcast(keys), Seq("part"))
+      .groupBy("part", "day")
+      .agg(dsum(col("l_quantity")).as("qty"),
+        min(col("l_extendedprice")).as("day_min_price"))
+    DateSpine.spineFill(keys, daily, "part", "day",
+        "1995-02-01", "1995-03-31",
+        flowCols = Seq("qty"), stockCols = Seq("day_min_price"))
+      .select(col("part"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("has_obs").as("has_sale"), col("qty"),
+        col("day_min_price").as("price_filled"),
+        col("days_since_obs").as("days_since_sale"))
+      .orderBy("part", "day")
+  }
+
   /** S6 — CDC version diff through the REAL `AtomicTable`: commit v-old
     * (80% of documents) and v-new (deletes every 7th key, inserts fresh
     * +400000 keys, rewrites text on every 11th) as two versions of one
@@ -450,6 +520,55 @@ object UnionScalarQueries {
     AtomicTable.commit(v2, dir, vb)
     AtomicTable.diff(s, dir, va, vb, Seq("doc_id"))
       .orderBy("doc_id")
+  }
+
+  /** I5 — LOOKBACK incremental merge (late-arriving data): the dbt
+    * incremental pattern that reprocesses a trailing window instead of
+    * the full history. The seed build is missing every o_orderkey%10=3
+    * order ("arrived late"); the incremental pass recomputes ONLY days
+    * inside the lookback window from complete data and upserts them by
+    * day key (`MergeUpsert`). The gate pins BOTH halves of the
+    * trade-off: in-window days are corrected (src='incr', late rows
+    * present), out-of-window days keep the stale seed aggregates — late
+    * data beyond the horizon is lost by design, and that loss is part
+    * of the oracle-checked contract. Work ∝ window, not history. */
+  val i5LookbackMerge: Q = Q.sql(
+    "i5_lookback_merge",
+    """WITH base AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day, o_orderkey, o_totalprice
+      |  FROM orders
+      |), seed AS (
+      |  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+      |    'seed' AS src
+      |  FROM base WHERE o_orderkey % 10 <> 3 GROUP BY 1
+      |), incr AS (
+      |  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+      |    'incr' AS src
+      |  FROM base WHERE day > DATE '2001-05-31' GROUP BY 1
+      |)
+      |SELECT STRFTIME(day, '%Y-%m-%d') AS day, n_orders, revenue, src FROM (
+      |  SELECT * FROM incr
+      |  UNION ALL
+      |  SELECT * FROM seed WHERE day NOT IN (SELECT day FROM incr)
+      |) ORDER BY day""".stripMargin) { (s, d) =>
+    import graft.operators.MergeUpsert
+    val base = Tables.orders(s, d).select(
+      col("o_orderdate").cast("date").as("day"),
+      col("o_orderkey"), col("o_totalprice"))
+    def rollup(df: org.apache.spark.sql.DataFrame, tag: String) =
+      df.groupBy("day")
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          dsum(col("o_totalprice")).as("revenue"))
+        .withColumn("src", lit(tag))
+    val seed = rollup(base.filter(col("o_orderkey") % 10 =!= 3), "seed")
+    val incr = rollup(
+      base.filter(col("day") > to_date(lit("2001-05-31"))), "incr")
+    MergeUpsert.upsert(seed, incr, Seq("day"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_orders"), col("revenue"), col("src"))
+      .orderBy("day")
   }
 
   /** I1 — incremental append semantics: only rows newer than the target's
@@ -539,6 +658,6 @@ object UnionScalarQueries {
   val all: Seq[Q] = Seq(p1UnionAlign, p2p3FlagExcept, a15MultiLevel,
     u2UnionDistinct, fString, fHash, fDate, fSafeNumeric, fZOrderKey,
     s5MergeUpsert,
-    s6VersionDiff, s13Scd2, j17PitJoin,
-    i1Incremental, a17EventRollup)
+    s6VersionDiff, s13Scd2, j17PitJoin, tsSpineFill,
+    i1Incremental, i5LookbackMerge, a17EventRollup)
 }

@@ -639,6 +639,117 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("tfidfTopK: integer idf scoring and per-query ranking match hand computation") {
+    val docs = Seq(
+      (1L, "apple apple banana cherry"),
+      (2L, "apple banana banana date"),
+      (3L, "banana cherry cherry date"),
+      (4L, "date egg egg egg")).toDF("doc_id", "text")
+    // df: banana 3, date 3, apple 2, cherry 2, egg 1 -> rank order
+    // banana, date, apple, cherry, egg. Terms 1-2 = q0, 3-4 = q1.
+    // idf: banana/date = 4e6//3 = 1333333; apple/cherry = 2000000.
+    val got = TA.tfidfTopK(docs, $"doc_id", $"text",
+      termRankLo = 1, termsPerQuery = 2, nQueries = 2, k = 3)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq(
+      (0L, 1L, 2L, 3999999L, 2L),  // banana*2 + date*1
+      (0L, 2L, 3L, 2666666L, 2L),
+      (0L, 3L, 1L, 1333333L, 1L),  // ties with d4 broken by doc_id
+      (1L, 1L, 1L, 6000000L, 2L),  // apple*2 + cherry*1
+      (1L, 2L, 3L, 4000000L, 1L),
+      (1L, 3L, 2L, 2000000L, 1L)))
+  }
+
+  test("dHash64 matches the pixel spec; banded pairing finds the planted near-copies") {
+    val docs = Tables.documents(spark, sf).limit(50)
+    val hashes = Multimodal.dHash64(Multimodal.asPhashImageTable(docs))
+    val got = hashes.orderBy("doc_id").collect()
+    assert(got.length == 50)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      var lo = 0L; var hi = 0L
+      for (row <- 0 until 8; c <- 0 until 8)
+        if (Multimodal.phGray(id, c + 1, row) > Multimodal.phGray(id, c, row)) {
+          val pos = row * 8 + c
+          if (pos < 32) lo |= 1L << pos else hi |= 1L << (pos - 32)
+        }
+      assert(r.getLong(1) == lo && r.getLong(2) == hi, s"doc $id")
+    }
+    val pairs = Multimodal.phashNearDups(hashes).orderBy("doc_a").collect()
+    val expected = (0 until 50).filter(i => i % 5 == 4 && i >= 4)
+      .map(i => (i - 3L, i.toLong))
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == expected)
+    assert(pairs.forall(_.getLong(2) <= 2), "one perturbed pixel flips <= 2 bits")
+  }
+
+  test("PhashIndex: committed index flags copies and re-crawls, keeps fresh images") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_phidx_spec")
+      .toString
+    def imgs(ids: Seq[Long]) =
+      Multimodal.asPhashImageTable(ids.toDF("doc_id"))
+    val out1 = graft.llm.PhashIndex
+      .processBatch(spark, dir, imgs(Seq(0L, 1L, 2L, 3L)))
+    assert(out1.filter($"keep").count() == 4) // empty index: all kept
+    // 0 = exact re-crawl (hamming 0), 4 = near-copy of doc 1 (<= 2 bits),
+    // 100 = fresh content (its own base)
+    val out2 = graft.llm.PhashIndex
+      .processBatch(spark, dir, imgs(Seq(4L, 0L, 100L)))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).toSeq
+    assert(out2 == Seq((0L, true, false), (4L, true, false),
+      (100L, false, true)))
+    // v2 index = batch-1 bands plus the kept fresh image's bands only
+    val idx = graft.llm.PhashIndex.load(spark, dir)
+    assert(idx.count() <= 20)
+    assert(idx.select("hash_lo", "hash_hi").distinct().count() == 5)
+  }
+
+  test("phash banding: Hamming<=3 always shares a band; 4 spread bits can evade") {
+    val hashes = Seq(
+      (1L, 0L, 0L),
+      (2L, 1L | 65536L, 1L),           // bits in bands 0, 1, 2; band 3 empty
+      (3L, 1L | 65536L, 1L | 65536L))  // one bit in every band
+      .toDF("doc_id", "hash_lo", "hash_hi")
+    val pairs = Multimodal.phashNearDups(hashes, maxHamming = 10)
+      .select("doc_a", "doc_b", "hamming").orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // (1,2): 3 bits across bands 0/1/2 but band 3 agrees -> found, hamming 3.
+    // (1,3): 4 bits, one per band -> NO shared band: absent even at cap 10
+    //        (the pigeonhole guarantee is exactly Hamming <= bands - 1).
+    // (2,3): differ only inside band 3 -> found, hamming 1.
+    assert(pairs == Seq((1L, 2L, 3L), (2L, 3L, 1L)))
+  }
+
+  test("audioEnergyFeatures: windowed energy matches direct recompute from the spec") {
+    val docs = Tables.documents(spark, sf).limit(20)
+    val got = Multimodal.audioEnergyFeatures(
+      Multimodal.decodeAudioFrames(Multimodal.asAudioTable(docs)))
+      .orderBy("doc_id").collect()
+    assert(got.length == 20)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val n = Multimodal.wavFrames(id)
+      val stereo = Multimodal.wavChannels(id) == 2
+      val energies = (0 until n).grouped(16).map(_.map { f =>
+        val s = Multimodal.wavSample(id, f, 0).toLong; s * s
+      }.sum).toSeq
+      assert(r.getLong(1) == n.toLong)
+      assert(r.getLong(2) == energies.length.toLong)
+      assert(r.getLong(3) == energies.sum)
+      val peakE = energies.max
+      assert(r.getLong(4) == energies.indexOf(peakE).toLong)
+      assert(r.getLong(5) == peakE)
+      if (stereo) {
+        val e1 = (0 until n).map { f =>
+          val s = Multimodal.wavSample(id, f, 1).toLong; s * s
+        }.sum
+        assert(r.getLong(6) == e1)
+      } else assert(r.isNullAt(6))
+    }
+  }
+
   test("decodeAudio: zero-frame WAV yields null endpoints, zero sums") {
     import javax.sound.sampled._
     val fmt = new AudioFormat(8000f, 16, 1, true, false)

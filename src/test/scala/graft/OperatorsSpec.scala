@@ -481,4 +481,37 @@ class OperatorsSpec extends SparkSpec {
     AtomicTable.commit(df(2), dir, 3L, retainVersions = 10)
     assert(Checks.snapshotDrift(spark, dir, "t", 0.5).passed)
   }
+
+  test("DateSpine.spineFill: zero-fill, LOCF, leading nulls, day counter") {
+    import graft.operators.DateSpine
+    val keys = Seq("a", "b").toDF("k")
+    val daily = Seq(
+      ("a", "2020-01-02", 5L, 10.0),
+      ("a", "2020-01-04", 7L, 20.0))
+      .toDF("k", "day", "qty", "price")
+      .withColumn("day", to_date($"day"))
+    val got = DateSpine.spineFill(keys, daily, "k", "day",
+        "2020-01-01", "2020-01-05",
+        flowCols = Seq("qty"), stockCols = Seq("price"))
+      .orderBy("k", "day").collect()
+    assert(got.length == 10)
+    // columns: k, day, qty, price, has_obs, days_since_obs
+    val a = got.take(5).map(r => (r.getBoolean(4), r.getLong(2),
+      if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+      if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    assert(a.toSeq == Seq(
+      (false, 0L, None, None),             // before first obs: all null
+      (true, 5L, Some(10.0), Some(0L)),
+      (false, 0L, Some(10.0), Some(1L)),   // carried forward
+      (true, 7L, Some(20.0), Some(0L)),
+      (false, 0L, Some(20.0), Some(1L))))
+    // key b never observes anything: dense rows, zero qty, all-null stock
+    val b = got.drop(5)
+    assert(b.forall(r => !r.getBoolean(4) && r.getLong(2) == 0L &&
+      r.isNullAt(3) && r.isNullAt(5)))
+    // zero-fill preserves the flow column's type (LongType here)
+    assert(DateSpine.spineFill(keys, daily, "k", "day",
+      "2020-01-01", "2020-01-02", Seq("qty"), Seq("price"))
+      .schema("qty").dataType.typeName == "long")
+  }
 }
