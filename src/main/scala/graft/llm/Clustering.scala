@@ -273,17 +273,19 @@ object Clustering {
     * CTE as `table`, and append their SELECT. */
   def kmeansOracleCtes(table: String, stride: Int, iters: Int,
                        idCol: String = "vec_id",
-                       vecCol: String = "embedding"): String = {
+                       vecCol: String = "embedding",
+                       prefix: String = ""): String = {
+    val p = prefix
     val qv = s"CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT) + $Offset"
     val sb = new StringBuilder
-    sb ++= s"""ve AS (
+    sb ++= s"""${p}ve AS (
       |  SELECT vec_id, pos, $qv AS qv FROM (
       |    SELECT $idCol AS vec_id, unnest($vecCol) AS v,
       |           unnest(generate_series(1, len($vecCol))) AS pos
       |    FROM $table)
-      |), c0 AS (
+      |), ${p}c0 AS (
       |  SELECT vec_id // $stride AS cid, pos, qv AS cv
-      |  FROM ve WHERE vec_id % $stride = 0
+      |  FROM ${p}ve WHERE vec_id % $stride = 0
       |)""".stripMargin
     def rankedSql(centCte: String): String =
       s"""SELECT vec_id, cid, dist_sq, ROW_NUMBER() OVER (
@@ -291,25 +293,109 @@ object Clustering {
       |    FROM (
       |      SELECT ve.vec_id, c.cid,
       |             CAST(SUM((ve.qv - c.cv) * (ve.qv - c.cv)) AS BIGINT) AS dist_sq
-      |      FROM ve JOIN $centCte c ON c.pos = ve.pos
+      |      FROM ${p}ve ve JOIN $centCte c ON c.pos = ve.pos
       |      GROUP BY 1, 2)""".stripMargin
     for (t <- 1 to iters) {
       sb ++=
-        s""", a$t AS (
+        s""", ${p}a$t AS (
       |  SELECT vec_id, cid FROM (
-      |    ${rankedSql(s"c${t - 1}")})
+      |    ${rankedSql(s"${p}c${t - 1}")})
       |  WHERE rn = 1
-      |), c$t AS (
-      |  SELECT a$t.cid, ve.pos, SUM(ve.qv) // COUNT(*) AS cv
-      |  FROM ve JOIN a$t ON a$t.vec_id = ve.vec_id
+      |), ${p}c$t AS (
+      |  SELECT a.cid, ve.pos, SUM(ve.qv) // COUNT(*) AS cv
+      |  FROM ${p}ve ve JOIN ${p}a$t a ON a.vec_id = ve.vec_id
       |  GROUP BY 1, 2
       |)""".stripMargin
     }
     sb ++=
-      s""", af AS (
+      s""", ${p}af AS (
       |  SELECT * FROM (
-      |    ${rankedSql(s"c$iters")})
+      |    ${rankedSql(s"${p}c$iters")})
       |)""".stripMargin
     sb.toString
+  }
+
+  /** PRODUCT QUANTIZATION (PQ) ANN — the memory-bound serving path of
+    * billion-scale vector search (FAISS's IndexPQ): split each vector
+    * into `mSub` subspaces of `subDim` dims, train an INDEPENDENT
+    * integer-exact Lloyd codebook per subspace (same [[train]] loop —
+    * stride init, floor-mean updates, smaller-cid ties), encode every
+    * corpus vector as `mSub` small codes, and answer queries by
+    * ASYMMETRIC DISTANCE COMPUTATION: one exact per-query lookup table
+    * of integer subspace distances (query subvector ↔ every centroid),
+    * then approx_dist(x) = Σ_m lut[m][code_m(x)] — a sum of `mSub`
+    * table lookups per candidate, never a full-dimension scan.
+    *
+    * Scale shape: codebooks and LUTs are tiny and broadcast (k·mSub
+    * centroids; |queries|·k·mSub LUT rows); the corpus side is touched
+    * by exactly two scans (encode, ADC sum) — codes are mSub SMALL ints
+    * per vector, the 64×-compressed representation that lets an index
+    * hold billions of vectors in RAM. At production query volumes the
+    * LUT join partitions by query batch; here the query set is the
+    * bounded eval subset (vec_id % queryMod = 0), as in
+    * [[ivfTopKTrained]]'s recall eval.
+    *
+    * Returns the top-`k` ADC candidates per query (self excluded, ties
+    * by cand_id) flagged with membership in the EXACT integer top-k —
+    * so the gate pins codebooks, codes, LUTs, ranking, and the measured
+    * recall in one frame. */
+  def pqTopK(spark: SparkSession, emb: DataFrame, mSub: Int = 4,
+             subDim: Int = 16, stride: Int = 100, iters: Int = 2,
+             queryMod: Int = 97, k: Int = 5,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val base = emb.select(col(idCol).as("vec_id"), col(vecCol).as("emb"))
+    val subRows = (0 until mSub).map { m =>
+      quantRows(base.select(col("vec_id"),
+        slice(col("emb"), m * subDim + 1, subDim).as("emb")),
+        idCol = "vec_id", vecCol = "emb")
+    }
+    val codebooks = subRows.map(r => train(spark, r, stride, iters))
+    val codes = subRows.lazyZip(codebooks).lazyZip(0 until mSub).map {
+      (r, cb, m) =>
+        assign(r, cb).select(col("vec_id"), lit(m).as("sub"),
+          col("cid").as("code"))
+    }.reduce(_ unionByName _)
+    val qids = base.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"))
+    val lut = subRows.lazyZip(codebooks).lazyZip(0 until mSub).map {
+      (r, cb, m) =>
+        r.join(broadcast(qids), col("vec_id") === col("query_id"))
+          .select(col("query_id"), col("pos"), col("qv"))
+          .join(broadcast(cb), Seq("pos"))
+          .groupBy(col("query_id"), col("cid"))
+          .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv")))
+            .as("d"))
+          .withColumn("sub", lit(m))
+    }.reduce(_ unionByName _)
+    val approx = codes
+      .join(broadcast(lut),
+        codes("sub") === lut("sub") && codes("code") === lut("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d")).cast("long").as("approx_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dist"), col("vec_id"))
+    val ranked = approx
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+    // exact full-dimension integer top-k — the recall baseline
+    val gve = quantRows(base, idCol = "vec_id", vecCol = "emb")
+    val qrows = gve.join(broadcast(qids), col("vec_id") === col("query_id"))
+      .select(col("query_id"), col("pos"), col("qv").as("q_qv"))
+    val escored = gve.join(broadcast(qrows), Seq("pos"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum((col("q_qv") - col("qv")) * (col("q_qv") - col("qv")))
+        .as("exact_dist"))
+    val ew = Window.partitionBy(col("query_id"))
+      .orderBy(col("exact_dist"), col("vec_id"))
+    val etop = escored.withColumn("ern", row_number().over(ew))
+      .filter(col("ern") <= k)
+      .select(col("query_id"), col("vec_id"), lit(true).as("hit_exact"))
+    ranked.join(etop, Seq("query_id", "vec_id"), "left")
+      .select(col("query_id"), col("rank"), col("vec_id").as("cand_id"),
+        col("approx_dist"),
+        coalesce(col("hit_exact"), lit(false)).as("hit_exact"))
   }
 }

@@ -104,6 +104,33 @@ object GraphOps {
     sb.toString
   }
 
+  /** Bounded multi-source BFS: exact hop distance (≤ maxHops) from a
+    * seed set over the undirected edge list — the reachability /
+    * blast-radius primitive. Per round: ONE node-keyed join of the
+    * current frontier (hops = h-1 only) with the directed edges and one
+    * map-side-combined MIN; `localCheckpoint(true)` per round keeps the
+    * plan flat at any depth (the [[pageRank]] discipline). State is
+    * only the VISITED set — unreached nodes are never materialized, so
+    * at 100 TB memory tracks the expanding ball, not the graph.
+    * Returns (node, hops), seeds at 0. */
+  def bfsHops(edges: DataFrame, seeds: DataFrame,
+              maxHops: Int): DataFrame = {
+    val dirs = edges.select(col("src").as("u"), col("dst").as("v"))
+      .unionAll(edges.select(col("dst").as("u"), col("src").as("v")))
+      .localCheckpoint(true)
+    var dist = seeds.select(col("node"), lit(0L).as("hops"))
+      .localCheckpoint(true)
+    for (h <- 1 to maxHops) {
+      val next = dist.filter(col("hops") === (h - 1).toLong)
+        .join(dirs, col("node") === col("u"))
+        .select(col("v").as("node"), lit(h.toLong).as("hops"))
+      dist = dist.unionByName(next)
+        .groupBy("node").agg(min("hops").cast("long").as("hops"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
   /** Undirected support-filtered co-occurrence edges:
     * (src < dst, support). */
   def coOccurrenceEdges(facts: DataFrame, groupCol: String,

@@ -54,6 +54,29 @@ object Checks {
           Seq(column), "left_anti")
         .count())
 
+  /** dbt SOURCE FRESHNESS against a DATA-PROVIDED `asOf` instant —
+    * never wall clock, so the check is replayable and oracle-gatable
+    * (the reference's freshness check reads the run date the same way a
+    * backfill must: as an input, data_quality.py:176-233). Lag is
+    * computed in exact integer MICROS floor-divided to whole days
+    * (`unix_micros` ↔ DuckDB `epoch_us` — second-truncation would
+    * disagree between engines on sub-second timestamps). An empty/
+    * all-NULL column is stale by definition. */
+  def freshness(df: DataFrame, table: String, column: String,
+                asOfIso: String, maxLagDays: Int): Result = {
+    val r = df.agg(
+      max(unix_micros(col(column).cast("timestamp"))).as("mx")).head()
+    val stale =
+      if (r.isNullAt(0)) 1L
+      else {
+        val asOfMicros = java.time.LocalDate.parse(asOfIso)
+          .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond * 1000000L
+        val lagDays = (asOfMicros - r.getLong(0)) / 86400000000L
+        if (lagDays > maxLagDays) 1L else 0L
+      }
+    Result(s"freshness($column,${maxLagDays}d)", table, stale)
+  }
+
   /** Column completeness must be >= threshold (data_quality.py:96-130). */
   def completeness(df: DataFrame, table: String, column: String,
                    threshold: Double): Result = {

@@ -329,6 +329,41 @@ object AggQueries {
       .orderBy("rel")
   }
 
+  /** A18c — dbt SOURCE FRESHNESS through the REAL `Checks.freshness`:
+    * events lag ≈ 30 days against the pinned as-of (2024-03-01), so the
+    * 60-day budget passes and the 7-day budget fails — both the green
+    * and the alarming arm are gate-checked. Lag arithmetic is exact
+    * integer micros floor-divided to days in BOTH engines (see the
+    * Checks.freshness scaladoc for why second-truncation would drift). */
+  val a18cFreshness: Q = Q.sql(
+    "a18c_freshness",
+    """WITH mx AS (
+      |  SELECT CAST(epoch_us(MAX(ts)) AS BIGINT) AS mx_us FROM events
+      |), asof_t AS (
+      |  SELECT CAST(epoch_us(TIMESTAMP '2024-03-01 00:00:00') AS BIGINT)
+      |    AS asof_us
+      |)
+      |SELECT 'freshness(ts,60d)' AS check_name,
+      |  CAST(CASE WHEN (asof_us - mx_us) // 86400000000 > 60
+      |       THEN 1 ELSE 0 END AS BIGINT) AS violations
+      |FROM mx, asof_t
+      |UNION ALL
+      |SELECT 'freshness(ts,7d)',
+      |  CAST(CASE WHEN (asof_us - mx_us) // 86400000000 > 7
+      |       THEN 1 ELSE 0 END AS BIGINT)
+      |FROM mx, asof_t
+      |ORDER BY check_name""".stripMargin) { (s, d) =>
+    import graft.quality.Checks
+    val ev = Tables.events(s, d)
+    val checks = Seq(
+      Checks.freshness(ev, "events", "ts", "2024-03-01", 60),
+      Checks.freshness(ev, "events", "ts", "2024-03-01", 7))
+    import s.implicits._
+    checks.map(r => (r.check, r.violations))
+      .toDF("check_name", "violations")
+      .orderBy("check_name")
+  }
+
   /** dim_company_health (dim_company_health.sql:14-297) — the full
     * activity/archetype/health-score battery, driven through the actual
     * `Marts.dimCompanyHealth` model over company-orders synthesized from
@@ -569,5 +604,5 @@ object AggQueries {
   val all: Seq[Q] = Seq(q1PricingSummary, aCompanyHealth, a1OrderRollup,
     a2CustomerRevenue,
     a3StringAgg, a4Mode, a7PeriodMetrics, a12MultiGrain, a13MarginGrains,
-    a18Quality, a18bRefIntegrity, a20Cube, a21Pivot)
+    a18Quality, a18bRefIntegrity, a18cFreshness, a20Cube, a21Pivot)
 }

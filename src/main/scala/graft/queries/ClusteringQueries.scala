@@ -368,6 +368,87 @@ object ClusteringQueries {
       .orderBy("n_probe")
   }
 
+  /** PQ-ADC ANN ([[Clustering.pqTopK]]) — 4 independent 16-dim Lloyd
+    * codebooks, per-vector codes, per-query exact integer distance LUTs,
+    * approx_dist = Σ table lookups, top-5 per query flagged against the
+    * exact full-dimension top-5. The oracle replays all four subspace
+    * training chains (prefixed [[Clustering.kmeansOracleCtes]]), the
+    * encode, the LUTs, the ADC ranking AND the exact baseline — the
+    * entire index lifecycle is one hash gate. */
+  val annPqAdc: Q = {
+    val PqStride = 100
+    val slices = (0 until 4).map(m =>
+      s"s$m AS (SELECT vec_id, embedding[${m * 16 + 1}:${(m + 1) * 16}]" +
+        s" AS embedding FROM embeddings)").mkString(",\n")
+    val chains = (0 until 4).map(m =>
+      Clustering.kmeansOracleCtes(s"s$m", PqStride, Iters,
+        prefix = s"q$m")).mkString(",\n")
+    val codesArms = (0 until 4).map(m =>
+      s"SELECT vec_id, $m AS sub, cid AS code FROM q${m}af WHERE rn = 1")
+      .mkString("\n  UNION ALL ")
+    val lutArms = (0 until 4).map(m =>
+      s"""SELECT v.vec_id AS query_id, $m AS sub, c.cid,
+        |    CAST(SUM((v.qv - c.cv) * (v.qv - c.cv)) AS BIGINT) AS d
+        |  FROM q${m}ve v JOIN qids ON qids.query_id = v.vec_id
+        |  JOIN q${m}c$Iters c ON c.pos = v.pos GROUP BY 1, 2, 3"""
+        .stripMargin).mkString("\n  UNION ALL ")
+    Q.sql(
+      "ann_pq_adc",
+      s"""WITH $slices,
+        |$chains,
+        |codes AS (
+        |  $codesArms
+        |), qids AS (
+        |  SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 97 = 0
+        |), lut AS (
+        |  $lutArms
+        |), approx AS (
+        |  SELECT l.query_id, codes.vec_id,
+        |    CAST(SUM(l.d) AS BIGINT) AS approx_dist
+        |  FROM codes JOIN lut l ON l.sub = codes.sub AND l.cid = codes.code
+        |  WHERE codes.vec_id <> l.query_id
+        |  GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT query_id, vec_id, approx_dist, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY approx_dist, vec_id) AS BIGINT)
+        |    AS rank
+        |  FROM approx
+        |), gve AS (
+        |  SELECT vec_id, pos,
+        |    CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT)
+        |      + ${Clustering.Offset} AS qv
+        |  FROM (SELECT vec_id, unnest(embedding) AS v,
+        |        unnest(generate_series(1, len(embedding))) AS pos
+        |        FROM embeddings)
+        |), qrows AS (
+        |  SELECT qids.query_id, g.pos, g.qv AS q_qv
+        |  FROM gve g JOIN qids ON qids.query_id = g.vec_id
+        |), escored AS (
+        |  SELECT q.query_id, g.vec_id,
+        |    CAST(SUM((q.q_qv - g.qv) * (q.q_qv - g.qv)) AS BIGINT)
+        |      AS exact_dist
+        |  FROM gve g JOIN qrows q ON q.pos = g.pos
+        |  WHERE g.vec_id <> q.query_id
+        |  GROUP BY 1, 2
+        |), etop AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+        |      PARTITION BY query_id ORDER BY exact_dist, vec_id) AS ern
+        |    FROM escored) WHERE ern <= 5
+        |)
+        |SELECT r.query_id, r.rank, r.vec_id AS cand_id, r.approx_dist,
+        |  e.vec_id IS NOT NULL AS hit_exact
+        |FROM ranked r LEFT JOIN etop e
+        |  ON e.query_id = r.query_id AND e.vec_id = r.vec_id
+        |WHERE r.rank <= 5
+        |ORDER BY r.query_id, r.rank""".stripMargin) { (s, d) =>
+      Clustering.pqTopK(s, Tables.embeddings(s, d), mSub = 4, subDim = 16,
+        stride = PqStride, iters = Iters, queryMod = 97, k = 5)
+        .orderBy("query_id", "rank")
+    }
+  }
+
   val all: Seq[Q] =
-    Seq(cKmeans, ddSemDeDup, annKmeansIvf, annRecallEval, annRecallCurve)
+    Seq(cKmeans, ddSemDeDup, annKmeansIvf, annRecallEval, annRecallCurve,
+      annPqAdc)
 }

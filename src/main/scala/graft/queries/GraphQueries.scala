@@ -283,6 +283,69 @@ object GraphQueries {
       .orderBy("rank")
   }
 
-  val all: Seq[Q] = Seq(stFunnel, gTriangles, stCohort, gPageRank,
+  /** Bounded multi-source BFS over the co-purchase graph
+    * ([[GraphOps.bfsHops]]): hop distance from the two highest-degree
+    * parts (ties to the smaller id), 3 rounds — the blast-radius /
+    * related-items primitive. The oracle replays each frontier
+    * expansion + MIN-combine round as its own CTE, so the whole
+    * iteration is hash-gated; unreached nodes are absent in both
+    * engines. */
+  val gBfsHops: Q = Q.sql(
+    "g_bfs_hops",
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
+      |), edges AS (
+      |  SELECT a.item AS src, b.item AS dst,
+      |    CAST(COUNT(*) AS BIGINT) AS support
+      |  FROM li a JOIN li b ON b.g = a.g AND a.item < b.item
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      |), dirs AS (
+      |  SELECT src AS u, dst AS v FROM edges
+      |  UNION ALL SELECT dst, src FROM edges
+      |), deg AS (
+      |  SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree
+      |  FROM dirs GROUP BY 1
+      |), seeds AS (
+      |  SELECT node FROM deg ORDER BY degree DESC, node LIMIT 2
+      |), d0 AS (
+      |  SELECT node, CAST(0 AS BIGINT) AS hops FROM seeds
+      |), d1 AS (
+      |  SELECT node, CAST(MIN(hops) AS BIGINT) AS hops FROM (
+      |    SELECT node, hops FROM d0
+      |    UNION ALL
+      |    SELECT e.v, d.hops + 1 FROM d0 d
+      |    JOIN dirs e ON e.u = d.node WHERE d.hops = 0
+      |  ) GROUP BY 1
+      |), d2 AS (
+      |  SELECT node, CAST(MIN(hops) AS BIGINT) AS hops FROM (
+      |    SELECT node, hops FROM d1
+      |    UNION ALL
+      |    SELECT e.v, d.hops + 1 FROM d1 d
+      |    JOIN dirs e ON e.u = d.node WHERE d.hops = 1
+      |  ) GROUP BY 1
+      |), d3 AS (
+      |  SELECT node, CAST(MIN(hops) AS BIGINT) AS hops FROM (
+      |    SELECT node, hops FROM d2
+      |    UNION ALL
+      |    SELECT e.v, d.hops + 1 FROM d2 d
+      |    JOIN dirs e ON e.u = d.node WHERE d.hops = 2
+      |  ) GROUP BY 1
+      |)
+      |SELECT node, hops FROM d3 ORDER BY node""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("g"), col("l_partkey").as("item"))
+      .distinct()
+    // materialize the co-occurrence self-join ONCE: it feeds the seed
+    // ranking AND every BFS round's checkpointed lineage (the pageRank
+    // between-plans lesson — GraphOps.pageRank scaladoc)
+    val edges = GraphOps.coOccurrenceEdges(li, "g", "item", minSupport = 2)
+      .localCheckpoint(true)
+    val seeds = GraphOps.degrees(edges)
+      .orderBy(col("degree").desc, col("node")).limit(2)
+      .select("node")
+    GraphOps.bfsHops(edges, seeds, maxHops = 3).orderBy("node")
+  }
+
+  val all: Seq[Q] = Seq(stFunnel, gTriangles, stCohort, gPageRank, gBfsHops,
     stTopPaths)
 }

@@ -96,4 +96,29 @@ class ClusteringSpec extends SparkSpec {
     assert(byQuery(50L).map(_._2).toSet.subsetOf(Set(51L, 52L)))
     assert(byQuery(0L).map(_._2).toSet.subsetOf(Set(1L, 2L)))
   }
+
+  test("pqTopK with a k=n codebook (stride 1, iters 0) IS exact search") {
+    // Classic PQ sanity: when every vector is its own centroid in every
+    // subspace, codes are lossless and ADC distance == exact distance,
+    // so the approximate top-k must coincide with the exact baseline.
+    val emb = Tables.embeddings(spark, sf).limit(40)
+    val got = Clustering.pqTopK(spark, emb, mSub = 4, subDim = 16,
+      stride = 1, iters = 0, queryMod = 13, k = 3).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.getBoolean(4)), "every ADC hit is an exact hit")
+  }
+
+  test("pqTopK recall degrades but ranking stays deterministic at coarse k") {
+    val emb = Tables.embeddings(spark, sf).limit(60)
+    val a = Clustering.pqTopK(spark, emb, mSub = 4, subDim = 16,
+      stride = 20, iters = 1, queryMod = 29, k = 3)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val b = Clustering.pqTopK(spark, emb, mSub = 4, subDim = 16,
+      stride = 20, iters = 1, queryMod = 29, k = 3)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(a.toSeq == b.toSeq) // bit-identical across runs
+    assert(a.groupBy(_._1).forall(_._2.length == 3))
+  }
 }

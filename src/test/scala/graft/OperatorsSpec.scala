@@ -482,6 +482,25 @@ class OperatorsSpec extends SparkSpec {
     assert(Checks.snapshotDrift(spark, dir, "t", 0.5).passed)
   }
 
+  test("bfsHops: path-graph distances, min over multi-source, bounded depth") {
+    import graft.operators.GraphOps
+    // path 1-2-3-4-5-6 plus a shortcut 6-2
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 2L)).toDF("src", "dst")
+    val got = GraphOps.bfsHops(edges, Seq(1L).toDF("node"), maxHops = 3)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // 6 comes in at hop 2 via the 2-6 shortcut, which then reaches 5 at
+    // hop 3 (shorter than the 4-hop path route)
+    assert(got.toSeq == Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L),
+      (5L, 3L), (6L, 2L)))
+    // multi-source: seeds at both ends meet in the middle with MIN hops
+    val two = GraphOps.bfsHops(edges,
+      Seq(1L, 5L).toDF("node"), maxHops = 2)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(two.toSeq == Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 1L),
+      (5L, 0L), (6L, 1L)))
+  }
+
   test("DateSpine.spineFill: zero-fill, LOCF, leading nulls, day counter") {
     import graft.operators.DateSpine
     val keys = Seq("a", "b").toDF("k")
