@@ -47,11 +47,21 @@ object Dedup {
     * min-hashes (min over the shingle SET == min over the multiset, so
     * distinct rows are fine), then each doc explodes into one row per
     * band with band_key = md5 of the band's concatenated min-hashes. */
+  /** Per-doc MinHash signature columns (doc_id, sig0..sig{k-1}):
+    * sig_i = min over the doc's shingles of md5("mh{i}|" ‖ shingle) —
+    * one map-side-combined MIN aggregate for all k hashes at once.
+    * P(sig_i(A) = sig_i(B)) = Jaccard(A, B), which is what makes both
+    * the banding below and the match-fraction ESTIMATOR
+    * (dd_minhash_estimate) work. */
+  def minhashSignatures(shingleRows: DataFrame, k: Int): DataFrame = {
+    val sigs = (0 until k).map(i =>
+      min(md5(concat(lit(s"mh$i|"), col("shingle")))).as(s"sig$i"))
+    shingleRows.groupBy("doc_id").agg(sigs.head, sigs.tail: _*)
+  }
+
   def minhashBands(shingleRows: DataFrame,
                    bands: Int, rowsPerBand: Int): DataFrame = {
-    val sigs = (0 until bands * rowsPerBand).map(k =>
-      min(md5(concat(lit(s"mh$k|"), col("shingle")))).as(s"sig$k"))
-    val sigDf = shingleRows.groupBy("doc_id").agg(sigs.head, sigs.tail: _*)
+    val sigDf = minhashSignatures(shingleRows, bands * rowsPerBand)
     val bandKeys = (0 until bands).map { b =>
       val slice = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(k => col(s"sig$k"))
@@ -101,6 +111,34 @@ object Dedup {
         allPairsOf(small).unionByName(bigChain)
       }
     base.distinct()
+  }
+
+  /** MinHash ESTIMATOR ACCURACY for candidate pairs: the estimated
+    * Jaccard (fraction of the k signature rows that agree — an unbiased
+    * estimator, since each row agrees with probability exactly J) next
+    * to the exact shingle-set Jaccard, plus the absolute error in
+    * integer ppm. The sketch-quality measurement (the HLL/Count-Min
+    * discipline) for the dedup family: it shows what k buys before
+    * anyone trusts a banding threshold. All columns integer, so the
+    * estimator's error itself sits inside the hash gate. */
+  def minhashEstimate(candidates: DataFrame, sigDf: DataFrame,
+                      shingled: DataFrame, k: Int): DataFrame = {
+    val a = sigDf.toDF("doc_a" +: (0 until k).map(i => s"a$i"): _*)
+    val b = sigDf.toDF("doc_b" +: (0 until k).map(i => s"b$i"): _*)
+    val matches = (0 until k).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _)
+    val est = candidates.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), matches.as("est_matches"))
+    jaccardVerify(candidates, shingled)
+      .join(est, Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("est_matches"),
+        col("intersection_size").cast("long").as("intersection_size"),
+        col("union_size").cast("long").as("union_size"),
+        expr(s"est_matches * 1000000 div $k").as("est_jaccard_ppm"),
+        expr("intersection_size * 1000000 div union_size")
+          .as("exact_jaccard_ppm"),
+        expr(s"abs(est_matches * union_size - intersection_size * $k)" +
+          s" * 1000000 div ($k * union_size)").as("abs_err_ppm"))
   }
 
   /** Exact Jaccard similarity over distinct shingles for candidate

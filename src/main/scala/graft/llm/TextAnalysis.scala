@@ -425,6 +425,40 @@ object TextAnalysis {
             p.getField("tf").cast("string"))), ",").as("postings_head"))
   }
 
+  /** Count-based BIGRAM LANGUAGE-MODEL scoring — the deterministic
+    * cousin of perplexity filtering (CCNet's LM-quality gate) without
+    * log(), which is not bit-portable across engines: train conditional
+    * counts on the doc_id % trainMod == 0 split, then score EVERY doc
+    * with integer-ppm conditional probabilities
+    * p_ppm(w2|w1) = c(w1w2)·10⁶ div c(w1·). Per doc: bigram count,
+    * unseen-bigram count (absent from the train table — the
+    * out-of-domain signal), the summed ppm score, and fluency_ppm =
+    * score div n_bigrams. Scale shape: one lead-window pass for pairs
+    * (the shingleRows discipline), two map-side-combined count
+    * aggregates for the model, one (w1, w2)-keyed join to score — the
+    * model is a table, never driver state. */
+  def bigramLmScore(docs: DataFrame, id: Column, text: Column,
+                    trainMod: Int = 2): DataFrame = {
+    val tok = docs.select(id.as("doc_id"),
+      posexplode(tokens(text)).as(Seq("pos", "w1")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val pairs = tok.withColumn("w2", lead(col("w1"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("w1"), col("w2"))
+    val train = pairs.filter(col("doc_id") % trainMod === 0)
+    val big = train.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val uni = train.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val probs = big.join(uni, Seq("w1"))
+      .select(col("w1"), col("w2"), expr("c2 * 1000000 div c1").as("p_ppm"))
+    pairs.join(probs, Seq("w1", "w2"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum(when(col("p_ppm").isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_unseen"),
+        sum(coalesce(col("p_ppm"), lit(0L))).cast("long").as("score_sum"))
+      .withColumn("fluency_ppm", expr("score_sum div n_bigrams"))
+  }
+
   /** TF-IDF retrieval ranking — the query-serving half of the inverted
     * index: score(q, d) = Σ_{t∈q} tf(t, d) · idf_int(t) with an
     * engine-portable INTEGER idf (N·10⁶ div df — no ln(), which is not

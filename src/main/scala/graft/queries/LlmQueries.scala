@@ -667,6 +667,47 @@ object LlmQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** BIGRAM LM SCORING (TextAnalysis.bigramLmScore) — the CCNet-style
+    * LM-quality gate in integer ppm: conditional-probability model
+    * trained on the even-id split, every doc scored with summed
+    * p_ppm(w2|w1) plus the unseen-bigram out-of-domain signal. No
+    * log() anywhere, so train counts, scoring, and the per-doc fluency
+    * ratio are all inside the hash gate. */
+  val tBigramLm: Q = Q.sql(
+    "t_bigram_lm_score",
+    s"""WITH t AS (
+      |  SELECT doc_id, $toksSql AS toks FROM documents
+      |), p AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(toks) - 1),
+      |      i -> toks[i])) AS w1,
+      |    unnest(list_transform(generate_series(1, len(toks) - 1),
+      |      i -> toks[i+1])) AS w2
+      |  FROM t
+      |), train AS (
+      |  SELECT * FROM p WHERE doc_id % 2 = 0
+      |), big AS (
+      |  SELECT w1, w2, COUNT(*) AS c2 FROM train GROUP BY 1, 2
+      |), uni AS (
+      |  SELECT w1, COUNT(*) AS c1 FROM train GROUP BY 1
+      |), probs AS (
+      |  SELECT big.w1, big.w2, c2 * 1000000 // c1 AS p_ppm
+      |  FROM big JOIN uni USING (w1)
+      |), j AS (
+      |  SELECT p.doc_id, pr.p_ppm
+      |  FROM p LEFT JOIN probs pr ON pr.w1 = p.w1 AND pr.w2 = p.w2
+      |)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(CASE WHEN p_ppm IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_unseen,
+      |  CAST(SUM(COALESCE(p_ppm, 0)) AS BIGINT) AS score_sum,
+      |  CAST(SUM(COALESCE(p_ppm, 0)) // COUNT(*) AS BIGINT) AS fluency_ppm
+      |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    TA.bigramLmScore(Tables.documents(s, d), col("doc_id"), col("text"))
+      .orderBy("doc_id")
+  }
+
   /** INVERTED INDEX — per token: document frequency, collection
     * frequency, and the doc-ordered head of the posting list as a
     * compact `doc:tf` string (the index metadata a query planner
@@ -1661,6 +1702,172 @@ object LlmQueries {
       .filter(col("jaccard") >= 0.8)
       .select("doc_a", "doc_b", "intersection_size", "union_size", "jaccard")
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** MINHASH ESTIMATOR ACCURACY (Dedup.minhashEstimate) — for every
+    * LSH candidate pair: the k=8 signature match-fraction estimate,
+    * the exact shingle-set Jaccard, and the absolute error in integer
+    * ppm. The sketch-vs-truth measurement (HLL/Count-Min discipline)
+    * that tells a deployment what k buys BEFORE trusting a banding
+    * threshold — and the error itself is hash-gated. */
+  val ddMinhashEstimate: Q = Q.sql(
+    "dd_minhash_estimate",
+    s"""WITH t AS (
+      |  SELECT doc_id, $toksSql AS toks FROM documents
+      |), s AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(1, len(toks) - 2),
+      |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS sh
+      |  FROM t
+      |), sigs AS (
+      |  SELECT doc_id, i,
+      |    list_min(list_transform(sh,
+      |      x -> md5('mh' || CAST(i AS VARCHAR) || '|' || x))) AS sig
+      |  FROM s CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) ii
+      |), bands AS (
+      |  SELECT doc_id, b AS band,
+      |    md5(concat_ws('|',
+      |      list_min(list_transform(sh, x -> md5('mh' || CAST(b*2 AS VARCHAR) || '|' || x))),
+      |      list_min(list_transform(sh, x -> md5('mh' || CAST(b*2+1 AS VARCHAR) || '|' || x))))) AS band_key
+      |  FROM s CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      |  FROM bands a JOIN bands c USING (band, band_key)
+      |  WHERE a.doc_id < c.doc_id
+      |), m AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |    CAST(SUM(CASE WHEN x.sig = y.sig THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS est_matches
+      |  FROM cand c JOIN sigs x ON x.doc_id = c.doc_a
+      |  JOIN sigs y ON y.doc_id = c.doc_b AND y.i = x.i
+      |  GROUP BY 1, 2
+      |), shd AS (
+      |  SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM s
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id
+      |), inter AS (
+      |  SELECT doc_a, doc_b, COUNT(*) AS intersection_size
+      |  FROM cand
+      |  JOIN shd x ON x.doc_id = doc_a
+      |  JOIN shd y ON y.doc_id = doc_b AND y.shingle = x.shingle
+      |  GROUP BY doc_a, doc_b
+      |)
+      |SELECT m.doc_a, m.doc_b, m.est_matches,
+      |  CAST(i.intersection_size AS BIGINT) AS intersection_size,
+      |  CAST(sa.n + sb.n - i.intersection_size AS BIGINT) AS union_size,
+      |  CAST(m.est_matches * 1000000 // 8 AS BIGINT) AS est_jaccard_ppm,
+      |  CAST(i.intersection_size * 1000000
+      |    // (sa.n + sb.n - i.intersection_size) AS BIGINT)
+      |    AS exact_jaccard_ppm,
+      |  CAST(abs(m.est_matches * (sa.n + sb.n - i.intersection_size)
+      |    - i.intersection_size * 8) * 1000000
+      |    // (8 * (sa.n + sb.n - i.intersection_size)) AS BIGINT)
+      |    AS abs_err_ppm
+      |FROM m JOIN inter i USING (doc_a, doc_b)
+      |JOIN sizes sa ON sa.doc_id = m.doc_a
+      |JOIN sizes sb ON sb.doc_id = m.doc_b
+      |ORDER BY m.doc_a, m.doc_b""".stripMargin) { (s, d) =>
+    val shingled = TA.shingleRows(Tables.documents(s, d),
+      col("doc_id"), col("text"), 3).distinct()
+    val sigDf = Dedup.minhashSignatures(shingled, 8)
+    val bands = Dedup.minhashBands(shingled, bands = 4, rowsPerBand = 2)
+    val candidates = Dedup.lshCandidates(bands)
+    Dedup.minhashEstimate(candidates, sigDf, shingled, k = 8)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** LSH BAND-CONFIG SWEEP — the same 8 MinHash rows banded three ways
+    * ((8,1), (4,2), (2,4)): per config, the candidate-pair count, how
+    * many candidates verify at exact Jaccard ≥ 0.8 (integer
+    * cross-multiplied), and the false-candidate count. The S-curve
+    * trade-off (more, narrower bands → more candidates AND more noise)
+    * measured in-engine — the tuning decision behind every banding
+    * deployment, as `ann_recall_curve` is for IVF probes. Exact
+    * Jaccard is computed ONCE over the distinct pair set, then each
+    * config's membership joins back. */
+  val ddLshBandSweep: Q = {
+    def sig(k: Int) = s"list_min(list_transform(sh, x -> md5('mh$k|' || x)))"
+    def bcfg(b: Int, r: Int): String =
+      (0 until b).map { i =>
+        val key =
+          if (r == 1) s"md5(${sig(i)})"
+          else s"md5(concat_ws('|', ${(i * r until (i + 1) * r)
+            .map(sig).mkString(", ")}))"
+        s"SELECT doc_id, $i AS band, $key AS band_key FROM s"
+      }.mkString("\n  UNION ALL ")
+    val candArm = (b: Int, r: Int) =>
+      s"""SELECT DISTINCT $b AS bands, $r AS rows_per_band,
+        |    a.doc_id AS doc_a, c.doc_id AS doc_b
+        |  FROM (${bcfg(b, r)}) a JOIN (${bcfg(b, r)}) c
+        |    USING (band, band_key)
+        |  WHERE a.doc_id < c.doc_id""".stripMargin
+    Q.sql(
+      "dd_lsh_band_sweep",
+      s"""WITH t AS (
+        |  SELECT doc_id, $toksSql AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, len(toks) - 2),
+        |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS sh
+        |  FROM t
+        |), allc AS (
+        |  ${candArm(8, 1)}
+        |  UNION ALL ${candArm(4, 2)}
+        |  UNION ALL ${candArm(2, 4)}
+        |), pairs AS (
+        |  SELECT DISTINCT doc_a, doc_b FROM allc
+        |), shd AS (
+        |  SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM s
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id
+        |), inter AS (
+        |  SELECT doc_a, doc_b, COUNT(*) AS intersection_size
+        |  FROM pairs
+        |  JOIN shd x ON x.doc_id = doc_a
+        |  JOIN shd y ON y.doc_id = doc_b AND y.shingle = x.shingle
+        |  GROUP BY doc_a, doc_b
+        |), verdicts AS (
+        |  SELECT p.doc_a, p.doc_b,
+        |    COALESCE(i.intersection_size * 10 >=
+        |      8 * (sa.n + sb.n - i.intersection_size), FALSE) AS is_dup
+        |  FROM pairs p
+        |  LEFT JOIN inter i USING (doc_a, doc_b)
+        |  JOIN sizes sa ON sa.doc_id = p.doc_a
+        |  JOIN sizes sb ON sb.doc_id = p.doc_b
+        |)
+        |SELECT CAST(allc.bands AS BIGINT) AS bands,
+        |  CAST(allc.rows_per_band AS BIGINT) AS rows_per_band,
+        |  CAST(COUNT(*) AS BIGINT) AS n_candidates,
+        |  CAST(SUM(CASE WHEN v.is_dup THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_true_pairs,
+        |  CAST(SUM(CASE WHEN v.is_dup THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_false_candidates
+        |FROM allc JOIN verdicts v USING (doc_a, doc_b)
+        |GROUP BY 1, 2
+        |ORDER BY bands DESC""".stripMargin) { (s, d) =>
+      val shingled = TA.shingleRows(Tables.documents(s, d),
+        col("doc_id"), col("text"), 3).distinct()
+      def candFor(b: Int, r: Int) =
+        Dedup.lshCandidates(Dedup.minhashBands(shingled, b, r))
+          .withColumn("bands", lit(b.toLong))
+          .withColumn("rows_per_band", lit(r.toLong))
+      val allc = candFor(8, 1).unionByName(candFor(4, 2))
+        .unionByName(candFor(2, 4))
+      val pairs = allc.select("doc_a", "doc_b").distinct()
+      val verdicts = Dedup.jaccardVerify(pairs, shingled)
+        .select(col("doc_a"), col("doc_b"),
+          (col("intersection_size") * 10 >= col("union_size") * 8)
+            .as("is_dup"))
+      allc.join(verdicts, Seq("doc_a", "doc_b"), "left")
+        .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))
+        .groupBy("bands", "rows_per_band")
+        .agg(count(lit(1)).cast("long").as("n_candidates"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).cast("long")
+            .as("n_true_pairs"),
+          sum(when(!col("is_dup"), 1L).otherwise(0L)).cast("long")
+            .as("n_false_candidates"))
+        .orderBy(col("bands").desc)
+    }
   }
 
   /** Dedup — SimHash signatures (32-bit, md5-vote construction),
@@ -2721,7 +2928,7 @@ object LlmQueries {
     tQuality, tQualityQuantile, tQualityQuantileByLang, tMadOutliers,
     tTokenQuantiles,
     tBpeTrainApply, tBpeApplyMerges, tCountMin, tHll, tInvertedIndex,
-    tTfidfTopK,
+    tTfidfTopK, tBigramLm,
     ddSsjoinPrefix,
     tFingerprint, tRepetition, tContamination, tPiiScrub, tVocab,
     tCorpusCuration, tPacking, tQuotaSample, tTemperatureMix,
@@ -2730,7 +2937,8 @@ object LlmQueries {
     ddIncrementalBloom, ddIncrementalIndexChain, ddNearDupIndexChain,
     ddClusterCanonical,
     ddUrlDedup, ddLineDedup, ddDupSpanCoverage,
-    ddConnectedComponents, ddMinhashLsh, ddSimhash,
+    ddConnectedComponents, ddMinhashLsh, ddMinhashEstimate,
+    ddLshBandSweep, ddSimhash,
     ddSimhashNearDup, ddEmbeddingNearDup, annBruteForce, annLsh, annRhLsh,
     annIvf, mmBinary, mmFeatures, mmAudio, mmVideo, mmMjpeg, mmResize,
     mmFrameSample, mmDhash, mmPhashNearDup, mmAudioEnergy,

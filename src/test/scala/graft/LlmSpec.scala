@@ -639,6 +639,42 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("bigramLmScore: ppm conditional probabilities match hand computation") {
+    val docs = Seq(
+      (0L, "a b a b"),   // train: pairs (a,b) (b,a) (a,b)
+      (2L, "a c"),       // train: pair (a,c)
+      (1L, "a b c"))     // score-only: (a,b) seen, (b,c) unseen
+      .toDF("doc_id", "text")
+    // train counts: c2(a,b)=2 c2(b,a)=1 c2(a,c)=1; c1(a)=3 c1(b)=1
+    // p_ppm: (a,b)=666666, (b,a)=1000000, (a,c)=333333
+    val got = TA.bigramLmScore(docs, $"doc_id", $"text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq(
+      (0L, 3L, 0L, 2333332L, 777777L),
+      (1L, 2L, 1L, 666666L, 333333L),
+      (2L, 1L, 0L, 333333L, 333333L)))
+  }
+
+  test("minhashEstimate: identical docs estimate J=1 with zero error") {
+    val docs = Seq(
+      (1L, "x y z w v"), (2L, "x y z w v"),
+      (3L, "completely different tokens over here now"))
+      .toDF("doc_id", "text")
+    val shingled = TA.shingleRows(docs, $"doc_id", $"text", 3).distinct()
+    val sigs = Dedup.minhashSignatures(shingled, 8)
+    val cand = Dedup.lshCandidates(Dedup.minhashBands(shingled, 4, 2))
+    val got = Dedup.minhashEstimate(cand, sigs, shingled, 8).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1)) == (1L, 2L))
+    assert(r.getLong(2) == 8L)                       // est_matches = k
+    assert(r.getLong(3) == r.getLong(4))             // inter == union
+    assert(r.getLong(5) == 1000000L && r.getLong(6) == 1000000L)
+    assert(r.getLong(7) == 0L)                       // abs_err_ppm
+  }
+
   test("tfidfTopK: integer idf scoring and per-query ranking match hand computation") {
     val docs = Seq(
       (1L, "apple apple banana cherry"),
