@@ -133,9 +133,15 @@ object PhashIndex {
   /** One daily image batch: real decode → dHash → band-join the
     * committed index → Hamming-verify → flag; kept images' band rows
     * are upserted as the next version. Returns (doc_id, hit_index,
-    * keep). */
+    * keep). `version`/`writerId` let a STREAMING caller pin the commit
+    * to its micro-batch id under its checkpoint lineage
+    * ([[graft.streaming.EventStream.phashDedupSink]]) so a replayed
+    * batch is an idempotent already-committed no-op; batch callers
+    * take the default next-version numbering. */
   def processBatch(spark: SparkSession, dir: String, images: DataFrame,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   version: Option[Long] = None,
+                   writerId: Option[String] = None): DataFrame = {
     val hashes = Multimodal.dHash64(images)
     val bands = Multimodal.phashBands(hashes)
     val idx = load(spark, dir)
@@ -157,7 +163,9 @@ object PhashIndex {
       .select("band", "band_key", "hash_lo", "hash_hi").distinct()
     val next = MergeUpsert.upsert(idx, keptBands,
       Seq("band", "band_key", "hash_lo", "hash_hi"))
-    AtomicTable.commit(next, dir, AtomicTable.nextVersion(spark, dir))
+    AtomicTable.commit(next, dir,
+      version.getOrElse(AtomicTable.nextVersion(spark, dir)),
+      writerId = writerId)
     annotated
   }
 }

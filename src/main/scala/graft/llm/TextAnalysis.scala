@@ -425,6 +425,24 @@ object TextAnalysis {
             p.getField("tf").cast("string"))), ",").as("postings_head"))
   }
 
+  /** FEATURE-HASHING document embedding (the hashing trick): token →
+    * bucket via the engine-portable hex6(md5) hash mod `dims`, vector
+    * component = token count per bucket — a model-free text embedder
+    * whose long form (doc_id, bucket, cnt) is exactly the exploded
+    * (vec_id, pos, qv) row shape the clustering/ANN family consumes
+    * ([[Clustering.quantRows]]), so hashed documents can feed k-means /
+    * IVF / PQ directly. Scan + one map-side-combined count — no
+    * vocabulary table, no driver state, collision behavior fully
+    * deterministic. */
+  def featureHashEmbed(docs: DataFrame, id: Column, text: Column,
+                       dims: Int): DataFrame =
+    docs.select(id.as("doc_id"), explode(tokens(text)).as("token"))
+      .withColumn("bucket",
+        expr(s"${hex6Expr("md5(concat('fh|', token))")} % $dims")
+          .cast("long"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+
   /** Count-based BIGRAM LANGUAGE-MODEL scoring — the deterministic
     * cousin of perplexity filtering (CCNet's LM-quality gate) without
     * log(), which is not bit-portable across engines: train conditional

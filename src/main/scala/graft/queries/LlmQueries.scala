@@ -667,6 +667,46 @@ object LlmQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** FEATURE-HASHING EMBEDDING (TextAnalysis.featureHashEmbed) — the
+    * hashing trick over 64 buckets: model-free doc vectors whose long
+    * form feeds the clustering/ANN family directly. Gated via each
+    * doc's top-3 components (ties to the smaller bucket) plus the exact
+    * integer squared norm, so bucket assignment, counts, and vector
+    * geometry are all hash-checked. */
+  val tFeatureHash: Q = Q.sql(
+    "t_feature_hash",
+    s"""WITH tok AS (
+      |  SELECT doc_id, unnest($toksSql) AS token FROM documents
+      |), v AS (
+      |  SELECT doc_id,
+      |    CAST(${TA.hex6Expr("md5('fh|' || token)")} % 64 AS BIGINT)
+      |      AS bucket,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM tok GROUP BY doc_id, bucket
+      |), n AS (
+      |  SELECT doc_id, CAST(SUM(cnt * cnt) AS BIGINT) AS norm_sq
+      |  FROM v GROUP BY 1
+      |), r AS (
+      |  SELECT doc_id, bucket, cnt, CAST(ROW_NUMBER() OVER (
+      |    PARTITION BY doc_id ORDER BY cnt DESC, bucket) AS BIGINT) AS rank
+      |  FROM v
+      |)
+      |SELECT r.doc_id, r.rank, r.bucket, r.cnt, n.norm_sq
+      |FROM r JOIN n USING (doc_id) WHERE r.rank <= 3
+      |ORDER BY r.doc_id, r.rank""".stripMargin) { (s, d) =>
+    val vecs = TA.featureHashEmbed(Tables.documents(s, d),
+      col("doc_id"), col("text"), dims = 64)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("cnt").desc, col("bucket"))
+    val norms = vecs.groupBy("doc_id")
+      .agg(sum(col("cnt") * col("cnt")).cast("long").as("norm_sq"))
+    vecs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .join(norms, Seq("doc_id"))
+      .select("doc_id", "rank", "bucket", "cnt", "norm_sq")
+      .orderBy("doc_id", "rank")
+  }
+
   /** BIGRAM LM SCORING (TextAnalysis.bigramLmScore) — the CCNet-style
     * LM-quality gate in integer ppm: conditional-probability model
     * trained on the even-id split, every doc scored with summed
@@ -2928,7 +2968,7 @@ object LlmQueries {
     tQuality, tQualityQuantile, tQualityQuantileByLang, tMadOutliers,
     tTokenQuantiles,
     tBpeTrainApply, tBpeApplyMerges, tCountMin, tHll, tInvertedIndex,
-    tTfidfTopK, tBigramLm,
+    tTfidfTopK, tBigramLm, tFeatureHash,
     ddSsjoinPrefix,
     tFingerprint, tRepetition, tContamination, tPiiScrub, tVocab,
     tCorpusCuration, tPacking, tQuotaSample, tTemperatureMix,

@@ -255,6 +255,30 @@ object EventStream {
       }
   }
 
+  /** Streaming CRAWL IMAGE DEDUP sink — the multimodal twin of
+    * [[upsertSink]]: each micro-batch of images (doc_id + binary
+    * payload; `toImages` is the codec/fetch boundary mapping the raw
+    * micro-batch to that shape) is deduped against the COMMITTED
+    * [[graft.llm.PhashIndex]] — band join for candidates, indexed-hash
+    * Hamming verify for the decision — and the kept images' band+hash
+    * rows are committed as version = batch id under the checkpoint's
+    * writer lineage. A replayed batch after a crash is therefore an
+    * idempotent already-committed no-op, and committed index history is
+    * never lost; the per-batch plan is the batch operator's own, fully
+    * distributed. */
+  def phashDedupSink(stream: DataFrame, indexDir: String,
+                     checkpoint: String,
+                     toImages: DataFrame => DataFrame = identity)
+      : DataStreamWriter[Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.llm.PhashIndex.processBatch(batch.sparkSession, indexDir,
+          toImages(batch), version = Some(batchId),
+          writerId = Some(checkpoint))
+        ()
+      }
+
   final case class EventRow(event_id: Long, user_id: Long,
                             event_type: String, value: Double)
   final case class FirstSeen(user_id: Long, event_type: String,

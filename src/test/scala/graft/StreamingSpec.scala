@@ -241,6 +241,54 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d")))
   }
 
+  test("streaming image dedup sink: committed phash index matches the batch chain") {
+    import org.apache.spark.sql.types._
+    import graft.llm.{Multimodal, PhashIndex}
+    val schema = StructType(Seq(StructField("doc_id", LongType)))
+    val srcDir = java.nio.file.Files.createTempDirectory("ph_src")
+    val sIdx = java.nio.file.Files.createTempDirectory("ph_sidx")
+      .resolve("t").toString
+    val bIdx = java.nio.file.Files.createTempDirectory("ph_bidx")
+      .resolve("t").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ph_ckpt").toString
+    def stage(name: String, ids: Seq[Long]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("ph_stage")
+      import spark.implicits._
+      ids.toDF("doc_id").coalesce(1).write.mode("overwrite")
+        .parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.move(java.nio.file.Paths.get(part),
+        srcDir.resolve(name))
+    }
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
+      val q = EventStream.phashDedupSink(stream, sIdx, ckpt,
+        toImages = Multimodal.asPhashImageTable).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    stage("b1.parquet", Seq(0L, 1L, 2L, 3L))
+    runOnce()
+    stage("b2.parquet", Seq(4L, 0L, 100L)) // copy-of-1, re-crawl, fresh
+    runOnce() // resumes from checkpoint: only b2 is new
+    // batch twin over the same two batches
+    def imgs(ids: Seq[Long]) = {
+      import spark.implicits._
+      Multimodal.asPhashImageTable(ids.toDF("doc_id"))
+    }
+    PhashIndex.processBatch(spark, bIdx, imgs(Seq(0L, 1L, 2L, 3L)))
+    PhashIndex.processBatch(spark, bIdx, imgs(Seq(4L, 0L, 100L)))
+    def snap(dir: String) = PhashIndex.load(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(snap(sIdx) == snap(bIdx))
+    assert(snap(sIdx).nonEmpty)
+    // restart with no new data: replay is a no-op, index unchanged
+    val before = snap(sIdx)
+    runOnce()
+    assert(snap(sIdx) == before)
+  }
+
   test("upsert sink crash window: orphan uncommitted version loses no history") {
     import graft.operators.AtomicTable
     import org.apache.spark.sql.types._
