@@ -274,15 +274,22 @@ object Clustering {
   def kmeansOracleCtes(table: String, stride: Int, iters: Int,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding",
-                       prefix: String = ""): String = {
+                       prefix: String = "",
+                       veSql: Option[String] = None): String = {
     val p = prefix
     val qv = s"CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT) + $Offset"
-    val sb = new StringBuilder
-    sb ++= s"""${p}ve AS (
-      |  SELECT vec_id, pos, $qv AS qv FROM (
+    // veSql overrides the quantized-row CTE body for callers whose
+    // vectors are ALREADY integer rows (vec_id, pos, qv) — e.g. the
+    // feature-hashed text vectors — where re-quantizing through the
+    // float path would change floor-mean centroids.
+    val veBody = veSql.getOrElse(
+      s"""SELECT vec_id, pos, $qv AS qv FROM (
       |    SELECT $idCol AS vec_id, unnest($vecCol) AS v,
       |           unnest(generate_series(1, len($vecCol))) AS pos
-      |    FROM $table)
+      |    FROM $table)""".stripMargin)
+    val sb = new StringBuilder
+    sb ++= s"""${p}ve AS (
+      |  $veBody
       |), ${p}c0 AS (
       |  SELECT vec_id // $stride AS cid, pos, qv AS cv
       |  FROM ${p}ve WHERE vec_id % $stride = 0

@@ -97,6 +97,100 @@ object DataSkipping {
     }
   }
 
+  val BloomManifestName = "_file_bloom.json"
+
+  /** Per-file BLOOM manifest for POINT-LOOKUP skipping — the second
+    * half of lakehouse data skipping: min/max stats prune range probes
+    * on the z-dims, but a point lookup on a HIGH-CARDINALITY key (a
+    * needle-in-the-mart doc_id / order id) overlaps almost every
+    * file's [min, max]. A per-file Bloom filter answers "can this file
+    * contain value v?" with no false negatives, so the read opens only
+    * the files whose filter fires.
+    *
+    * Build: ONE distributed scan — groupBy input_file_name +
+    * Spark's own `BloomFilterAggregate` ([[graft.plans.Bloom]]; a
+    * mergeable TypedImperativeAggregate, map-side partials like any
+    * aggregate) over `xxhash64(column)`. The serialized filters
+    * (numBits/8 bytes each) land base64'd in `_file_bloom.json` beside
+    * the stats manifest — a few hundred KB of driver-held metadata at
+    * thousands of files, same as a Delta/Iceberg puffin/stats blob.
+    * Probe: driver-side `BloomFilter.readFrom(...).mightContainLong`
+    * per file — O(#files) metadata work BEFORE any task launches.
+    * Returns the per-file filters for inspection. */
+  def writeBloomManifest(spark: SparkSession, dataPath: String,
+                         column: String,
+                         expectedItems: Long = 1000000L,
+                         numBits: Long = 1L << 23): Seq[(String, Array[Byte])] = {
+    graft.plans.Bloom.register(spark)
+    val rows = spark.read.parquet(dataPath)
+      .groupBy(input_file_name().as("_file"))
+      .agg(expr(s"${graft.plans.Bloom.aggName}(xxhash64($column), " +
+        s"${expectedItems}L, ${numBits}L)").as("bloom"))
+      .collect()
+      .map(r => (new Path(r.getString(0)).getName,
+        r.getAs[Array[Byte]](1)))
+      .toSeq.sortBy(_._1)
+    val b64 = java.util.Base64.getEncoder
+    val json = s"""{"column":"$column","files":[""" + rows.map {
+      case (f, b) =>
+        s"""{"file":"$f","bloom":"${b64.encodeToString(b)}"}"""
+    }.mkString(",") + "]}"
+    val fs = new Path(dataPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(s"$dataPath/$BloomManifestName"), true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    rows
+  }
+
+  /** Parse the bloom manifest at `dataPath`: (column, file → filter
+    * bytes). */
+  def readBloomManifest(spark: SparkSession, dataPath: String)
+      : Option[(String, Seq[(String, Array[Byte])])] = {
+    val p = new Path(s"$dataPath/$BloomManifestName")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val raw = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val colRe = """^\{"column":"([^"]+)"""".r
+      val entry = """\{"file":"([^"]+)","bloom":"([^"]+)"\}""".r
+      val column = colRe.findFirstMatchIn(raw).map(_.group(1))
+      val dec = java.util.Base64.getDecoder
+      column.map { c =>
+        (c, entry.findAllMatchIn(raw)
+          .map(m => (m.group(1), dec.decode(m.group(2)))).toSeq)
+      }
+    }
+  }
+
+  /** Read the latest committed version touching ONLY files whose Bloom
+    * filter might contain ANY of `values` (values must be literals of
+    * the indexed column's type — the probe hashes them with the same
+    * `xxhash64` the build used). No false negatives: the selection is a
+    * superset of matching rows, callers still apply the row predicate.
+    * Falls back to the full snapshot when no manifest (or a manifest
+    * for a different column) exists. */
+  def readBloomSkipping(spark: SparkSession, tableDir: String,
+                        column: String, values: Seq[Any]): DataFrame = {
+    val dataPath = AtomicTable.latestDataPath(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $tableDir"))
+    readBloomManifest(spark, dataPath) match {
+      case Some((c, files)) if c == column && files.nonEmpty =>
+        val hashes = values.map(v =>
+          spark.range(1).select(xxhash64(lit(v))).head().getLong(0))
+        val keep = files.filter { case (_, bytes) =>
+          val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(bytes))
+          hashes.exists(bf.mightContainLong)
+        }.map { case (f, _) => s"$dataPath/$f" }
+        if (keep.isEmpty) spark.read.parquet(dataPath).limit(0)
+        else spark.read.parquet(keep: _*)
+      case _ => spark.read.parquet(dataPath)
+    }
+  }
+
   /** Read the latest committed version touching ONLY files whose stats
     * overlap every `ranges` interval (dim name → inclusive [lo, hi]).
     * File selection is a SUPERSET of the matching rows — callers still

@@ -448,7 +448,56 @@ object ClusteringQueries {
     }
   }
 
+  /** TEXT → VECTOR → CLUSTERS end to end: feature-hashed 64-dim count
+    * vectors ([[graft.llm.TextAnalysis.featureHashEmbed]], densified
+    * with zero-filled buckets) fed DIRECTLY into the integer-exact
+    * Lloyd loop — no float quantization step, the counts ARE the qv
+    * domain (the oracle's veSql override). Proves the embedder's
+    * "feeds the clustering family" contract with a hash gate over the
+    * full two-round chain. */
+  val cKmeansText: Q = {
+    val toksSql =
+      """list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)"""
+    val h6 = graft.llm.TextAnalysis.hex6Expr("md5('fh|' || token)")
+    val ve = s"""SELECT d.doc_id AS vec_id, p.pos,
+      |    CAST(COALESCE(h.cnt, 0) AS BIGINT) AS qv
+      |  FROM (SELECT doc_id FROM documents) d
+      |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) p
+      |  LEFT JOIN hv h ON h.doc_id = d.doc_id AND h.bucket + 1 = p.pos"""
+      .stripMargin
+    Q.sql(
+      "c_kmeans_text",
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest($toksSql) AS token FROM documents
+        |), hv AS (
+        |  SELECT doc_id, CAST($h6 % 64 AS BIGINT) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM tok GROUP BY doc_id, bucket
+        |), ${Clustering.kmeansOracleCtes("", 100, Iters, veSql = Some(ve))}
+        |SELECT vec_id, cid AS cluster_id, dist_sq,
+        |  COUNT(*) OVER (PARTITION BY cid) AS cluster_size
+        |FROM af WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val hashed = graft.llm.TextAnalysis.featureHashEmbed(
+        docs, col("doc_id"), col("text"), dims = 64)
+      val rows = docs.select(col("doc_id").as("vec_id"))
+        .withColumn("pos", explode(expr("sequence(1, 64)")))
+        .join(hashed.select(col("doc_id").as("vec_id"),
+          (col("bucket") + 1).cast("int").as("pos"), col("cnt")),
+          Seq("vec_id", "pos"), "left")
+        .select(col("vec_id"), col("pos"),
+          coalesce(col("cnt"), lit(0L)).cast("long").as("qv"))
+      val cent = Clustering.train(s, rows, stride = 100, iters = Iters)
+      Clustering.assign(rows, cent)
+        .select(col("vec_id"), col("cid").as("cluster_id"), col("dist_sq"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        .orderBy("vec_id")
+    }
+  }
+
   val all: Seq[Q] =
     Seq(cKmeans, ddSemDeDup, annKmeansIvf, annRecallEval, annRecallCurve,
-      annPqAdc)
+      annPqAdc, cKmeansText)
 }

@@ -482,6 +482,49 @@ class OperatorsSpec extends SparkSpec {
     assert(Checks.snapshotDrift(spark, dir, "t", 0.5).passed)
   }
 
+  test("Bloom skipping: point lookup opens a strict file subset, no false negatives") {
+    import graft.operators.{AtomicTable, DataSkipping}
+    val dir = java.nio.file.Files.createTempDirectory("bloom_tbl")
+      .resolve("t").toString
+    // 4096 unique keys range-partitioned into 8 files: each key lives
+    // in exactly one file, the point-lookup worst case for min/max
+    // stats (every file overlaps a wide range) but the best case for
+    // per-file blooms.
+    val rows = spark.range(4096L).select(
+      (col("id") * 2654435761L % 4096L).as("k"), // scatter key order
+      (col("id") * 3L).as("payload"))
+    AtomicTable.commit(rows.repartitionByRange(8, col("k")), dir, 0L)
+    val dataPath = AtomicTable.latestDataPath(spark, dir).get
+    val written = DataSkipping.writeBloomManifest(spark, dataPath, "k",
+      expectedItems = 10000L, numBits = 1L << 17)
+    assert(written.size == 8)
+    val (c, files) = DataSkipping.readBloomManifest(spark, dataPath).get
+    assert(c == "k" && files.map(_._1) == written.map(_._1))
+    val full = AtomicTable.read(spark, dir).get
+
+    // present key: exactly its row, from (almost certainly) one file
+    val probe = DataSkipping.readBloomSkipping(spark, dir, "k", Seq(77L))
+    assert(probe.inputFiles.length < full.inputFiles.length)
+    assert(probe.filter(col("k") === 77L).collect().map(_.getLong(1)).toSeq
+      == full.filter(col("k") === 77L).collect().map(_.getLong(1)).toSeq)
+
+    // absent key: no file is OBLIGED to match (false positives allowed,
+    // false negatives not) — the row predicate still yields empty
+    val absent = DataSkipping.readBloomSkipping(spark, dir, "k",
+      Seq(999999L))
+    assert(absent.filter(col("k") === 999999L).count() == 0)
+
+    // multi-value probe unions the matching files
+    val multi = DataSkipping.readBloomSkipping(spark, dir, "k",
+      Seq(77L, 4000L))
+    assert(multi.filter(col("k").isin(77L, 4000L)).count() ==
+      full.filter(col("k").isin(77L, 4000L)).count())
+
+    // different-column request falls back to the full snapshot
+    assert(DataSkipping.readBloomSkipping(spark, dir, "payload", Seq(0L))
+      .inputFiles.length == full.inputFiles.length)
+  }
+
   test("bfsHops: path-graph distances, min over multi-source, bounded depth") {
     import graft.operators.GraphOps
     // path 1-2-3-4-5-6 plus a shortcut 6-2
