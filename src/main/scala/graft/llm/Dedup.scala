@@ -515,6 +515,56 @@ object Dedup {
         coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
   }
 
+  /** EXACT-SUBSTRING dedup — the DELETION half of the Lee et al.
+    * discipline whose signal [[dupSpanCoverage]] measures: every k-gram
+    * occurring in more than one document keeps its tokens only in the
+    * CANONICAL occurrence (the smallest doc_id sharing the
+    * fingerprint); all other occurrences' positions are deleted and the
+    * survivors reassembled in original order. Returns
+    * (doc_id, n_tokens, n_removed, cleaned_text) with whitespace
+    * normalized to single spaces (the tokenizer's contract).
+    *
+    * Scale shape: the coverage plan's shuffles (doc- and fp-keyed) plus
+    * ONE bounded ×k position explode for the removal marks, a
+    * (doc, pos)-keyed anti join, and the r08 order-preserving
+    * reassembly (`sort_array(collect_list(struct))` — no interpreted
+    * HOF). Canonical-keeper choice is min(doc_id) — deterministic and
+    * computed inside the same fp aggregate that finds shared grams. */
+  def dupSpanRemoval(docs: DataFrame, id: Column, text: Column,
+                     k: Int): DataFrame = {
+    val tok = docs.select(id.as("doc_id"),
+      posexplode(TextAnalysis.tokens(text)).as(Seq("pos", "token")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val parts = col("token") +: (1 until k).flatMap(j =>
+      Seq(lit(" "), lead(col("token"), j).over(w)))
+    val sh = tok.select(col("doc_id"), col("pos"),
+        md5(concat(parts: _*)).as("fp"))
+      .filter(col("fp").isNotNull)
+    val owners = sh.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"),
+        min(col("doc_id")).as("owner"))
+      .filter(col("nd") > 1)
+      .select("fp", "owner")
+    val marks = sh.join(owners, Seq("fp"))
+      .filter(col("doc_id") =!= col("owner"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${k - 1})")).as("pos"))
+      .distinct()
+    val kept = tok.join(marks, Seq("doc_id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_kept"),
+        array_join(
+          sort_array(collect_list(struct(col("pos"), col("token"))))
+            .getField("token"), " ").as("cleaned_text"))
+    docs.select(id.as("doc_id"),
+        size(TextAnalysis.tokens(text)).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
   /** LINE-LEVEL dedup, the CCNet/C4 boilerplate-removal pass: a line
     * whose normalized form (lower+trim) appears in MORE than `maxDocFreq`
     * distinct documents corpus-wide (nav menus, copyright footers,

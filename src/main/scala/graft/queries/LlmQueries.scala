@@ -1678,6 +1678,56 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Dedup — exact-substring DELETION (Dedup.dupSpanRemoval), the
+    * transform half of the Lee et al. pass that `dd_dup_span_coverage`
+    * measures: cross-doc 5-grams survive only in the smallest-doc_id
+    * canonical occurrence; every other occurrence's positions are
+    * deleted and the text reassembled in order. The rebuilt strings
+    * themselves are hash-gated, so mark generation, the anti join, AND
+    * reassembly order all have to be exact. */
+  val ddDupSpanRemoval: Q = Q.sql(
+    "dd_dup_span_removal",
+    s"""WITH t AS (
+      |  SELECT doc_id, $toksSql AS toks FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    unnest(generate_series(1, len(toks) - 4)) - 1 AS start,
+      |    unnest(list_transform(generate_series(1, len(toks) - 4),
+      |      i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])))) AS fp
+      |  FROM t
+      |), owners AS (
+      |  SELECT fp, MIN(doc_id) AS owner FROM sh
+      |  GROUP BY fp HAVING COUNT(DISTINCT doc_id) > 1
+      |), marks AS (
+      |  SELECT DISTINCT s.doc_id,
+      |    unnest(generate_series(s.start, s.start + 4)) AS pos
+      |  FROM sh s JOIN owners o USING (fp)
+      |  WHERE s.doc_id <> o.owner
+      |), tokpos AS (
+      |  SELECT doc_id,
+      |    unnest(generate_series(1, len(toks))) - 1 AS pos,
+      |    unnest(toks) AS token
+      |  FROM t
+      |), kept AS (
+      |  SELECT tp.doc_id, tp.pos, tp.token
+      |  FROM tokpos tp LEFT JOIN marks m
+      |    ON m.doc_id = tp.doc_id AND m.pos = tp.pos
+      |  WHERE m.doc_id IS NULL
+      |), rebuilt AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |    STRING_AGG(token, ' ' ORDER BY pos) AS cleaned_text
+      |  FROM kept GROUP BY doc_id
+      |)
+      |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CAST(len(toks) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+      |  COALESCE(cleaned_text, '') AS cleaned_text
+      |FROM t LEFT JOIN rebuilt ON rebuilt.doc_id = t.doc_id
+      |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+    Dedup.dupSpanRemoval(Tables.documents(s, d), col("doc_id"),
+      col("text"), k = 5)
+      .orderBy("doc_id")
+  }
+
   /** Dedup — MinHash + LSH banding (4 bands × 2 rows, md5-seeded) with
     * exact n-gram-Jaccard verification of the candidates; emits pairs
     * with jaccard >= 0.8. Covers both the minhash-LSH and ngram-jaccard
@@ -2976,7 +3026,7 @@ object LlmQueries {
     tStratifiedSplit, tDocChunking, tOovRate, ddExact, ddExactNormalized, ddIncrementalDedup,
     ddIncrementalBloom, ddIncrementalIndexChain, ddNearDupIndexChain,
     ddClusterCanonical,
-    ddUrlDedup, ddLineDedup, ddDupSpanCoverage,
+    ddUrlDedup, ddLineDedup, ddDupSpanCoverage, ddDupSpanRemoval,
     ddConnectedComponents, ddMinhashLsh, ddMinhashEstimate,
     ddLshBandSweep, ddSimhash,
     ddSimhashNearDup, ddEmbeddingNearDup, annBruteForce, annLsh, annRhLsh,

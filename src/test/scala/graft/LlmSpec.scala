@@ -639,6 +639,21 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("dupSpanRemoval: canonical keeps, duplicate occurrences deleted in order") {
+    val docs = Seq(
+      (1L, "a b c d e x1 x2"),  // owner of the shared 5-gram
+      (2L, "y0 a b c d e y1 y2"),
+      (3L, "totally unrelated text without repeats ok")).toDF("doc_id", "text")
+    val got = Dedup.dupSpanRemoval(docs, $"doc_id", $"text", k = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 7L, 0L, "a b c d e x1 x2"),
+      (2L, 8L, 5L, "y0 y1 y2"),
+      (3L, 6L, 0L, "totally unrelated text without repeats ok")))
+  }
+
   test("bigramLmScore: ppm conditional probabilities match hand computation") {
     val docs = Seq(
       (0L, "a b a b"),   // train: pairs (a,b) (b,a) (a,b)
