@@ -183,9 +183,12 @@ object Main {
     //      so a seed run passes vacuously and every incremental run gets
     //      a real "did the refresh halve the table" alarm. ----
     val quality = Checks.runAll(qualityBattery(out) ++
-      Seq("fct_orders", "fct_companies").map(t =>
+      Seq("fct_orders", "fct_companies").flatMap(t => Seq(
         Checks.snapshotDrift(spark, s"${cat.root}/mart/$t", t,
-          maxRelDrift = 0.5)))
+          maxRelDrift = 0.5),
+        // column-level contract alarm — row-count drift can't see a
+        // dropped/retyped column (metadata-only, no data scan)
+        Checks.schemaDrift(spark, s"${cat.root}/mart/$t", t))))
     val overall =
       if (sources.exists(_.status == "failed")) "partial_failure"
       else if (quality.exists(!_.passed)) "quality_issues"

@@ -374,7 +374,8 @@ object Multimodal {
   /** Real YUV4MPEG2 encode for one doc: `YUV4MPEG2 W… H… F…:1 Ip A1:1
     * C420\n` then per frame `FRAME\n` + Y plane + U + V (C420: quarter
     * chroma). Executor-side. */
-  private[graft] def synthY4mPayload(id: Long): Array[Byte] = {
+  private def synthY4mWith(id: Long,
+                           luma: (Int, Int, Int) => Int): Array[Byte] = {
     val w = vidWidth(id); val h = vidHeight(id); val n = vidFrames(id)
     val out = new java.io.ByteArrayOutputStream()
     out.write(s"YUV4MPEG2 W$w H$h F${vidFpsNum(id)}:1 Ip A1:1 C420\n"
@@ -386,7 +387,7 @@ object Multimodal {
       var y = 0
       while (y < h) {
         var x = 0
-        while (x < w) { out.write(vidLuma(id, x, y, f)); x += 1 }
+        while (x < w) { out.write(luma(x, y, f)); x += 1 }
         y += 1
       }
       var c = 0
@@ -394,6 +395,37 @@ object Multimodal {
       f += 1
     }
     out.toByteArray
+  }
+
+  private[graft] def synthY4mPayload(id: Long): Array[Byte] =
+    synthY4mWith(id, (x, y, f) => vidLuma(id, x, y, f))
+
+  /** SCENE-CUT video spec: same container/dims as [[synthY4mPayload]]
+    * but the luma plane carries a +100 step from frame [[vidCutAt]] on
+    * (a hard scene change); coefficients bounded so no byte wraps
+    * (≤ 59+30+33+12+100 < 256). The cut position is a function of the
+    * id only — the payload is the ONLY place the closed form lives on
+    * the Spark side; the detector must rediscover it from bytes. */
+  private[graft] def vidCutBase(id: Long): Int = (id % 60).toInt
+  private[graft] def vidCutAt(id: Long): Int =
+    1 + (id % (vidFrames(id) - 1)).toInt
+  private[graft] def vidCutLuma(id: Long, x: Int, y: Int, f: Int): Int =
+    vidCutBase(id) + 2 * x + 3 * y + 2 * f +
+      (if (f >= vidCutAt(id)) 100 else 0)
+
+  private[graft] def synthY4mCutPayload(id: Long): Array[Byte] =
+    synthY4mWith(id, (x, y, f) => vidCutLuma(id, x, y, f))
+
+  /** (doc_id, payload) with REAL Y4M bytes containing one scene cut. */
+  def asVideoCutTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val rdd = docs.select("doc_id").rdd.mapPartitions { rows =>
+      rows.map(r => Row(r.getLong(0), synthY4mCutPayload(r.getLong(0))))
+    }
+    spark.createDataFrame(rdd, schema)
   }
 
   /** (doc_id, payload) with REAL Y4M bytes, synthesized per-partition. */
@@ -466,6 +498,63 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rdd, videoFeatureSchema)
+  }
+
+  val videoFrameLumaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("frame", LongType),
+    StructField("luma_sum", LongType)))
+
+  /** REAL Y4M parse to per-FRAME rows (doc_id, width, height, frame,
+    * luma_sum) — the plane walk of [[decodeVideo]] emitting one row per
+    * frame instead of one checksum per doc: the shape scene-change /
+    * shot-boundary detection needs (a lag window over frame energy).
+    * Same codec-boundary contract: `mapPartitions` only for the byte
+    * walk, declared schema out, everything downstream re-enters
+    * codegen. */
+  def decodeVideoFrameLuma(video: DataFrame): DataFrame = {
+    val spark = video.sparkSession
+    val rdd = video.select("doc_id", "payload").rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val b = r.getAs[Array[Byte]](1)
+        var p = 0
+        def readLine(): String = {
+          val start = p
+          while (p < b.length && b(p) != '\n') p += 1
+          val s = new String(b, start, p - start,
+            java.nio.charset.StandardCharsets.US_ASCII)
+          p += 1
+          s
+        }
+        val header = readLine()
+        require(header.startsWith("YUV4MPEG2 "),
+          s"doc $id: not a YUV4MPEG2 stream")
+        val tokens = header.split(' ').drop(1)
+          .map(t => t.head -> t.tail).toMap
+        val w = tokens('W').toInt
+        val h = tokens('H').toInt
+        val frameBytes = w * h + 2 * (w / 2) * (h / 2)
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var f = 0L
+        while (p < b.length) {
+          require(readLine().startsWith("FRAME"),
+            s"doc $id: missing FRAME marker at offset $p")
+          require(p + frameBytes <= b.length,
+            s"doc $id: truncated frame $f")
+          var lumaSum = 0L
+          var i = 0
+          while (i < w * h) { lumaSum += (b(p + i) & 0xff); i += 1 }
+          p += frameBytes
+          out += Row(id, w, h, f, lumaSum)
+          f += 1
+        }
+        out
+      }
+    }
+    spark.createDataFrame(rdd, videoFrameLumaSchema)
   }
 
   // ---------------------------------------------------------------------

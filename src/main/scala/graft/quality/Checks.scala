@@ -116,6 +116,52 @@ object Checks {
     Result(f"snapshot_drift(<=$maxRelDrift%.2f)", table, violations)
   }
 
+  /** One column-level difference between two committed schema versions. */
+  final case class SchemaChange(columnName: String, change: String,
+                                oldType: Option[String],
+                                newType: Option[String])
+
+  /** SCHEMA DRIFT between the two most recent committed versions of an
+    * [[graft.operators.AtomicTable]] — the data-CONTRACT alarm the
+    * row-count [[snapshotDrift]] cannot raise: a refresh that silently
+    * drops a column, adds one, or changes a type breaks every
+    * downstream reader even when the row count is steady (exactly the
+    * drift that broke this repo's own events readers in round 10 —
+    * see Tables.normalizeEventTs). Pure METADATA work: two parquet
+    * footer reads, zero data scanned, so the check costs the same at
+    * 100 TB as at 100 MB. Fewer than two versions ⇒ no changes. */
+  def schemaChanges(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): Seq[SchemaChange] = {
+    import graft.operators.AtomicTable
+    val versions = AtomicTable.committedVersions(spark, dir)
+    versions.takeRight(2) match {
+      case Seq(prev, latest) if versions.size >= 2 =>
+        def fields(v: Long): Seq[(String, String)] =
+          AtomicTable.readVersion(spark, dir, v)
+            .map(_.schema.fields.toSeq.map(f => f.name -> f.dataType.sql))
+            .getOrElse(Nil)
+        val before = fields(prev)
+        val after = fields(latest)
+        val bm = before.toMap
+        val am = after.toMap
+        val removed = before.collect { case (n, t) if !am.contains(n) =>
+          SchemaChange(n, "removed", Some(t), None) }
+        val added = after.collect { case (n, t) if !bm.contains(n) =>
+          SchemaChange(n, "added", None, Some(t)) }
+        val retyped = after.collect {
+          case (n, t) if bm.get(n).exists(_ != t) =>
+            SchemaChange(n, "type_changed", Some(bm(n)), Some(t)) }
+        (removed ++ added ++ retyped).sortBy(_.columnName)
+      case _ => Nil
+    }
+  }
+
+  /** [[schemaChanges]] as a pass/fail check: violations = number of
+    * column-level contract changes between the latest two versions. */
+  def schemaDrift(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  table: String): Result =
+    Result("schema_drift", table, schemaChanges(spark, dir).size.toLong)
+
   def runAll(results: Seq[Result]): Seq[Result] = {
     results.filterNot(_.passed).foreach(r =>
       System.err.println(s"[quality] FAIL ${r.table}.${r.check}: " +

@@ -601,8 +601,119 @@ object AggQueries {
       .orderBy("priority")
   }
 
+  /** A18d — SCHEMA drift through the REAL `Checks.schemaChanges` over
+    * two committed `AtomicTable` versions: v2 drops a column, adds one
+    * and retypes a third vs v1, and the check must report exactly those
+    * three contract changes (pure parquet-footer metadata — no data
+    * scan, so the alarm costs the same at 100 TB). The row count of the
+    * surviving version keeps the output data-dependent so the gate
+    * checks more than a constant table. Complements a18-family checks:
+    * row-count drift (snapshotDrift) cannot see a column swap. */
+  val a18dSchemaDrift: Q = Q.sql(
+    "a18d_schema_drift",
+    """WITH n AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows_latest
+      |  FROM orders WHERE o_orderkey % 3 <> 0
+      |)
+      |SELECT * FROM (
+      |  SELECT 'o_orderpriority' AS column_name, 'added' AS change,
+      |    CAST(NULL AS VARCHAR) AS old_type, 'STRING' AS new_type,
+      |    n_rows_latest FROM n
+      |  UNION ALL
+      |  SELECT 'o_orderstatus', 'removed', 'STRING', NULL,
+      |    n_rows_latest FROM n
+      |  UNION ALL
+      |  SELECT 'o_totalprice', 'type_changed', 'DOUBLE', 'STRING',
+      |    n_rows_latest FROM n
+      |)
+      |ORDER BY column_name""".stripMargin) { (s, d) =>
+    import graft.operators.AtomicTable
+    import graft.quality.Checks
+    val o = Tables.orders(s, d)
+    val v1 = o.select(col("o_orderkey"), col("o_totalprice"),
+      col("o_orderstatus"))
+    val v2 = o.filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("string").as("o_totalprice"),
+        col("o_orderpriority"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdrift")
+      .toString
+    AtomicTable.commit(v1, dir, AtomicTable.nextVersion(s, dir))
+    val latest = AtomicTable.nextVersion(s, dir)
+    AtomicTable.commit(v2, dir, latest)
+    val nLatest = AtomicTable.readVersion(s, dir, latest)
+      .map(_.count()).getOrElse(0L)
+    import s.implicits._
+    Checks.schemaChanges(s, dir)
+      .map(c => (c.columnName, c.change, c.oldType, c.newType, nLatest))
+      .toDF("column_name", "change", "old_type", "new_type",
+        "n_rows_latest")
+      .orderBy("column_name")
+  }
+
+  /** A22 — native GROUPING SETS: exactly the three requested grains
+    * (status×priority, status, priority) in ONE Expand + aggregate —
+    * unlike CUBE (a20) there is no grand-total set, so the planner
+    * expands each input row 3×, not 4×; the hand-built alternative is
+    * three scans + a union. Same 'ALL' coalesce-marker convention as
+    * a20 (neither key is nullable in the data). */
+  val a22GroupingSets: Q = Q.sql(
+    "a22_grouping_sets",
+    """SELECT
+      |  COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST((o_totalprice) AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |                        (o_orderstatus), (o_orderpriority))
+      |ORDER BY status, priority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("total_price"))
+      .orderBy("status", "priority")
+  }
+
+  /** A23 — native UNPIVOT (melt): the three lineitem measures rotated
+    * into (metric, val) rows with Spark's `Dataset.unpivot`, then
+    * re-aggregated per (returnflag, metric). Spark plans the unpivot
+    * as one Expand — a single scan emitting 3 rows per input, the
+    * exact inverse of a21's pivot — where the naive form is three
+    * scans unioned (what the portable oracle twin spells out). */
+  val a23Unpivot: Q = Q.sql(
+    "a23_unpivot_measures",
+    """SELECT l_returnflag AS flag, metric,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST((val) AS DECIMAL(38,6))) AS DOUBLE) AS total_val
+      |FROM (
+      |  SELECT l_returnflag, 'l_discount' AS metric, l_discount AS val FROM lineitem
+      |  UNION ALL
+      |  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL
+      |  SELECT l_returnflag, 'l_quantity', l_quantity FROM lineitem
+      |)
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "val")
+      .groupBy(col("l_returnflag").as("flag"), col("metric"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("val")).as("total_val"))
+      .orderBy("flag", "metric")
+  }
+
   val all: Seq[Q] = Seq(q1PricingSummary, aCompanyHealth, a1OrderRollup,
     a2CustomerRevenue,
     a3StringAgg, a4Mode, a7PeriodMetrics, a12MultiGrain, a13MarginGrains,
-    a18Quality, a18bRefIntegrity, a18cFreshness, a20Cube, a21Pivot)
+    a18Quality, a18bRefIntegrity, a18cFreshness, a18dSchemaDrift,
+    a20Cube, a21Pivot, a22GroupingSets, a23Unpivot)
 }

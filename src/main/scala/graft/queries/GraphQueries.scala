@@ -346,6 +346,99 @@ object GraphQueries {
     GraphOps.bfsHops(edges, seeds, maxHops = 3).orderBy("node")
   }
 
+  /** MULTI-TOUCH ATTRIBUTION — the general form of the reference's
+    * single-model attribution window (J12, orders→shows): every
+    * purchase's value is credited to the view/click touches of the
+    * same user in the preceding 2 h under THREE models at once —
+    * linear (equal split), first-touch, last-touch — with
+    * touch-free purchases credited to 'direct'. All credit math is
+    * INTEGER micro-units (value → exact cents → ×10⁴), split by
+    * floor division with the remainder assigned to the first touch,
+    * so every model conserves the total to the unit and both engines
+    * agree bit-for-bit (no double division anywhere — the README
+    * determinism rules ban value/n when n can be a power of two).
+    *
+    * Scale shape: ONE user-keyed equi join with a bounded 2 h time
+    * predicate (the interval-join shape AQE handles), then windows
+    * partitioned by conversion id (unique key — no skew) and one
+    * channel-keyed aggregate. No cross join, no driver loop. */
+  val aAttrMultiTouch: Q = Q.sql(
+    "a_attr_multitouch",
+    """WITH conv AS (
+      |  SELECT event_id AS conv_id, user_id, ts AS pts,
+      |    CAST(ROUND(value * 100) AS BIGINT) * 10000 AS micro
+      |  FROM events WHERE event_type = 'purchase'
+      |), touch AS (
+      |  SELECT user_id, event_id AS touch_id, ts,
+      |    'ch' || CAST(CAST(regexp_extract(props, '[0-9]+') AS INT) % 5
+      |      AS VARCHAR) AS channel
+      |  FROM events WHERE event_type IN ('view', 'click')
+      |), joined AS (
+      |  SELECT c.conv_id, c.micro, t.touch_id, t.channel,
+      |    ROW_NUMBER() OVER (PARTITION BY c.conv_id
+      |      ORDER BY t.ts, t.touch_id) AS rk_first,
+      |    ROW_NUMBER() OVER (PARTITION BY c.conv_id
+      |      ORDER BY t.ts DESC, t.touch_id DESC) AS rk_last,
+      |    COUNT(t.touch_id) OVER (PARTITION BY c.conv_id) AS n_touch
+      |  FROM conv c LEFT JOIN touch t
+      |    ON t.user_id = c.user_id AND t.ts < c.pts
+      |    AND t.ts >= c.pts - INTERVAL 2 HOUR
+      |)
+      |SELECT COALESCE(channel, 'direct') AS channel,
+      |  CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+      |  CAST(COUNT(touch_id) AS BIGINT) AS n_touches,
+      |  CAST(SUM(micro // GREATEST(n_touch, 1) +
+      |    CASE WHEN rk_first = 1 THEN micro % GREATEST(n_touch, 1)
+      |         ELSE 0 END) AS BIGINT) AS linear_micro,
+      |  CAST(SUM(CASE WHEN rk_first = 1 THEN micro ELSE 0 END)
+      |    AS BIGINT) AS first_touch_micro,
+      |  CAST(SUM(CASE WHEN rk_last = 1 THEN micro ELSE 0 END)
+      |    AS BIGINT) AS last_touch_micro
+      |FROM joined
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("conv_id"), col("user_id"),
+        col("ts").as("pts"),
+        (round(col("value") * 100).cast("long") * 10000L).as("micro"))
+    // both sides derive from the same scan — rename the touch keys so
+    // the self-join condition resolves by name, not by lineage heuristic
+    val touch = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id").as("t_user"),
+        col("event_id").as("touch_id"), col("ts"),
+        concat(lit("ch"),
+          (regexp_extract(col("props"), "[0-9]+", 0).cast("int") % 5)
+            .cast("string")).as("channel"))
+    val joined = conv.join(touch,
+        col("t_user") === col("user_id") &&
+          col("ts") < col("pts") &&
+          col("ts") >= col("pts") - expr("INTERVAL 2 HOURS"),
+        "left")
+    val byConv = Window.partitionBy(col("conv_id"))
+    val n0 = greatest(col("n_touch"), lit(1L))
+    joined.select(col("conv_id"), col("micro"), col("touch_id"),
+        col("channel"),
+        row_number().over(byConv.orderBy(col("ts"), col("touch_id")))
+          .as("rk_first"),
+        row_number().over(
+          byConv.orderBy(col("ts").desc, col("touch_id").desc))
+          .as("rk_last"),
+        count(col("touch_id")).over(byConv).as("n_touch"))
+      .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
+      .agg(
+        count_distinct(col("conv_id")).cast("long").as("n_conversions"),
+        count(col("touch_id")).cast("long").as("n_touches"),
+        sum(expr("micro div greatest(n_touch, 1L)") +
+          when(col("rk_first") === 1, col("micro") % n0).otherwise(0L))
+          .cast("long").as("linear_micro"),
+        sum(when(col("rk_first") === 1, col("micro")).otherwise(0L))
+          .cast("long").as("first_touch_micro"),
+        sum(when(col("rk_last") === 1, col("micro")).otherwise(0L))
+          .cast("long").as("last_touch_micro"))
+      .orderBy("channel")
+  }
+
   val all: Seq[Q] = Seq(stFunnel, gTriangles, stCohort, gPageRank, gBfsHops,
-    stTopPaths)
+    stTopPaths, aAttrMultiTouch)
 }

@@ -610,6 +610,104 @@ object LlmQueries {
     }
   }
 
+  /** HLL MERGEABILITY — the property that makes the sketch a 100 TB
+    * tool: registers built independently per source (per partition,
+    * per day, per shard...) merge by per-register MAX into exactly the
+    * registers a direct global build produces, so a corpus-wide
+    * distinct count is a rollup over tiny per-shard states instead of
+    * a re-scan. This query proves the algebra under the hash gate:
+    * 20 per-source estimates, their MAX-merge, and the independent
+    * direct build — the `__merged__` and `__direct__` rows must be
+    * identical, and both engines must agree on all 22. Same portable
+    * integer register state as [[tHll]] (see that scaladoc). */
+  val tHllMerge: Q = {
+    import graft.llm.Sketches
+    val m2 = 256
+    val bits = Sketches.hllValueBits(m2) // 16
+    val maxRho = bits + 1
+    val numer = Sketches.hllNumerator(m2)
+    def estSql(regsRel: String, scopeExpr: String, groupBy: String) =
+      s"""SELECT $scopeExpr AS scope, CAST(COUNT(*) AS BIGINT) AS n_registers,
+        |    CAST(SUM(CAST(1 AS BIGINT) << ($maxRho - max_rho))
+        |      AS BIGINT) AS s_present
+        |  FROM $regsRel $groupBy""".stripMargin
+    Q.sql(
+      "t_hll_merge",
+      s"""WITH t AS (
+        |  SELECT source, $toksSql AS toks FROM documents
+        |), tok AS (
+        |  SELECT source,
+        |    unnest(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS token
+        |  FROM t
+        |), h AS (
+        |  SELECT source, ${TA.hex6Expr("md5(token)")} AS hv FROM tok
+        |), regs AS (
+        |  SELECT source, hv % $m2 AS reg,
+        |    MAX(${Sketches.rhoSql(s"(hv // $m2)", bits)}) AS max_rho
+        |  FROM h GROUP BY 1, 2
+        |), merged_regs AS (
+        |  SELECT reg, MAX(max_rho) AS max_rho FROM regs GROUP BY 1
+        |), direct_regs AS (
+        |  SELECT hv % $m2 AS reg,
+        |    MAX(${Sketches.rhoSql(s"(hv // $m2)", bits)}) AS max_rho
+        |  FROM h GROUP BY 1
+        |), pre AS (
+        |  ${estSql("regs", "source", "GROUP BY 1")}
+        |  UNION ALL
+        |  ${estSql("merged_regs", "'__merged__'", "")}
+        |  UNION ALL
+        |  ${estSql("direct_regs", "'__direct__'", "")}
+        |)
+        |SELECT scope, n_registers,
+        |  CAST(s_present + ($m2 - n_registers) * ${1L << maxRho}
+        |    AS BIGINT) AS sum_scaled,
+        |  CAST(ROUND($numer /
+        |    CAST(s_present + ($m2 - n_registers) * ${1L << maxRho}
+        |      AS DOUBLE)) AS BIGINT) AS estimate
+        |FROM pre
+        |ORDER BY scope""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tokens = TA.shingleRows(docs, col("doc_id"), col("text"), 3)
+        .join(broadcast(docs.select(col("doc_id"), col("source"))),
+          Seq("doc_id"))
+        .select(col("source"), col("shingle").as("token"))
+      // per-(source, reg) state: ONE grouped aggregate, ≤ sources·m rows
+      val regs = tokens
+        .select(col("source"), md5(col("token")).as("hhex"))
+        .select(col("source"), expr(TA.hex6Expr("hhex")).as("hv"))
+        .select(col("source"),
+          expr(s"cast(hv % $m2 as bigint)").as("reg"),
+          expr(s"hv div $m2").as("wv"))
+        .select(col("source"), col("reg"),
+          expr(Sketches.rhoSql("wv", bits)).as("rho"))
+        .groupBy(col("source"), col("reg"))
+        .agg(max(col("rho")).cast("long").as("max_rho"))
+      def estimate(rs: DataFrame,
+                   scope: org.apache.spark.sql.Column): DataFrame =
+        rs.groupBy(scope.as("scope"))
+          .agg(count(lit(1)).cast("long").as("n_registers"),
+            sum(expr(s"shiftleft(1L, $maxRho - cast(max_rho as int))"))
+              .cast("long").as("s_present"))
+          .select(col("scope"), col("n_registers"),
+            (col("s_present") + (lit(m2.toLong) - col("n_registers")) *
+              lit(1L << maxRho)).as("sum_scaled"),
+            round(lit(numer) /
+              (col("s_present") + (lit(m2.toLong) - col("n_registers")) *
+                lit(1L << maxRho)).cast("double"))
+              .cast("long").as("estimate"))
+      val perSource = estimate(regs, col("source"))
+      // the merge IS a per-register max over the per-source states
+      val merged = estimate(
+        regs.groupBy("reg").agg(max(col("max_rho")).as("max_rho")),
+        lit("__merged__"))
+      val direct = estimate(
+        Sketches.hllRegisters(tokens.select("token"), "token", m2),
+        lit("__direct__"))
+      perSource.unionByName(merged).unionByName(direct).orderBy("scope")
+    }
+  }
+
   /** EXACT set-similarity join via prefix filtering — the
     * no-false-negative counterpart of `dd_minhash_lsh_jaccard`: docs
     * ordered by global shingle rarity keep only a ⌊(1−t)n⌋+1 prefix,
@@ -2048,6 +2146,126 @@ object LlmQueries {
     }
   }
 
+  /** SimHash QUALITY EVAL — precision/recall of the banded simhash
+    * near-dup predictor against EXACT unigram-set Jaccard ground truth
+    * (J ≥ 0.7, integer cross-multiplied), swept over the Hamming
+    * threshold 0..3: the dedup-side analog of `ann_recall_eval`'s
+    * "measure the index before trusting it" discipline. Within the
+    * sweep range recall loss is attributable ONLY to simhash itself —
+    * 4×8-bit pigeonhole banding surfaces every pair at Hamming ≤ 3
+    * deterministically (Dedup.simhashNearDups scaladoc), so pred(t) is
+    * exactly {pairs : hamming ≤ t}, not a sampled approximation. Same
+    * 1-in-10 doc sample and cap(512)-is-a-no-op reasoning as
+    * `dd_simhash_neardup`. TP/FP/FN are integer counts over the
+    * full-outer join of predicted and true pairs — the whole confusion
+    * matrix is hash-gated in both engines. */
+  val ddSimhashEval: Q = {
+    val highHex = "('8','9','a','b','c','d','e','f')"
+    val votes = (1 to 32).map(i =>
+      s"SUM(CASE WHEN substr(md5(token), $i, 1) IN $highHex THEN 1 ELSE -1 END) AS v$i")
+      .mkString(",\n      |    ")
+    val bits = (1 to 32).map(i =>
+      s"CASE WHEN v$i > 0 THEN '1' ELSE '0' END").mkString(" || ")
+    Q.sql(
+      "dd_simhash_eval",
+      s"""WITH t AS (
+        |  SELECT doc_id, $toksSql AS toks FROM documents
+        |  WHERE doc_id % 10 = 0
+        |), tok AS (
+        |  SELECT doc_id, unnest(toks) AS token FROM t
+        |), v AS (
+        |  SELECT doc_id,
+        |    $votes
+        |  FROM tok GROUP BY doc_id
+        |), sh AS (
+        |  SELECT doc_id, $bits AS simhash FROM v
+        |), banded AS (
+        |  SELECT doc_id, simhash, b AS band,
+        |    substr(simhash, b * 8 + 1, 8) AS band_key
+        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
+        |), pred AS (
+        |  SELECT doc_a, doc_b, MIN(h) AS h FROM (
+        |    SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+        |      hamming(l.simhash, r.simhash) AS h
+        |    FROM banded l JOIN banded r USING (band, band_key)
+        |    WHERE l.doc_id < r.doc_id)
+        |  WHERE h <= 3 GROUP BY 1, 2
+        |), sets AS (
+        |  SELECT DISTINCT doc_id, unnest(toks) AS token FROM t
+        |), sizes AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sets GROUP BY 1
+        |), isect AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM sets a JOIN sets b USING (token)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        |), gt AS (
+        |  SELECT doc_a, doc_b FROM isect
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE inter * 10 >= (sa.sz + sb.sz - inter) * 7
+        |), f AS (
+        |  SELECT p.h, g.doc_a IS NOT NULL AS is_gt,
+        |    p.doc_a IS NOT NULL AS is_pred
+        |  FROM pred p FULL OUTER JOIN gt g
+        |    ON g.doc_a = p.doc_a AND g.doc_b = p.doc_b
+        |)
+        |SELECT thr,
+        |  CAST(SUM(CASE WHEN is_pred AND h <= thr THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_pred,
+        |  CAST(SUM(CASE WHEN is_gt THEN 1 ELSE 0 END) AS BIGINT) AS n_gt,
+        |  CAST(SUM(CASE WHEN is_pred AND h <= thr AND is_gt
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |  CAST(SUM(CASE WHEN is_pred AND h <= thr AND NOT is_gt
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |  CAST(SUM(CASE WHEN is_gt AND (h IS NULL OR h > thr)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        |FROM f CROSS JOIN (SELECT
+        |  CAST(unnest(generate_series(0, 3)) AS BIGINT) AS thr)
+        |GROUP BY thr ORDER BY thr""".stripMargin) { (s, d) =>
+      import graft.Tables
+      val docs = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+      val tokenRows = docs.select(col("doc_id"),
+        explode(TA.tokens(col("text"))).as("token"))
+      val pred = Dedup.simhashNearDups(Dedup.simhashFromTokens(tokenRows),
+          maxHamming = 3, maxBucketSize = 512)
+        .select(col("doc_a"), col("doc_b"), col("hamming").as("h"))
+      val sets = tokenRows.distinct()
+      val sizes = sets.groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("sz"))
+      val isect = sets.toDF("doc_a", "token")
+        .join(sets.toDF("doc_b", "token"), Seq("token"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).cast("long").as("inter"))
+      val gt = isect
+        .join(sizes.toDF("doc_a", "sz_a"), Seq("doc_a"))
+        .join(sizes.toDF("doc_b", "sz_b"), Seq("doc_b"))
+        .filter(col("inter") * 10 >=
+          (col("sz_a") + col("sz_b") - col("inter")) * 7)
+        .select("doc_a", "doc_b")
+      val f = pred.join(gt.withColumn("is_gt", lit(true)),
+          Seq("doc_a", "doc_b"), "full_outer")
+        .select(col("h"), coalesce(col("is_gt"), lit(false)).as("is_gt"),
+          col("h").isNotNull.as("is_pred"))
+      val thr = s.range(0, 4).select(col("id").as("thr"))
+      f.crossJoin(broadcast(thr))
+        .groupBy("thr")
+        .agg(
+          sum(when(col("is_pred") && col("h") <= col("thr"), 1)
+            .otherwise(0)).cast("long").as("n_pred"),
+          sum(when(col("is_gt"), 1).otherwise(0)).cast("long").as("n_gt"),
+          sum(when(col("is_pred") && col("h") <= col("thr") &&
+            col("is_gt"), 1).otherwise(0)).cast("long").as("tp"),
+          sum(when(col("is_pred") && col("h") <= col("thr") &&
+            !col("is_gt"), 1).otherwise(0)).cast("long").as("fp"),
+          sum(when(col("is_gt") &&
+            (col("h").isNull || col("h") > col("thr")), 1)
+            .otherwise(0)).cast("long").as("fn"))
+        .orderBy("thr")
+    }
+  }
+
   // Integer-quantized scores (see Similarity scaladoc): float→double,
   // ×1e6, away-from-zero round, BIGINT sums — exact in both engines.
   private val qq = "CAST(ROUND(CAST(%s AS DOUBLE) * 1000000) AS BIGINT)"
@@ -2611,6 +2829,48 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Multimodal — SCENE-CUT detection over REAL container bytes: each
+    * doc's Y4M stream carries a +100 luma step at a spec-defined frame
+    * (`Multimodal.vidCutAt`); the Spark side must REDISCOVER it from
+    * the bytes — real plane walk to per-frame luma energy
+    * (`decodeVideoFrameLuma`), then the classic shot-boundary
+    * detector: a lag window over frame energy, cut where the jump
+    * exceeds 50·w·h (smooth drift is +2·w·h/frame, the cut is
+    * +102·w·h). The DuckDB twin PREDICTS the detection closed-form
+    * from the id like every mm_* oracle — the gate fails if the
+    * detector misses the cut, false-alarms on drift, or the container
+    * walk miscounts a single byte. Detection itself is codegen'd
+    * (window + aggregate); only the byte walk sits at the
+    * mapPartitions codec boundary. */
+  val mmSceneCut: Q = Q.sql(
+    "mm_scene_cut",
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(8 + (doc_id % 5) * 2 AS BIGINT) AS w,
+      |    CAST(6 + (doc_id % 4) * 2 AS BIGINT) AS h,
+      |    CAST(3 + doc_id % 5 AS BIGINT) AS n,
+      |    CAST(1 + (doc_id % (2 + doc_id % 5)) AS BIGINT) AS cut
+      |  FROM documents
+      |)
+      |SELECT doc_id, n AS n_frames, cut AS cut_frame,
+      |  CAST(1 AS BIGINT) AS n_cuts,
+      |  CAST(102 * w * h AS BIGINT) AS delta_at_cut
+      |FROM d ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val frames = Multimodal.decodeVideoFrameLuma(
+      Multimodal.asVideoCutTable(Tables.documents(s, d)))
+    val w = Window.partitionBy("doc_id").orderBy("frame")
+    val thr = col("width").cast("long") * col("height") * 50L
+    frames
+      .withColumn("delta", col("luma_sum") - lag(col("luma_sum"), 1).over(w))
+      .groupBy("doc_id")
+      .agg((max(col("frame")) + 1L).as("n_frames"),
+        min(when(col("delta") > thr, col("frame"))).as("cut_frame"),
+        sum(when(col("delta") > thr, 1L).otherwise(0L)).cast("long")
+          .as("n_cuts"),
+        max(when(col("delta") > thr, col("delta"))).as("delta_at_cut"))
+      .orderBy("doc_id")
+  }
+
   /** Multimodal — COMPRESSED video: real AVI/RIFF demux + real JPEG
     * (MJPEG) decompression per frame. Frames are uniform gray at
     * quality 1.0 — the measured exactness envelope of the JDK JPEG
@@ -3017,7 +3277,8 @@ object LlmQueries {
   val all: Seq[Q] = Seq(tTokens, tTokensBpe, tBpePairCounts, tLangId,
     tQuality, tQualityQuantile, tQualityQuantileByLang, tMadOutliers,
     tTokenQuantiles,
-    tBpeTrainApply, tBpeApplyMerges, tCountMin, tHll, tInvertedIndex,
+    tBpeTrainApply, tBpeApplyMerges, tCountMin, tHll, tHllMerge,
+    tInvertedIndex,
     tTfidfTopK, tBigramLm, tFeatureHash,
     ddSsjoinPrefix,
     tFingerprint, tRepetition, tContamination, tPiiScrub, tVocab,
@@ -3029,8 +3290,10 @@ object LlmQueries {
     ddUrlDedup, ddLineDedup, ddDupSpanCoverage, ddDupSpanRemoval,
     ddConnectedComponents, ddMinhashLsh, ddMinhashEstimate,
     ddLshBandSweep, ddSimhash,
-    ddSimhashNearDup, ddEmbeddingNearDup, annBruteForce, annLsh, annRhLsh,
-    annIvf, mmBinary, mmFeatures, mmAudio, mmVideo, mmMjpeg, mmResize,
+    ddSimhashNearDup, ddSimhashEval, ddEmbeddingNearDup, annBruteForce,
+    annLsh, annRhLsh,
+    annIvf, mmBinary, mmFeatures, mmAudio, mmVideo, mmSceneCut, mmMjpeg,
+    mmResize,
     mmFrameSample, mmDhash, mmPhashNearDup, mmAudioEnergy,
     ddPhashIndexChain)
 }

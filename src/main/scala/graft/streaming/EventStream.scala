@@ -283,6 +283,59 @@ object EventStream {
                             event_type: String, value: Double)
   final case class FirstSeen(user_id: Long, event_type: String,
                              first_event_id: Long, first_value: Double)
+  final case class UserTotals(user_id: Long, n_events: Long,
+                              value_cents: Long)
+
+  /** Per-user RUNNING TOTALS via the Spark-4 `transformWithState` API
+    * (the typed-state successor of flatMapGroupsWithState: named state
+    * variables, TTL, timers): one `ValueState[UserTotals]` per user is
+    * folded over each batch's rows and the new cumulative row re-emitted,
+    * so an upsert sink always holds the latest (n_events, value_cents)
+    * per user. Money accumulates in exact integer CENTS
+    * (round(value·100) on 2dp inputs) — unbounded-stream state must
+    * never carry float error. The fold is order-independent (count +
+    * sum), so emitted rows don't depend on within-batch row order.
+    *
+    * Runtime contract: transformWithState requires the RocksDB state
+    * store provider (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`); state lives per shuffle
+    * partition in the store — nothing driver-resident, and a 100 TB
+    * keyspace shards with `spark.sql.shuffle.partitions` exactly like
+    * the flatMapGroupsWithState path. */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EventRow, UserTotals] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig,
+      TimeMode, TimerValues, ValueState}
+    @transient private var totals: ValueState[UserTotals] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotals]("totals",
+        org.apache.spark.sql.Encoders.product[UserTotals], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[EventRow],
+        timerValues: TimerValues): Iterator[UserTotals] = {
+      val prev =
+        if (totals.exists()) totals.get() else UserTotals(user, 0L, 0L)
+      var n = prev.n_events
+      var cents = prev.value_cents
+      rows.foreach { r => n += 1; cents += math.round(r.value * 100) }
+      val cur = UserTotals(user, n, cents)
+      totals.update(cur)
+      Iterator.single(cur)
+    }
+  }
+
+  /** [[RunningTotalsProcessor]] wired over the events shape. */
+  def runningTotals(events: DataFrame)
+      : org.apache.spark.sql.Dataset[UserTotals] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("event_id", "user_id", "event_type", "value")
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
 
   /** CUSTOM keyed state via flatMapGroupsWithState: the first
     * occurrence of each event_type per user (stateful streaming

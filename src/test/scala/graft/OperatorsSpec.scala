@@ -482,6 +482,32 @@ class OperatorsSpec extends SparkSpec {
     assert(Checks.snapshotDrift(spark, dir, "t", 0.5).passed)
   }
 
+  test("Checks.schemaChanges reports added/removed/retyped columns, latest two versions only") {
+    import graft.operators.AtomicTable
+    import graft.quality.Checks
+    val dir = java.nio.file.Files.createTempDirectory("atomic_sdrift")
+      .resolve("t").toString
+    // Fewer than two versions (incl. missing table): no changes.
+    assert(Checks.schemaChanges(spark, s"$dir-nope").isEmpty)
+    AtomicTable.commit(Seq((1L, "a", 1.0)).toDF("k", "v", "x"),
+      dir, 0L, retainVersions = 10)
+    assert(Checks.schemaChanges(spark, dir).isEmpty)
+    assert(Checks.schemaDrift(spark, dir, "t").passed)
+    // v1: drop x, add w, retype v STRING->BIGINT.
+    AtomicTable.commit(Seq((1L, 2L, false)).toDF("k", "v", "w"),
+      dir, 1L, retainVersions = 10)
+    val changes = Checks.schemaChanges(spark, dir)
+    assert(changes.map(c => (c.columnName, c.change)) ==
+      Seq(("v", "type_changed"), ("w", "added"), ("x", "removed")))
+    assert(changes.find(_.columnName == "v").get.oldType.contains("STRING"))
+    assert(changes.find(_.columnName == "v").get.newType.contains("BIGINT"))
+    assert(Checks.schemaDrift(spark, dir, "t").violations == 3L)
+    // Identical schema re-commit: only the latest two are compared.
+    AtomicTable.commit(Seq((2L, 3L, true)).toDF("k", "v", "w"),
+      dir, 2L, retainVersions = 10)
+    assert(Checks.schemaDrift(spark, dir, "t").passed)
+  }
+
   test("Bloom skipping: point lookup opens a strict file subset, no false negatives") {
     import graft.operators.{AtomicTable, DataSkipping}
     val dir = java.nio.file.Files.createTempDirectory("bloom_tbl")

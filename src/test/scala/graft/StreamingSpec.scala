@@ -241,6 +241,69 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d")))
   }
 
+  test("transformWithState running totals: typed state accumulates across restarts") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val srcDir = java.nio.file.Files.createTempDirectory("tws_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("tws_ckpt").toString
+    def stage(name: String,
+              rows: Seq[(Long, Long, String, Double)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("tws_stage")
+      import spark.implicits._
+      rows.toDF("event_id", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.move(java.nio.file.Paths.get(part),
+        srcDir.resolve(name))
+    }
+    // transformWithState requires the RocksDB provider; scope it to
+    // this test so the rest of the suite keeps the default store.
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      // memory sinks can't recover from a checkpoint; collect each
+      // run's emissions through a foreachBatch driver-side buffer
+      // (the resumable-sink shape upsertSink uses)
+      val got = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long)]
+      def runOnce(): Map[Long, (Long, Long)] = {
+        got.clear()
+        val stream = spark.readStream.schema(schema)
+          .parquet(srcDir.toString)
+        val q = EventStream.runningTotals(stream).toDF()
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            got.synchronized {
+              got ++= df.collect()
+                .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+            }
+            ()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+        // latest emission per user (one per batch the user appeared in)
+        got.groupBy(_._1).map { case (u, rs) =>
+          u -> rs.map(t => (t._2, t._3)).maxBy(_._1) }.toMap
+      }
+      stage("f1.parquet", Seq((1L, 10L, "view", 1.25),
+        (2L, 10L, "click", 2.50), (3L, 20L, "view", 3.00)))
+      assert(runOnce() == Map(10L -> ((2L, 375L)), 20L -> ((1L, 300L))))
+      stage("f2.parquet", Seq((4L, 10L, "purchase", 0.75),
+        (5L, 30L, "view", 1.00)))
+      // resumed from checkpoint: only f2 is new; user 10's state carries
+      assert(runOnce() == Map(10L -> ((3L, 450L)), 30L -> ((1L, 100L))))
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
   test("streaming image dedup sink: committed phash index matches the batch chain") {
     import org.apache.spark.sql.types._
     import graft.llm.{Multimodal, PhashIndex}
