@@ -1032,6 +1032,39 @@ object LlmQueries {
   /** Curation — deterministic per-group quota sampling through the REAL
     * `TextAnalysis.quotaSample`: at most 40 docs per source, chosen by
     * seeded md5 order (reproducible pseudo-random mixing). */
+  /** WEIGHTED (importance) sampling — per-doc inclusion probability
+    * proportional to length, the Poisson-sampling primitive of corpus
+    * mixing (upweight long documents without materializing repeats).
+    * Entirely INTEGER-exact and seeded: include doc i iff
+    * hv_i · max(w) < w_i · 2²⁴, where hv is the portable 24-bit
+    * md5-derived uniform — p_i = w_i / max(w) with zero float math, so
+    * both engines keep the identical sample (no rand(), reproducible
+    * across retries/backfills, the corpusShuffle determinism rule).
+    * One scan + a broadcast 1-row max; no shuffle of the corpus. */
+  val tWeightedSample: Q = Q.sql(
+    "t_weighted_sample",
+    s"""WITH mx AS (
+      |  SELECT MAX(n_chars) AS m FROM documents
+      |), h AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(${TA.hex6Expr(
+             "md5('wsamp|' || CAST(doc_id AS VARCHAR))")} AS BIGINT) AS hv
+      |  FROM documents
+      |)
+      |SELECT doc_id, n_chars, hv
+      |FROM h, mx WHERE hv * m < n_chars * 16777216
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val mx = docs.agg(max(col("n_chars")).as("m"))
+    docs.select(col("doc_id"), col("n_chars"),
+        expr(TA.hex6Expr("md5(concat('wsamp|', cast(doc_id as string)))"))
+          .cast("long").as("hv"))
+      .crossJoin(broadcast(mx))
+      .filter(col("hv") * col("m") < col("n_chars") * lit(16777216L))
+      .select("doc_id", "n_chars", "hv")
+      .orderBy("doc_id")
+  }
+
   val tQuotaSample: Q = Q.sql(
     "t_quota_sample",
     """WITH ranked AS (
@@ -3282,7 +3315,8 @@ object LlmQueries {
     tTfidfTopK, tBigramLm, tFeatureHash,
     ddSsjoinPrefix,
     tFingerprint, tRepetition, tContamination, tPiiScrub, tVocab,
-    tCorpusCuration, tPacking, tQuotaSample, tTemperatureMix,
+    tCorpusCuration, tPacking, tQuotaSample, tWeightedSample,
+    tTemperatureMix,
     tCorpusShuffle,
     tStratifiedSplit, tDocChunking, tOovRate, ddExact, ddExactNormalized, ddIncrementalDedup,
     ddIncrementalBloom, ddIncrementalIndexChain, ddNearDupIndexChain,

@@ -164,6 +164,106 @@ object WindowQueries {
       .orderBy("day")
   }
 
+  /** W11 — SLIDING DISTINCT via MERGEABLE SKETCH (trailing-7-day
+    * active users per day, HLL m=32): the state-bounded rewrite of
+    * w10's exact sliding count-distinct. w10 explodes the DISTINCT
+    * (key, day) pairs — linear in distinct pairs, which at 100 TB of
+    * high-cardinality keys is itself the bottleneck; here each day is
+    * first reduced to ≤m=32 integer registers and only REGISTERS are
+    * exploded to the ≤7 report days they contribute to (7·m rows per
+    * day, independent of cardinality), then per-register MAX re-merges
+    * each window — the [[LlmQueries.tHllMerge]] algebra applied across
+    * window frames. The exact count rides alongside so the error is
+    * visible in the gated output (m=32 is sized so the test SFs sit in
+    * the raw-estimator regime, n > 2.5m; production would use 2^14 —
+    * measured per-window error here is within ±10% at both SFs,
+    * inside the 1.04/√m ≈ 18% 1σ band).
+    * Same portable integer register state as t_hll_distinct; the twin
+    * states the window as a day range join, proving the
+    * explode-registers rewrite IS the sliding sketch. */
+  val w11SlidingHll: Q = {
+    import graft.llm.{Sketches, TextAnalysis => TA}
+    val m = 32
+    val bits = Sketches.hllValueBits(m) // 19
+    val maxRho = bits + 1
+    val numer = Sketches.hllNumerator(m)
+    Q.sql(
+      "w11_sliding_hll_distinct",
+      s"""WITH e AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        |), days AS (
+        |  SELECT DISTINCT day FROM e
+        |), h AS (
+        |  SELECT day,
+        |    ${TA.hex6Expr("md5('wk|' || CAST(user_id AS VARCHAR))")} AS hv
+        |  FROM e
+        |), regs AS (
+        |  SELECT day, hv % $m AS reg,
+        |    MAX(${Sketches.rhoSql(s"(hv // $m)", bits)}) AS max_rho
+        |  FROM h GROUP BY 1, 2
+        |), merged AS (
+        |  SELECT d.day, r.reg, MAX(r.max_rho) AS max_rho
+        |  FROM days d JOIN regs r
+        |    ON r.day > d.day - 7 AND r.day <= d.day
+        |  GROUP BY 1, 2
+        |), est AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_registers,
+        |    CAST(SUM(CAST(1 AS BIGINT) << ($maxRho - max_rho))
+        |      AS BIGINT) AS s_present
+        |  FROM merged GROUP BY 1
+        |), ex AS (
+        |  SELECT d.day, CAST(COUNT(DISTINCT e.user_id) AS BIGINT)
+        |    AS n_exact
+        |  FROM days d JOIN e ON e.day > d.day - 7 AND e.day <= d.day
+        |  GROUP BY 1
+        |)
+        |SELECT CAST(est.day AS VARCHAR) AS day, ex.n_exact, n_registers,
+        |  CAST(s_present + ($m - n_registers) * ${1L << maxRho}
+        |    AS BIGINT) AS sum_scaled,
+        |  CAST(ROUND($numer /
+        |    CAST(s_present + ($m - n_registers) * ${1L << maxRho}
+        |      AS DOUBLE)) AS BIGINT) AS estimate
+        |FROM est JOIN ex ON ex.day = est.day
+        |ORDER BY day""".stripMargin) { (s, d) =>
+      val pairs = Tables.events(s, d)
+        .select(col("ts").cast("date").as("day"), col("user_id"))
+        .distinct()
+      val days = pairs.select("day").distinct()
+      val regsDay = pairs
+        .select(col("day"),
+          md5(concat(lit("wk|"), col("user_id").cast("string"))).as("hhex"))
+        .select(col("day"), expr(TA.hex6Expr("hhex")).as("hv"))
+        .select(col("day"), expr(s"cast(hv % $m as bigint)").as("reg"),
+          expr(s"hv div $m").as("wv"))
+        .select(col("day"), col("reg"),
+          expr(Sketches.rhoSql("wv", bits)).as("rho"))
+        .groupBy("day", "reg").agg(max(col("rho")).cast("long").as("max_rho"))
+      def toReportDays(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("rday", explode(expr("sequence(day, date_add(day, 6))")))
+        .join(days.select(col("day").as("rday")), Seq("rday"), "left_semi")
+      val sumScaled = col("s_present") +
+        (lit(m.toLong) - col("n_registers")) * lit(1L << maxRho)
+      val est = toReportDays(regsDay)
+        .groupBy("rday", "reg").agg(max(col("max_rho")).as("max_rho"))
+        .select(col("rday"),
+          expr(s"shiftleft(1L, $maxRho - cast(max_rho as int))").as("term"))
+        .groupBy("rday")
+        .agg(count(lit(1)).cast("long").as("n_registers"),
+          sum(col("term")).cast("long").as("s_present"))
+        .select(col("rday"), col("n_registers"),
+          sumScaled.as("sum_scaled"),
+          round(lit(numer) / sumScaled.cast("double")).cast("long")
+            .as("estimate"))
+      val exact = toReportDays(pairs)
+        .groupBy("rday")
+        .agg(count_distinct(col("user_id")).cast("long").as("n_exact"))
+      est.join(exact, Seq("rday"))
+        .select(col("rday").cast("string").as("day"), col("n_exact"),
+          col("n_registers"), col("sum_scaled"), col("estimate"))
+        .orderBy("day")
+    }
+  }
+
   /** W5 — running max / unbounded-preceding frames
     * (fct_product_pricing_history.sql:190-196,165-171). */
   val w5RunningMax: Q = Q.sql(
@@ -278,5 +378,5 @@ object WindowQueries {
 
   val all: Seq[Q] = Seq(w1DedupTop1, w2FirstValue, w3LagTrend, w4Rolling30d,
     w5RunningMax, w6PercentRank, w7PartitionCount, w8Posexplode, w9LatestTag,
-    w10SlidingDistinct)
+    w10SlidingDistinct, w11SlidingHll)
 }
