@@ -455,6 +455,53 @@ object Dedup {
     labels
   }
 
+  /** INCREMENTAL connected components — fold a batch of NEW nodes and
+    * edges into committed component labels WITHOUT recomputing over the
+    * corpus-scale graph. Near-dup discovery only ever ADDS edges
+    * (nothing un-duplicates), so components can only merge — which
+    * makes the update a CONTRACTION: map each new edge's endpoints to
+    * their committed labels (unseen endpoints label themselves), run
+    * [[connectedComponents]] on that contracted graph — its size is
+    * ∝ the batch, never the corpus — and remap the committed label
+    * table through the tiny result with ONE join. Daily work is
+    * |new edges| + |touched components| + one label-table equi-join;
+    * the O(log d) iteration never sees old intra-component edges,
+    * which is the whole point at 100 TB (the companion of
+    * [[CorpusIndex]]'s persisted-index incremental exact dedup).
+    *
+    * Label invariant: [[connectedComponents]] labels a component with
+    * its MIN node id, and min is associative over merges — min(labels ∪
+    * new ids) = min of the merged id set — so the incremental result is
+    * BIT-IDENTICAL to a full recompute (the oracle gate proves it).
+    *
+    * `labels`: (id, component) committed table; `newNodes`: (id);
+    * `newEdges`: (src, dst), may touch old or new ids. Returns the
+    * updated (id, component) covering old ∪ new nodes. */
+  def incrementalComponents(labels: DataFrame, newNodes: DataFrame,
+                            newEdges: DataFrame): DataFrame = {
+    val contracted = newEdges
+      .join(labels.select(col("id").as("src"),
+        col("component").as("src_l")), Seq("src"), "left")
+      .join(labels.select(col("id").as("dst"),
+        col("component").as("dst_l")), Seq("dst"), "left")
+      .select(coalesce(col("src_l"), col("src")).as("src"),
+        coalesce(col("dst_l"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val cnodes = contracted.select(col("src").as("id"))
+      .unionByName(contracted.select(col("dst").as("id")))
+      .distinct()
+    val cc = connectedComponents(cnodes, contracted)
+    val allLabels = labels.unionByName(
+      newNodes.join(labels, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("component")))
+    allLabels
+      .join(cc.select(col("id").as("component"),
+        col("component").as("merged")), Seq("component"), "left")
+      .select(col("id"),
+        coalesce(col("merged"), col("component")).as("component"))
+  }
+
   /** DUPLICATED-SUBSTRING SPAN COVERAGE — the exact-substring dedup
     * signal of Lee et al. 2021 ("Deduplicating Training Data Makes
     * Language Models Better"): for each document, how many token

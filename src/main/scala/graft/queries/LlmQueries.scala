@@ -1546,6 +1546,63 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Dedup — INCREMENTAL connected components: day-1 commits labels
+    * for the star subgraph over 90% of the docs; day-2 delivers the
+    * remaining docs plus the chain edges (which MERGE stars) and the
+    * star edges touching late docs. The Spark side folds the batch in
+    * through `Dedup.incrementalComponents` — contraction to committed
+    * labels, CC on the batch-sized contracted graph, one remap join —
+    * while the twin computes the SEMANTIC CONTRACT directly: full
+    * transitive closure over the union graph. Hash equality proves
+    * incremental == full recompute bit-for-bit (the min-label
+    * associativity argument in the operator's scaladoc), including
+    * late singleton nodes and merges that chain across 3+ committed
+    * components. */
+  val ddCcIncremental: Q = Q.sql(
+    "dd_cc_incremental",
+    """WITH RECURSIVE nodes AS (
+      |  SELECT doc_id FROM documents
+      |), star AS (
+      |  SELECT doc_id AS src, doc_id - (doc_id % 7) AS dst
+      |  FROM documents WHERE doc_id % 7 IN (1, 2, 3)
+      |), chain AS (
+      |  SELECT doc_id AS src, doc_id + 13 AS dst
+      |  FROM documents
+      |  WHERE doc_id % 13 = 0
+      |    AND doc_id + 13 IN (SELECT doc_id FROM documents)
+      |), edges AS (
+      |  SELECT src, dst FROM star UNION ALL SELECT src, dst FROM chain
+      |), sym AS (
+      |  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+      |), r(a, b) AS (
+      |  SELECT doc_id, doc_id FROM nodes
+      |  UNION
+      |  SELECT r.a, s.dst FROM r JOIN sym s ON r.b = s.src
+      |)
+      |SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS component,
+      |  (a % 10 = 9) AS is_new_node
+      |FROM r GROUP BY a ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val id = col("doc_id")
+    val nodes = docs.select(id.as("id"))
+    val star = docs.filter((id % 7).isin(1, 2, 3))
+      .select(id.as("src"), (id - id % 7).as("dst"))
+    val chain = docs.filter(id % 13 === 0)
+      .select(id.as("src"), (id + 13).as("dst"))
+      .join(nodes.select(col("id").as("dst")), Seq("dst"), "left_semi")
+    def old(c: org.apache.spark.sql.Column) = c % 10 =!= 9
+    val labels1 = Dedup.connectedComponents(
+      nodes.filter(old(col("id"))),
+      star.filter(old(col("src")) && old(col("dst"))))
+    val merged = Dedup.incrementalComponents(labels1,
+      nodes.filter(col("id") % 10 === 9),
+      star.filter(!(old(col("src")) && old(col("dst"))))
+        .unionByName(chain.select("src", "dst")))
+    merged.select(col("id").as("doc_id"), col("component"),
+        (col("id") % 10 === 9).as("is_new_node"))
+      .orderBy("doc_id")
+  }
+
   /** Dedup — the FULL production near-dup pipeline in one hash-gated
     * chain: REAL `simhashFromTokens` → `simhashNearDups` (banded
     * candidates + Hamming verify, hot-bucket cap on) → REAL
@@ -3322,7 +3379,8 @@ object LlmQueries {
     ddIncrementalBloom, ddIncrementalIndexChain, ddNearDupIndexChain,
     ddClusterCanonical,
     ddUrlDedup, ddLineDedup, ddDupSpanCoverage, ddDupSpanRemoval,
-    ddConnectedComponents, ddMinhashLsh, ddMinhashEstimate,
+    ddConnectedComponents, ddCcIncremental, ddMinhashLsh,
+    ddMinhashEstimate,
     ddLshBandSweep, ddSimhash,
     ddSimhashNearDup, ddSimhashEval, ddEmbeddingNearDup, annBruteForce,
     annLsh, annRhLsh,

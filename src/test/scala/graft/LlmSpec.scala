@@ -458,6 +458,27 @@ class LlmSpec extends SparkSpec {
     assert(got(700L) == 700L)
   }
 
+  test("incrementalComponents: merges across committed labels, late singletons, no-op batches") {
+    // committed: {1,2} labeled 1, {3,5} labeled 3, singleton 8
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L), (5L, 3L), (8L, 8L))
+      .toDF("id", "component")
+    // batch: new nodes 4 and 9; edges merge comp-1 with comp-3 through
+    // NEW node 4 (1-4, 4-5 — a 3-way merge via contraction), plus a
+    // no-op edge inside comp-3
+    val merged = Dedup.incrementalComponents(labels,
+        Seq(4L, 9L).toDF("id"),
+        Seq((1L, 4L), (4L, 5L), (3L, 5L)).toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(merged == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 1L, 8L -> 8L, 9L -> 9L))
+    // a batch with ONLY intra-component edges changes nothing
+    val noop = Dedup.incrementalComponents(labels,
+        spark.emptyDataset[Long].toDF("id"),
+        Seq((3L, 5L)).toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(noop == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 5L -> 3L, 8L -> 8L))
+  }
+
   test("canonicalizeUrl normalizes scheme/host/port/params, preserves path case") {
     val in = Seq(
       "HTTP://WWW.Example.COM:80/Products/3/?utm_source=a&item=7&fbclid=x#frag",
