@@ -100,5 +100,55 @@ object Ingest {
     def markProcessed(paths: Seq[String]): Unit =
       save(load() ++ paths.map(p =>
         p -> Files.getLastModifiedTime(Paths.get(p)).toMillis))
+
+    /** Generic completion markers (mtime-free) — backfill chunk keys. */
+    def isDone(key: String): Boolean = load().contains(key)
+    def markDone(key: String): Unit = save(load() + (key -> 1L))
+  }
+
+  final case class BackfillChunk(start: String, end: String,
+                                 status: String, rows: Long)
+
+  /** RESTARTABLE CHUNKED BACKFILL — reprocess a long history window in
+    * bounded chunks, each an idempotent keyed MergeUpsert commit into
+    * an AtomicTable, with completed chunks recorded in the
+    * [[StateStore]] so a crashed backfill RESUMES where it stopped:
+    * already-committed chunks are skipped (never redone, never lost) —
+    * the reference orchestrator's rerun discipline (per-source failure
+    * isolation, state-file skip) applied to history rebuilds. At scale
+    * one monolithic backfill job runs for days and loses everything on
+    * the first failure; day/week chunks bound both the blast radius
+    * and the shuffle working set, and the upsert keys make re-running
+    * a chunk a no-op rather than a duplication.
+    *
+    * Per-chunk row counts come from an `observe` node
+    * ([[graft.quality.Observed]]) riding the commit's own write job —
+    * the backfill report costs no extra scans. */
+  def chunkedBackfill(spark: org.apache.spark.sql.SparkSession,
+                      targetDir: String, store: StateStore,
+                      chunks: Seq[(String, String)], keys: Seq[String])(
+                      build: (String, String) => DataFrame)
+      : Seq[BackfillChunk] = {
+    import graft.operators.{AtomicTable, MergeUpsert}
+    chunks.map { case (start, end) =>
+      val key = s"backfill|$targetDir|$start|$end"
+      if (store.isDone(key)) BackfillChunk(start, end, "skipped", 0L)
+      else {
+        val pending = graft.quality.Observed.instrument(
+          build(start, end), s"backfill_$start", Nil)
+        val merged = AtomicTable.read(spark, targetDir) match {
+          case Some(t) => MergeUpsert.upsert(t, pending.df, keys)
+          case None => pending.df
+        }
+        AtomicTable.commit(merged, targetDir,
+          AtomicTable.nextVersion(spark, targetDir))
+        store.markDone(key)
+        val rows = pending.obs.get("rows") match {
+          case l: Long => l
+          case x => x.toString.toLong
+        }
+        BackfillChunk(start, end, "processed", rows)
+      }
+    }
   }
 }

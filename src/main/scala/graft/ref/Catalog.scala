@@ -39,6 +39,20 @@ final class Catalog(val spark: SparkSession, val root: String) {
     AtomicTable.read(spark, p).get
   }
 
+  /** [[saveTable]] with SCAN-FREE quality telemetry: an `observe` node
+    * rides the commit's own write job ([[graft.quality.Observed]]), so
+    * row count and per-column null counts arrive as a by-product of
+    * materialization — at mart scale this replaces the quality
+    * battery's extra full-table aggregate scans with zero added I/O.
+    * Returns the committed snapshot and the observed check results. */
+  def saveTableObserved(layer: String, name: String, df: DataFrame,
+                        notNullCols: Seq[String])
+      : (DataFrame, Seq[graft.quality.Checks.Result]) = {
+    val pending = graft.quality.Observed.instrument(df, name, notNullCols)
+    val out = saveTable(layer, name, pending.df)
+    (out, pending.results())
+  }
+
   /** `materialized='table'` with HIVE-PARTITIONED layout: rows land in
     * one directory per `partitionCols` value, so downstream filters on
     * those columns become PARTITION PRUNING (directories never opened)

@@ -55,6 +55,57 @@ class IngestSpec extends SparkSpec {
   private val fixtureDir =
     new java.io.File(getClass.getResource("/fixtures").toURI).toString
 
+  test("chunkedBackfill: resumes after a crash, idempotent re-run, observed row counts") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.AtomicTable
+    val base = Files.createTempDirectory("backfill")
+    val target = base.resolve("t").toString
+    val store = new Ingest.StateStore(base.resolve("state.json").toString)
+    val data = Seq(
+      (1L, "2024-01-01", "a"), (2L, "2024-01-01", "b"),
+      (3L, "2024-01-02", "c"), (4L, "2024-01-02", "d"),
+      (5L, "2024-01-03", "e"), (6L, "2024-01-04", "f"))
+      .toDF("k", "day", "v")
+    val chunks = Seq(("2024-01-01", "2024-01-02"),
+      ("2024-01-02", "2024-01-03"), ("2024-01-03", "2024-01-05"))
+    def run(cs: Seq[(String, String)]) =
+      Ingest.chunkedBackfill(spark, target, store, cs, Seq("k"))(
+        (s, e) => data.filter(col("day") >= s && col("day") < e))
+    // "crash" after two chunks
+    val r1 = run(chunks.take(2))
+    assert(r1.map(_.status) == Seq("processed", "processed"))
+    assert(r1.map(_.rows) == Seq(2L, 2L)) // observe rode the write job
+    // resume with the full plan: completed chunks skip, the rest runs
+    val r2 = run(chunks)
+    assert(r2.map(_.status) == Seq("skipped", "skipped", "processed"))
+    assert(r2.last.rows == 2L)
+    val got = AtomicTable.read(spark, target).get
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(got.toSeq == Seq(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d",
+      5L -> "e", 6L -> "f"))
+    // full re-run is a no-op: no work, no new versions
+    val versions = AtomicTable.committedVersions(spark, target)
+    assert(run(chunks).forall(_.status == "skipped"))
+    assert(AtomicTable.committedVersions(spark, target) == versions)
+  }
+
+  test("saveTableObserved: metrics ride the commit write, no extra action needed") {
+    import graft.ref.Catalog
+    val root = Files.createTempDirectory("cat_obs").toString
+    val cat = new Catalog(spark, root)
+    val df = Seq((1L, Some("x")), (2L, None), (3L, None))
+      .toDF("id", "maybe")
+    val (out, results) = cat.saveTableObserved("mart", "obs_t", df,
+      Seq("id", "maybe"))
+    // results were produced by the commit's own job — assert without
+    // running any further action first
+    val byCheck = results.map(r => r.check -> r.violations).toMap
+    assert(byCheck("non_empty_observed") == 0L)
+    assert(byCheck("not_null_observed(id)") == 0L)
+    assert(byCheck("not_null_observed(maybe)") == 2L)
+    assert(out.count() == 3L)
+  }
+
   test("xlsx: discover finds the workbook, both sheets decode with typed cells") {
     import graft.sources.Xlsx
     val found = Ingest.discover(fixtureDir)
