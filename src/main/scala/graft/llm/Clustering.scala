@@ -386,7 +386,14 @@ object Clustering {
     val ranked = approx
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-    // exact full-dimension integer top-k — the recall baseline
+    flagAgainstExact(ranked, base, qids, k)
+  }
+
+  /** Exact full-dimension integer top-`k` per query, joined onto the
+    * approx `ranked` frame as a `hit_exact` flag — the recall baseline
+    * shared by the PQ and IVF-PQ paths. */
+  private def flagAgainstExact(ranked: DataFrame, base: DataFrame,
+                               qids: DataFrame, k: Int): DataFrame = {
     val gve = quantRows(base, idCol = "vec_id", vecCol = "emb")
     val qrows = gve.join(broadcast(qids), col("vec_id") === col("query_id"))
       .select(col("query_id"), col("pos"), col("qv").as("q_qv"))
@@ -404,5 +411,77 @@ object Clustering {
       .select(col("query_id"), col("rank"), col("vec_id").as("cand_id"),
         col("approx_dist"),
         coalesce(col("hit_exact"), lit(false)).as("hit_exact"))
+  }
+
+  /** IVF-PQ COMPOSITE ANN — the FAISS IndexIVFPQ serving architecture,
+    * combining the engine's two orthogonal scale levers: a COARSE
+    * full-dimension codebook routes each query to its `nProbe` nearest
+    * cells (IVF bounds WHICH vectors are touched — ≈ nProbe/k_cells of
+    * the corpus on balanced cells), and candidates inside probed cells
+    * are scored by PQ ASYMMETRIC DISTANCE (Σ of `mSub` LUT lookups —
+    * PQ bounds the BYTES per touched vector, mSub small codes instead
+    * of the full dims). Cells partition the corpus and the probe list
+    * is distinct cells, so a candidate is scored exactly once per
+    * query. Coarse codebook, cell assignment, per-subspace codebooks,
+    * codes, LUTs, probe routing, ADC ranking and the exact baseline
+    * are all integer-exact — `ann_ivfpq` hash-gates the entire
+    * composed lifecycle. Same top-`k`+`hit_exact` frame as [[pqTopK]]
+    * so recall of PQ-only vs IVF-PQ is directly comparable. */
+  def ivfPqTopK(spark: SparkSession, emb: DataFrame,
+                coarseStride: Int = 100, mSub: Int = 4, subDim: Int = 16,
+                stride: Int = 100, iters: Int = 2, queryMod: Int = 97,
+                nProbe: Int = 2, k: Int = 5,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val base = emb.select(col(idCol).as("vec_id"), col(vecCol).as("emb"))
+    // coarse router: full-dim codebook, one cell per corpus vector
+    val gRows = quantRows(base, idCol = "vec_id", vecCol = "emb")
+    val coarseCb = train(spark, gRows, coarseStride, iters)
+    val cells = assign(gRows, coarseCb)
+      .select(col("vec_id"), col("cid").as("cell"))
+    // PQ: per-subspace codebooks + codes (as in pqTopK)
+    val subRows = (0 until mSub).map { m =>
+      quantRows(base.select(col("vec_id"),
+        slice(col("emb"), m * subDim + 1, subDim).as("emb")),
+        idCol = "vec_id", vecCol = "emb")
+    }
+    val codebooks = subRows.map(r => train(spark, r, stride, iters))
+    val codes = subRows.lazyZip(codebooks).lazyZip(0 until mSub).map {
+      (r, cb, m) =>
+        assign(r, cb).select(col("vec_id"), lit(m).as("sub"),
+          col("cid").as("code"))
+    }.reduce(_ unionByName _)
+    val qids = base.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"))
+    // probe routing: nProbe nearest cells per query
+    val qRows = gRows
+      .join(broadcast(qids), col("vec_id") === col("query_id"))
+      .select(col("vec_id"), col("pos"), col("qv"))
+    val probes = nearestCentroids(qRows, coarseCb, nProbe)
+      .select(col("vec_id").as("query_id"), col("cid").as("cell"))
+    val lut = subRows.lazyZip(codebooks).lazyZip(0 until mSub).map {
+      (r, cb, m) =>
+        r.join(broadcast(qids), col("vec_id") === col("query_id"))
+          .select(col("query_id"), col("pos"), col("qv"))
+          .join(broadcast(cb), Seq("pos"))
+          .groupBy(col("query_id"), col("cid"))
+          .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv")))
+            .as("d"))
+          .withColumn("sub", lit(m))
+    }.reduce(_ unionByName _)
+    // ADC restricted to probed cells
+    val approx = codes.join(cells, Seq("vec_id"))
+      .join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(lut.withColumnRenamed("cid", "code")),
+        Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d")).cast("long").as("approx_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dist"), col("vec_id"))
+    val ranked = approx
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+    flagAgainstExact(ranked, base, qids, k)
   }
 }
