@@ -651,6 +651,54 @@ object AggQueries {
       .orderBy("column_name")
   }
 
+  /** A19 — ANALYZE-style table statistics through the REAL
+    * `TableStats.compute`: row count, per-column non-null, exact NDV
+    * and min/max (string-cast — integer/string columns only, double
+    * formatting is not engine-portable) in ONE aggregate pass (Spark
+    * plans the multi-distinct via a single Expand). These are the
+    * numbers `TableStats.joinWithAdvisor` uses for stats-driven
+    * broadcast decisions the file-size heuristic can't make. */
+  val a19TableStats: Q = Q.sql(
+    "a19_table_stats",
+    """SELECT * FROM (
+      |  SELECT 'o_custkey' AS column_name, COUNT(*) AS n_rows,
+      |    CAST(COUNT(o_custkey) AS BIGINT) AS non_null,
+      |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS ndv,
+      |    CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+      |    CAST(MAX(o_custkey) AS VARCHAR) AS max_val
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderkey', COUNT(*), CAST(COUNT(o_orderkey) AS BIGINT),
+      |    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+      |    CAST(MIN(o_orderkey) AS VARCHAR), CAST(MAX(o_orderkey) AS VARCHAR)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderpriority', COUNT(*),
+      |    CAST(COUNT(o_orderpriority) AS BIGINT),
+      |    CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+      |    CAST(MIN(o_orderpriority) AS VARCHAR),
+      |    CAST(MAX(o_orderpriority) AS VARCHAR)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderstatus', COUNT(*),
+      |    CAST(COUNT(o_orderstatus) AS BIGINT),
+      |    CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+      |    CAST(MIN(o_orderstatus) AS VARCHAR),
+      |    CAST(MAX(o_orderstatus) AS VARCHAR)
+      |  FROM orders
+      |)
+      |ORDER BY column_name""".stripMargin) { (s, d) =>
+    import graft.operators.TableStats
+    val stats = TableStats.compute(Tables.orders(s, d),
+      Seq("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus"))
+    import s.implicits._
+    stats.map(c => (c.column, c.nRows, c.nonNull, c.ndv,
+        c.minS.orNull, c.maxS.orNull))
+      .toDF("column_name", "n_rows", "non_null", "ndv", "min_val",
+        "max_val")
+      .orderBy("column_name")
+  }
+
   /** A22 — native GROUPING SETS: exactly the three requested grains
     * (status×priority, status, priority) in ONE Expand + aggregate —
     * unlike CUBE (a20) there is no grand-total set, so the planner
@@ -714,6 +762,6 @@ object AggQueries {
   val all: Seq[Q] = Seq(q1PricingSummary, aCompanyHealth, a1OrderRollup,
     a2CustomerRevenue,
     a3StringAgg, a4Mode, a7PeriodMetrics, a12MultiGrain, a13MarginGrains,
-    a18Quality, a18bRefIntegrity, a18cFreshness, a18dSchemaDrift,
+    a18Quality, a18bRefIntegrity, a18cFreshness, a18dSchemaDrift, a19TableStats,
     a20Cube, a21Pivot, a22GroupingSets, a23Unpivot)
 }

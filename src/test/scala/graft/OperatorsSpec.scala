@@ -508,6 +508,45 @@ class OperatorsSpec extends SparkSpec {
     assert(Checks.schemaDrift(spark, dir, "t").passed)
   }
 
+  test("TableStats: analyze persists exact stats; advisor broadcasts only analyzed-small dims") {
+    import graft.operators.{AtomicTable, TableStats}
+    val base = java.nio.file.Files.createTempDirectory("tstats")
+    val dimDir = base.resolve("dim").toString
+    val dim = Seq((1L, "a"), (2L, "b"), (2L, null), (3L, "c"))
+      .toDF("k", "v")
+    AtomicTable.commit(dim, dimDir, 0L)
+    // exact one-pass stats
+    val stats = TableStats.analyze(spark, dimDir, Seq("k", "v"))
+      .map(s => s.column -> s).toMap
+    assert(stats("k").nRows == 4 && stats("k").nonNull == 4 &&
+      stats("k").ndv == 3 && stats("k").minS.contains("1") &&
+      stats("k").maxS.contains("3"))
+    assert(stats("v").nonNull == 3 && stats("v").ndv == 3 &&
+      stats("v").minS.contains("a") && stats("v").maxS.contains("c"))
+    assert(TableStats.committedRows(spark, dimDir).contains(4L))
+    // stats-driven broadcast: isolate from Spark's own size heuristic
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thresholdKey)
+    spark.conf.set(thresholdKey, "-1")
+    try {
+      val fact = (1L to 100L).map(i => (i % 4 + 1, i)).toDF("k", "x")
+      def planOf(df: org.apache.spark.sql.DataFrame): String = {
+        df.collect(); df.queryExecution.executedPlan.toString
+      }
+      // analyzed + small enough -> advisor hints broadcast
+      assert(planOf(TableStats.joinWithAdvisor(spark, fact, dimDir,
+        Seq("k"))).contains("BroadcastHashJoin"))
+      // analyzed but above the cap -> no hint, sort-merge
+      assert(!planOf(TableStats.joinWithAdvisor(spark, fact, dimDir,
+        Seq("k"), broadcastMaxRows = 2)).contains("BroadcastHashJoin"))
+      // never analyzed -> never guess small
+      val rawDir = base.resolve("raw").toString
+      AtomicTable.commit(dim, rawDir, 0L)
+      assert(!planOf(TableStats.joinWithAdvisor(spark, fact, rawDir,
+        Seq("k"))).contains("BroadcastHashJoin"))
+    } finally spark.conf.set(thresholdKey, prev)
+  }
+
   test("Bloom skipping: point lookup opens a strict file subset, no false negatives") {
     import graft.operators.{AtomicTable, DataSkipping}
     val dir = java.nio.file.Files.createTempDirectory("bloom_tbl")
