@@ -337,6 +337,95 @@ object EventStream {
         TimeMode.None(), OutputMode.Append())
   }
 
+  final case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** Per-(user, event_type) RUNNING COUNTS via transformWithState
+    * MAP state — the composite-keyed variant of
+    * [[RunningTotalsProcessor]]: one `MapState[String, Long]` per user
+    * holds a tally per event type, so the per-user state is a real
+    * keyed collection in the store (point lookups/updates on the
+    * touched types only — the store never materializes a user's whole
+    * map to update one entry, which is the reason MapState exists over
+    * a ValueState[Map]). Emits the UPDATED tallies for exactly the
+    * types the batch touched, in sorted-type order (deterministic
+    * output independent of within-batch row order). */
+  class TypeCountsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EventRow, TypeCount] {
+    import org.apache.spark.sql.streaming.{MapState, OutputMode,
+      TTLConfig, TimeMode, TimerValues}
+    @transient private var counts: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("type_counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[EventRow],
+        timerValues: TimerValues): Iterator[TypeCount] = {
+      val batch = rows.foldLeft(Map.empty[String, Long]) { (m, r) =>
+        m + (r.event_type -> (m.getOrElse(r.event_type, 0L) + 1L))
+      }
+      batch.toSeq.sortBy(_._1).iterator.map { case (t, d) =>
+        val n = (if (counts.containsKey(t)) counts.getValue(t) else 0L) + d
+        counts.updateValue(t, n)
+        TypeCount(user, t, n)
+      }
+    }
+  }
+
+  /** [[TypeCountsProcessor]] wired over the events shape. */
+  def typeCounts(events: DataFrame)
+      : org.apache.spark.sql.Dataset[TypeCount] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("event_id", "user_id", "event_type", "value")
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .transformWithState(new TypeCountsProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  final case class RecentEvents(user_id: Long, recent_ids: Seq[Long])
+
+  /** LAST-K events per user via transformWithState LIST state — the
+    * third typed-state shape (ValueState: [[RunningTotalsProcessor]],
+    * MapState: [[TypeCountsProcessor]]): a bounded recency buffer, the
+    * "recent activity" feature a serving layer reads per user. The
+    * buffer is truncated to `n` on every update, so per-user state is
+    * O(n) forever — the property that keeps an unbounded stream's
+    * store bounded without a watermark. Within-batch arrivals fold in
+    * event_id order (order-independent under shuffled input). */
+  class RecentEventsProcessor(n: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EventRow, RecentEvents] {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode,
+      TTLConfig, TimeMode, TimerValues}
+    @transient private var recent: ListState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      recent = getHandle.getListState[Long]("recent",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[EventRow],
+        timerValues: TimerValues): Iterator[RecentEvents] = {
+      val incoming = rows.map(_.event_id).toSeq.sorted
+      val cur = (recent.get().toSeq ++ incoming).takeRight(n)
+      recent.put(cur.toArray)
+      Iterator.single(RecentEvents(user, cur))
+    }
+  }
+
+  /** [[RecentEventsProcessor]] wired over the events shape. */
+  def recentEvents(events: DataFrame, n: Int = 3)
+      : org.apache.spark.sql.Dataset[RecentEvents] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("event_id", "user_id", "event_type", "value")
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .transformWithState(new RecentEventsProcessor(n),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** CUSTOM keyed state via flatMapGroupsWithState: the first
     * occurrence of each event_type per user (stateful streaming
     * distinct). Per-batch candidates are min-by-event_id folds — an

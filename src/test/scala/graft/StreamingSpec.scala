@@ -304,6 +304,120 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState MapState: per-type tallies accumulate, only touched types emit") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val srcDir = java.nio.file.Files.createTempDirectory("twsm_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("twsm_ckpt").toString
+    def stage(name: String,
+              rows: Seq[(Long, Long, String, Double)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("twsm_stage")
+      import spark.implicits._
+      rows.toDF("event_id", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.move(java.nio.file.Paths.get(part),
+        srcDir.resolve(name))
+    }
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val got = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, Long)]
+      def runOnce(): Set[(Long, String, Long)] = {
+        got.clear()
+        val stream = spark.readStream.schema(schema)
+          .parquet(srcDir.toString)
+        val q = EventStream.typeCounts(stream).toDF()
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            got.synchronized {
+              got ++= df.collect()
+                .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+            }
+            ()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+        got.toSet
+      }
+      stage("f1.parquet", Seq((1L, 10L, "view", 0.0),
+        (2L, 10L, "view", 0.0), (3L, 10L, "click", 0.0),
+        (4L, 20L, "view", 0.0)))
+      assert(runOnce() == Set((10L, "click", 1L), (10L, "view", 2L),
+        (20L, "view", 1L)))
+      // second batch: user 10's view tally carries; click untouched -> no emit
+      stage("f2.parquet", Seq((5L, 10L, "view", 0.0),
+        (6L, 20L, "purchase", 0.0)))
+      assert(runOnce() == Set((10L, "view", 3L), (20L, "purchase", 1L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
+  test("transformWithState ListState: last-k buffer stays bounded across batches") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val srcDir = java.nio.file.Files.createTempDirectory("twsl_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("twsl_ckpt").toString
+    def stage(name: String,
+              rows: Seq[(Long, Long, String, Double)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("twsl_stage")
+      import spark.implicits._
+      rows.toDF("event_id", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.move(java.nio.file.Paths.get(part),
+        srcDir.resolve(name))
+    }
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val got = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Seq[Long])]
+      def runOnce(): Map[Long, Seq[Long]] = {
+        got.clear()
+        val stream = spark.readStream.schema(schema)
+          .parquet(srcDir.toString)
+        val q = EventStream.recentEvents(stream, n = 3).toDF()
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            got.synchronized {
+              got ++= df.collect()
+                .map(r => (r.getLong(0), r.getSeq[Long](1)))
+            }
+            ()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+        got.toMap
+      }
+      stage("f1.parquet", Seq((3L, 10L, "view", 0.0),
+        (1L, 10L, "view", 0.0), (2L, 10L, "click", 0.0),
+        (4L, 10L, "view", 0.0), (7L, 20L, "view", 0.0)))
+      // 4 arrivals fold in id order, buffer keeps the newest 3
+      assert(runOnce() == Map(10L -> Seq(2L, 3L, 4L), 20L -> Seq(7L)))
+      stage("f2.parquet", Seq((5L, 10L, "view", 0.0)))
+      assert(runOnce() == Map(10L -> Seq(3L, 4L, 5L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
   test("streaming image dedup sink: committed phash index matches the batch chain") {
     import org.apache.spark.sql.types._
     import graft.llm.{Multimodal, PhashIndex}
