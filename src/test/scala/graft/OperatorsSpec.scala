@@ -547,6 +547,47 @@ class OperatorsSpec extends SparkSpec {
     } finally spark.conf.set(thresholdKey, prev)
   }
 
+  test("StatsBroadcastRule: injected extension broadcasts analyzed-small committed dims") {
+    import graft.operators.{AtomicTable, TableStats}
+    import org.apache.spark.sql.SparkSession
+    val base = java.nio.file.Files.createTempDirectory("sbr")
+    val dimDir = base.resolve("dim").toString
+    val rawDir = base.resolve("raw").toString
+    val dim = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    AtomicTable.commit(dim, dimDir, 0L)
+    TableStats.analyze(spark, dimDir, Seq("k"))
+    AtomicTable.commit(dim, rawDir, 0L) // committed but never analyzed
+    val old = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // fresh session on the same context, with the extension installed
+    // and Spark's own size heuristic disabled — any broadcast seen
+    // below was decided by the injected rule alone. (withExtensions,
+    // not the spark.sql.extensions conf: the static conf is only read
+    // when the CONTEXT is created, and the suite's already exists.)
+    val ext = SparkSession.builder()
+      .withExtensions(e => new graft.plans.GraftExtensions().apply(e))
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .getOrCreate()
+    try {
+      val fact = ext.range(0, 100).selectExpr("id % 3 + 1 as k", "id as x")
+      def planOf(dir: String): String = {
+        val j = fact.join(AtomicTable.read(ext, dir).get, Seq("k"))
+        j.collect()
+        j.queryExecution.executedPlan.toString
+      }
+      assert(planOf(dimDir).contains("BroadcastHashJoin"))
+      // never-analyzed table: the rule cannot guess small
+      assert(!planOf(rawDir).contains("BroadcastHashJoin"))
+      // stats above the cap: no hint either
+      ext.conf.set("spark.graft.statsBroadcastMaxRows", "2")
+      assert(!planOf(dimDir).contains("BroadcastHashJoin"))
+    } finally {
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
+
   test("Bloom skipping: point lookup opens a strict file subset, no false negatives") {
     import graft.operators.{AtomicTable, DataSkipping}
     val dir = java.nio.file.Files.createTempDirectory("bloom_tbl")
