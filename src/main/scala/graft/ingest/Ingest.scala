@@ -106,6 +106,41 @@ object Ingest {
     def markDone(key: String): Unit = save(load() + (key -> 1L))
   }
 
+  /** DEAD-LETTER ROUTING for dirty feeds: evaluate named validation
+    * rules (name → passes-predicate, in PRECEDENCE order) and tag each
+    * row with `_quarantine_reason` = the FIRST failing rule, NULL when
+    * all pass. One scan, one codegen'd coalesce-of-whens — no UDFs, no
+    * second pass per rule. The batch neither fails NOR silently drops
+    * bad rows: callers split on the tag and commit BOTH halves
+    * ([[quarantineSplit]]), so quarantined rows survive for inspection
+    * and replay — the DLQ discipline a 100 TB feed needs, where one
+    * malformed row must not kill a multi-hour load (ANSI mode throws
+    * on dirty casts: rules should use `try_cast`/`try_*` forms).
+    * Precedence is part of the contract: a row failing several rules
+    * reports the first. */
+  def withQuarantineReason(df: DataFrame,
+                           rules: Seq[(String, org.apache.spark.sql.Column)])
+      : DataFrame = {
+    import org.apache.spark.sql.functions._
+    val reason = coalesce(rules.map { case (name, ok) =>
+      when(!ok, lit(name))
+    } :+ lit(null).cast("string"): _*)
+    df.withColumn("_quarantine_reason", reason)
+  }
+
+  /** [[withQuarantineReason]] split into (good, quarantined) — good
+    * rows drop the tag, quarantined keep it as `quarantine_reason`. */
+  def quarantineSplit(df: DataFrame,
+                      rules: Seq[(String, org.apache.spark.sql.Column)])
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val tagged = withQuarantineReason(df, rules)
+    (tagged.filter(col("_quarantine_reason").isNull)
+        .drop("_quarantine_reason"),
+      tagged.filter(col("_quarantine_reason").isNotNull)
+        .withColumnRenamed("_quarantine_reason", "quarantine_reason"))
+  }
+
   final case class BackfillChunk(start: String, end: String,
                                  status: String, rows: Long)
 

@@ -227,5 +227,60 @@ object IngestChainQueries {
       .orderBy("id")
   }
 
-  val all: Seq[Q] = Seq(i4IngestChain, s7AppendExport, s8JsonParse)
+  /** I7 — DEAD-LETTER quarantine routing through the REAL
+    * `Ingest.withQuarantineReason`: a dirty feed synthesized from
+    * orders (every 11th amount negated, every 13th date corrupted) is
+    * validated by two named rules; rows are tagged with the FIRST
+    * failing rule (precedence pinned — keys ≡ 0 mod 143 fail both and
+    * must report `amount_negative`) and the gate checks the per-reason
+    * row counts, exact cent sums (negative amounts included) and key
+    * ranges. `try_cast` is the validation idiom: identical text parses
+    * in BOTH engines and never throws under ANSI, which is what lets
+    * one malformed row be ROUTED rather than killing the load. */
+  val i7QuarantineChain: Q = Q.sql(
+    "i7_quarantine_chain",
+    """WITH feed AS (
+      |  SELECT o_orderkey AS k,
+      |    CASE WHEN o_orderkey % 11 = 0 THEN -o_totalprice
+      |         ELSE o_totalprice END AS amount,
+      |    CASE WHEN o_orderkey % 13 = 0 THEN 'not-a-date'
+      |         ELSE CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+      |    END AS date_str
+      |  FROM orders
+      |), tagged AS (
+      |  SELECT k, amount, COALESCE(
+      |    CASE WHEN NOT (amount >= 0) THEN 'amount_negative' END,
+      |    CASE WHEN try_cast(date_str AS DATE) IS NULL
+      |         THEN 'date_unparseable' END) AS reason
+      |  FROM feed
+      |)
+      |SELECT COALESCE(reason, '__kept__') AS reason,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(ROUND(amount * 100) AS BIGINT)) AS BIGINT)
+      |    AS amount_cents,
+      |  MIN(k) AS min_key, MAX(k) AS max_key
+      |FROM tagged GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val feed = o.select(col("o_orderkey").as("k"),
+      when(col("o_orderkey") % 11 === 0, -col("o_totalprice"))
+        .otherwise(col("o_totalprice")).as("amount"),
+      when(col("o_orderkey") % 13 === 0, lit("not-a-date"))
+        .otherwise(col("o_orderdate").cast("date").cast("string"))
+        .as("date_str"))
+    Ingest.withQuarantineReason(feed, Seq(
+        "amount_negative" -> (col("amount") >= 0),
+        "date_unparseable" ->
+          expr("try_cast(date_str AS DATE)").isNotNull))
+      .groupBy(coalesce(col("_quarantine_reason"), lit("__kept__"))
+        .as("reason"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(round(col("amount") * 100).cast("long")).cast("long")
+          .as("amount_cents"),
+        min(col("k")).as("min_key"), max(col("k")).as("max_key"))
+      .orderBy("reason")
+  }
+
+  val all: Seq[Q] = Seq(i4IngestChain, s7AppendExport, s8JsonParse,
+    i7QuarantineChain)
 }

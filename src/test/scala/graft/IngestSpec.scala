@@ -89,6 +89,35 @@ class IngestSpec extends SparkSpec {
     assert(AtomicTable.committedVersions(spark, target) == versions)
   }
 
+  test("quarantineSplit: first-failing-rule precedence, both halves committable") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.AtomicTable
+    val feed = Seq(
+      (1L, 10.0, "2024-01-01"),  // clean
+      (2L, -5.0, "2024-01-02"),  // fails rule 1
+      (3L, 7.0, "garbage"),      // fails rule 2
+      (4L, -1.0, "garbage"))     // fails both -> rule 1 wins
+      .toDF("k", "amount", "date_str")
+    val rules = Seq(
+      "amount_negative" -> (col("amount") >= 0),
+      "date_unparseable" -> expr("try_cast(date_str AS DATE)").isNotNull)
+    val (good, bad) = Ingest.quarantineSplit(feed, rules)
+    assert(good.select("k").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(!good.columns.contains("_quarantine_reason"))
+    assert(bad.select("k", "quarantine_reason").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq ==
+      Seq(2L -> "amount_negative", 3L -> "date_unparseable",
+        4L -> "amount_negative"))
+    // the DLQ discipline: both halves commit; nothing is lost
+    val base = Files.createTempDirectory("dlq")
+    AtomicTable.commit(good, base.resolve("good").toString, 0L)
+    AtomicTable.commit(bad, base.resolve("dlq").toString, 0L)
+    val total = AtomicTable.read(spark, base.resolve("good").toString)
+      .get.count() +
+      AtomicTable.read(spark, base.resolve("dlq").toString).get.count()
+    assert(total == 4L)
+  }
+
   test("saveTableObserved: metrics ride the commit write, no extra action needed") {
     import graft.ref.Catalog
     val root = Files.createTempDirectory("cat_obs").toString
