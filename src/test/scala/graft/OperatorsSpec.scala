@@ -547,6 +547,32 @@ class OperatorsSpec extends SparkSpec {
     } finally spark.conf.set(thresholdKey, prev)
   }
 
+  test("Lineage: column sources tracked through join, window, aggregate, union") {
+    import graft.tools.Lineage
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, sf)
+    val o = Tables.orders(spark, sf)
+    val joined = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("o_custkey")).orderBy(col("l_extendedprice"))))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("net"), max(col("rk")).as("max_rk"))
+      .select(col("o_custkey").as("cust"), col("net"), col("max_rk"))
+    val lin = Lineage.columnLineage(joined)
+    assert(lin("cust") == Set("orders.o_custkey"))
+    assert(lin("net") ==
+      Set("lineitem.l_extendedprice", "lineitem.l_discount"))
+    // window column: rank over (o_custkey order by l_extendedprice)
+    assert(lin("max_rk") ==
+      Set("orders.o_custkey", "lineitem.l_extendedprice"))
+    // union merges positionally
+    val u = li.select(col("l_orderkey").as("k"))
+      .unionByName(o.select(col("o_orderkey").as("k")))
+    assert(Lineage.columnLineage(u)("k") ==
+      Set("lineitem.l_orderkey", "orders.o_orderkey"))
+  }
+
   test("StatsBroadcastRule: injected extension broadcasts analyzed-small committed dims") {
     import graft.operators.{AtomicTable, TableStats}
     import org.apache.spark.sql.SparkSession
