@@ -194,6 +194,68 @@ object AtomicTable {
       }
   }
 
+  final case class DeleteReport(version: Long, filesTotal: Int,
+                                filesRewritten: Int, filesCopied: Int,
+                                rowsDeleted: Long)
+
+  /** TARGETED DELETE (the right-to-be-forgotten / GDPR-erasure shape):
+    * commit a new version in which rows matching `keys` on `keyCol`
+    * are gone — rewriting ONLY the part-files that actually contain a
+    * matching key (located with one pushdown-filtered
+    * `input_file_name()` scan); every untouched file is byte-copied,
+    * never decoded or shuffled. This is Delta/Iceberg's
+    * deletion-rewrite discipline on the plain-parquet protocol: with a
+    * key-clustered layout ([[graft.operators.ZOrder]], range
+    * partitioning) an erasure request touches O(keys) files of a
+    * 100 TB table, not the table. The previous version stays readable
+    * inside the retention window (`readVersion` time travel), so the
+    * erasure is auditable before the old snapshot ages out — delete
+    * with `retainVersions = 1` (or vacuum) when the point is to make
+    * the data GONE. Matching no rows commits nothing and reports a
+    * no-op. Plain (non-hive-partitioned) layout only. */
+  def deleteWhere(spark: SparkSession, dir: String, keyCol: String,
+                  keys: Seq[Long],
+                  retainVersions: Int = 2): DeleteReport = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val src = latestDataPath(spark, dir).getOrElse(
+      sys.error(s"deleteWhere: no committed version under $dir"))
+    val f = fs(spark, dir)
+    val all = f.listStatus(new Path(src)).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    val keyVals = keys.map(Long.box)
+    val matching = spark.read.parquet(src)
+      .filter(col(keyCol).isin(keyVals: _*))
+    val affected = matching.select(input_file_name().as("f"))
+      .distinct().collect()
+      .map(r => new Path(r.getString(0)).getName).toSet
+    if (affected.isEmpty)
+      return DeleteReport(committedVersions(spark, dir).last,
+        all.size, 0, 0, 0L)
+    val affectedPaths = all.filter(p => affected.contains(p.getName))
+    val rowsDeleted = spark.read
+      .parquet(affectedPaths.map(_.toString): _*)
+      .filter(col(keyCol).isin(keyVals: _*)).count()
+    val version = nextVersion(spark, dir)
+    val dst = dataPath(dir, version)
+    spark.read.parquet(affectedPaths.map(_.toString): _*)
+      .filter(!col(keyCol).isin(keyVals: _*))
+      .write.mode("overwrite").parquet(dst.toString)
+    val untouched = all.filterNot(p => affected.contains(p.getName))
+    untouched.foreach { p =>
+      org.apache.hadoop.fs.FileUtil.copy(f, p, f,
+        new Path(dst, p.getName), false,
+        spark.sparkContext.hadoopConfiguration)
+    }
+    f.create(markerPath(dir, version), true).close()
+    committedVersions(spark, dir).dropRight(math.max(retainVersions, 1))
+      .foreach { v =>
+        f.delete(markerPath(dir, v), false)
+        f.delete(dataPath(dir, v), true)
+      }
+    DeleteReport(version, all.size, affectedPaths.size, untouched.size,
+      rowsDeleted)
+  }
+
   /** AGE/COUNT-BASED RETENTION for long-running tables (the Delta
     * `VACUUM` shape): deletes committed versions that are BOTH beyond
     * the `retainLast` highest AND — when `olderThanMillis` is set —

@@ -547,6 +547,44 @@ class OperatorsSpec extends SparkSpec {
     } finally spark.conf.set(thresholdKey, prev)
   }
 
+  test("deleteWhere: rewrites only files containing victims, byte-copies the rest") {
+    import graft.operators.AtomicTable
+    val dir = java.nio.file.Files.createTempDirectory("tdel")
+      .resolve("t").toString
+    // 8 range-clustered files: each key lives in exactly one file
+    val df = (0L until 4096L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+    AtomicTable.commit(df, dir, 0L, retainVersions = 10)
+    val before = AtomicTable.read(spark, dir).get
+      .withColumn("f", input_file_name())
+    val fileOf = before.filter(col("k").isin(10L, 20L))
+      .select("f").distinct().collect().map(_.getString(0))
+    assert(fileOf.length == 1) // both victims in ONE range file
+    val r = AtomicTable.deleteWhere(spark, dir, "k", Seq(10L, 20L),
+      retainVersions = 10)
+    assert(r.filesRewritten == 1 && r.filesCopied == r.filesTotal - 1 &&
+      r.rowsDeleted == 2L)
+    val after = AtomicTable.read(spark, dir).get
+    assert(after.count() == 4094L)
+    assert(after.filter(col("k").isin(10L, 20L)).isEmpty)
+    assert(after.filter(col("k") === 11L).head().getString(1) == "v11")
+    // untouched files are the SAME bytes (copied, not re-encoded)
+    val copiedNames = after.withColumn("f", input_file_name())
+      .select("f").distinct().collect().map(_.getString(0))
+      .map(p => new java.io.File(new java.net.URI(p)).getName).toSet
+    val beforeNames = before.select("f").distinct().collect()
+      .map(_.getString(0))
+      .map(p => new java.io.File(new java.net.URI(p)).getName).toSet
+    assert((copiedNames & beforeNames).size == r.filesCopied)
+    // the pre-delete snapshot is still time-travel readable
+    assert(AtomicTable.readVersion(spark, dir, 0L).get.count() == 4096L)
+    // deleting absent keys is a no-op: no new version
+    val versions = AtomicTable.committedVersions(spark, dir)
+    val noop = AtomicTable.deleteWhere(spark, dir, "k", Seq(999999L))
+    assert(noop.filesRewritten == 0 && noop.rowsDeleted == 0L)
+    assert(AtomicTable.committedVersions(spark, dir) == versions)
+  }
+
   test("Lineage: column sources tracked through join, window, aggregate, union") {
     import graft.tools.Lineage
     import org.apache.spark.sql.expressions.Window
