@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** CRASH-ATOMIC MULTI-TABLE PUBLISH over [[AtomicTable]]s — the
+  * cross-model half of the reference's transactional swap (its
+  * Postgres `CREATE TABLE` swaps run inside one transaction, so a
+  * failed run never leaves SOME marts refreshed and others stale;
+  * ADR-002's rationale). A lakehouse has no cross-directory
+  * transaction, so the guarantee is rebuilt from a write-ahead
+  * journal:
+  *
+  *   1. STAGE: every table's new version dir is fully written — no
+  *      markers yet, so readers still resolve the old versions.
+  *   2. JOURNAL: one `txn_<id>.json` records every (dir, version)
+  *      pair. Its creation is the transaction's commit point.
+  *   3. PUBLISH: per-table commit markers are created (each one an
+  *      O(1) metadata op), then the journal is deleted.
+  *
+  * A crash anywhere is repaired by [[recover]]: a journal whose staged
+  * data dirs ALL exist rolls FORWARD (create the missing markers — the
+  * transaction had committed); a journal with missing data rolls BACK
+  * (staged dirs deleted — the transaction never committed). A crash
+  * BEFORE the journal write needs no repair at all: unmarked version
+  * dirs are invisible to readers and the next writer of that version
+  * number overwrites them. After recovery, either every table shows
+  * its new version or none does.
+  *
+  * Honest scope: this is crash-atomicity of the PUBLISH, not snapshot
+  * isolation across tables — a reader racing the marker loop can see
+  * table A's new version before table B's for the milliseconds the
+  * loop takes (the same window a multi-statement warehouse commit has
+  * between lock release and the last cache invalidation). Work is
+  * driver-side O(#tables) metadata on top of the fully-distributed
+  * data writes, so the protocol costs the same at 100 TB. */
+object TxnCommit {
+
+  final case class Staged(dir: String, version: Long)
+
+  private def fs(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def journalPath(journalDir: String, id: String) =
+    new Path(s"$journalDir/txn_$id.json")
+
+  private def dataPath(dir: String, version: Long) =
+    new Path(s"$dir/v_$version")
+
+  private def markerPath(dir: String, version: Long) =
+    new Path(s"$dir/_commit_$version")
+
+  private[graft] def writeJournal(spark: SparkSession, journalDir: String,
+                           id: String, staged: Seq[Staged]): Unit = {
+    val f = fs(spark, journalDir)
+    f.mkdirs(new Path(journalDir))
+    val json = staged.map(s =>
+      s"""{"dir":"${s.dir}","version":${s.version}}""")
+      .mkString("[", ",", "]")
+    val out = f.create(journalPath(journalDir, id), true)
+    out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  private def readJournal(spark: SparkSession,
+                          p: Path): Seq[Staged] = {
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = f.open(p)
+    val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    in.close()
+    """\{"dir":"([^"]+)","version":(\d+)\}""".r.findAllMatchIn(s)
+      .map(m => Staged(m.group(1), m.group(2).toLong)).toSeq
+  }
+
+  /** Stage-only (test seam): write every table's next version dir and
+    * return the staged set — no journal, no markers. */
+  private[graft] def stage(spark: SparkSession,
+                               tables: Seq[(String, DataFrame)])
+      : Seq[Staged] =
+    tables.map { case (dir, df) =>
+      val v = AtomicTable.nextVersion(spark, dir)
+      df.write.mode("overwrite").parquet(dataPath(dir, v).toString)
+      Staged(dir, v)
+    }
+
+  /** Publish markers for a staged set and drop the journal. */
+  private def publish(spark: SparkSession, journalDir: String,
+                      id: String, staged: Seq[Staged]): Unit = {
+    staged.foreach { s =>
+      val f = fs(spark, s.dir)
+      f.create(markerPath(s.dir, s.version), true).close()
+    }
+    fs(spark, journalDir).delete(journalPath(journalDir, id), false)
+  }
+
+  /** Atomically publish new versions of several tables. `id` must be
+    * unique per transaction (a batch id / run id). */
+  def commitAll(spark: SparkSession, journalDir: String, id: String,
+                tables: Seq[(String, DataFrame)]): Seq[Staged] = {
+    val staged = stage(spark, tables)
+    writeJournal(spark, journalDir, id, staged) // commit point
+    publish(spark, journalDir, id, staged)
+    staged
+  }
+
+  /** Repair after a crash: roll committed-but-unpublished transactions
+    * FORWARD, roll incompletely-staged journals BACK. Returns
+    * (rolledForward, rolledBack) transaction ids. */
+  def recover(spark: SparkSession, journalDir: String)
+      : (Seq[String], Seq[String]) = {
+    val jf = fs(spark, journalDir)
+    if (!jf.exists(new Path(journalDir))) return (Nil, Nil)
+    val journals = jf.listStatus(new Path(journalDir)).toSeq
+      .map(_.getPath).filter(_.getName.startsWith("txn_"))
+    val (fwd, back) = journals.partition { p =>
+      readJournal(spark, p).forall(s =>
+        fs(spark, s.dir).exists(dataPath(s.dir, s.version)))
+    }
+    fwd.foreach { p =>
+      val staged = readJournal(spark, p)
+      staged.foreach { s =>
+        val f = fs(spark, s.dir)
+        if (!f.exists(markerPath(s.dir, s.version)))
+          f.create(markerPath(s.dir, s.version), true).close()
+      }
+      jf.delete(p, false)
+    }
+    back.foreach { p =>
+      readJournal(spark, p).foreach { s =>
+        val f = fs(spark, s.dir)
+        f.delete(markerPath(s.dir, s.version), false)
+        f.delete(dataPath(s.dir, s.version), true)
+      }
+      jf.delete(p, false)
+    }
+    def id(p: Path) =
+      p.getName.stripPrefix("txn_").stripSuffix(".json")
+    (fwd.map(id), back.map(id))
+  }
+}

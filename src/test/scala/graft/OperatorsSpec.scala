@@ -547,6 +547,40 @@ class OperatorsSpec extends SparkSpec {
     } finally spark.conf.set(thresholdKey, prev)
   }
 
+  test("TxnCommit: all-or-nothing multi-table publish across crash points") {
+    import graft.operators.{AtomicTable, TxnCommit}
+    val base = java.nio.file.Files.createTempDirectory("txn")
+    val (ta, tb) = (base.resolve("a").toString, base.resolve("b").toString)
+    val journal = base.resolve("_txn").toString
+    def rows(dir: String): Option[Long] =
+      AtomicTable.read(spark, dir).map(_.count())
+    def df(n: Int) = (1 to n).map(i => (i.toLong, s"r$i")).toDF("k", "v")
+    // happy path: both tables appear together
+    TxnCommit.commitAll(spark, journal, "t1",
+      Seq(ta -> df(3), tb -> df(5)))
+    assert(rows(ta).contains(3L) && rows(tb).contains(5L))
+    // crash AFTER the journal write (commit point) but before markers:
+    // readers still see v0 everywhere; recover rolls FORWARD
+    val staged = TxnCommit.stage(spark, Seq(ta -> df(4), tb -> df(6)))
+    TxnCommit.writeJournal(spark, journal, "t2", staged)
+    assert(rows(ta).contains(3L) && rows(tb).contains(5L))
+    val (fwd, back) = TxnCommit.recover(spark, journal)
+    assert(fwd == Seq("t2") && back.isEmpty)
+    assert(rows(ta).contains(4L) && rows(tb).contains(6L))
+    // crash MID-STAGE (journal written, one data dir lost): recover
+    // rolls BACK — neither table advances
+    val staged2 = TxnCommit.stage(spark, Seq(ta -> df(7), tb -> df(8)))
+    TxnCommit.writeJournal(spark, journal, "t3", staged2)
+    val lost = new org.apache.hadoop.fs.Path(s"$tb/v_${staged2(1).version}")
+    lost.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(lost, true)
+    val (fwd2, back2) = TxnCommit.recover(spark, journal)
+    assert(fwd2.isEmpty && back2 == Seq("t3"))
+    assert(rows(ta).contains(4L) && rows(tb).contains(6L))
+    // recovery is idempotent / quiet when there is nothing to repair
+    assert(TxnCommit.recover(spark, journal) == ((Nil, Nil)))
+  }
+
   test("deleteWhere: rewrites only files containing victims, byte-copies the rest") {
     import graft.operators.AtomicTable
     val dir = java.nio.file.Files.createTempDirectory("tdel")
