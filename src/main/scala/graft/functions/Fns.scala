@@ -174,4 +174,24 @@ object Fns {
   /** Apply [[normalizeColumnName]] to every column of a frame (S2). */
   def standardizeColumns(df: DataFrame): DataFrame =
     df.toDF(df.columns.map(normalizeColumnName).toIndexedSeq: _*)
+
+  /** GDPR PSEUDONYMIZATION (the middle ground between keeping PII and
+    * `AtomicTable.deleteWhere` erasure): replace an identifier with a
+    * deterministic salted token — the same input always maps to the
+    * same token, so joins, group-bys and dedup keyed on the column
+    * keep working across tables and runs, while the raw value never
+    * leaves the trust boundary. md5(salt|normalized) truncated to 8
+    * hex chars (32 bits — collision-check tokens vs inputs at your
+    * cardinality; widen for billion-key tables); rotate the salt to
+    * unlink historical tokens. Codegen'd per-row expression, no UDF,
+    * engine-portable (the oracle replays the exact hash). */
+  def pseudonymizeEmail(c: Column, salt: String): Column =
+    concat(lit("user_"),
+      substring(md5(concat(lit(salt + "|"), lower(trim(c)))), 1, 8),
+      lit("@redacted.invalid"))
+
+  /** [[pseudonymizeEmail]] for person/company names. */
+  def pseudonymizeName(c: Column, salt: String): Column =
+    concat(lit("person_"),
+      substring(md5(concat(lit(salt + "|"), lower(trim(c)))), 1, 8))
 }

@@ -118,6 +118,50 @@ object UnionScalarQueries {
       .orderBy("nk")
   }
 
+  /** GDPR pseudonymization through the REAL `Fns.pseudonymizeEmail` /
+    * `pseudonymizeName` — identifiers replaced by deterministic salted
+    * tokens (same input → same token, so keyed joins/dedup survive the
+    * redaction); emails synthesized from customer names in BOTH
+    * engines. The broadcast 1-row distinct counts ride along so the
+    * gate also proves the tokenization is collision-free at this
+    * cardinality (n_distinct_tokens = n_distinct_emails). */
+  val fPseudonymize: Q = Q.sql(
+    "f_pseudonymize",
+    """WITH c AS (
+      |  SELECT c_custkey, c_name,
+      |    lower(replace(c_name, ' ', '.')) || '@example.com' AS email
+      |  FROM customer
+      |), t AS (
+      |  SELECT c_custkey, email,
+      |    'user_' || substr(md5('ps1|' || lower(trim(email))), 1, 8)
+      |      || '@redacted.invalid' AS email_token,
+      |    'person_' || substr(md5('ps1|' || lower(trim(c_name))), 1, 8)
+      |      AS name_token
+      |  FROM c
+      |), agg AS (
+      |  SELECT CAST(COUNT(DISTINCT email) AS BIGINT) AS n_distinct_emails,
+      |    CAST(COUNT(DISTINCT email_token) AS BIGINT) AS n_distinct_tokens
+      |  FROM t
+      |)
+      |SELECT c_custkey, email, email_token, name_token,
+      |  n_distinct_emails, n_distinct_tokens
+      |FROM t, agg ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d).select(col("c_custkey"), col("c_name"),
+      concat(lower(regexp_replace(col("c_name"), " ", ".")),
+        lit("@example.com")).as("email"))
+    val t = c.select(col("c_custkey"), col("email"),
+      Fns.pseudonymizeEmail(col("email"), "ps1").as("email_token"),
+      Fns.pseudonymizeName(col("c_name"), "ps1").as("name_token"))
+    val agg = t.agg(
+      count_distinct(col("email")).cast("long").as("n_distinct_emails"),
+      count_distinct(col("email_token")).cast("long")
+        .as("n_distinct_tokens"))
+    t.crossJoin(broadcast(agg))
+      .select("c_custkey", "email", "email_token", "name_token",
+        "n_distinct_emails", "n_distinct_tokens")
+      .orderBy("c_custkey")
+  }
+
   /** §2.7 string functions — SPLIT_PART (PG ''-on-missing semantics),
     * INITCAP, LEFT/substring, LENGTH, CONCAT_WS, NULLIF(TRIM()), REPLACE,
     * regexp_extract on part names/brands. */
@@ -656,7 +700,8 @@ object UnionScalarQueries {
   }
 
   val all: Seq[Q] = Seq(p1UnionAlign, p2p3FlagExcept, a15MultiLevel,
-    u2UnionDistinct, fString, fHash, fDate, fSafeNumeric, fZOrderKey,
+    u2UnionDistinct, fString, fPseudonymize, fHash, fDate, fSafeNumeric,
+    fZOrderKey,
     s5MergeUpsert,
     s6VersionDiff, s13Scd2, j17PitJoin, tsSpineFill,
     i1Incremental, i5LookbackMerge, a17EventRollup)
