@@ -547,6 +547,35 @@ class OperatorsSpec extends SparkSpec {
     } finally spark.conf.set(thresholdKey, prev)
   }
 
+  test("Maintenance: fragmented table converges to compacted+analyzed+pruned in one pass") {
+    import graft.operators.{AtomicTable, Maintenance, TableStats}
+    val dir = java.nio.file.Files.createTempDirectory("maint")
+      .resolve("t").toString
+    // fragment: 32 tiny files
+    val df = (0L until 2048L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(32)
+    AtomicTable.commit(df, dir, 0L, retainVersions = 10)
+    AtomicTable.commit(df, dir, 1L, retainVersions = 10)
+    AtomicTable.commit(df, dir, 2L, retainVersions = 10)
+    val policy = Maintenance.Policy(maxFiles = 8, retainVersions = 2,
+      statsCols = Seq("k"))
+    val planned = Maintenance.plan(spark, dir, policy)
+    assert(planned.map(_.action).toSet == Set("compact", "analyze", "vacuum"))
+    Maintenance.run(spark, dir, policy)
+    // converged: compacted file count, stats present, versions pruned
+    val dataPath = AtomicTable.latestDataPath(spark, dir).get
+    val fs = new org.apache.hadoop.fs.Path(dataPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nFiles = fs.listStatus(new org.apache.hadoop.fs.Path(dataPath))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    assert(nFiles <= 8)
+    assert(TableStats.committedRows(spark, dir).contains(2048L))
+    assert(AtomicTable.committedVersions(spark, dir).size <= 2)
+    assert(AtomicTable.read(spark, dir).get.count() == 2048L)
+    // steady state: a second planning pass is empty
+    assert(Maintenance.plan(spark, dir, policy).isEmpty)
+  }
+
   test("TxnCommit: all-or-nothing multi-table publish across crash points") {
     import graft.operators.{AtomicTable, TxnCommit}
     val base = java.nio.file.Files.createTempDirectory("txn")
