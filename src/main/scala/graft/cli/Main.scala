@@ -94,7 +94,31 @@ object Main {
         print(run(spark, "incremental", data, wh))
         print(run(spark, "incremental", data, wh))
     }
+    if (args.contains("--maintain")) {
+      val actions = maintain(spark, wh)
+      if (actions.isEmpty) println("[cli] maintenance: steady state")
+      else actions.foreach(a => println(
+        s"[cli] maintenance: ${a.table} ${a.action} (${a.detail})"))
+    }
     spark.stop()
+  }
+
+  /** POST-RUN TABLE SERVICES over the key marts (dbt's post-hook /
+    * auto-OPTIMIZE slot): compact fragmented versions, (re)ANALYZE
+    * fresh commits so the stats-driven broadcast advisor has numbers,
+    * vacuum beyond retention — all decided from committed metadata
+    * ([[graft.operators.Maintenance]]); a steady-state warehouse runs
+    * zero actions. */
+  def maintain(spark: SparkSession, warehouseRoot: String)
+      : Seq[graft.operators.Maintenance.Action] = {
+    import graft.operators.Maintenance
+    Seq(
+      "fct_orders" -> Seq("order_number"),
+      "fct_companies" -> Seq("company_domain_key")
+    ).flatMap { case (t, keys) =>
+      Maintenance.run(spark, s"$warehouseRoot/mart/$t",
+        Maintenance.Policy(statsCols = keys))
+    }
   }
 
   private def optValue(args: Array[String], flag: String): Option[String] =

@@ -116,6 +116,19 @@ class CliSpec extends SparkSpec {
     assert(cat2.exists("mart", "fct_orders"))
   }
 
+  test("post-run maintenance: analyzes fresh marts, then steady state") {
+    rerun // ensure the shared pipeline runs completed
+    val first = Main.maintain(spark, wh)
+    // fresh commits have no stats manifest yet -> analyze both marts
+    assert(first.map(a => (a.table, a.action)).toSet ==
+      Set("fct_orders" -> "analyze", "fct_companies" -> "analyze"))
+    // the stats now feed the broadcast advisor
+    assert(graft.operators.TableStats
+      .committedRows(spark, s"$wh/mart/fct_orders").exists(_ > 0))
+    // converged: a second pass plans nothing
+    assert(Main.maintain(spark, wh).isEmpty)
+  }
+
   test("incremental without a seeded warehouse fails fast") {
     val freshWh =
       java.nio.file.Files.createTempDirectory("cli_spec_wh2").toString
