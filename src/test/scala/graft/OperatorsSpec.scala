@@ -547,6 +547,37 @@ class OperatorsSpec extends SparkSpec {
     } finally spark.conf.set(thresholdKey, prev)
   }
 
+  test("SchemaContract: additions and widening pass, removal/narrowing/incompatible fail") {
+    import graft.quality.SchemaContract
+    import org.apache.spark.sql.types._
+    val contract = StructType(Seq(
+      StructField("k", LongType), StructField("amt", DoubleType),
+      StructField("tag", StringType)))
+    // producer still narrower + an extra column: allowed evolution
+    val evolved = Seq((1, 1.5f, "a", true)).toDF("k", "amt", "tag", "extra")
+    assert(SchemaContract.check(contract, evolved.schema).isEmpty)
+    val aligned = SchemaContract.align(evolved, contract)
+    assert(aligned.columns.toSeq == Seq("k", "amt", "tag"))
+    assert(aligned.schema("k").dataType == LongType)
+    assert(aligned.schema("amt").dataType == DoubleType)
+    // removal
+    val removed = Seq((1L, 1.5)).toDF("k", "amt")
+    assert(SchemaContract.check(contract, removed.schema)
+      .map(v => (v.column, v.kind)) == Seq(("tag", "removed")))
+    // producer widened beyond the contract = narrowing for consumers
+    val contractInt = StructType(Seq(StructField("k", IntegerType)))
+    val wide = Seq(Tuple1(1L)).toDF("k")
+    assert(SchemaContract.check(contractInt, wide.schema)
+      .map(_.kind) == Seq("narrowing"))
+    // incompatible
+    val stringK = Seq((Tuple1("x"))).toDF("k")
+    assert(SchemaContract.check(contractInt, stringK.schema)
+      .map(_.kind) == Seq("incompatible"))
+    intercept[IllegalArgumentException] {
+      SchemaContract.align(stringK, contractInt)
+    }
+  }
+
   test("Maintenance: fragmented table converges to compacted+analyzed+pruned in one pass") {
     import graft.operators.{AtomicTable, Maintenance, TableStats}
     val dir = java.nio.file.Files.createTempDirectory("maint")
