@@ -281,6 +281,72 @@ object IngestChainQueries {
       .orderBy("reason")
   }
 
+  /** I8 — schema-contract EVOLUTION through the REAL
+    * `SchemaContract.align`: two producer generations of one feed —
+    * gen-1 still narrower than the contract (INT keys, REAL amounts),
+    * gen-2 at contract width plus an uncontracted extra column — are
+    * both aligned to the (BIGINT, DOUBLE, VARCHAR) contract and
+    * unioned; the gate pins the widening casts (INT→BIGINT exact,
+    * REAL→DOUBLE exact by IEEE containment), the extra-column drop,
+    * and a mixed-generation rollup. Determinism note (learned here the
+    * hard way): float32 values at 1e5 magnitude are multiples of 2⁻⁷ —
+    * 7-digit terminating decimals, HALF of them exact .xxxxxx5 ties —
+    * so float-widened amounts must NEVER feed the DECIMAL(38,6) sum
+    * (the power-of-two-division trap in its float-quantization form);
+    * they are gated through MIN/MAX (exact double compares) while the
+    * decimal sum covers only the full-width generation. This is the
+    * evolution path assertSameSchema ('fail') refuses and a18d's
+    * drift check only reports after the fact. */
+  val i8ContractEvolution: Q = Q.sql(
+    "i8_contract_evolution",
+    """WITH gen1 AS (
+      |  SELECT CAST(o_orderkey AS INTEGER) AS k,
+      |    CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS amount,
+      |    o_orderstatus AS tag, 1 AS gen
+      |  FROM orders WHERE o_orderkey % 2 = 0
+      |), gen2 AS (
+      |  SELECT o_orderkey AS k, o_totalprice AS amount,
+      |    o_orderstatus AS tag, 2 AS gen
+      |  FROM orders WHERE o_orderkey % 2 = 1
+      |), unioned AS (
+      |  SELECT CAST(k AS BIGINT) AS k, amount, tag, gen FROM gen1
+      |  UNION ALL SELECT k, amount, tag, gen FROM gen2
+      |)
+      |SELECT tag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  MIN(amount) AS min_amount, MAX(amount) AS max_amount,
+      |  CAST(SUM(CAST((CASE WHEN gen = 2 THEN amount ELSE 0 END)
+      |    AS DECIMAL(38,6))) AS DOUBLE) AS total_amount_gen2,
+      |  MIN(k) AS min_key, MAX(k) AS max_key
+      |FROM unioned GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types._
+    import graft.quality.SchemaContract
+    val contract = StructType(Seq(StructField("k", LongType),
+      StructField("amount", DoubleType), StructField("tag", StringType),
+      StructField("gen", IntegerType)))
+    val o = Tables.orders(s, d)
+    val gen1 = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey").cast("int").as("k"),
+        col("o_totalprice").cast("float").as("amount"),
+        col("o_orderstatus").as("tag"), lit(1).as("gen"))
+    val gen2 = o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey").as("k"),
+        col("o_totalprice").as("amount"),
+        col("o_orderstatus").as("tag"), lit(2).as("gen"),
+        lit("uncontracted").as("extra"))
+    SchemaContract.align(gen1, contract)
+      .unionByName(SchemaContract.align(gen2, contract))
+      .groupBy("tag")
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        min(col("amount")).as("min_amount"),
+        max(col("amount")).as("max_amount"),
+        graft.functions.Det.dsum(
+          when(col("gen") === 2, col("amount")).otherwise(0.0))
+          .as("total_amount_gen2"),
+        min(col("k")).as("min_key"), max(col("k")).as("max_key"))
+      .orderBy("tag")
+  }
+
   val all: Seq[Q] = Seq(i4IngestChain, s7AppendExport, s8JsonParse,
-    i7QuarantineChain)
+    i7QuarantineChain, i8ContractEvolution)
 }
