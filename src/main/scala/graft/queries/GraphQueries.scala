@@ -439,6 +439,123 @@ object GraphQueries {
       .orderBy("channel")
   }
 
+  /** COMMUNITY QUALITY via INTEGER-exact MODULARITY — the metric that
+    * turns "we clustered the graph" into a measured claim: for a
+    * partition P, Q·4m² = Σ_c (4·m·e_c − d_c²) (e_c intra-community
+    * edges, d_c community degree sum) — multiplied out so the whole
+    * score is BIGINT arithmetic both engines replay exactly (no
+    * fractions; the caller divides by 4m² off-line if a ratio is
+    * wanted). Evaluated for TWO partitions of the same star+chain
+    * graph `dd_cc_components` uses: the REAL connectedComponents
+    * labels (every edge intra — the upper bound) and a deliberately
+    * bad id-mod-7 partition (ZERO intra edges on this construction —
+    * hubs are ≡0 (mod 7), spokes aren't, and 13 ∤ 7k), so the gate
+    * pins the metric discriminating good from bad, not just emitting
+    * numbers. */
+  val gModularity: Q = Q.sql(
+    "g_modularity",
+    """WITH RECURSIVE nodes AS (
+      |  SELECT doc_id FROM documents
+      |), star AS (
+      |  SELECT doc_id AS src, doc_id - (doc_id % 7) AS dst
+      |  FROM documents WHERE doc_id % 7 IN (1, 2, 3)
+      |), chain AS (
+      |  SELECT doc_id AS src, doc_id + 13 AS dst
+      |  FROM documents
+      |  WHERE doc_id % 13 = 0
+      |    AND doc_id + 13 IN (SELECT doc_id FROM documents)
+      |), edges AS (
+      |  SELECT src, dst FROM star UNION ALL SELECT src, dst FROM chain
+      |), sym AS (
+      |  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+      |), r(a, b) AS (
+      |  SELECT doc_id, doc_id FROM nodes
+      |  UNION
+      |  SELECT r.a, s.dst FROM r JOIN sym s ON r.b = s.src
+      |), lab AS (
+      |  SELECT a AS id, MIN(b) AS c FROM r GROUP BY a
+      |), deg AS (
+      |  SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d
+      |  FROM sym GROUP BY 1
+      |), parts AS (
+      |  SELECT 'cc' AS p, id, c FROM lab
+      |  UNION ALL
+      |  SELECT 'mod7', doc_id, doc_id % 7 FROM nodes
+      |), m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM edges
+      |), ec AS (
+      |  SELECT pa.p, pa.c, CAST(COUNT(*) AS BIGINT) AS e_c
+      |  FROM edges e
+      |  JOIN parts pa ON pa.id = e.src
+      |  JOIN parts pb ON pb.id = e.dst AND pb.p = pa.p
+      |  WHERE pa.c = pb.c
+      |  GROUP BY 1, 2
+      |), dc AS (
+      |  SELECT pa.p, pa.c, CAST(SUM(deg.d) AS BIGINT) AS d_c
+      |  FROM parts pa JOIN deg ON deg.id = pa.id
+      |  GROUP BY 1, 2
+      |), percomm AS (
+      |  SELECT dc.p, dc.c, COALESCE(ec.e_c, 0) AS e_c, dc.d_c
+      |  FROM dc LEFT JOIN ec ON ec.p = dc.p AND ec.c = dc.c
+      |), ncomm AS (
+      |  SELECT p, CAST(COUNT(DISTINCT c) AS BIGINT) AS n_communities
+      |  FROM parts GROUP BY 1
+      |)
+      |SELECT pc.p AS partition_name, m.m_edges, nc.n_communities,
+      |  CAST(SUM(pc.e_c) AS BIGINT) AS intra_edges,
+      |  CAST(SUM(pc.d_c * pc.d_c) AS BIGINT) AS sum_d_sq,
+      |  CAST(SUM(4 * m.m_edges * pc.e_c - pc.d_c * pc.d_c)
+      |    AS BIGINT) AS q_num_4m2
+      |FROM percomm pc CROSS JOIN m
+      |JOIN ncomm nc ON nc.p = pc.p
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    import graft.llm.Dedup
+    val docs = Tables.documents(s, d)
+    val id = col("doc_id")
+    val nodes = docs.select(id.as("id"))
+    val star = docs.filter((id % 7).isin(1, 2, 3))
+      .select(id.as("src"), (id - id % 7).as("dst"))
+    val chain = docs.filter(id % 13 === 0)
+      .select(id.as("src"), (id + 13).as("dst"))
+      .join(nodes.select(col("id").as("dst")), Seq("dst"), "left_semi")
+    val edges = star.unionByName(chain.select("src", "dst"))
+    val sym = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val deg = sym.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).cast("long").as("d"))
+    val ccParts = Dedup.connectedComponents(nodes, edges)
+      .select(lit("cc").as("p"), col("id"), col("component").as("c"))
+    val modParts = nodes.select(lit("mod7").as("p"), col("id"),
+      (col("id") % 7).as("c"))
+    val parts = ccParts.unionByName(modParts)
+    val mEdges = edges.agg(count(lit(1)).cast("long").as("m_edges"))
+    val ec = edges
+      .join(parts.select(col("p"), col("id").as("src"),
+        col("c").as("ca")), Seq("src"))
+      .join(parts.select(col("p"), col("id").as("dst"),
+        col("c").as("cb")), Seq("p", "dst"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("p"), col("ca").as("c"))
+      .agg(count(lit(1)).cast("long").as("e_c"))
+    val dc = parts.join(deg, Seq("id"))
+      .groupBy("p", "c").agg(sum(col("d")).cast("long").as("d_c"))
+    val perComm = dc.join(ec, Seq("p", "c"), "left")
+      .select(col("p"), col("c"),
+        coalesce(col("e_c"), lit(0L)).as("e_c"), col("d_c"))
+    val nComm = parts.groupBy("p")
+      .agg(count_distinct(col("c")).cast("long").as("n_communities"))
+    perComm.crossJoin(broadcast(mEdges))
+      .join(nComm, Seq("p"))
+      .groupBy(col("p").as("partition_name"), col("m_edges"),
+        col("n_communities"))
+      .agg(sum(col("e_c")).cast("long").as("intra_edges"),
+        sum(col("d_c") * col("d_c")).cast("long").as("sum_d_sq"),
+        sum(lit(4L) * col("m_edges") * col("e_c") -
+          col("d_c") * col("d_c")).cast("long").as("q_num_4m2"))
+      .orderBy("partition_name")
+  }
+
   val all: Seq[Q] = Seq(stFunnel, gTriangles, stCohort, gPageRank, gBfsHops,
-    stTopPaths, aAttrMultiTouch)
+    stTopPaths, aAttrMultiTouch, gModularity)
 }
