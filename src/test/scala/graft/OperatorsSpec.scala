@@ -547,6 +547,42 @@ class OperatorsSpec extends SparkSpec {
     } finally spark.conf.set(thresholdKey, prev)
   }
 
+  test("ResultCache: same query + same inputs hit; changed inputs or semantics miss") {
+    import graft.operators.{AtomicTable, ResultCache}
+    val base = java.nio.file.Files.createTempDirectory("rcache")
+    val inDir = base.resolve("in").toString
+    val cacheDir = base.resolve("cache").toString
+    (1L to 100L).map(i => (i, i % 7)).toDF("k", "g")
+      .write.parquet(inDir)
+    def q() = spark.read.parquet(inDir).groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("s"))
+    val r1 = ResultCache.getOrCompute(q(), cacheDir)
+    assert(!r1.hit)
+    val r2 = ResultCache.getOrCompute(q(), cacheDir)
+    assert(r2.hit && r2.key == r1.key)
+    assert(r2.df.orderBy("g").collect().toSeq ==
+      r1.df.orderBy("g").collect().toSeq)
+    // cosmetic differences hash equal (canonicalized semantic hash)
+    val cosmetic = spark.read.parquet(inDir)
+      .select(col("k").as("kk"), col("g"))
+      .groupBy("g").agg(count(lit(1)).as("n"), sum(col("kk")).as("s"))
+    assert(ResultCache.getOrCompute(cosmetic, cacheDir).hit)
+    // a semantic change misses
+    val semantic = spark.read.parquet(inDir).filter(col("k") > 10)
+      .groupBy("g").agg(count(lit(1)).as("n"), sum(col("k")).as("s"))
+    assert(!ResultCache.getOrCompute(semantic, cacheDir).hit)
+    // appending input data invalidates the entry
+    Seq((101L, 3L)).toDF("k", "g")
+      .write.mode("append").parquet(inDir)
+    val r3 = ResultCache.getOrCompute(q(), cacheDir)
+    assert(!r3.hit && r3.key != r1.key)
+    assert(r3.df.agg(sum(col("n"))).head().getLong(0) == 101L)
+    // eviction drops stale entries
+    val dropped = ResultCache.evict(spark, cacheDir, maxAgeMs = -1L)
+    assert(dropped.nonEmpty)
+    assert(!ResultCache.getOrCompute(q(), cacheDir).hit) // cold again
+  }
+
   test("SchemaContract: additions and widening pass, removal/narrowing/incompatible fail") {
     import graft.quality.SchemaContract
     import org.apache.spark.sql.types._
