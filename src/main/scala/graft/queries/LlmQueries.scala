@@ -166,6 +166,107 @@ object LlmQueries {
     * one row; ties at the threshold kept. Integer-exact: quantized
     * score, cross-multiplied target predicate `cum·4 ≥ n·3` — no
     * division in either engine. */
+  /** QUALITY-DECILE PROFILE — the signal-correlation report a corpus
+    * curator reads before picking thresholds: docs bucketed into score
+    * deciles (histogram-based — thresholds from the cumulative
+    * distribution over DISTINCT quantized scores, so equal scores
+    * share a decile and the plan never sorts the corpus; 9 broadcast
+    * thresholds assign deciles scan-side), each decile profiled with
+    * its exact-duplicate rate and token mass. Crossing dedup state
+    * with the quality signal is the point: if low deciles aren't
+    * duplicate-heavier, the score isn't measuring what the pipeline
+    * assumes. All integer counts under the gate. */
+  val tQualityDecileProfile: Q = Q.sql(
+    "t_quality_decile_profile",
+    s"""WITH t AS (
+      |  SELECT doc_id, text, $toksSql AS toks FROM documents
+      |), f AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CASE WHEN length(text) > 0
+      |         THEN CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS DOUBLE) / length(text)
+      |         ELSE 0.0 END AS punct_ratio,
+      |    CASE WHEN len(toks) > 0
+      |         THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','an','of','and','to','in','is','for','on','with'], x))) AS DOUBLE) / len(toks)
+      |         ELSE 0.0 END AS stopword_ratio,
+      |    CASE WHEN len(toks) > 0
+      |         THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+      |         ELSE 0.0 END AS distinct_token_ratio
+      |  FROM t
+      |), q AS (
+      |  SELECT doc_id, n_tokens, CAST(ROUND((
+      |    LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.4
+      |      + (1.0 - punct_ratio) * 0.2 + stopword_ratio * 0.2
+      |      + distinct_token_ratio * 0.2) * 1000000) AS BIGINT) AS qscore
+      |  FROM f
+      |), dup AS (
+      |  SELECT doc_id,
+      |    doc_id <> MIN(doc_id) OVER (PARTITION BY md5(lower(trim(text))))
+      |      AS is_dup
+      |  FROM t
+      |), hist AS (
+      |  SELECT qscore, CAST(COUNT(*) AS BIGINT) AS cnt FROM q GROUP BY 1
+      |), cum AS (
+      |  SELECT qscore, CAST(SUM(cnt) OVER (ORDER BY qscore
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum
+      |  FROM hist
+      |), tot AS (
+      |  SELECT MAX(cum) AS n_total FROM cum
+      |), thr AS (
+      |  SELECT k, MIN(qscore) AS t_k
+      |  FROM cum CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS k),
+      |    tot
+      |  WHERE cum * 10 >= n_total * k
+      |  GROUP BY k
+      |), dec AS (
+      |  SELECT q.doc_id, q.n_tokens, q.qscore,
+      |    CAST(1 + (SELECT COUNT(*) FROM thr WHERE q.qscore > thr.t_k)
+      |      AS BIGINT) AS decile
+      |  FROM q
+      |)
+      |SELECT dec.decile,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN dup.is_dup THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dups,
+      |  CAST(SUM(dec.n_tokens) AS BIGINT) AS sum_tokens,
+      |  MIN(dec.qscore) AS min_qscore, MAX(dec.qscore) AS max_qscore
+      |FROM dec JOIN dup ON dup.doc_id = dec.doc_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val toks = TA.tokens(col("text"))
+    val q = TA.withQuality(docs, col("text"))
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+        round(col("quality_score") * 1e6).cast("long").as("qscore"))
+    val dup = docs.select(col("doc_id"),
+      (col("doc_id") =!= min(col("doc_id")).over(
+        Window.partitionBy(md5(lower(trim(col("text"))))))).as("is_dup"))
+    val hist = q.groupBy("qscore").agg(count(lit(1)).cast("long").as("cnt"))
+    val cum = hist.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy(col("qscore"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+    val tot = cum.agg(max(col("cum")).as("n_total"))
+    val ks = s.range(1, 10).select(col("id").as("k"))
+    val thr = cum.crossJoin(broadcast(ks)).crossJoin(broadcast(tot))
+      .filter(col("cum") * 10 >= col("n_total") * col("k"))
+      .groupBy("k").agg(min(col("qscore")).as("t_k"))
+    // decile = 1 + #thresholds below: a 9-row broadcast theta-join
+    // (HOFs over a literal array would leave codegen — README rule)
+    val dec = q.join(broadcast(thr), col("qscore") > col("t_k"), "left")
+      .groupBy("doc_id", "n_tokens", "qscore")
+      .agg((lit(1L) + count(col("t_k"))).cast("long").as("decile"))
+    dec.join(dup, Seq("doc_id"))
+      .groupBy("decile")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).cast("long")
+          .as("n_dups"),
+        sum(col("n_tokens")).cast("long").as("sum_tokens"),
+        min(col("qscore")).as("min_qscore"),
+        max(col("qscore")).as("max_qscore"))
+      .orderBy("decile")
+  }
+
   val tQualityQuantile: Q = Q.sql(
     "t_quality_quantile",
     s"""WITH t AS (
@@ -3365,7 +3466,8 @@ object LlmQueries {
   }
 
   val all: Seq[Q] = Seq(tTokens, tTokensBpe, tBpePairCounts, tLangId,
-    tQuality, tQualityQuantile, tQualityQuantileByLang, tMadOutliers,
+    tQuality, tQualityQuantile, tQualityDecileProfile,
+    tQualityQuantileByLang, tMadOutliers,
     tTokenQuantiles,
     tBpeTrainApply, tBpeApplyMerges, tCountMin, tHll, tHllMerge,
     tInvertedIndex,
