@@ -267,6 +267,91 @@ object LlmQueries {
       .orderBy("decile")
   }
 
+  /** CURRICULUM ORDERING — the training-schedule construction built
+    * from two existing primitives: docs are banded by quality decile
+    * (same histogram thresholds as `t_quality_decile_profile`) and
+    * SHUFFLED within each band by the seeded portable hash (the
+    * corpusShuffle discipline — reproducible, no rand()), yielding a
+    * total order easy→hard (or the reverse) with randomness inside
+    * each difficulty band. Emits (doc_id, band, band_pos); a writer
+    * consuming this order materializes the curriculum. Window is
+    * partitioned per band (bounded partitions), never a global sort
+    * of the corpus by hash. */
+  val tCurriculumOrder: Q = Q.sql(
+    "t_curriculum_order",
+    s"""WITH t AS (
+      |  SELECT doc_id, text, $toksSql AS toks FROM documents
+      |), f AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CASE WHEN length(text) > 0
+      |         THEN CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS DOUBLE) / length(text)
+      |         ELSE 0.0 END AS punct_ratio,
+      |    CASE WHEN len(toks) > 0
+      |         THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','an','of','and','to','in','is','for','on','with'], x))) AS DOUBLE) / len(toks)
+      |         ELSE 0.0 END AS stopword_ratio,
+      |    CASE WHEN len(toks) > 0
+      |         THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+      |         ELSE 0.0 END AS distinct_token_ratio
+      |  FROM t
+      |), q AS (
+      |  SELECT doc_id, CAST(ROUND((
+      |    LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.4
+      |      + (1.0 - punct_ratio) * 0.2 + stopword_ratio * 0.2
+      |      + distinct_token_ratio * 0.2) * 1000000) AS BIGINT) AS qscore
+      |  FROM f
+      |), hist AS (
+      |  SELECT qscore, CAST(COUNT(*) AS BIGINT) AS cnt FROM q GROUP BY 1
+      |), cum AS (
+      |  SELECT qscore, CAST(SUM(cnt) OVER (ORDER BY qscore
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum
+      |  FROM hist
+      |), tot AS (
+      |  SELECT MAX(cum) AS n_total FROM cum
+      |), thr AS (
+      |  SELECT k, MIN(qscore) AS t_k
+      |  FROM cum CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS k),
+      |    tot
+      |  WHERE cum * 10 >= n_total * k
+      |  GROUP BY k
+      |), banded AS (
+      |  SELECT q.doc_id, q.qscore,
+      |    CAST(1 + (SELECT COUNT(*) FROM thr WHERE q.qscore > thr.t_k)
+      |      AS BIGINT) AS band
+      |  FROM q
+      |)
+      |SELECT doc_id, band,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY band
+      |    ORDER BY md5('cur1|' || CAST(doc_id AS VARCHAR)), doc_id)
+      |    AS BIGINT) AS band_pos
+      |FROM banded
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val q = TA.withQuality(docs, col("text"))
+      .select(col("doc_id"),
+        round(col("quality_score") * 1e6).cast("long").as("qscore"))
+    val hist = q.groupBy("qscore").agg(count(lit(1)).cast("long").as("cnt"))
+    val cum = hist.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy(col("qscore"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+    val tot = cum.agg(max(col("cum")).as("n_total"))
+    val ks = s.range(1, 10).select(col("id").as("k"))
+    val thr = cum.crossJoin(broadcast(ks)).crossJoin(broadcast(tot))
+      .filter(col("cum") * 10 >= col("n_total") * col("k"))
+      .groupBy("k").agg(min(col("qscore")).as("t_k"))
+    val banded = q.join(broadcast(thr), col("qscore") > col("t_k"), "left")
+      .groupBy("doc_id", "qscore")
+      .agg((lit(1L) + count(col("t_k"))).cast("long").as("band"))
+    banded.select(col("doc_id"), col("band"),
+        row_number().over(Window.partitionBy(col("band"))
+          .orderBy(md5(concat(lit("cur1|"), col("doc_id").cast("string"))),
+            col("doc_id")))
+          .cast("long").as("band_pos"))
+      .orderBy("doc_id")
+  }
+
   val tQualityQuantile: Q = Q.sql(
     "t_quality_quantile",
     s"""WITH t AS (
@@ -3466,7 +3551,7 @@ object LlmQueries {
   }
 
   val all: Seq[Q] = Seq(tTokens, tTokensBpe, tBpePairCounts, tLangId,
-    tQuality, tQualityQuantile, tQualityDecileProfile,
+    tQuality, tQualityQuantile, tQualityDecileProfile, tCurriculumOrder,
     tQualityQuantileByLang, tMadOutliers,
     tTokenQuantiles,
     tBpeTrainApply, tBpeApplyMerges, tCountMin, tHll, tHllMerge,
