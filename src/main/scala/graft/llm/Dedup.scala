@@ -445,6 +445,13 @@ object Dedup {
           col("h.component") === col("m.cid"))
         .select(col("h.id").as("id"), col("m.ccomp").as("component"),
           col("h.old").as("old"))
+      // Exactly TWO jumps: each jump self-joins the round's
+      // un-checkpointed frame, so plan size is 2^jumps × hooked —
+      // 3 jumps (8×) was measured-and-REJECTED in r11 (the subset
+      // bench went from ~2 min to >10 min per run: analysis/codegen
+      // blow-up per round dwarfs the saved rounds). Deeper jumping
+      // would need a checkpoint BETWEEN jumps, i.e. more jobs — the
+      // thing the jump exists to avoid.
       val compressed = jump(jump(hooked)).localCheckpoint(true)
       val changed = compressed
         .filter(col("component") =!= col("old")).count()
