@@ -107,6 +107,20 @@ object Bench {
     // per-query map outgrows the window the headline total stays visible
     // (BENCH_r02's total was truncated away with the old key order).
     spark.stop()
-    println(s"""{"sf":"$sfDir","reps":$reps,"queries":$qs,$refdemoJson"unit":"sec","metric":"total","value":${sec(total)}}""")
+    val json =
+      s"""{"sf":"$sfDir","reps":$reps,"queries":$qs,$refdemoJson"unit":"sec","metric":"total","value":${sec(total)}}"""
+    // Self-contained artifact (judge r11 task #1): the driver keeps only
+    // the last 2,000 chars of stdout, which truncates the per-query head
+    // block out of BENCH_r{N}.json. Persist the FULL JSON in-repo so
+    // round-over-round per-query comparison survives by artifact alone.
+    // Full runs only — local subset iterations must not clobber the
+    // round's committed numbers.
+    if (only.isEmpty) {
+      val out = java.nio.file.Paths.get("bench/BENCH.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    println(json)
   }
 }

@@ -122,8 +122,11 @@ object Ingest {
                            rules: Seq[(String, org.apache.spark.sql.Column)])
       : DataFrame = {
     import org.apache.spark.sql.functions._
+    // NULL-safe: a rule predicate that evaluates to NULL (e.g.
+    // `col("x") > 0` with x NULL) must QUARANTINE, not silently pass —
+    // `when(!ok, ...)` alone never fires on NULL (r11 ADVICE).
     val reason = coalesce(rules.map { case (name, ok) =>
-      when(!ok, lit(name))
+      when(!coalesce(ok, lit(false)), lit(name))
     } :+ lit(null).cast("string"): _*)
     df.withColumn("_quarantine_reason", reason)
   }

@@ -237,8 +237,12 @@ object AtomicTable {
       .filter(col(keyCol).isin(keyVals: _*)).count()
     val version = nextVersion(spark, dir)
     val dst = dataPath(dir, version)
+    // Null-safe keep predicate: `!isin` evaluates to NULL for NULL keys,
+    // and filter drops NULL — which would silently erase every NULL-key
+    // row co-located in a rewritten file, beyond the requested keys.
+    // Delta/Iceberg DELETE semantics keep rows whose predicate is NULL.
     spark.read.parquet(affectedPaths.map(_.toString): _*)
-      .filter(!col(keyCol).isin(keyVals: _*))
+      .filter(col(keyCol).isNull || !col(keyCol).isin(keyVals: _*))
       .write.mode("overwrite").parquet(dst.toString)
     val untouched = all.filterNot(p => affected.contains(p.getName))
     untouched.foreach { p =>

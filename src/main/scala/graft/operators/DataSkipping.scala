@@ -178,8 +178,12 @@ object DataSkipping {
       throw new IllegalArgumentException(s"no committed version at $tableDir"))
     readBloomManifest(spark, dataPath) match {
       case Some((c, files)) if c == column && files.nonEmpty =>
-        val hashes = values.map(v =>
-          spark.range(1).select(xxhash64(lit(v))).head().getLong(0))
+        // ONE local job hashes every probe value (one row, N columns) —
+        // a per-value spark.range(1).head() loop launches O(values)
+        // driver-side jobs for what is a pure function (r11 nit #2).
+        val row = spark.range(1)
+          .select(values.map(v => xxhash64(lit(v))): _*).head()
+        val hashes = values.indices.map(row.getLong(_))
         val keep = files.filter { case (_, bytes) =>
           val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
             new java.io.ByteArrayInputStream(bytes))

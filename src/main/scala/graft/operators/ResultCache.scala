@@ -38,10 +38,19 @@ object ResultCache {
         case fs: HadoopFsRelation => fs.location.rootPaths.map { p =>
           val hfs = p.getFileSystem(
             spark.sparkContext.hadoopConfiguration)
-          val files = hfs.listStatus(p).filter(_.isFile)
-          s"$p|${files.length}|${files.map(_.getLen).sum}|" +
-            s"${if (files.isEmpty) 0L
-               else files.map(_.getModificationTime).max}"
+          // RECURSIVE walk: a hive-partitioned input keeps its data
+          // files under partition subdirectories — a top-level-only
+          // listing would sign them as `0|0|0` and changes inside
+          // partitions would never invalidate the entry (r11 nit #1).
+          val it = hfs.listFiles(p, true)
+          var (count, bytes, maxMtime) = (0L, 0L, 0L)
+          while (it.hasNext) {
+            val f = it.next()
+            count += 1; bytes += f.getLen
+            if (f.getModificationTime > maxMtime)
+              maxMtime = f.getModificationTime
+          }
+          s"$p|$count|$bytes|$maxMtime"
         }.mkString(";")
         case _ => "other"
       }

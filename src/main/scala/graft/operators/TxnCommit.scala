@@ -72,16 +72,39 @@ object TxnCommit {
       .map(m => Staged(m.group(1), m.group(2).toLong)).toSeq
   }
 
+  /** Versions already claimed by OUTSTANDING journals (crashed-but-
+    * committed transactions awaiting [[recover]]), per table dir.
+    * `AtomicTable.nextVersion` counts only markers, so without this a
+    * new commit racing an un-recovered crash would reuse the crashed
+    * transaction's version number, overwrite its staged dir, and let a
+    * later recover() publish the wrong transaction's data (r11 ADVICE). */
+  private def journalReserved(spark: SparkSession,
+                              journalDir: String): Map[String, Long] = {
+    val jf = fs(spark, journalDir)
+    if (!jf.exists(new Path(journalDir))) return Map.empty
+    jf.listStatus(new Path(journalDir)).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("txn_"))
+      .flatMap(readJournal(spark, _))
+      .groupBy(_.dir).view.mapValues(_.map(_.version).max).toMap
+  }
+
   /** Stage-only (test seam): write every table's next version dir and
-    * return the staged set — no journal, no markers. */
+    * return the staged set — no journal, no markers. `journalDir`, when
+    * given, reserves versions referenced by outstanding journals so a
+    * pre-recover commit can never collide with a crashed transaction. */
   private[graft] def stage(spark: SparkSession,
-                               tables: Seq[(String, DataFrame)])
-      : Seq[Staged] =
+                           tables: Seq[(String, DataFrame)],
+                           journalDir: Option[String] = None)
+      : Seq[Staged] = {
+    val reserved = journalDir.map(journalReserved(spark, _))
+      .getOrElse(Map.empty)
     tables.map { case (dir, df) =>
-      val v = AtomicTable.nextVersion(spark, dir)
+      val v = math.max(AtomicTable.nextVersion(spark, dir),
+        reserved.get(dir).map(_ + 1L).getOrElse(0L))
       df.write.mode("overwrite").parquet(dataPath(dir, v).toString)
       Staged(dir, v)
     }
+  }
 
   /** Publish markers for a staged set and drop the journal. */
   private def publish(spark: SparkSession, journalDir: String,
@@ -97,7 +120,7 @@ object TxnCommit {
     * unique per transaction (a batch id / run id). */
   def commitAll(spark: SparkSession, journalDir: String, id: String,
                 tables: Seq[(String, DataFrame)]): Seq[Staged] = {
-    val staged = stage(spark, tables)
+    val staged = stage(spark, tables, Some(journalDir))
     writeJournal(spark, journalDir, id, staged) // commit point
     publish(spark, journalDir, id, staged)
     staged

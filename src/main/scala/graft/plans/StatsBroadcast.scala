@@ -38,20 +38,29 @@ class StatsBroadcastRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private val cache =
     scala.collection.mutable.HashMap.empty[String, Option[Long]]
 
+  /** Positive results memoize for the rule instance's lifetime (a
+    * committed version dir's manifest is immutable); MISSES are NOT
+    * cached — a `_table_stats.json` written after the first probe (the
+    * Maintenance analyze-after-commit flow) must be picked up on the
+    * next plan, or eligible dims silently keep planning as shuffle
+    * joins in a long-lived session (r11 ADVICE). */
   private def manifestRows(dataPath: String): Option[Long] =
-    cache.getOrElseUpdate(dataPath, {
+    cache.get(dataPath).getOrElse {
       val p = new Path(
         s"$dataPath/${graft.operators.TableStats.ManifestName}")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) None
-      else {
-        val in = fs.open(p)
-        val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        in.close()
-        "\"rows\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
-          .map(_.group(1).toLong)
-      }
-    })
+      val probed =
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          in.close()
+          "\"rows\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
+            .map(_.group(1).toLong)
+        }
+      if (probed.isDefined) cache(dataPath) = probed
+      probed
+    }
 
   private def maxRows: Long =
     spark.conf.get("spark.graft.statsBroadcastMaxRows", "1000000").toLong

@@ -31,7 +31,11 @@ object Observed {
       * action that materialized [[df]]. */
     def results(): Seq[Checks.Result] = {
       val m = obs.get
+      // NULL-safe: on an EMPTY observed frame sum(...) metrics are NULL
+      // — the quality path must report non_empty's failure, not NPE
+      // inside results() (r11 ADVICE).
       def asLong(k: String): Long = m(k) match {
+        case null => 0L
         case l: Long => l
         case i: Int => i.toLong
         case x => x.toString.toLong

@@ -118,6 +118,31 @@ class IngestSpec extends SparkSpec {
     assert(total == 4L)
   }
 
+  test("quarantine: a rule predicate evaluating to NULL quarantines the row") {
+    import org.apache.spark.sql.functions._
+    // x NULL makes `x > 0` NULL — when(!ok, ...) alone never fires on
+    // NULL, silently passing null-violating rows (r11 ADVICE)
+    val feed = Seq(1L -> Some(5.0), 2L -> None, 3L -> Some(-1.0))
+      .toDF("k", "x")
+    val (good, bad) = Ingest.quarantineSplit(feed,
+      Seq("x_not_positive" -> (col("x") > 0)))
+    assert(good.select("k").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(bad.select("k", "quarantine_reason").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq ==
+      Seq(2L -> "x_not_positive", 3L -> "x_not_positive"))
+  }
+
+  test("Observed: an empty frame reports the non_empty failure, not an NPE") {
+    import graft.quality.Observed
+    val empty = Seq.empty[(Long, String)].toDF("id", "v")
+    val pending = Observed.instrument(empty, "empty_t", Seq("v"))
+    pending.df.write.format("noop").mode("overwrite").save()
+    val byCheck = pending.results()
+      .map(r => r.check -> r.violations).toMap
+    assert(byCheck("non_empty_observed") == 1L) // zero rows = violation
+    assert(byCheck("not_null_observed(v)") == 0L) // NULL sum -> 0
+  }
+
   test("saveTableObserved: metrics ride the commit write, no extra action needed") {
     import graft.ref.Catalog
     val root = Files.createTempDirectory("cat_obs").toString

@@ -715,6 +715,69 @@ class OperatorsSpec extends SparkSpec {
     assert(AtomicTable.committedVersions(spark, dir) == versions)
   }
 
+  test("deleteWhere: NULL-key rows in rewritten files survive the erasure") {
+    import graft.operators.AtomicTable
+    val dir = java.nio.file.Files.createTempDirectory("tdelnull")
+      .resolve("t").toString
+    // one file: every NULL-key row is co-located with the victim, the
+    // worst case for a non-null-safe keep predicate (`!isin` is NULL
+    // for NULL keys and filter would drop them — r11 ADVICE)
+    val df = Seq(Some(1L) -> "a", Some(2L) -> "b", None -> "n1",
+      None -> "n2").toDF("k", "v").coalesce(1)
+    AtomicTable.commit(df, dir, 0L)
+    val r = AtomicTable.deleteWhere(spark, dir, "k", Seq(1L))
+    assert(r.rowsDeleted == 1L && r.filesRewritten == 1)
+    val after = AtomicTable.read(spark, dir).get
+    assert(after.count() == 3L)
+    assert(after.filter(col("k").isNull).count() == 2L) // NULLs kept
+    assert(after.filter(col("k") === 2L).count() == 1L)
+  }
+
+  test("TxnCommit: outstanding journal versions are reserved by new commits") {
+    import graft.operators.{AtomicTable, TxnCommit}
+    val base = java.nio.file.Files.createTempDirectory("txnres")
+    val ta = base.resolve("a").toString
+    val journal = base.resolve("_txn").toString
+    def df(n: Int) = (1 to n).map(i => (i.toLong, s"r$i")).toDF("k", "v")
+    TxnCommit.commitAll(spark, journal, "t1", Seq(ta -> df(3)))
+    // t2 crashes after its journal write (commit point reached)
+    val staged = TxnCommit.stage(spark, Seq(ta -> df(4)), Some(journal))
+    TxnCommit.writeJournal(spark, journal, "t2", staged)
+    // a commit BEFORE recover must not reuse t2's version number —
+    // nextVersion counts only markers, so without journal reservation
+    // t3 would overwrite t2's staged dir and a later recover would
+    // publish t3's data under t2's identity (r11 ADVICE)
+    val s3 = TxnCommit.commitAll(spark, journal, "t3", Seq(ta -> df(9)))
+    assert(s3.head.version > staged.head.version)
+    val (fwd, back) = TxnCommit.recover(spark, journal)
+    assert(fwd == Seq("t2") && back.isEmpty)
+    // latest = t3 (higher version); t2's snapshot intact at its version
+    assert(AtomicTable.read(spark, ta).get.count() == 9L)
+    assert(AtomicTable.readVersion(spark, ta, staged.head.version)
+      .get.count() == 4L)
+  }
+
+  test("ResultCache: changes inside a hive-partitioned input invalidate") {
+    import graft.operators.ResultCache
+    val base = java.nio.file.Files.createTempDirectory("rcache_part")
+    val inDir = base.resolve("in").toString
+    val cacheDir = base.resolve("cache").toString
+    (1L to 100L).map(i => (i, i % 4)).toDF("k", "p")
+      .write.partitionBy("p").parquet(inDir)
+    def q() = spark.read.parquet(inDir)
+      .agg(sum(col("k")).as("s"), count(lit(1)).as("n"))
+    assert(!ResultCache.getOrCompute(q(), cacheDir).hit)
+    assert(ResultCache.getOrCompute(q(), cacheDir).hit)
+    // data files live under partition SUBDIRS — a top-level-only
+    // fingerprint walk signs them 0|0|0 and this append would serve a
+    // stale aggregate (r11 nit #1)
+    Seq((1000L, 2L)).toDF("k", "p")
+      .write.mode("append").partitionBy("p").parquet(inDir)
+    val r = ResultCache.getOrCompute(q(), cacheDir)
+    assert(!r.hit)
+    assert(r.df.head().getLong(0) == 5050L + 1000L)
+  }
+
   test("Lineage: column sources tracked through join, window, aggregate, union") {
     import graft.tools.Lineage
     import org.apache.spark.sql.expressions.Window
@@ -773,6 +836,12 @@ class OperatorsSpec extends SparkSpec {
       assert(planOf(dimDir).contains("BroadcastHashJoin"))
       // never-analyzed table: the rule cannot guess small
       assert(!planOf(rawDir).contains("BroadcastHashJoin"))
+      // a manifest written AFTER the first probe is picked up — misses
+      // must not be negatively cached for the rule's lifetime, or the
+      // Maintenance analyze-after-commit flow never takes effect in a
+      // long-lived session (r11 ADVICE)
+      TableStats.analyze(ext, rawDir, Seq("k"))
+      assert(planOf(rawDir).contains("BroadcastHashJoin"))
       // stats above the cap: no hint either
       ext.conf.set("spark.graft.statsBroadcastMaxRows", "2")
       assert(!planOf(dimDir).contains("BroadcastHashJoin"))
