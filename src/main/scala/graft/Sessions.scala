@@ -16,7 +16,7 @@ import org.apache.spark.sql.SparkSession
   *    oracle and are cluster-location-independent.
   */
 object Sessions {
-  def local(cpus: String): SparkSession =
+  private def builder(cpus: String) =
     SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,5 +25,19 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
+
+  def local(cpus: String): SparkSession = builder(cpus).getOrCreate()
+
+  /** The PIPELINE DRIVER's session ([[graft.cli.Main]]): [[local]] plus
+    * the injected [[graft.plans.GraftExtensions]] optimizer rules, so
+    * every join planned during a pipeline run benefits from committed
+    * ANALYZE stats (stats-driven broadcast) without call-site changes.
+    * `withExtensions` — NOT the `spark.sql.extensions` conf, which is
+    * only read when the SparkCONTEXT is created and silently no-ops on
+    * a live context. Verify/Bench keep the plain [[local]] session: the
+    * oracle gate measures the query plans as written. */
+  def pipeline(cpus: String): SparkSession =
+    builder(cpus)
+      .withExtensions(e => new graft.plans.GraftExtensions().apply(e))
       .getOrCreate()
 }

@@ -48,7 +48,10 @@ object Main {
                              files: Seq[String], tables: Map[String, Long])
   final case class Report(mode: String, sources: Seq[SourceRun],
                           models: Int, quality: Seq[Checks.Result],
-                          overallStatus: String) {
+                          overallStatus: String,
+                          modelsSkipped: Seq[String] = Nil,
+                          txnRecovered: Seq[String] = Nil,
+                          txnRolledBack: Seq[String] = Nil) {
     def source(name: String): SourceRun = sources.find(_.source == name).get
   }
 
@@ -72,7 +75,9 @@ object Main {
     "xlsx_sales_receipt" -> Seq("sales_receipt_no", "product_service"))
 
   def main(args: Array[String]): Unit = {
-    val spark = graft.Sessions.local(
+    // pipeline session: graft optimizer extensions attached, so every
+    // model join benefits from committed ANALYZE stats (see Sessions)
+    val spark = graft.Sessions.pipeline(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     spark.sparkContext.setLogLevel("WARN")
     val dataArg = optValue(args, "--data")
@@ -137,7 +142,10 @@ object Main {
            .map { case (t, n) => s"$t=$n" }.mkString(" (", ", ", ")")))
     }
     val failed = r.quality.filterNot(_.passed)
-    println(s"[cli] ${r.mode}: ${r.models} models materialized, " +
+    val skipNote =
+      if (r.modelsSkipped.isEmpty) ""
+      else s" (${r.modelsSkipped.size} unchanged, served from cache)"
+    println(s"[cli] ${r.mode}: ${r.models} models materialized$skipNote, " +
       s"${r.quality.size} quality checks " +
       s"(${failed.size} failed) → ${r.overallStatus}")
   }
@@ -151,7 +159,24 @@ object Main {
           warehouseDir: String,
           sourceFilter: Option[String] = None): Report = {
     require(mode == "seed" || mode == "incremental", s"bad mode $mode")
-    val cat = new Catalog(spark, warehouseDir)
+    // ---- 0. crash recovery + skip-unchanged catalog ----
+    // Repair any transaction a previous run crashed mid-publish BEFORE
+    // anything commits: recover() must run before new commits or a new
+    // version could collide with a crashed transaction's staged dir
+    // (TxnCommit reserves journaled versions as the second guard). The
+    // reference's orchestrator runs its state checks every cycle
+    // (orchestrator.py:506-573); this is the lakehouse equivalent.
+    val (txnFwd, txnBack) = graft.operators.TxnCommit.recover(
+      spark, s"$warehouseDir/_txn")
+    txnFwd.foreach(id => System.err.println(
+      s"[cli] txn recovery: rolled FORWARD crashed transaction $id"))
+    txnBack.foreach(id => System.err.println(
+      s"[cli] txn recovery: rolled BACK incomplete transaction $id"))
+    // skipUnchanged: models whose build plan + committed inputs are
+    // byte-identical to their latest committed version are SERVED, not
+    // rebuilt (ResultCache plan+input fingerprints — dbt's "skip
+    // unchanged model", orchestrator.py:86-141 via mtimes).
+    val cat = new Catalog(spark, warehouseDir, skipUnchanged = true)
     val store = new Ingest.StateStore(
       s"$warehouseDir/_state/processed_files.json")
     // Operator-error guard, NOT a source failure — checked before any
@@ -217,7 +242,9 @@ object Main {
       if (sources.exists(_.status == "failed")) "partial_failure"
       else if (quality.exists(!_.passed)) "quality_issues"
       else "success"
-    Report(mode, sources, out.size, quality, overall)
+    Report(mode, sources, out.size, quality, overall,
+      modelsSkipped = cat.skipped, txnRecovered = txnFwd,
+      txnRolledBack = txnBack)
   }
 
   /** QuickBooks XLSX source: discover per mode, mtime skip, land each

@@ -24,20 +24,84 @@ import graft.operators.AtomicTable
   * AtomicTable's marker protocol is the connector-free equivalent of a
   * Delta/Iceberg snapshot commit.
   */
-final class Catalog(val spark: SparkSession, val root: String) {
+final class Catalog(val spark: SparkSession, val root: String,
+                    val skipUnchanged: Boolean = false) {
   // TrieMap: ModelDag materializes independent models from a thread
   // pool (its Par helper), so registration must be thread-safe.
   private val views = scala.collection.concurrent.TrieMap[String, DataFrame]()
+  private val skippedSet =
+    scala.collection.concurrent.TrieMap[String, Boolean]()
 
   private def path(layer: String, name: String) = s"$root/$layer/$name"
 
-  /** dbt `materialized='table'`: atomic versioned commit, then read the
-    * committed snapshot back so downstream plans scan parquet. */
-  def saveTable(layer: String, name: String, df: DataFrame): DataFrame = {
+  /** Models served from their previous committed version this run
+    * (only populated when [[skipUnchanged]] is on). */
+  def skipped: Seq[String] = skippedSet.keys.toSeq.sorted
+
+  // ---- dbt "skip unchanged model" semantics (orchestrator.py:86-141
+  // does this with file mtimes; we do it with ResultCache's plan+input
+  // fingerprint): each commit records `<version>|<fingerprint>` in a
+  // `_model_fingerprint` file at the table root. A re-run whose build
+  // plan hashes identical over unchanged inputs serves the COMMITTED
+  // snapshot — no recompute, no new version, byte-identical mart. The
+  // check is driver-side metadata (one recursive listing per input);
+  // at 100 TB this is what turns a nightly full-DAG run over a quiet
+  // source into seconds of listings instead of hours of rebuilds.
+  // Skipped models cascade: an unchanged upstream keeps its version
+  // dir, so downstream fingerprints over it are unchanged too. Any
+  // fingerprint instability (e.g. an RDD-backed local relation) can
+  // only MISS — a stale serve would need a hash collision.
+  private def fpPath(p: String) =
+    new org.apache.hadoop.fs.Path(s"$p/_model_fingerprint")
+
+  private def fpRecord(p: String): Option[String] = {
+    val f = fpPath(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(fpPath(p))) None
+    else {
+      val in = f.open(fpPath(p))
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    }
+  }
+
+  private def recordFp(p: String, version: Long, key: String): Unit = {
+    val f = fpPath(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(fpPath(p), true)
+    try out.write(s"$version|$key".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Commit-or-serve: when skip-unchanged is on and the table's LATEST
+    * committed version was built from this exact (plan, inputs)
+    * fingerprint, serve it; otherwise run `commit(version)` and record
+    * the fingerprint. A commit that bypassed fingerprint recording (or
+    * any newer version) fails the version match and rebuilds. */
+  private def commitUnlessUnchanged(layer: String, name: String,
+                                    df: DataFrame)(
+                                    commit: Long => Unit): DataFrame = {
     val p = path(layer, name)
-    AtomicTable.commit(df, p, AtomicTable.nextVersion(spark, p))
+    val key =
+      if (skipUnchanged) Some(graft.operators.ResultCache.fingerprint(df))
+      else None
+    val hit = key.exists(k =>
+      AtomicTable.committedVersions(spark, p).lastOption.exists(
+        v => fpRecord(p).contains(s"$v|$k")))
+    if (hit) skippedSet(s"$layer.$name") = true
+    else {
+      val v = AtomicTable.nextVersion(spark, p)
+      commit(v)
+      key.foreach(recordFp(p, v, _))
+    }
     AtomicTable.read(spark, p).get
   }
+
+  /** dbt `materialized='table'`: atomic versioned commit, then read the
+    * committed snapshot back so downstream plans scan parquet. */
+  def saveTable(layer: String, name: String, df: DataFrame): DataFrame =
+    commitUnlessUnchanged(layer, name, df)(v =>
+      AtomicTable.commit(df, path(layer, name), v))
 
   /** [[saveTable]] with SCAN-FREE quality telemetry: an `observe` node
     * rides the commit's own write job ([[graft.quality.Observed]]), so
@@ -65,15 +129,14 @@ final class Catalog(val spark: SparkSession, val root: String) {
   def saveTablePartitioned(layer: String, name: String, df: DataFrame,
                            partitionCols: Seq[String]): DataFrame = {
     val p = path(layer, name)
-    AtomicTable.commit(df, p, AtomicTable.nextVersion(spark, p),
-      partitionCols = partitionCols)
     // The hive layout moves partition columns to the end and partition-
     // value inference retypes them (e.g. '2024-05-01' dirs → DATE), so
     // restore the model's declared column order and types: downstream
     // DAG consumers see the same frame whether or not a model is
     // partitioned, while external readers of the committed table (via
     // [[load]]) keep the raw partition column for directory pruning.
-    val committed = AtomicTable.read(spark, p).get
+    val committed = commitUnlessUnchanged(layer, name, df)(v =>
+      AtomicTable.commit(df, p, v, partitionCols = partitionCols))
     committed.select(df.schema.map(f =>
       committed(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
   }
@@ -97,10 +160,12 @@ final class Catalog(val spark: SparkSession, val root: String) {
     val p = path(layer, name)
     val clustered = graft.operators.ZOrder.clusterBy(df,
       dims(0)._2, dims(1)._2, numRanges)
-    AtomicTable.commit(clustered, p, AtomicTable.nextVersion(spark, p))
-    val dataPath = AtomicTable.latestDataPath(spark, p).get
-    graft.operators.DataSkipping.writeManifest(spark, dataPath, dims)
-    AtomicTable.read(spark, p).get
+    // a skip keeps the previous version dir, whose manifest is intact
+    commitUnlessUnchanged(layer, name, clustered) { v =>
+      AtomicTable.commit(clustered, p, v)
+      graft.operators.DataSkipping.writeManifest(spark,
+        AtomicTable.latestDataPath(spark, p).get, dims)
+    }
   }
 
   /** Filesystem dir of a table (for stats-manifest probes in tests /

@@ -65,12 +65,32 @@ class CliSpec extends SparkSpec {
       .filter(col("item_name") === "01-6310.AK4").count() == 2)
   }
 
-  test("unchanged re-run: sources skipped, transform still green") {
+  test("unchanged re-run: sources skipped, models served from cache, marts byte-identical") {
     seedRun; incRun
+    import graft.operators.AtomicTable
+    // capture committed versions BEFORE the re-run is forced
+    val watched = Seq("mart/fct_orders", "mart/fct_companies",
+      "mart/fct_company_orders", "mart/fct_product_pricing_history",
+      "intermediate/inventory_history")
+    val before = watched.map(t =>
+      t -> AtomicTable.committedVersions(spark, s"$wh/$t")).toMap
     assert(rerun.source("quickbooks").status == "skipped")
     assert(rerun.source("trade_shows").status == "skipped")
     assert(rerun.models == incRun.models)
     assert(rerun.overallStatus == "success")
+    // ResultCache fingerprints: unchanged inputs -> models SERVED, not
+    // rebuilt (dbt skip-unchanged-model semantics)
+    assert(rerun.modelsSkipped.size >= 30, rerun.modelsSkipped.toString)
+    assert(rerun.modelsSkipped.contains("mart.fct_orders"))
+    assert(rerun.modelsSkipped.contains("mart.fct_product_pricing_history"),
+      "z-ordered save path skips too")
+    assert(rerun.modelsSkipped.contains("intermediate.inventory_history"),
+      "hive-partitioned save path skips too")
+    // byte-identical marts: no new version dir was committed anywhere
+    watched.foreach { t =>
+      assert(AtomicTable.committedVersions(spark, s"$wh/$t") == before(t),
+        s"$t grew a new version on an unchanged re-run")
+    }
   }
 
   test("touched daily file is picked up again (mtime skip is per file)") {
@@ -161,6 +181,56 @@ class CliSpec extends SparkSpec {
     // pre-drift rows carry NULL for the new column
     assert(items.filter(col("warehouse_bin").isNull).count() == 10L)
     assert(r.overallStatus == "success")
+  }
+
+  test("startup txn recovery: a crashed publish is rolled forward by the next run") {
+    seedRun; incRun; rerun
+    import graft.operators.{AtomicTable, TxnCommit}
+    import spark.implicits._
+    // simulate a publisher that crashed AFTER its journal write (the
+    // commit point): data staged, journal present, no markers yet
+    val aux = s"$wh/mart/aux_recovered_table"
+    val staged = TxnCommit.stage(spark,
+      Seq(aux -> Seq((1L, "x")).toDF("k", "v")))
+    TxnCommit.writeJournal(spark, s"$wh/_txn", "crash1", staged)
+    assert(AtomicTable.read(spark, aux).isEmpty) // invisible pre-recovery
+    val r = Main.run(spark, "incremental", data, wh)
+    assert(r.txnRecovered == Seq("crash1"), r.toString)
+    assert(AtomicTable.read(spark, aux).get.count() == 1L)
+    // steady state: nothing to repair on the next pass
+    assert(Main.run(spark, "incremental", data, wh).txnRecovered.isEmpty)
+  }
+
+  test("pipeline session: injected stats rule broadcasts an analyzed mart dim") {
+    seedRun; incRun; rerun
+    import org.apache.spark.sql.SparkSession
+    val old = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // the same extension wiring cli.Main.main uses (Sessions.pipeline),
+    // with Spark's own size heuristic disabled so any broadcast below
+    // was decided by the injected StatsBroadcastRule alone
+    val ext = SparkSession.builder()
+      .withExtensions(e => new graft.plans.GraftExtensions().apply(e))
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .getOrCreate()
+    try {
+      // post-run maintenance ANALYZEs the current mart versions — the
+      // stats the optimizer rule feeds on
+      Main.maintain(ext, wh)
+      val cat2 = new graft.ref.Catalog(ext, wh)
+      val health = graft.ref.Marts.dimCompanyHealth(
+        cat2.load("mart", "fct_company_orders"),
+        cat2.load("mart", "fct_companies"),
+        graft.ref.ModelDag.AsOfDate)
+      health.collect()
+      assert(health.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "mart build plan should broadcast the analyzed fct_companies dim")
+    } finally {
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
   }
 
   test("config files parsed: explicit mapping + individual domains applied") {
