@@ -274,6 +274,72 @@ object StreamingQueries {
       .orderBy("user_id", "click_id", "purchase_id")
   }
 
+  /** The REAL transformWithState VALUE-STATE processor under the batch
+    * oracle gate: [[graft.streaming.EventStream.runningTotals]] runs as
+    * an actual streaming query over the sf dir's events table (file
+    * source, RocksDB state store, foreachBatch parquet sink — the
+    * resumable-sink shape), and the query returns the FINAL emission
+    * per user (cumulative n_events is strictly increasing, so max-by is
+    * the last state). That must equal the batch per-user rollup the
+    * oracle computes: COUNT(*) events and exact integer CENTS
+    * (round(value·100) on the corpus's 2dp values — portable because
+    * the identical IEEE double product rounds to the same integer on
+    * both engines; the processor's state discipline is that money never
+    * carries float error). Emissions flow through an executor-side
+    * parquet append, never a driver collect — state-table-sized output
+    * at any SF. */
+  val stRunningTotals: Q = Q.sql(
+    "st_running_totals",
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+      |    AS value_cents
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    import graft.streaming.EventStream
+    // transformWithState requires the RocksDB provider; scope it to
+    // this run so the session keeps its default store (Verify/Bench
+    // run queries sequentially — no conf race).
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(provKey)
+    s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val out = java.nio.file.Files.createTempDirectory("st_rt_out")
+      .resolve("emissions").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("st_rt_ckpt")
+      .toString
+    try {
+      // the file stream source needs a DIRECTORY (the landing-dir shape
+      // real streaming ingest has); testdata ships events as one file —
+      // stage it via hard link (copy fallback), O(1) metadata
+      val landing = java.nio.file.Files.createTempDirectory("st_rt_land")
+      val src = java.nio.file.Paths.get(s"$d/events.parquet")
+      val dst = landing.resolve("events.parquet")
+      try java.nio.file.Files.createLink(dst, src)
+      catch { case _: Exception =>
+        java.nio.file.Files.copy(src, dst); () }
+      val stream = EventStream.readEvents(s, landing.toString)
+      val q = EventStream.runningTotals(stream).toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            df.write.mode("append").parquet(out); ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    } finally prev match {
+      case Some(v) => s.conf.set(provKey, v)
+      case None => s.conf.unset(provKey)
+    }
+    // one cumulative emission per (user, batch-touched): keep the last
+    s.read.parquet(out)
+      .groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"),
+        max_by(col("value_cents"), col("n_events")).as("value_cents"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(stTumbling, stSliding, stSessions, stFirstSeen,
-    stStreamDedup, stStaticEnrich, stIntervalJoin, stIntervalJoinOuter)
+    stStreamDedup, stStaticEnrich, stIntervalJoin, stIntervalJoinOuter,
+    stRunningTotals)
 }

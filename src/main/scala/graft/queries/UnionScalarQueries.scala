@@ -566,6 +566,66 @@ object UnionScalarQueries {
       .orderBy("doc_id")
   }
 
+  /** S14 — FILE-SKIPPING READ INVARIANCE through the REAL
+    * `ZOrder.clusterBy` → `AtomicTable.commit` →
+    * `DataSkipping.writeManifest` → `DataSkipping.readSkipping` chain:
+    * orders are committed z-ordered on (custkey-bucket, order-month), a
+    * 2-D probe reads ONLY the files whose manifest tile overlaps the
+    * probe ranges, and the SAME filtered aggregate is computed over the
+    * skipping read and the full snapshot. The oracle computes that
+    * aggregate twice from the raw table — so the gate proves the
+    * manifest-pruned read is output-invariant (skipping on == off),
+    * the same discipline `dd_incremental_bloom` applies to the Bloom
+    * probe. File-count reduction itself is layout-dependent (spec-
+    * proven in OperatorsSpec + visible in PlanAudit's scan), never
+    * hash-gated. */
+  val s14SkippingRead: Q = Q.sql(
+    "s14_skipping_read",
+    """WITH probe AS (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey BETWEEN 100 AND 499
+      |    AND CAST(o_orderdate AS DATE)
+      |        BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
+      |)
+      |SELECT 'full' AS src, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST((o_totalprice) AS DECIMAL(38,6))) AS DOUBLE)
+      |    AS total_price
+      |FROM probe
+      |UNION ALL
+      |SELECT 'skipping' AS src, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST((o_totalprice) AS DECIMAL(38,6))) AS DOUBLE)
+      |    AS total_price
+      |FROM probe
+      |ORDER BY src""".stripMargin) { (s, d) =>
+    import graft.operators.{AtomicTable, DataSkipping, ZOrder}
+    val orders = Tables.orders(s, d)
+    // quantized LONG dims — the SAME exprs feed the Morton key, the
+    // manifest, and (by construction) the probe ranges below
+    val dims = Seq(
+      "cust_b" -> expr("o_custkey div 100"),
+      "month_b" -> expr("year(o_orderdate) * 12 + month(o_orderdate)"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_s14")
+      .resolve("t").toString
+    val clustered = ZOrder.clusterBy(orders, dims(0)._2, dims(1)._2, 16)
+    AtomicTable.commit(clustered, dir, 0L)
+    DataSkipping.writeManifest(s,
+      AtomicTable.latestDataPath(s, dir).get, dims)
+    // probe: custkey ∈ [100, 499] ⇒ cust_b ∈ [1, 4];
+    // 1997 ⇒ month_b ∈ [1997·12+1, 1997·12+12]
+    val ranges = Map("cust_b" -> (1L, 4L), "month_b" -> (23965L, 23976L))
+    val pred = col("o_custkey").between(100, 499) &&
+      col("o_orderdate").cast("date").between(
+        to_date(lit("1997-01-01")), to_date(lit("1997-12-31")))
+    def aggOf(src: String, df: org.apache.spark.sql.DataFrame) =
+      df.filter(pred)
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .select(lit(src).as("src"), col("n_orders"), col("total_price"))
+    aggOf("full", AtomicTable.read(s, dir).get)
+      .unionAll(aggOf("skipping", DataSkipping.readSkipping(s, dir, ranges)))
+      .orderBy("src")
+  }
+
   /** I5 — LOOKBACK incremental merge (late-arriving data): the dbt
     * incremental pattern that reprocesses a trailing window instead of
     * the full history. The seed build is missing every o_orderkey%10=3
@@ -703,6 +763,6 @@ object UnionScalarQueries {
     u2UnionDistinct, fString, fPseudonymize, fHash, fDate, fSafeNumeric,
     fZOrderKey,
     s5MergeUpsert,
-    s6VersionDiff, s13Scd2, j17PitJoin, tsSpineFill,
+    s6VersionDiff, s13Scd2, s14SkippingRead, j17PitJoin, tsSpineFill,
     i1Incremental, i5LookbackMerge, a17EventRollup)
 }
