@@ -484,4 +484,100 @@ object Clustering {
       .filter(col("rank") <= k)
     flagAgainstExact(ranked, base, qids, k)
   }
+
+  /** RESIDUAL IVF-PQ — what FAISS IndexIVFPQ actually encodes: the PQ
+    * codebooks quantize the RESIDUAL (x − coarse_centroid(x)), not the
+    * raw vector. Residuals of one cell are centered near the origin, so
+    * the same code budget spends its resolution on within-cell
+    * structure instead of re-describing cell position — the standard
+    * recall upgrade over raw-vector PQ at identical bytes per vector
+    * (Jégou et al. 2011, §IV-A). The price is per-CELL query LUTs:
+    * asymmetric distances are between (q − centroid(cell)) and the
+    * residual codebooks, so a query builds nProbe LUTs instead of one —
+    * exactly FAISS's cost structure, and still tiny/broadcast here
+    * (|queries|·nProbe·k·mSub integer rows).
+    *
+    * Determinism wrinkle: residuals can be NEGATIVE, and the Lloyd
+    * floor-mean (`sum div count`) only matches DuckDB's `//` on
+    * non-negative sums — so residual rows are RE-OFFSET by [[Offset]]
+    * (qv − cv + Offset > 0 given |v| < 3.4). Squared distances are
+    * offset-invariant, so the geometry (and the oracle replay) is
+    * unchanged.
+    *
+    * Scale shape identical to [[ivfPqTopK]]: codebooks/LUTs broadcast,
+    * corpus touched by scans only, candidates scored once per query
+    * (cells partition, probe list distinct). Same output frame as
+    * [[pqTopK]], so raw-PQ vs residual-PQ recall is directly comparable
+    * in the dumped results. */
+  def ivfPqResidualTopK(spark: SparkSession, emb: DataFrame,
+                        coarseStride: Int = 100, mSub: Int = 4,
+                        subDim: Int = 16, stride: Int = 100,
+                        iters: Int = 2, queryMod: Int = 97,
+                        nProbe: Int = 2, k: Int = 5,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val base = emb.select(col(idCol).as("vec_id"), col(vecCol).as("emb"))
+    val gRows = quantRows(base, idCol = "vec_id", vecCol = "emb")
+    val coarseCb = train(spark, gRows, coarseStride, iters)
+    val cells = assign(gRows, coarseCb)
+      .select(col("vec_id"), col("cid").as("cell"))
+    // residual rows, re-offset positive (see scaladoc)
+    val cbByCell = coarseCb.select(col("cid").as("cell"), col("pos"),
+      col("cv"))
+    val rve = gRows.join(cells, Seq("vec_id"))
+      .join(broadcast(cbByCell), Seq("cell", "pos"))
+      .select(col("vec_id"), col("pos"),
+        (col("qv") - col("cv") + Offset).as("qv"))
+    // per-subspace residual codebooks + codes (raw pos kept: quantRows'
+    // posexplode pos is 0-BASED, so subspace m owns
+    // pos ∈ [m·subDim, (m+1)·subDim); centroids join by pos — the
+    // DuckDB twin's pos is 1-based with the matching (lo, hi] bounds,
+    // each engine internally consistent)
+    val subRows = (0 until mSub).map { m =>
+      rve.filter(col("pos") >= m * subDim && col("pos") < (m + 1) * subDim)
+    }
+    val codebooks = subRows.map(r => train(spark, r, stride, iters))
+    val codes = subRows.lazyZip(codebooks).lazyZip(0 until mSub).map {
+      (r, cb, m) =>
+        assign(r, cb).select(col("vec_id"), lit(m).as("sub"),
+          col("cid").as("code"))
+    }.reduce(_ unionByName _)
+    val qids = base.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"))
+    // probe routing (raw-space, as in ivfPqTopK)
+    val qRows = gRows
+      .join(broadcast(qids), col("vec_id") === col("query_id"))
+      .select(col("vec_id"), col("pos"), col("qv"))
+    val probes = nearestCentroids(qRows, coarseCb, nProbe)
+      .select(col("vec_id").as("query_id"), col("cid").as("cell"))
+    // per-(query, probed-cell) residual rows, same re-offset
+    val qResid = qRows.select(col("vec_id").as("query_id"), col("pos"),
+        col("qv"))
+      .join(broadcast(probes), Seq("query_id"))
+      .join(broadcast(cbByCell), Seq("cell", "pos"))
+      .select(col("query_id"), col("cell"), col("pos"),
+        (col("qv") - col("cv") + Offset).as("rqv"))
+    // per-cell LUTs: query residual subvector ↔ every residual centroid
+    val lut = codebooks.lazyZip(0 until mSub).map { (cb, m) =>
+      qResid.join(broadcast(cb), Seq("pos")) // cb pos ⊂ subspace m
+        .groupBy(col("query_id"), col("cell"), col("cid"))
+        .agg(sum((col("rqv") - col("cv")) * (col("rqv") - col("cv")))
+          .as("d"))
+        .withColumn("sub", lit(m))
+    }.reduce(_ unionByName _)
+    // ADC restricted to probed cells, LUT keyed by the candidate's cell
+    val approx = codes.join(cells, Seq("vec_id"))
+      .join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(lut.withColumnRenamed("cid", "code")),
+        Seq("query_id", "cell", "sub", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d")).cast("long").as("approx_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dist"), col("vec_id"))
+    val ranked = approx
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+    flagAgainstExact(ranked, base, qids, k)
+  }
 }

@@ -547,6 +547,117 @@ object ClusteringQueries {
     }
   }
 
+  /** RESIDUAL IVF-PQ ([[Clustering.ivfPqResidualTopK]]) — the true
+    * FAISS IndexIVFPQ encoding: PQ codebooks trained on RESIDUALS
+    * (x − cell centroid, re-offset positive for floor-mean
+    * portability), queries scored by per-probed-cell LUTs over
+    * (q − cell centroid). The twin replays the coarse chain, the
+    * residual derivation, FOUR residual-subspace training chains, the
+    * per-cell LUTs, the restricted ADC and the exact baseline. Output
+    * shape matches `ann_pq_adc`/`ann_ivfpq`, so raw-PQ vs residual-PQ
+    * recall at identical code budget is directly comparable in the
+    * dumped results. */
+  val annIvfPqResidual: Q = {
+    val PqStride = 100
+    val CoarseStride = 100
+    val NProbe = 2
+    val coarseChain = Clustering.kmeansOracleCtes("embeddings",
+      CoarseStride, Iters, prefix = "g")
+    val chains = (0 until 4).map(m =>
+      Clustering.kmeansOracleCtes("", PqStride, Iters, prefix = s"r$m",
+        veSql = Some(s"SELECT vec_id, pos, qv FROM rve " +
+          s"WHERE pos > ${m * 16} AND pos <= ${(m + 1) * 16}")))
+      .mkString(",\n")
+    val codesArms = (0 until 4).map(m =>
+      s"SELECT vec_id, $m AS sub, cid AS code FROM r${m}af WHERE rn = 1")
+      .mkString("\n  UNION ALL ")
+    val lutArms = (0 until 4).map(m =>
+      s"""SELECT qr.query_id, qr.cell, $m AS sub, c.cid,
+        |    CAST(SUM((qr.rqv - c.cv) * (qr.rqv - c.cv)) AS BIGINT) AS d
+        |  FROM qresid qr JOIN r${m}c$Iters c ON c.pos = qr.pos
+        |  GROUP BY qr.query_id, qr.cell, c.cid""".stripMargin)
+      .mkString("\n  UNION ALL ")
+    Q.sql(
+      "ann_ivfpq_residual",
+      s"""WITH $coarseChain,
+        |qids AS (
+        |  SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 97 = 0
+        |), cells AS (
+        |  SELECT vec_id, cid AS cell FROM gaf WHERE rn = 1
+        |), rve AS (
+        |  SELECT g.vec_id, g.pos,
+        |    g.qv - c.cv + ${Clustering.Offset} AS qv
+        |  FROM gve g
+        |  JOIN cells ON cells.vec_id = g.vec_id
+        |  JOIN gc$Iters c ON c.cid = cells.cell AND c.pos = g.pos
+        |),
+        |$chains,
+        |codes AS (
+        |  $codesArms
+        |), gq AS (
+        |  SELECT v.vec_id AS query_id, c.cid,
+        |    CAST(SUM((v.qv - c.cv) * (v.qv - c.cv)) AS BIGINT) AS dist_sq
+        |  FROM gve v JOIN qids ON qids.query_id = v.vec_id
+        |  JOIN gc$Iters c ON c.pos = v.pos
+        |  GROUP BY 1, 2
+        |), gprob AS (
+        |  SELECT query_id, cid AS cell FROM (
+        |    SELECT query_id, cid, ROW_NUMBER() OVER (
+        |      PARTITION BY query_id ORDER BY dist_sq, cid) AS rn
+        |    FROM gq) WHERE rn <= $NProbe
+        |), qresid AS (
+        |  SELECT q.query_id, p.cell, g.pos,
+        |    g.qv - c.cv + ${Clustering.Offset} AS rqv
+        |  FROM gve g JOIN qids q ON q.query_id = g.vec_id
+        |  JOIN gprob p ON p.query_id = q.query_id
+        |  JOIN gc$Iters c ON c.cid = p.cell AND c.pos = g.pos
+        |), lut AS (
+        |  $lutArms
+        |), approx AS (
+        |  SELECT p.query_id, codes.vec_id,
+        |    CAST(SUM(l.d) AS BIGINT) AS approx_dist
+        |  FROM codes
+        |  JOIN cells ON cells.vec_id = codes.vec_id
+        |  JOIN gprob p ON p.cell = cells.cell
+        |  JOIN lut l ON l.query_id = p.query_id AND l.cell = cells.cell
+        |    AND l.sub = codes.sub AND l.cid = codes.code
+        |  WHERE codes.vec_id <> p.query_id
+        |  GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT query_id, vec_id, approx_dist, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY approx_dist, vec_id) AS BIGINT)
+        |    AS rank
+        |  FROM approx
+        |), qrows AS (
+        |  SELECT qids.query_id, g.pos, g.qv AS q_qv
+        |  FROM gve g JOIN qids ON qids.query_id = g.vec_id
+        |), escored AS (
+        |  SELECT q.query_id, g.vec_id,
+        |    CAST(SUM((q.q_qv - g.qv) * (q.q_qv - g.qv)) AS BIGINT)
+        |      AS exact_dist
+        |  FROM gve g JOIN qrows q ON q.pos = g.pos
+        |  WHERE g.vec_id <> q.query_id
+        |  GROUP BY 1, 2
+        |), etop AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+        |      PARTITION BY query_id ORDER BY exact_dist, vec_id) AS ern
+        |    FROM escored) WHERE ern <= 5
+        |)
+        |SELECT r.query_id, r.rank, r.vec_id AS cand_id, r.approx_dist,
+        |  e.vec_id IS NOT NULL AS hit_exact
+        |FROM ranked r LEFT JOIN etop e
+        |  ON e.query_id = r.query_id AND e.vec_id = r.vec_id
+        |WHERE r.rank <= 5
+        |ORDER BY r.query_id, r.rank""".stripMargin) { (s, d) =>
+      Clustering.ivfPqResidualTopK(s, Tables.embeddings(s, d),
+        coarseStride = CoarseStride, mSub = 4, subDim = 16,
+        stride = PqStride, iters = Iters, queryMod = 97, nProbe = NProbe,
+        k = 5)
+        .orderBy("query_id", "rank")
+    }
+  }
+
   /** TEXT → VECTOR → CLUSTERS end to end: feature-hashed 64-dim count
     * vectors ([[graft.llm.TextAnalysis.featureHashEmbed]], densified
     * with zero-filled buckets) fed DIRECTLY into the integer-exact
@@ -598,5 +709,5 @@ object ClusteringQueries {
 
   val all: Seq[Q] =
     Seq(cKmeans, ddSemDeDup, annKmeansIvf, annRecallEval, annRecallCurve,
-      annPqAdc, annIvfPq, cKmeansText)
+      annPqAdc, annIvfPq, annIvfPqResidual, cKmeansText)
 }
