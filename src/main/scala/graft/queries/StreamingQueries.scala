@@ -339,7 +339,106 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  /** The REAL transformWithState EVENT-TIME-TIMER processor under the
+    * batch oracle gate ([[graft.streaming.EventStream.timerSessions]]):
+    * gap sessionization where session CLOSE is watermark-driven — one
+    * timer per user at `end + gap`, fired when the watermark passes.
+    * Two-phase replay: phase 1 streams the events table (closing
+    * whatever the in-corpus watermark already covers), phase 2 resumes
+    * from the checkpoint with a staged SENTINEL file 2 days past max
+    * event time — the watermark sweep that closes every remaining open
+    * session (the sentinel user's own session stays open by
+    * construction and is filtered). The collected emissions must equal
+    * the batch lag/cumsum sessionization with exact integer micros
+    * bounds and integer-cents sums. Sessions are emitted exactly once:
+    * inline on an in-batch gap split, or by the armed timer — never
+    * both (state clears on close). */
+  val stSessionTimers: Q = Q.sql(
+    "st_session_timers",
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+      |         WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+      |              >= 1800000000 THEN 1
+      |         ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged
+      |)
+      |SELECT user_id,
+      |  CAST(MIN(epoch_us(ts)) AS BIGINT) AS session_start_us,
+      |  CAST(MAX(epoch_us(ts)) AS BIGINT) AS session_end_us,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+      |    AS value_cents
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start_us""".stripMargin) { (s, d) =>
+    import graft.streaming.EventStream
+    import org.apache.spark.sql.types.LongType
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(provKey)
+    s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val landing = java.nio.file.Files.createTempDirectory("st_stm_land")
+    val out = java.nio.file.Files.createTempDirectory("st_stm_out")
+      .resolve("emissions").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("st_stm_ckpt")
+      .toString
+    try {
+      val src = java.nio.file.Paths.get(s"$d/events.parquet")
+      val dst = landing.resolve("events.parquet")
+      try java.nio.file.Files.createLink(dst, src)
+      catch { case _: Exception =>
+        java.nio.file.Files.copy(src, dst); () }
+      def runPass(): Unit = {
+        val q = EventStream.timerSessions(
+            EventStream.readEvents(s, landing.toString)).toDF()
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (df: org.apache.spark.sql.DataFrame, _: Long) =>
+              df.write.mode("append").parquet(out); ()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      runPass()
+      // sentinel in the FILE's raw shape (ts flavor drifts across
+      // testdata generations): max raw ts + 2 days, other columns
+      // overridden or null, written physically compatible and moved
+      // into the landing dir for the resumed pass
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val bumped =
+        if (raw.schema("ts").dataType == LongType)
+          col("ts") + lit(2L * 86400L * 1000000000L) // epoch NANOS
+        else col("ts") + expr("INTERVAL 2 DAYS")
+      val overrides = Map[String, org.apache.spark.sql.Column](
+        "event_id" -> lit(-1L), "user_id" -> lit(-1L),
+        "event_type" -> lit("sentinel"), "value" -> lit(0.0),
+        "ts" -> bumped)
+      val sentinel = raw.agg(max(col("ts")).as("ts"))
+        .select(raw.schema.fields.toSeq.map(f =>
+          overrides.getOrElse(f.name, lit(null))
+            .cast(f.dataType).as(f.name)): _*)
+      val stage = java.nio.file.Files.createTempDirectory("st_stm_stage")
+      sentinel.coalesce(1).write.mode("overwrite")
+        .parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.move(java.nio.file.Paths.get(part),
+        landing.resolve("z_sentinel.parquet"))
+      runPass()
+    } finally prev match {
+      case Some(v) => s.conf.set(provKey, v)
+      case None => s.conf.unset(provKey)
+    }
+    s.read.parquet(out).filter(col("user_id") >= 0)
+      .orderBy("user_id", "session_start_us")
+  }
+
   val all: Seq[Q] = Seq(stTumbling, stSliding, stSessions, stFirstSeen,
     stStreamDedup, stStaticEnrich, stIntervalJoin, stIntervalJoinOuter,
-    stRunningTotals)
+    stRunningTotals, stSessionTimers)
 }

@@ -426,6 +426,115 @@ object EventStream {
         TimeMode.None(), OutputMode.Append())
   }
 
+  final case class TimedEvent(event_id: Long, user_id: Long,
+                              ts_us: Long, value: Double)
+  final case class OpenSession(start_us: Long, end_us: Long,
+                               n: Long, cents: Long)
+  final case class ClosedSession(user_id: Long, session_start_us: Long,
+                                 session_end_us: Long, n_events: Long,
+                                 value_cents: Long)
+
+  /** GAP SESSIONIZATION via transformWithState EVENT-TIME TIMERS — the
+    * fourth and last piece of the typed-state API surface (ValueState:
+    * [[RunningTotalsProcessor]], MapState: [[TypeCountsProcessor]],
+    * ListState: [[RecentEventsProcessor]], timers: here). The open
+    * session per user is a fixed-size ValueState aggregate
+    * (start/end/count/cents — never the event list), and session CLOSE
+    * is driven by the watermark: every batch (re)registers ONE timer at
+    * `session_end + gap`; when the event-time watermark passes it,
+    * [[handleExpiredTimer]] emits the closed session and clears state.
+    * A session split INSIDE a batch (next event ≥ gap after the open
+    * end) closes inline. This is how native `session_window` works
+    * under the hood, re-built on the public typed-state API where the
+    * session payload can be arbitrary (here: exact integer cents).
+    *
+    * Determinism: within-batch rows fold in (ts_us, event_id) order;
+    * gap tests are exact integer MICROS (`ts_us` from `unix_micros`,
+    * never ms-truncated Timestamps); money folds in integer cents.
+    * Timer times are ms (the API's unit) — derived from `end_us` by the
+    * same truncating division at registration and expiry, so the
+    * stale-timer guard is exact. State per user is O(1); timers are one
+    * per user; at 100 TB keyspace both shard with shuffle partitions in
+    * the store like every other typed-state operator.
+    *
+    * Cross-batch caveat (same honesty as [[firstSeenByUser]]): an
+    * out-of-order event arriving AFTER its session's timer fired starts
+    * a new session rather than reopening the closed one — standard
+    * watermark semantics; the watermark delay is the knob. */
+  class SessionTimerProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TimedEvent, ClosedSession] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+      TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var open: ValueState[OpenSession] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[OpenSession]("open",
+        org.apache.spark.sql.Encoders.product[OpenSession], TTLConfig.NONE)
+    private def timerMsOf(o: OpenSession): Long =
+      o.end_us / 1000L + gapUs / 1000L
+    private def closed(user: Long, o: OpenSession) =
+      ClosedSession(user, o.start_us, o.end_us, o.n, o.cents)
+    override def handleInputRows(user: Long, rows: Iterator[TimedEvent],
+        timerValues: TimerValues): Iterator[ClosedSession] = {
+      val sorted = rows.toSeq.sortBy(r => (r.ts_us, r.event_id))
+      var cur = if (open.exists()) Some(open.get()) else None
+      val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+      sorted.foreach { r =>
+        val cents = math.round(r.value * 100)
+        cur match {
+          case Some(o) if r.ts_us - o.end_us < gapUs =>
+            cur = Some(OpenSession(o.start_us,
+              math.max(o.end_us, r.ts_us), o.n + 1, o.cents + cents))
+          case Some(o) => // gap inside the batch: close inline
+            out += closed(user, o)
+            cur = Some(OpenSession(r.ts_us, r.ts_us, 1L, cents))
+          case None =>
+            cur = Some(OpenSession(r.ts_us, r.ts_us, 1L, cents))
+        }
+      }
+      cur.foreach { o =>
+        open.update(o)
+        // exactly one live timer per key: drop stale, arm end + gap
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(timerMsOf(o))
+      }
+      out.iterator
+    }
+    override def handleExpiredTimer(user: Long,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      if (!open.exists()) return Iterator.empty
+      val o = open.get()
+      // stale-timer guard: only the timer armed for the CURRENT open
+      // session may close it (same ms formula as registration)
+      if (expiredTimerInfo.getExpiryTimeInMs < timerMsOf(o))
+        return Iterator.empty
+      open.clear()
+      Iterator.single(closed(user, o))
+    }
+  }
+
+  /** [[SessionTimerProcessor]] wired over the events shape: watermarked
+    * event time, exact-micros fold input (`ts` itself stays in the
+    * frame as the watermark column; `as[TimedEvent]` binds by name and
+    * ignores it). `delay` is the out-of-order tolerance (watermark
+    * lag); sessions close `gapUs` micros after their last event once
+    * the watermark passes. */
+  def timerSessions(events: DataFrame, gapUs: Long = 1800000000L,
+                    delay: String = "0 seconds")
+      : org.apache.spark.sql.Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.withWatermark("ts", delay)
+      .selectExpr("event_id", "user_id", "unix_micros(ts) AS ts_us",
+        "value", "ts")
+      .as[TimedEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(gapUs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** CUSTOM keyed state via flatMapGroupsWithState: the first
     * occurrence of each event_type per user (stateful streaming
     * distinct). Per-batch candidates are min-by-event_id folds — an

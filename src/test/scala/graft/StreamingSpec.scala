@@ -418,6 +418,76 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState timers: sessions close on watermark, split inline on gap") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+    val srcDir = java.nio.file.Files.createTempDirectory("twst_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("twst_ckpt").toString
+    val t0us = java.time.Instant.parse("2024-01-01T00:00:00Z")
+      .getEpochSecond * 1000000L
+    def ts(offsetUs: Long) =
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        (t0us + offsetUs) / 1000000L, ((t0us + offsetUs) % 1000000L) * 1000L))
+    def stage(name: String,
+              rows: Seq[(Long, Long, java.sql.Timestamp, Double)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("twst_stage")
+      import spark.implicits._
+      rows.toDF("event_id", "user_id", "ts", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.move(java.nio.file.Paths.get(part),
+        srcDir.resolve(name))
+    }
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val got = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long, Long)]
+      def runOnce(): Set[(Long, Long, Long, Long, Long)] = {
+        val stream = spark.readStream.schema(schema)
+          .parquet(srcDir.toString)
+        val q = EventStream.timerSessions(stream).toDF()
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            got.synchronized {
+              got ++= df.collect().map(r => (r.getLong(0), r.getLong(1),
+                r.getLong(2), r.getLong(3), r.getLong(4)))
+            }
+            ()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+        got.toSet
+      }
+      val min = 60000000L // one minute in micros
+      stage("f1.parquet", Seq(
+        (1L, 10L, ts(0), 1.25), (2L, 10L, ts(10 * min), 2.50),
+        (3L, 20L, ts(0), 3.00)))
+      // watermark after batch 1 = t0+10min; both timers (end+30min) are
+      // still ahead of it — nothing closes yet
+      assert(runOnce() == Set.empty)
+      // e4 is 35min after user 10's open end -> inline split; the
+      // sentinel user advances the watermark 2 days -> remaining timers
+      // fire; the sentinel's own session stays open (timer beyond wm)
+      stage("f2.parquet", Seq(
+        (4L, 10L, ts(45 * min), 0.75),
+        (5L, 99L, ts(2L * 86400L * 1000000L), 0.0)))
+      assert(runOnce() == Set(
+        (10L, t0us, t0us + 10 * min, 2L, 375L),
+        (10L, t0us + 45 * min, t0us + 45 * min, 1L, 75L),
+        (20L, t0us, t0us, 1L, 300L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
   test("streaming image dedup sink: committed phash index matches the batch chain") {
     import org.apache.spark.sql.types._
     import graft.llm.{Multimodal, PhashIndex}
