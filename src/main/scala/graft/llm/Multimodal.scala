@@ -726,6 +726,240 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------------
+  // MJPEG in a real QuickTime/MOV container — the second real container
+  // around the same measured-exact JPEG frames. Unlike RIFF/AVI (little-
+  // endian, frames discovered by walking in-stream chunks), QuickTime is
+  // BIG-endian and TABLE-DRIVEN: frame bytes live in 'mdat' as an opaque
+  // run, and the only way to find them is the sample tables under
+  // moov/trak/mdia/minf/stbl — stsz (sample sizes), stsc (sample→chunk
+  // mapping), stco (absolute chunk offsets). The demuxer below runs the
+  // standard stsc expansion, so the gate covers the real QuickTime
+  // sample-location algorithm plus the time atoms (mvhd timescale, stts
+  // durations), not just frame decode.
+  // ---------------------------------------------------------------------
+
+  private val MovTimescale = 2400
+  private val MovFrameDelta = 100 // stts per-frame duration (ticks)
+
+  /** Real minimal QuickTime container around the MJPEG frames:
+    * `ftyp('qt  ') mdat(frames) moov(mvhd trak(tkhd mdia(mdhd hdlr
+    * minf(vmhd dinf(dref url) stbl(stsd('jpeg') stts stsc stsz
+    * stco)))))` with big-endian sizes and the standard field layouts.
+    * `chunks` > 1 splits the samples over several mdat chunks (front-
+    * loaded split), producing a multi-row stsc/stco pair — the layout
+    * real muxers emit under interleaving, used by the spec to exercise
+    * the demuxer's full sample-location expansion. Executor-side. */
+  private[graft] def synthMovPayload(id: Long,
+                                     chunks: Int = 1): Array[Byte] = {
+    val w = mjWidth(id); val h = mjHeight(id); val n = mjFrames(id)
+    val frames = (0 until n).map(f => synthJpegFrame(mjGray(id, f), w, h))
+    def be32(v: Int): Array[Byte] = Array((v >>> 24).toByte,
+      (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def be16(v: Int): Array[Byte] =
+      Array((v >>> 8).toByte, v.toByte)
+    def fourcc(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    def atom(tp: String, body: Array[Byte]): Array[Byte] =
+      be32(body.length + 8) ++ fourcc(tp) ++ body
+    val zero4 = be32(0)
+    val duration = n * MovFrameDelta
+    val ftyp = atom("ftyp", fourcc("qt  ") ++ zero4 ++ fourcc("qt  "))
+    val mdatBody = frames.reduce(_ ++ _)
+    val mdat = atom("mdat", mdatBody)
+    // absolute offset of the single chunk (= first frame byte)
+    val chunkOffset = ftyp.length + 8
+    val identityMatrix = be32(0x00010000) ++ zero4 ++ zero4 ++
+      zero4 ++ be32(0x00010000) ++ zero4 ++ zero4 ++ zero4 ++
+      be32(0x40000000)
+    val mvhd = atom("mvhd", zero4 /*version+flags*/ ++ zero4 ++ zero4 ++
+      be32(MovTimescale) ++ be32(duration) ++ be32(0x00010000) ++
+      be16(0x0100) ++ Array.fill(10)(0.toByte) ++ identityMatrix ++
+      Array.fill(24)(0.toByte) ++ be32(2))
+    val tkhd = atom("tkhd", be32(0x0000000F) /*version+flags: enabled*/ ++
+      zero4 ++ zero4 ++ be32(1) /*track id*/ ++ zero4 ++
+      be32(duration) ++ Array.fill(8)(0.toByte) ++ be16(0) ++ be16(0) ++
+      be16(0) ++ be16(0) ++ identityMatrix ++
+      be32(w << 16) ++ be32(h << 16)) // 16.16 fixed dims
+    val mdhd = atom("mdhd", zero4 ++ zero4 ++ zero4 ++
+      be32(MovTimescale) ++ be32(duration) ++ be16(0) ++ be16(0))
+    val hdlr = atom("hdlr", zero4 ++ fourcc("mhlr") ++ fourcc("vide") ++
+      zero4 ++ zero4 ++ zero4 ++ Array(0.toByte) /*empty pstring name*/)
+    val vmhd = atom("vmhd", be32(1) ++ be16(0) ++
+      Array.fill(6)(0.toByte))
+    val dref = atom("dref", zero4 ++ be32(1) ++
+      atom("url ", be32(1) /*self-contained*/))
+    val dinf = atom("dinf", dref)
+    // 86-byte video sample description, codec 'jpeg'
+    val desc = be32(86) ++ fourcc("jpeg") ++
+      Array.fill(6)(0.toByte) ++ be16(1) /*data ref index*/ ++
+      be16(0) ++ be16(0) ++ zero4 ++ zero4 ++ zero4 ++
+      be16(w) ++ be16(h) ++ be32(0x00480000) ++ be32(0x00480000) ++
+      zero4 ++ be16(1) ++ Array.fill(32)(0.toByte) ++
+      be16(24) ++ be16(0xFFFF)
+    val stsd = atom("stsd", zero4 ++ be32(1) ++ desc)
+    val stts = atom("stts", zero4 ++ be32(1) ++ be32(n) ++
+      be32(MovFrameDelta))
+    // front-loaded chunking: ceil(n/chunks) samples per chunk until
+    // samples run out; consecutive equal rows collapse per the stsc
+    // contract (a row covers chunks up to the next row's firstChunk)
+    val nChunks = math.max(1, math.min(chunks, n))
+    val per = (n + nChunks - 1) / nChunks
+    val perChunk = (0 until nChunks).map(c =>
+      math.min(per, n - c * per)).filter(_ > 0)
+    val stscRows = perChunk.zipWithIndex
+      .filter { case (p, i) => i == 0 || p != perChunk(i - 1) }
+      .flatMap { case (p, i) => Seq(be32(i + 1), be32(p), be32(1)) }
+      .reduce(_ ++ _)
+    val stsc = atom("stsc", zero4 ++ be32(stscRows.length / 12) ++
+      stscRows)
+    val stsz = atom("stsz", zero4 ++ be32(0) /*no uniform size*/ ++
+      be32(n) ++ frames.flatMap(f => be32(f.length).toSeq).toArray)
+    val chunkStarts = perChunk.scanLeft(0)(_ + _).dropRight(1).map(s =>
+      chunkOffset + frames.take(s).map(_.length).sum)
+    val stco = atom("stco", zero4 ++ be32(chunkStarts.length) ++
+      chunkStarts.map(be32).reduce(_ ++ _))
+    val stbl = atom("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+    val minf = atom("minf", vmhd ++ dinf ++ stbl)
+    val mdia = atom("mdia", mdhd ++ hdlr ++ minf)
+    val trak = atom("trak", tkhd ++ mdia)
+    val moov = atom("moov", mvhd ++ trak)
+    ftyp ++ mdat ++ moov
+  }
+
+  /** (doc_id, payload) with REAL QuickTime/MJPEG bytes, per-partition. */
+  def asMovTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val rdd = docs.select("doc_id").rdd.mapPartitions { rows =>
+      rows.map(r => Row(r.getLong(0), synthMovPayload(r.getLong(0))))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  val movFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("timescale", IntegerType),
+    StructField("duration_ts", LongType),
+    StructField("container_frames", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("gray_first", IntegerType),
+    StructField("gray_sum", LongType)))
+
+  /** REAL QuickTime demux + REAL JPEG decode: walks the big-endian atom
+    * tree, requires a 'vide' handler and a 'jpeg' sample description,
+    * reads dims from tkhd's 16.16 fixed fields and time metadata from
+    * mvhd/stts, then locates every frame via the STANDARD sample-table
+    * expansion — stsc rows map chunks to samples-per-chunk, stco gives
+    * each chunk's absolute offset, stsz the per-sample byte sizes —
+    * and decodes each located range with ImageIO. A wrong entry in ANY
+    * table misplaces a frame and breaks the hash gate. */
+  def decodeMovMjpeg(mov: DataFrame): DataFrame = {
+    val spark = mov.sparkSession
+    val rdd = mov.select("doc_id", "payload").rdd.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val b = r.getAs[Array[Byte]](1)
+        def be32(off: Int): Int =
+          ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+            ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+        def be16(off: Int): Int =
+          ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+        def cc(off: Int): String = new String(b, off, 4,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        var (w, h, timescale) = (0, 0, 0)
+        var duration = 0L
+        var isVideo = false
+        var codec = ""
+        var sizes = Array.empty[Int]
+        var chunkOffsets = Array.empty[Int]
+        // (firstChunk, samplesPerChunk) rows of stsc
+        var stscRows = Array.empty[(Int, Int)]
+        var containerFrames = 0
+        def walk(from: Int, until: Int): Unit = {
+          var p = from
+          while (p + 8 <= until) {
+            val sz = be32(p); val tp = cc(p + 4); val body = p + 8
+            tp match {
+              case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+                walk(body, p + sz)
+              case "mvhd" =>
+                timescale = be32(body + 12)
+              case "tkhd" =>
+                w = be32(body + 76) >>> 16 // 16.16 fixed
+                h = be32(body + 80) >>> 16
+              case "hdlr" =>
+                isVideo = isVideo || cc(body + 8) == "vide"
+              case "stsd" =>
+                codec = cc(body + 12) // first description's fourcc
+              case "stts" =>
+                val n = be32(body + 4)
+                var i = 0
+                while (i < n) {
+                  duration += be32(body + 8 + i * 8).toLong *
+                    be32(body + 12 + i * 8)
+                  i += 1
+                }
+              case "stsc" =>
+                stscRows = Array.tabulate(be32(body + 4))(i =>
+                  (be32(body + 8 + i * 12), be32(body + 12 + i * 12)))
+              case "stsz" =>
+                val uniform = be32(body + 4)
+                containerFrames = be32(body + 8)
+                sizes =
+                  if (uniform != 0) Array.fill(containerFrames)(uniform)
+                  else Array.tabulate(containerFrames)(i =>
+                    be32(body + 12 + i * 4))
+              case "stco" =>
+                chunkOffsets = Array.tabulate(be32(body + 4))(i =>
+                  be32(body + 8 + i * 4))
+              case _ => () // ftyp/mdat/mdhd/vmhd/dinf: nothing needed
+            }
+            p += math.max(sz, 8) // guard corrupt zero-size atoms
+          }
+        }
+        walk(0, b.length)
+        require(isVideo && codec == "jpeg",
+          s"doc $id: no jpeg video track (codec='$codec')")
+        // standard sample-location expansion: stsc row i applies to
+        // chunks [firstChunk_i, firstChunk_{i+1}); samples are
+        // consecutive across chunks in chunk order
+        var frames = 0L
+        var grayFirst = -1
+        var graySum = 0L
+        var sample = 0
+        var chunk = 0
+        while (chunk < chunkOffsets.length && sample < sizes.length) {
+          val perChunk = stscRows
+            .takeWhile(_._1 <= chunk + 1).lastOption.map(_._2)
+            .getOrElse(0)
+          var off = chunkOffsets(chunk)
+          var k = 0
+          while (k < perChunk && sample < sizes.length) {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(b, off, sizes(sample)))
+            require(img != null, s"doc $id: undecodable JPEG sample")
+            val g = img.getRGB(img.getWidth / 2, img.getHeight / 2) & 0xff
+            if (grayFirst < 0) grayFirst = g
+            graySum += g
+            frames += 1
+            off += sizes(sample)
+            sample += 1; k += 1
+          }
+          chunk += 1
+        }
+        Row(id, w, h, timescale, duration, containerFrames, frames,
+          grayFirst, graySum)
+      }
+    }
+    spark.createDataFrame(rdd, movFeatureSchema)
+  }
+
+  // ---------------------------------------------------------------------
   // Perceptual-hash (dHash) image near-dup path
   // ---------------------------------------------------------------------
 

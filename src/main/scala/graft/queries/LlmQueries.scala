@@ -3314,6 +3314,38 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Multimodal — the SAME measured-exact MJPEG frames inside a real
+    * QuickTime/MOV container ([[Multimodal.synthMovPayload]] /
+    * [[Multimodal.decodeMovMjpeg]]): big-endian atom tree, 'vide'
+    * handler + 'jpeg' sample description, and — the part RIFF doesn't
+    * have — TABLE-DRIVEN frame location (stsz sizes, stsc sample→chunk
+    * mapping, stco absolute offsets, the standard expansion). The gate
+    * adds the time atoms: mvhd timescale and the stts-summed duration
+    * are closed-form predictions too, so a wrong entry in any sample or
+    * time table breaks the hash. */
+  val mmMov: Q = Q.sql(
+    "mm_mov_decode",
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(2 + doc_id % 4 AS BIGINT) AS n,
+      |    CAST(doc_id % 200 AS BIGINT) AS g
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(16 + (doc_id % 5) * 8 AS INTEGER) AS width,
+      |  CAST(16 + (doc_id % 3) * 8 AS INTEGER) AS height,
+      |  CAST(2400 AS INTEGER) AS timescale,
+      |  CAST(n * 100 AS BIGINT) AS duration_ts,
+      |  CAST(n AS INTEGER) AS container_frames,
+      |  n AS n_frames,
+      |  CAST(g AS INTEGER) AS gray_first,
+      |  CAST(n*g + 7*((n-1)*n//2) AS BIGINT) AS gray_sum
+      |FROM d ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Multimodal.decodeMovMjpeg(
+      Multimodal.asMovTable(Tables.documents(s, d)))
+      .orderBy("doc_id")
+  }
+
   /** Multimodal — aspect-preserving resize spec over the REAL decoded
     * dims (ImageIO path). Target 12 px so the corpus mixes up- and
     * down-scales; the scale ratio/floor math is exact IEEE double in
@@ -3713,6 +3745,7 @@ object LlmQueries {
     ddSimhashNearDup, ddSimhashEval, ddEmbeddingNearDup, annBruteForce,
     annLsh, annRhLsh,
     annIvf, mmBinary, mmFeatures, mmAudio, mmVideo, mmSceneCut, mmMjpeg,
+    mmMov,
     mmResize,
     mmFrameSample, mmDhash, mmPhashNearDup, mmAudioEnergy,
     ddPhashIndexChain)

@@ -441,6 +441,33 @@ class LlmSpec extends SparkSpec {
       Multimodal.featureSchema)
   }
 
+  test("MOV demux: multi-chunk sample tables locate every frame") {
+    import org.apache.spark.sql.types._
+    // ids chosen for frame counts 2..5 (mjFrames = 2 + id % 4); chunks=2
+    // forces multi-row stsc + two stco offsets — the sample-location
+    // expansion the single-chunk oracle payloads never exercise
+    val ids = Seq(0L, 1L, 2L, 3L, 7L, 42L)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val rows = ids.map(id => org.apache.spark.sql.Row(
+      id, Multimodal.synthMovPayload(id, chunks = 2)))
+    val mov = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val got = Multimodal.decodeMovMjpeg(mov).orderBy("doc_id").collect()
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val n = 2 + (id % 4).toInt
+      val g = (id % 200).toInt
+      assert(r.getInt(1) == 16 + (id % 5).toInt * 8)   // width
+      assert(r.getInt(2) == 16 + (id % 3).toInt * 8)   // height
+      assert(r.getInt(3) == 2400)                       // timescale
+      assert(r.getLong(4) == n * 100L)                  // duration_ts
+      assert(r.getInt(5) == n && r.getLong(6) == n.toLong)
+      assert(r.getInt(7) == g)                          // gray_first
+      assert(r.getLong(8) == (0 until n).map(f => g + 7L * f).sum)
+    }
+  }
+
   test("connectedComponents: transitive chains, merged stars, singletons") {
     // 200-node chain 0-1-2-…-199 (diameter forces pointer jumping — a
     // neighbor-only propagation would need 200 rounds, maxIter is 30),
