@@ -62,6 +62,36 @@ object Similarity {
     concat((0 until bits).map(i =>
       when(element_at(col(vecCol), i + 1) >= 0, "1").otherwise("0")): _*)
 
+  /** CORPUS-VERSION EMBEDDING DRIFT — the population-stability check an
+    * embedding pipeline runs between corpus snapshots (did the encoder
+    * change, did the source mix shift): both snapshots bucket by the
+    * same [[signBucket]] sign pattern, per-bucket counts are compared
+    * with a CROSS-MULTIPLIED integer statistic
+    * `|n_old·tot_new − n_new·tot_old|` — the exact-integer form of the
+    * proportion difference |p_old − p_new| scaled by tot_old·tot_new
+    * (the same integer cross-multiplication discipline as weighted
+    * sampling), so the drift report is bit-identical across engines
+    * with no float ratios. Scale shape: two scans + one 2^bits-row
+    * full-outer join; totals broadcast. At 100 TB this is a metadata-
+    * cheap nightly alarm on a mart of billions of vectors. */
+  def embeddingDrift(oldEmb: DataFrame, newEmb: DataFrame,
+                     bits: Int = 6,
+                     vecCol: String = "embedding"): DataFrame = {
+    def histo(df: DataFrame, as: String) =
+      df.select(signBucket(vecCol, bits).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(as))
+    val joined = histo(oldEmb, "n_old")
+      .join(histo(newEmb, "n_new"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val tot = joined.agg(sum("n_old").as("tot_old"),
+      sum("n_new").as("tot_new"))
+    joined.crossJoin(broadcast(tot))
+      .withColumn("cross_diff",
+        abs(col("n_old") * col("tot_new") - col("n_new") * col("tot_old")))
+  }
+
   /** LSH-bucketed cosine top-k: candidates limited to the query's sign
     * bucket (bucket equi-join carries both vectors; scoring is a
     * per-row expression). Recall < 1 by construction. Degenerate

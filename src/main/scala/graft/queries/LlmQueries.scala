@@ -2731,6 +2731,90 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Similarity — HARD-NEGATIVE MINING, the contrastive-training data-
+    * prep step: for each positive anchor (synthetic label: vec_id
+    * divisible by 7; the query subset is the %91==0 positives, 91=7·13)
+    * the 3 most-similar NEGATIVES by exact quantized cosine — the
+    * near-miss candidates a contrastive loss learns most from. The
+    * candidate side is the negative corpus only, so the top-k is hard
+    * negatives by construction, not filtered afterwards. */
+  val annHardNegatives: Q = Q.sql(
+    "ann_hard_negatives",
+    s"""WITH qe AS (
+      |  SELECT vec_id AS query_id, unnest(embedding) AS qv,
+      |         unnest(generate_series(1, len(embedding))) AS pos
+      |  FROM embeddings WHERE vec_id % 91 = 0
+      |), ce AS (
+      |  SELECT vec_id AS cand_id, unnest(embedding) AS cv,
+      |         unnest(generate_series(1, len(embedding))) AS pos
+      |  FROM embeddings WHERE vec_id % 7 <> 0
+      |), dots AS (
+      |  SELECT query_id, cand_id, $dotSql AS dot
+      |  FROM qe JOIN ce USING (pos)
+      |  GROUP BY query_id, cand_id
+      |), norms AS (
+      |  $normSql
+      |), scored AS (
+      |  SELECT query_id, cand_id,
+      |         CAST(dot AS DOUBLE) / (qn.norm * cn.norm) AS cosine
+      |  FROM dots
+      |  JOIN norms qn ON qn.id = query_id
+      |  JOIN norms cn ON cn.id = cand_id
+      |)
+      |SELECT query_id, cand_id AS negative_id, cosine, rank FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, cand_id) AS rank
+      |  FROM scored
+      |) WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") % 91 === 0),
+        emb.filter(col("vec_id") % 7 =!= 0), k = 3)
+      .select(col("query_id"), col("cand_id").as("negative_id"),
+        col("cosine"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Similarity — CORPUS-VERSION EMBEDDING DRIFT
+    * ([[Similarity.embeddingDrift]]): sign-bucket histograms of two
+    * snapshots (old = vec_id%3≠0, new = vec_id%3=0) compared with the
+    * exact-integer cross-multiplied proportion difference — the
+    * population-stability alarm between corpus versions, no float
+    * ratios anywhere. */
+  val annEmbeddingDrift: Q = Q.sql(
+    "a18e_embedding_drift",
+    s"""WITH b AS (
+      |  SELECT vec_id,
+      |    ${(0 until 6).map(i =>
+           s"(CASE WHEN embedding[${i + 1}] >= 0 THEN '1' ELSE '0' END)")
+           .mkString(" || ")} AS bucket
+      |  FROM embeddings
+      |), o AS (
+      |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_old
+      |  FROM b WHERE vec_id % 3 <> 0 GROUP BY bucket
+      |), nw AS (
+      |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_new
+      |  FROM b WHERE vec_id % 3 = 0 GROUP BY bucket
+      |), j AS (
+      |  SELECT COALESCE(o.bucket, nw.bucket) AS bucket,
+      |    COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new
+      |  FROM o FULL OUTER JOIN nw ON o.bucket = nw.bucket
+      |), t AS (
+      |  SELECT CAST(SUM(n_old) AS BIGINT) AS tot_old,
+      |         CAST(SUM(n_new) AS BIGINT) AS tot_new FROM j
+      |)
+      |SELECT bucket, n_old, n_new, tot_old, tot_new,
+      |  ABS(n_old * tot_new - n_new * tot_old) AS cross_diff
+      |FROM j CROSS JOIN t
+      |ORDER BY bucket""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.embeddingDrift(
+        emb.filter(col("vec_id") % 3 =!= 0),
+        emb.filter(col("vec_id") % 3 === 0), bits = 6)
+      .orderBy("bucket")
+  }
+
   /** Similarity — sign-bucket LSH top-5 (every vector as query; the
     * bounded-candidate scale path). */
   val annLsh: Q = Q.sql(
@@ -3743,6 +3827,7 @@ object LlmQueries {
     ddMinhashEstimate,
     ddLshBandSweep, ddSimhash,
     ddSimhashNearDup, ddSimhashEval, ddEmbeddingNearDup, annBruteForce,
+    annHardNegatives, annEmbeddingDrift,
     annLsh, annRhLsh,
     annIvf, mmBinary, mmFeatures, mmAudio, mmVideo, mmSceneCut, mmMjpeg,
     mmMov,
