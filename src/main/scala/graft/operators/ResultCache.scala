@@ -28,9 +28,20 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   * never a TTL guess. */
 object ResultCache {
 
-  /** Cache key: semantic plan hash + input signatures. */
+  /** Cache key: semantic plan hash + input signatures.
+    *
+    * The plan hash is over the canonicalized ANALYZED plan, not the
+    * optimized one: optimizer rewrites are not all run-deterministic —
+    * `RewriteDistinctAggregates` (any plan with 2+ DISTINCT aggregates)
+    * orders its Expand projections by a HashMap iteration over exprIds,
+    * which differ across JVM runs, so byte-identical code re-planned in
+    * a new run hashes differently and the cache never hits (found via
+    * fct_trade_show_performance rebuilding on every unchanged re-run).
+    * Analyzer rules are deterministic transformations; canonicalization
+    * still normalizes exprIds and alias names, so alias renames and
+    * pass-through projections hash equal (OperatorsSpec pins both). */
   def fingerprint(df: DataFrame): String = {
-    val plan = df.queryExecution.optimizedPlan
+    val plan = df.queryExecution.analyzed
     val planHash = plan.canonicalized.semanticHash()
     val spark = df.sparkSession
     val inputs = plan.collect {
