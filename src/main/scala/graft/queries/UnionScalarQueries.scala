@@ -626,6 +626,53 @@ object UnionScalarQueries {
       .orderBy("src")
   }
 
+  /** S15 — DYNAMIC PARTITION PRUNING through the REAL hive-partitioned
+    * `AtomicTable` commit: orders land partitioned by order month
+    * (~80 directories), then join a broadcast month dim FILTERED to one
+    * year — the filter lives on the DIM side, so only Spark's DPP (a
+    * dynamicpruning subquery reusing the broadcast) can skip the other
+    * ~68 partition directories at the fact scan; a static predicate
+    * can't express it. This is THE join optimization for date-
+    * partitioned facts at 100 TB: without DPP the join scans the whole
+    * mart. The gate proves output correctness (rollup == oracle's
+    * direct year filter); the executed plan shows
+    * `dynamicpruningexpression` in the scan's PartitionFilters. */
+  val s15DppPrune: Q = Q.sql(
+    "s15_dpp_prune",
+    """WITH f AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |    strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS o_month,
+      |    year(o_orderdate) AS y
+      |  FROM orders
+      |)
+      |SELECT o_month, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST((o_totalprice) AS DECIMAL(38,6))) AS DOUBLE)
+      |    AS total_price
+      |FROM f WHERE y = 1997
+      |GROUP BY o_month
+      |ORDER BY o_month""".stripMargin) { (s, d) =>
+    import graft.operators.AtomicTable
+    val orders = Tables.orders(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("graft_s15")
+      .resolve("t").toString
+    val fact = orders.select(col("o_orderkey"), col("o_totalprice"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("o_month"))
+    AtomicTable.commit(fact, dir, 0L, partitionCols = Seq("o_month"))
+    val committed = AtomicTable.read(s, dir).get
+    // month dim with its year attribute — each month belongs to exactly
+    // one year, so the dim-side filter selects 12 of ~80 partitions
+    val dim = orders.select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_month"),
+        year(col("o_orderdate")).as("o_year"))
+      .distinct()
+    committed
+      .join(broadcast(dim.filter(col("o_year") === 1997)), Seq("o_month"))
+      .groupBy("o_month")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_month")
+  }
+
   /** I5 — LOOKBACK incremental merge (late-arriving data): the dbt
     * incremental pattern that reprocesses a trailing window instead of
     * the full history. The seed build is missing every o_orderkey%10=3
@@ -763,6 +810,7 @@ object UnionScalarQueries {
     u2UnionDistinct, fString, fPseudonymize, fHash, fDate, fSafeNumeric,
     fZOrderKey,
     s5MergeUpsert,
-    s6VersionDiff, s13Scd2, s14SkippingRead, j17PitJoin, tsSpineFill,
+    s6VersionDiff, s13Scd2, s14SkippingRead, s15DppPrune, j17PitJoin,
+    tsSpineFill,
     i1Incremental, i5LookbackMerge, a17EventRollup)
 }
