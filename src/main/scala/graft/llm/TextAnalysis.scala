@@ -817,6 +817,52 @@ object TextAnalysis {
           .cast("long"))
       .withColumn("scrubbed_text", scrubPii(text))
 
+  /** DOMAIN POLICY FILTER — the crawl-compliance deny-list pass
+    * (robots-style opt-outs, tracker/ad domains, licensing blocks): a
+    * host matches a rule when it EQUALS the rule domain or is a
+    * SUBDOMAIN of it, and when several rules match the MOST SPECIFIC
+    * (most labels) wins — so an `allow` exception on a specific
+    * subdomain overrides its apex's `block`, the public-suffix-list
+    * longest-match semantics.
+    *
+    * Mechanics, scale-shaped: each host explodes into its ≤ #labels
+    * suffix chain (`a.b.com` → a.b.com, b.com, com — the per-row
+    * bounded explode, never a rule cross join), equi-joins the
+    * broadcast rule table on the suffix, and the winner is the
+    * map-side-combinable `max(struct(labels, action, domain))` argmax —
+    * specificity ties are impossible (a host's suffixes have distinct
+    * label counts and rule domains are unique). Unmatched hosts get the
+    * `defaultAction`. At 100 TB this is one scan + a broadcast join;
+    * the deny-list (thousands of rules) stays driver-small like every
+    * policy config. Returns the input plus
+    * (matched_rule, action, is_blocked). */
+  def domainPolicyFilter(df: DataFrame, host: Column,
+                         rules: Seq[(String, String)],
+                         defaultAction: String = "allow"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ruleDf = broadcast(rules.toDF("rule_domain", "rule_action")
+      .withColumn("rule_labels",
+        size(split(col("rule_domain"), "\\."))))
+    val withHost = df.withColumn("_host", host)
+      .withColumn("_nlab", size(split(col("_host"), "\\.")))
+    val suffixes = withHost
+      .withColumn("_m", explode(expr("sequence(1, _nlab)")))
+      .withColumn("_suffix", expr("substring_index(_host, '.', -_m)"))
+    val matched = suffixes
+      .join(ruleDf, col("_suffix") === col("rule_domain"))
+      .groupBy(col("_host").as("_mhost"))
+      .agg(max(struct(col("rule_labels"), col("rule_action"),
+        col("rule_domain"))).as("_w"))
+      .select(col("_mhost"), col("_w.rule_domain").as("matched_rule"),
+        col("_w.rule_action").as("action"))
+    withHost
+      .join(matched, col("_host") === col("_mhost"), "left")
+      .withColumn("action", coalesce(col("action"), lit(defaultAction)))
+      .withColumn("is_blocked", col("action") === "block")
+      .drop("_host", "_nlab", "_mhost")
+  }
+
   /** Content fingerprints: exact (md5 of normalized text), bag (md5 of
     * sorted distinct tokens — word-order-insensitive), and min-shingle
     * (min md5 over 3-gram shingles — the 1-hash MinHash). */

@@ -104,6 +104,64 @@ object GraphOps {
     sb.toString
   }
 
+  /** SYNCHRONOUS LABEL PROPAGATION (Raghavan et al. 2007) — community
+    * detection between connected components (too coarse: one label per
+    * component) and modularity optimization (too expensive at scale):
+    * every node starts as its own label; each round it adopts the MOST
+    * FREQUENT label among its neighbors, ties to the SMALLER label —
+    * the deterministic synchronous variant, so a fixed iteration count
+    * is exactly replayable (the async/randomized variant of the paper
+    * converges faster but is unordered). Mode-with-min-tie is the
+    * k-means argmin discipline: `min(struct(-cnt, label))` partial-
+    * aggregates map-side, no sort+window.
+    *
+    * Scale shape: per round ONE node-keyed join of the directed edge
+    * list with the labels and two map-side-combined aggregates;
+    * `localCheckpoint(true)` per round keeps the plan flat at any
+    * depth ([[pageRank]] discipline). Synchronous LPA can oscillate on
+    * bipartite structures — bounded `iters` makes that a deterministic,
+    * gateable property rather than a nontermination risk. Returns
+    * (node, label). */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    val dirs = edges.select(col("src").as("u"), col("dst").as("v"))
+      .unionAll(edges.select(col("dst").as("u"), col("src").as("v")))
+      .localCheckpoint(true)
+    var labels = dirs.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      labels = dirs
+        .join(labels.select(col("node").as("v"), col("label")), Seq("v"))
+        .groupBy(col("u"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("u"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("label"))).as("m"))
+        .select(col("u").as("node"), col("m.label").as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
+  /** DuckDB twin of [[labelPropagation]]: the round chain as CTE text.
+    * Expects a `dirs(u, v)` CTE; emits `lp0` … `lp{iters}` =
+    * (node, label). */
+  def labelPropagationOracleCtes(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """, lp0 AS (
+      |  SELECT DISTINCT u AS node, u AS label FROM dirs
+      |)""".stripMargin
+    for (t <- 1 to iters) {
+      sb ++= s""", lp$t AS (
+      |  SELECT u AS node, label FROM (
+      |    SELECT d.u, l.label, ROW_NUMBER() OVER (
+      |      PARTITION BY d.u ORDER BY COUNT(*) DESC, l.label) AS rn
+      |    FROM dirs d JOIN lp${t - 1} l ON l.node = d.v
+      |    GROUP BY d.u, l.label) WHERE rn = 1
+      |)""".stripMargin
+    }
+    sb.toString
+  }
+
   /** Bounded multi-source BFS: exact hop distance (≤ maxHops) from a
     * seed set over the undirected edge list — the reachability /
     * blast-radius primitive. Per round: ONE node-keyed join of the

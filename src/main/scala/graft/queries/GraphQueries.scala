@@ -556,6 +556,49 @@ object GraphQueries {
       .orderBy("partition_name")
   }
 
+  /** Synchronous label propagation ([[GraphOps.labelPropagation]], 3
+    * deterministic rounds, min-label ties) over the star+chain
+    * community graph `g_modularity` uses — per-node label plus the
+    * label's community size, both exactly replayed by the oracle's
+    * round-by-round CTE chain. The graph has real community structure
+    * (7-member stars bridged by sparse 13-chains), so 3 rounds already
+    * pull star satellites onto hub labels — the gate pins the exact
+    * label assignment, not just convergence. */
+  val gLabelProp: Q = Q.sql(
+    "g_label_prop",
+    s"""WITH star AS (
+      |  SELECT doc_id AS src, doc_id - (doc_id % 7) AS dst
+      |  FROM documents WHERE doc_id % 7 IN (1, 2, 3)
+      |), chain AS (
+      |  SELECT doc_id AS src, doc_id + 13 AS dst
+      |  FROM documents
+      |  WHERE doc_id % 13 = 0
+      |    AND doc_id + 13 IN (SELECT doc_id FROM documents)
+      |), edges AS (
+      |  SELECT src, dst FROM star UNION ALL SELECT src, dst FROM chain
+      |), dirs AS (
+      |  SELECT src AS u, dst AS v FROM edges
+      |  UNION ALL SELECT dst, src FROM edges
+      |)${GraphOps.labelPropagationOracleCtes(3)}
+      |SELECT node, label,
+      |  COUNT(*) OVER (PARTITION BY label) AS community_size
+      |FROM lp3
+      |ORDER BY node""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val id = col("doc_id")
+    val nodes = docs.select(id.as("id"))
+    val star = docs.filter((id % 7).isin(1, 2, 3))
+      .select(id.as("src"), (id - id % 7).as("dst"))
+    val chain = docs.filter(id % 13 === 0)
+      .select(id.as("src"), (id + 13).as("dst"))
+      .join(nodes.select(col("id").as("dst")), Seq("dst"), "left_semi")
+    val edges = star.unionByName(chain.select("src", "dst"))
+    GraphOps.labelPropagation(edges, iters = 3)
+      .withColumn("community_size",
+        count(lit(1)).over(Window.partitionBy(col("label"))))
+      .orderBy("node")
+  }
+
   val all: Seq[Q] = Seq(stFunnel, gTriangles, stCohort, gPageRank, gBfsHops,
-    stTopPaths, aAttrMultiTouch, gModularity)
+    stTopPaths, aAttrMultiTouch, gModularity, gLabelProp)
 }

@@ -2682,6 +2682,67 @@ object LlmQueries {
     }
   }
 
+  /** Text — DOMAIN POLICY FILTER ([[TA.domainPolicyFilter]]): the
+    * crawl-compliance deny-list with public-suffix-style longest-match
+    * — apex blocks cover subdomains, a more-specific `allow` exception
+    * overrides its apex's `block`, a 1-label rule blocks a whole TLD,
+    * unmatched hosts default-allow. Hosts synthesize deterministically
+    * from doc_id (¼ apex-only, ¾ subdomain·apex over 3 TLDs); the twin
+    * replays the bounded suffix-chain explode + broadcast rule join +
+    * specificity argmax. */
+  val tDomainPolicy: Q = Q.sql(
+    "t_domain_policy",
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 4 = 0 THEN ''
+      |         ELSE 's' || CAST(doc_id % 11 AS VARCHAR) || '.' END ||
+      |    'd' || CAST(doc_id % 13 AS VARCHAR) ||
+      |    CASE WHEN doc_id % 3 = 0 THEN '.com'
+      |         WHEN doc_id % 3 = 1 THEN '.net' ELSE '.org' END AS host
+      |  FROM documents
+      |), rules AS (
+      |  SELECT * FROM (VALUES
+      |    ('d1.com', 'block'), ('d2.net', 'block'),
+      |    ('s3.d1.com', 'allow'), ('org', 'block'))
+      |    t(rule_domain, rule_action)
+      |), e AS (
+      |  SELECT doc_id, host, string_split(host, '.') AS parts,
+      |    unnest(generate_series(1, len(string_split(host, '.')))) AS m
+      |  FROM u
+      |), sfx AS (
+      |  SELECT DISTINCT host,
+      |    array_to_string(parts[len(parts)-m+1:len(parts)], '.') AS suffix
+      |  FROM e
+      |), matched AS (
+      |  SELECT host, rule_domain AS matched_rule, rule_action AS action
+      |  FROM (
+      |    SELECT s.host, r.rule_domain, r.rule_action,
+      |      ROW_NUMBER() OVER (PARTITION BY s.host
+      |        ORDER BY len(string_split(r.rule_domain, '.')) DESC) AS rn
+      |    FROM sfx s JOIN rules r ON r.rule_domain = s.suffix
+      |  ) WHERE rn = 1
+      |)
+      |SELECT u.doc_id, u.host, m.matched_rule,
+      |  COALESCE(m.action, 'allow') AS action,
+      |  COALESCE(m.action, 'allow') = 'block' AS is_blocked
+      |FROM u LEFT JOIN matched m ON m.host = u.host
+      |ORDER BY u.doc_id""".stripMargin) { (s, d) =>
+    val id = col("doc_id")
+    val tld = when(id % 3 === 0, ".com")
+      .when(id % 3 === 1, ".net").otherwise(".org")
+    val apex = concat(lit("d"), (id % 13).cast("string"), tld)
+    val host = when(id % 4 === 0, apex)
+      .otherwise(concat(lit("s"), (id % 11).cast("string"), lit("."),
+        apex))
+    TA.domainPolicyFilter(
+        Tables.documents(s, d).select(id, host.as("host")),
+        col("host"),
+        Seq("d1.com" -> "block", "d2.net" -> "block",
+          "s3.d1.com" -> "allow", "org" -> "block"))
+      .select("doc_id", "host", "matched_rule", "action", "is_blocked")
+      .orderBy("doc_id")
+  }
+
   // Integer-quantized scores (see Similarity scaladoc): float→double,
   // ×1e6, away-from-zero round, BIGINT sums — exact in both engines.
   private val qq = "CAST(ROUND(CAST(%s AS DOUBLE) * 1000000) AS BIGINT)"
@@ -3827,7 +3888,7 @@ object LlmQueries {
     ddMinhashEstimate,
     ddLshBandSweep, ddSimhash,
     ddSimhashNearDup, ddSimhashEval, ddEmbeddingNearDup, annBruteForce,
-    annHardNegatives, annEmbeddingDrift,
+    annHardNegatives, annEmbeddingDrift, tDomainPolicy,
     annLsh, annRhLsh,
     annIvf, mmBinary, mmFeatures, mmAudio, mmVideo, mmSceneCut, mmMjpeg,
     mmMov,
