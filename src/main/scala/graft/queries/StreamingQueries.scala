@@ -438,7 +438,54 @@ object StreamingQueries {
       .orderBy("user_id", "session_start_us")
   }
 
+  /** Spark's NATIVE `session_window` operator in batch mode — the
+    * third member of the sessionization family (`st_session_windows` =
+    * the manual lag/cumsum batch twin, `st_session_timers` = the
+    * typed-state timer processor, this = the built-in operator the
+    * first two re-derive). Native session windows merge overlapping
+    * [t, t+gap) intervals per key — identical semantics to the
+    * `diff >= gap ⇒ split` rule, with `end = last event + gap` — so the
+    * oracle is the same CTE chain with the gap added to the end bound.
+    * One partial-merging aggregate, no window function, no state ops:
+    * the plan Spark picks is what the streaming variant's state store
+    * implements incrementally. */
+  val w12NativeSession: Q = Q.sql(
+    "w12_native_session",
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+      |         WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+      |              >= 1800000000 THEN 1
+      |         ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged
+      |)
+      |SELECT user_id,
+      |  CAST(MIN(epoch_us(ts)) AS BIGINT) AS session_start_us,
+      |  CAST(MAX(epoch_us(ts)) + 1800000000 AS BIGINT) AS session_end_us,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+      |    AS value_cents
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start_us""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(ROUND(value * 100) AS BIGINT)"))
+          .cast("long").as("value_cents"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        unix_micros(col("w.end")).as("session_end_us"),
+        col("n_events"), col("value_cents"))
+      .orderBy("user_id", "session_start_us")
+  }
+
   val all: Seq[Q] = Seq(stTumbling, stSliding, stSessions, stFirstSeen,
     stStreamDedup, stStaticEnrich, stIntervalJoin, stIntervalJoinOuter,
-    stRunningTotals, stSessionTimers)
+    stRunningTotals, stSessionTimers, w12NativeSession)
 }

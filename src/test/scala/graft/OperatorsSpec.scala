@@ -778,6 +778,48 @@ class OperatorsSpec extends SparkSpec {
     assert(r.df.head().getLong(0) == 5050L + 1000L)
   }
 
+  test("runtime bloom-filter join: injected filter reaches the fact scan, output invariant") {
+    // Spark's InjectRuntimeFilter: a selective filter on the build side
+    // of a shuffle join grows a bloom-filter subquery that pre-filters
+    // the probe side's SCAN — the built-in runtime semi-join reduction
+    // that matters at 100 TB (probe rows that can't match never leave
+    // the scan). Demonstrated with broadcast off (a broadcast join
+    // needs no runtime filter) and the application-side size gate
+    // lowered to test scale; correctness pinned against the
+    // filter-disabled run.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    def joined() = {
+      val li = Tables.lineitem(spark, sf)
+      val o = Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("q"))
+    }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val df = joined()
+      val withFilter = df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("bloom_filter") ||
+        plan.contains("BloomFilter"),
+        s"expected an injected bloom runtime filter in:\n$plan")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val without = joined().collect()
+      assert(withFilter.map(_.toString).sorted.toSeq ==
+        without.map(_.toString).sorted.toSeq)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("Lineage: column sources tracked through join, window, aggregate, union") {
     import graft.tools.Lineage
     import org.apache.spark.sql.expressions.Window
