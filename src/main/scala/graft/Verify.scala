@@ -36,7 +36,12 @@ object Verify {
         failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally spark.catalog.clearCache()
+      finally {
+        spark.catalog.clearCache()
+        // the result is written — scratch tables/checkpoints this query
+        // committed under /tmp are dead weight now (r12 VERDICT nit #1)
+        queries.Q.cleanupScratch()
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

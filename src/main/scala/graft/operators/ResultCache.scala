@@ -54,14 +54,23 @@ object ResultCache {
           // listing would sign them as `0|0|0` and changes inside
           // partitions would never invalidate the entry (r11 nit #1).
           val it = hfs.listFiles(p, true)
-          var (count, bytes, maxMtime) = (0L, 0L, 0L)
+          // Hash the SORTED per-file (path, len, mtime) tuples rather
+          // than aggregating to count|sumBytes|maxMtime: an in-place
+          // rewrite with unchanged length and a non-advancing mtime
+          // (clock rewind, restored backup, rsync -t, object-store copy
+          // preserving timestamps) must still perturb the signature —
+          // under skipUnchanged a collision there silently serves a
+          // stale committed mart (r12 ADVICE).
+          val files = scala.collection.mutable.ArrayBuffer.empty[String]
           while (it.hasNext) {
             val f = it.next()
-            count += 1; bytes += f.getLen
-            if (f.getModificationTime > maxMtime)
-              maxMtime = f.getModificationTime
+            files +=
+              s"${f.getPath}|${f.getLen}|${f.getModificationTime}"
           }
-          s"$p|$count|$bytes|$maxMtime"
+          val fmd = java.security.MessageDigest.getInstance("MD5")
+          files.sorted.foreach(s => fmd.update(s.getBytes("UTF-8")))
+          val fileHash = fmd.digest().map("%02x".format(_)).mkString
+          s"$p|${files.size}|$fileHash"
         }.mkString(";")
         case _ => "other"
       }

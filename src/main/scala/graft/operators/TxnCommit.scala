@@ -126,6 +126,21 @@ object TxnCommit {
     staged
   }
 
+  /** [[commitAll]] + cross-table SNAPSHOT publication: after the
+    * markers land, one manifest pinning every table's new version is
+    * written to `manifestDir` ([[SnapshotManifest]]). Readers that
+    * resolve through `SnapshotManifest.snapshot` get both-old or
+    * both-new across the whole published set — the marker-loop race
+    * window documented above no longer reaches them. Returns
+    * (staged set, manifest seq). */
+  def commitAllSnapshot(spark: SparkSession, journalDir: String,
+                        manifestDir: String, id: String,
+                        tables: Seq[(String, DataFrame)])
+      : (Seq[Staged], Long) = {
+    val staged = commitAll(spark, journalDir, id, tables)
+    (staged, SnapshotManifest.publish(spark, manifestDir, staged))
+  }
+
   /** Repair after a crash: roll committed-but-unpublished transactions
     * FORWARD, roll incompletely-staged journals BACK. Returns
     * (rolledForward, rolledBack) transaction ids. */

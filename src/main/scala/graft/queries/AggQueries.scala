@@ -636,7 +636,7 @@ object AggQueries {
       .select(col("o_orderkey"),
         col("o_totalprice").cast("string").as("o_totalprice"),
         col("o_orderpriority"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_sdrift")
+    val dir = Q.tempDir("graft_sdrift")
       .toString
     AtomicTable.commit(v1, dir, AtomicTable.nextVersion(s, dir))
     val latest = AtomicTable.nextVersion(s, dir)

@@ -1729,7 +1729,7 @@ object LlmQueries {
       .unionByName(copies(
         docs.filter(id % 3 =!= 2 && id % 5 === 0 && id % 7 === 3),
         200000L))
-    val dir = java.nio.file.Files.createTempDirectory("graft_fpindex")
+    val dir = Q.tempDir("graft_fpindex")
       .toString
     val out1 = CorpusIndex.processBatch(s, dir, day1, col("doc_id"),
       col("text"))
@@ -1809,7 +1809,7 @@ object LlmQueries {
       .unionByName(docs.filter(id % 3 =!= 2 && id % 7 === 0)
         .select((id + 300000L).as("doc_id"),
           concat(col("text"), lit(" zz qq")).as("text")))
-    val dir = java.nio.file.Files.createTempDirectory("graft_ndindex")
+    val dir = Q.tempDir("graft_ndindex")
       .toString
     val out1 = NearDupIndex.processBatch(s, dir, day1, col("doc_id"),
       col("text"))
@@ -3302,7 +3302,7 @@ object LlmQueries {
         (col("doc_id") % 7 === 0 && col("doc_id") % 5 =!= 4))
       .unionByName(ids.filter(col("doc_id") % 9 === 0)
         .select((col("doc_id") * 2 + 1000000L).as("doc_id")))
-    val dir = java.nio.file.Files.createTempDirectory("graft_phidx")
+    val dir = Q.tempDir("graft_phidx")
       .toString
     PhashIndex.processBatch(s, dir, Multimodal.asPhashImageTable(day1))
     PhashIndex.processBatch(s, dir, Multimodal.asPhashImageTable(day2))

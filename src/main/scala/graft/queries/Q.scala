@@ -20,4 +20,43 @@ object Q {
   /** Rows-only checked query (non-SQL-expressible operator). */
   def rowsOnly(name: String)(build: (SparkSession, String) => DataFrame): Q =
     Q(name, None)(build)
+
+  // ---- Scratch-dir hygiene (r12 VERDICT nit #1): queries that COMMIT
+  // AtomicTables / stream checkpoints build under temp directories which
+  // the RETURNED frame still scans — an eager delete inside the query
+  // body would break the materialization that happens later (Verify's
+  // write, Bench's count, PlanAudit's collect), and pinning the result
+  // into a LocalRelation would hide the real executed plan from
+  // PlanAudit. So query bodies allocate through [[tempDir]], and every
+  // harness calls [[cleanupScratch]] AFTER materializing each query —
+  // a full Verify+Bench pass leaves /tmp at its starting size instead
+  // of stranding GBs of committed scratch tables.
+  private val scratch =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+
+  /** Create a scratch dir inside a query body and register it for
+    * harness-side cleanup after the result is materialized. */
+  def tempDir(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratch.add(p)
+    p
+  }
+
+  /** Delete every scratch dir registered since the last call. Harnesses
+    * call this after materializing a query's result; a query re-built
+    * afterwards allocates fresh dirs, so cleanup between reps is safe. */
+  def cleanupScratch(): Unit = {
+    var p = scratch.poll()
+    while (p != null) { deleteRecursively(p); p = scratch.poll() }
+  }
+
+  /** Best-effort recursive delete (scratch dirs under /tmp). */
+  def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f =>
+          try java.nio.file.Files.deleteIfExists(f)
+          catch { case _: java.io.IOException => () })
+    }
 }

@@ -304,15 +304,15 @@ object StreamingQueries {
     val prev = s.conf.getOption(provKey)
     s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
       "state.RocksDBStateStoreProvider")
-    val out = java.nio.file.Files.createTempDirectory("st_rt_out")
+    val out = Q.tempDir("st_rt_out")
       .resolve("emissions").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("st_rt_ckpt")
+    val ckpt = Q.tempDir("st_rt_ckpt")
       .toString
     try {
       // the file stream source needs a DIRECTORY (the landing-dir shape
       // real streaming ingest has); testdata ships events as one file —
       // stage it via hard link (copy fallback), O(1) metadata
-      val landing = java.nio.file.Files.createTempDirectory("st_rt_land")
+      val landing = Q.tempDir("st_rt_land")
       val src = java.nio.file.Paths.get(s"$d/events.parquet")
       val dst = landing.resolve("events.parquet")
       try java.nio.file.Files.createLink(dst, src)
@@ -382,10 +382,10 @@ object StreamingQueries {
     val prev = s.conf.getOption(provKey)
     s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
       "state.RocksDBStateStoreProvider")
-    val landing = java.nio.file.Files.createTempDirectory("st_stm_land")
-    val out = java.nio.file.Files.createTempDirectory("st_stm_out")
+    val landing = Q.tempDir("st_stm_land")
+    val out = Q.tempDir("st_stm_out")
       .resolve("emissions").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("st_stm_ckpt")
+    val ckpt = Q.tempDir("st_stm_ckpt")
       .toString
     try {
       val src = java.nio.file.Paths.get(s"$d/events.parquet")
@@ -422,7 +422,7 @@ object StreamingQueries {
         .select(raw.schema.fields.toSeq.map(f =>
           overrides.getOrElse(f.name, lit(null))
             .cast(f.dataType).as(f.name)): _*)
-      val stage = java.nio.file.Files.createTempDirectory("st_stm_stage")
+      val stage = Q.tempDir("st_stm_stage")
       sentinel.coalesce(1).write.mode("overwrite")
         .parquet(stage.toString)
       val part = java.nio.file.Files.list(stage).toArray.map(_.toString)

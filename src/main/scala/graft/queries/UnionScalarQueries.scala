@@ -556,8 +556,7 @@ object UnionScalarQueries {
         .otherwise(col("text")).as("text"))
       .unionByName(docs.filter(id % 5 === 4)
         .select((id + 400000L).as("doc_id"), col("text")))
-    val dir = java.nio.file.Files.createTempDirectory("graft_vdiff")
-      .toString
+    val dir = Q.tempDir("graft_vdiff").toString
     val va = AtomicTable.nextVersion(s, dir)
     AtomicTable.commit(v1, dir, va)
     val vb = AtomicTable.nextVersion(s, dir)
@@ -604,8 +603,7 @@ object UnionScalarQueries {
     val dims = Seq(
       "cust_b" -> expr("o_custkey div 100"),
       "month_b" -> expr("year(o_orderdate) * 12 + month(o_orderdate)"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_s14")
-      .resolve("t").toString
+    val dir = Q.tempDir("graft_s14").resolve("t").toString
     val clustered = ZOrder.clusterBy(orders, dims(0)._2, dims(1)._2, 16)
     AtomicTable.commit(clustered, dir, 0L)
     DataSkipping.writeManifest(s,
@@ -653,8 +651,7 @@ object UnionScalarQueries {
       |ORDER BY o_month""".stripMargin) { (s, d) =>
     import graft.operators.AtomicTable
     val orders = Tables.orders(s, d)
-    val dir = java.nio.file.Files.createTempDirectory("graft_s15")
-      .resolve("t").toString
+    val dir = Q.tempDir("graft_s15").resolve("t").toString
     val fact = orders.select(col("o_orderkey"), col("o_totalprice"),
       date_format(col("o_orderdate"), "yyyy-MM").as("o_month"))
     AtomicTable.commit(fact, dir, 0L, partitionCols = Seq("o_month"))

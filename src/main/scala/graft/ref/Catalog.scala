@@ -38,6 +38,69 @@ final class Catalog(val spark: SparkSession, val root: String,
     * (only populated when [[skipUnchanged]] is on). */
   def skipped: Seq[String] = skippedSet.keys.toSeq.sorted
 
+  // ---- model lineage (feeds tools/DagLint — the dbt_project_evaluator
+  // analog, SURVEY §5 mechanism #4). Each save* records the model's
+  // upstream MODELS, derived from the plan itself rather than a
+  // hand-maintained edge list that could drift from run():
+  //   - table deps: every HadoopFsRelation scan whose path sits under
+  //     this catalog's root resolves to `layer.name`;
+  //   - view deps: a registered view whose analyzed plan occurs as a
+  //     subtree (views are unpersisted, so their file scans appear in
+  //     the consumer's plan — those scans are attributed to the VIEW,
+  //     matching how dbt sees a `ref()` to an ephemeral model, not a
+  //     direct source read).
+  // Driver-side plan walks only — no jobs, O(#models × #views).
+  private val lineageMap =
+    scala.collection.concurrent.TrieMap[String, Set[String]]()
+
+  /** model → upstream models observed while building this catalog. */
+  def lineage: Map[String, Set[String]] = lineageMap.toMap
+
+  private def modelOfPath(p: org.apache.hadoop.fs.Path): Option[String] = {
+    val abs = p.toUri.getPath // strips file:/ scheme
+    val rootAbs = new java.io.File(root).getAbsolutePath
+    if (abs != null && abs.startsWith(rootAbs + "/")) {
+      val parts = abs.stripPrefix(rootAbs + "/").split("/")
+      if (parts.length >= 2) Some(s"${parts(0)}.${parts(1)}") else None
+    } else None
+  }
+
+  private def pathModels(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Set[String] =
+    plan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation =>
+            fs.location.rootPaths.flatMap(modelOfPath)
+          case _ => Nil
+        }
+    }.flatten.toSet
+
+  private def recordDeps(layer: String, name: String,
+                         df: DataFrame): Unit = {
+    val me = s"$layer.$name"
+    val plan = df.queryExecution.analyzed
+    val matched = views.collect {
+      case (vn, vdf) if vn != me &&
+        plan.exists(_.sameResult(vdf.queryExecution.analyzed)) => vn
+    }.toSet
+    // Only the OUTERMOST matched view is the dep: a view built over
+    // another view carries the inner plan as a subtree, and charging
+    // the consumer with both would fabricate rejoin triangles the
+    // model never wrote (`orders` reads `typed`, not also `taxed` and
+    // `base`). Strict containment only — identical twin plans keep
+    // both (harmless, and dropping both would lose the edge).
+    def planOf(vn: String) = views(vn).queryExecution.analyzed
+    def contains(outer: String, inner: String) =
+      planOf(outer).exists(_.sameResult(planOf(inner)))
+    val viewDeps = matched.filter(vn => !matched.exists(w =>
+      w != vn && contains(w, vn) && !contains(vn, w)))
+    val covered = matched.flatMap(vn => pathModels(planOf(vn)))
+    lineageMap(me) = (viewDeps ++ (pathModels(plan) -- covered)) - me
+  }
+
   // ---- dbt "skip unchanged model" semantics (orchestrator.py:86-141
   // does this with file mtimes; we do it with ResultCache's plan+input
   // fingerprint): each commit records `<version>|<fingerprint>` in a
@@ -78,16 +141,24 @@ final class Catalog(val spark: SparkSession, val root: String,
     * fingerprint, serve it; otherwise run `commit(version)` and record
     * the fingerprint. A commit that bypassed fingerprint recording (or
     * any newer version) fails the version match and rebuilds. */
-  private def commitUnlessUnchanged(layer: String, name: String,
-                                    df: DataFrame)(
-                                    commit: Long => Unit): DataFrame = {
-    val p = path(layer, name)
+  /** (fingerprint-if-enabled, latest committed version matches it). */
+  private def fingerprintHit(p: String,
+                             df: DataFrame): (Option[String], Boolean) = {
     val key =
       if (skipUnchanged) Some(graft.operators.ResultCache.fingerprint(df))
       else None
     val hit = key.exists(k =>
       AtomicTable.committedVersions(spark, p).lastOption.exists(
         v => fpRecord(p).contains(s"$v|$k")))
+    (key, hit)
+  }
+
+  private def commitUnlessUnchanged(layer: String, name: String,
+                                    df: DataFrame)(
+                                    commit: Long => Unit): DataFrame = {
+    val p = path(layer, name)
+    recordDeps(layer, name, df)
+    val (key, hit) = fingerprintHit(p, df)
     if (hit) skippedSet(s"$layer.$name") = true
     else {
       val v = AtomicTable.nextVersion(spark, p)
@@ -112,9 +183,29 @@ final class Catalog(val spark: SparkSession, val root: String,
   def saveTableObserved(layer: String, name: String, df: DataFrame,
                         notNullCols: Seq[String])
       : (DataFrame, Seq[graft.quality.Checks.Result]) = {
-    val pending = graft.quality.Observed.instrument(df, name, notNullCols)
-    val out = saveTable(layer, name, pending.df)
-    (out, pending.results())
+    // Fingerprint the RAW frame, not the instrumented one: on a
+    // skip-unchanged hit no action ever runs on the observed plan, and
+    // Observation.get would block the run forever (r12 ADVICE). A skip
+    // serves the committed snapshot with explicitly-'skipped' results
+    // (pass=0 failures — the metrics were green when the version was
+    // committed; nothing about the table changed since).
+    val p = path(layer, name)
+    recordDeps(layer, name, df)
+    val (key, hit) = fingerprintHit(p, df)
+    if (hit) {
+      skippedSet(s"$layer.$name") = true
+      val skippedResults = graft.quality.Checks.Result(
+        "non_empty_observed(skipped)", name, 0L) +:
+        notNullCols.map(c => graft.quality.Checks.Result(
+          s"not_null_observed($c)(skipped)", name, 0L))
+      (AtomicTable.read(spark, p).get, skippedResults)
+    } else {
+      val pending = graft.quality.Observed.instrument(df, name, notNullCols)
+      val v = AtomicTable.nextVersion(spark, p)
+      AtomicTable.commit(pending.df, p, v)
+      key.foreach(recordFp(p, v, _))
+      (AtomicTable.read(spark, p).get, pending.results())
+    }
   }
 
   /** `materialized='table'` with HIVE-PARTITIONED layout: rows land in
@@ -174,6 +265,7 @@ final class Catalog(val spark: SparkSession, val root: String,
 
   /** dbt `materialized='view'`: register the logical plan, no write. */
   def saveView(layer: String, name: String, df: DataFrame): DataFrame = {
+    recordDeps(layer, name, df) // BEFORE registration: never self-match
     views(s"$layer.$name") = df
     df
   }

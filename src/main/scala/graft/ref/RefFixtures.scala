@@ -295,7 +295,7 @@ object RefFixtures {
   /** Writes a small enrichment JSONL (nested payload, ''-for-null
     * discipline, a non-numeric founded_year) and returns its path. */
   def enrichmentJsonl(): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_enrich")
+    val dir = graft.queries.Q.tempDir("graft_enrich")
     val lines = Seq(
       """{"company_domain": "acme.com", "company_name": "Acme Industrial", "enrichment_source": "api", "enrichment_date": "2024-05-01", "enrichment_raw_data": {"industry": "Construction", "description": "base", "description_enriched": "Asphalt anchoring products", "founded_year": "1998", "hq_city": "Columbus", "hq_country": "United States", "employees_count": "120"}}""",
       """{"company_domain": "boltsupply.ca", "company_name": "Bolt Supply House", "enrichment_source": "api", "enrichment_date": "2024-05-02", "enrichment_raw_data": {"industry": "Distribution", "description": "fasteners", "description_enriched": "", "founded_year": "", "hq_city": "Calgary", "hq_country": "Canada", "employees_count": ""}}""")

@@ -279,6 +279,14 @@ object EventStream {
         ()
       }
 
+  /** Money → integer cents with SQL ROUND semantics (half away from
+    * zero: -2.5 → -3), NOT Scala `math.round` (half toward +∞:
+    * -2.5 → -2). The st_session_timers / w12_native_session oracles
+    * round with SQL ROUND, so a negative-valued or wider-precision
+    * events regeneration must not diverge on tie rows (r12 ADVICE). */
+  private[streaming] def centsOf(v: Double): Long =
+    math.signum(v).toLong * math.round(math.abs(v) * 100)
+
   final case class EventRow(event_id: Long, user_id: Long,
                             event_type: String, value: Double)
   final case class FirstSeen(user_id: Long, event_type: String,
@@ -317,7 +325,7 @@ object EventStream {
         if (totals.exists()) totals.get() else UserTotals(user, 0L, 0L)
       var n = prev.n_events
       var cents = prev.value_cents
-      rows.foreach { r => n += 1; cents += math.round(r.value * 100) }
+      rows.foreach { r => n += 1; cents += centsOf(r.value) }
       val cur = UserTotals(user, n, cents)
       totals.update(cur)
       Iterator.single(cur)
@@ -480,7 +488,7 @@ object EventStream {
       var cur = if (open.exists()) Some(open.get()) else None
       val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
       sorted.foreach { r =>
-        val cents = math.round(r.value * 100)
+        val cents = centsOf(r.value)
         cur match {
           case Some(o) if r.ts_us - o.end_us < gapUs =>
             cur = Some(OpenSession(o.start_us,

@@ -23,6 +23,7 @@ object PlanAudit {
           df.collect()
           df.queryExecution.executedPlan.toString
         } catch { case e: Throwable => s"ERROR: ${e.getMessage}" }
+          finally graft.queries.Q.cleanupScratch()
         val lines = plan.linesIterator.toSeq
         def count(p: String) = lines.count(_.contains(p))
         val flags = Seq(

@@ -677,6 +677,50 @@ class OperatorsSpec extends SparkSpec {
     assert(TxnCommit.recover(spark, journal) == ((Nil, Nil)))
   }
 
+  test("SnapshotManifest: cross-table readers see both-old or both-new, never mixed") {
+    import graft.operators.{AtomicTable, SnapshotManifest, TxnCommit}
+    val base = java.nio.file.Files.createTempDirectory("snap")
+    val (ta, tb) = (base.resolve("a").toString, base.resolve("b").toString)
+    val journal = base.resolve("_txn").toString
+    val manifests = base.resolve("_snapshots").toString
+    def df(n: Int) = (1 to n).map(i => (i.toLong, s"r$i")).toDF("k", "v")
+    TxnCommit.commitAllSnapshot(spark, journal, manifests, "t1",
+      Seq(ta -> df(3), tb -> df(3)))
+    val snap0 = SnapshotManifest.snapshot(spark, manifests).get
+    assert(snap0.read(ta).count() == 3L && snap0.read(tb).count() == 3L)
+    // a reader opened BEFORE a publish stays on both-old after it lands
+    TxnCommit.commitAllSnapshot(spark, journal, manifests, "t2",
+      Seq(ta -> df(5), tb -> df(7)))
+    assert(snap0.read(ta).count() == 3L && snap0.read(tb).count() == 3L)
+    val snap1 = SnapshotManifest.snapshot(spark, manifests).get
+    assert(snap1.read(ta).count() == 5L && snap1.read(tb).count() == 7L)
+    // MID-PUBLISH: table A's markers landed, manifest not yet written
+    // (simulated by a manifest-less commitAll of A alone). A
+    // latest-resolving reader sees the mixed state; a snapshot reader
+    // opened at this instant still sees the LAST manifest — both-old.
+    TxnCommit.commitAll(spark, journal, "t3", Seq(ta -> df(9)))
+    assert(AtomicTable.read(spark, ta).get.count() == 9L) // mixed, if unpinned
+    val snapMid = SnapshotManifest.snapshot(spark, manifests).get
+    assert(snapMid.seq == snap1.seq)
+    assert(snapMid.read(ta).count() == 5L && snapMid.read(tb).count() == 7L)
+    // the next snapshot publish re-converges
+    TxnCommit.commitAllSnapshot(spark, journal, manifests, "t4",
+      Seq(ta -> df(2), tb -> df(2)))
+    val snap2 = SnapshotManifest.snapshot(spark, manifests).get
+    assert(snap2.read(ta).count() == 2L && snap2.read(tb).count() == 2L)
+    // a snapshot older than the retention window fails LOUDLY on its
+    // pruned version (never silently falls through to latest)
+    AtomicTable.commit(df(11), ta, AtomicTable.nextVersion(spark, ta))
+    AtomicTable.commit(df(12), ta, AtomicTable.nextVersion(spark, ta))
+    assert(intercept[RuntimeException](snap0.read(ta))
+      .getMessage.contains("pruned"))
+    // and an unknown table is an error, not a latest read
+    assert(intercept[RuntimeException](
+      snap0.read(base.resolve("zz").toString))
+      .getMessage.contains("not in snapshot"))
+    graft.queries.Q.deleteRecursively(base)
+  }
+
   test("deleteWhere: rewrites only files containing victims, byte-copies the rest") {
     import graft.operators.AtomicTable
     val dir = java.nio.file.Files.createTempDirectory("tdel")

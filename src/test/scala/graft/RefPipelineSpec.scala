@@ -14,8 +14,10 @@ class RefPipelineSpec extends SparkSpec {
   private lazy val warehouse: String =
     java.nio.file.Files.createTempDirectory("graft_wh_spec").toString
 
+  private lazy val cat: Catalog = new Catalog(spark, warehouse)
+
   private lazy val out: Map[String, org.apache.spark.sql.DataFrame] =
-    ModelDag.run(new Catalog(spark, warehouse), RefFixtures.inputs(spark))
+    ModelDag.run(cat, RefFixtures.inputs(spark))
 
   test("schema tests: unique + not_null + accepted_values on marts") {
     val orders = out("mart.fct_orders")
@@ -603,5 +605,36 @@ class RefPipelineSpec extends SparkSpec {
     assert(acme.head.getAs[Double]("prev_q_revenue") == null ||
       acme.head.isNullAt(acme.head.fieldIndex("prev_q_revenue")))
     assert(!acme(1).isNullAt(acme(1).fieldIndex("prev_q_revenue")))
+  }
+
+  test("DagLint: real DAG green; injected violations red; stale accepts red") {
+    import graft.tools.DagLint
+    out // force the DAG run so cat.lineage is populated
+    val report = DagLint.check(cat.lineage)
+    assert(report.ok, s"unaccepted: ${report.unaccepted.mkString("; ")}" +
+      s" stale: ${report.stale.mkString("; ")}")
+    // the register is exercised, not vacuously green
+    assert(report.violations.nonEmpty)
+    assert(report.violations.exists(v =>
+      v.kind == "rejoin-upstream" &&
+        v.model == "mart.mart_product_company_period_spending"),
+      "the reference's documented accepted rejoin must be detected")
+    // REAL injected violation through the extraction path: a mini
+    // catalog whose mart scans a raw model directly
+    val bad = new Catalog(spark,
+      java.nio.file.Files.createTempDirectory("daglint_bad").toString)
+    import spark.implicits._
+    val rawT = bad.saveTable("raw", "src",
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    bad.saveTable("mart", "bad_mart",
+      rawT.groupBy("v").count())
+    val red = DagLint.check(bad.lineage)
+    assert(!red.ok)
+    assert(red.unaccepted.exists(v =>
+      v.kind == "reads-raw" && v.model == "mart.bad_mart"))
+    // an accepted entry that no longer occurs fails the check too
+    val stale = DagLint.check(cat.lineage,
+      DagLint.accepted + (("reads-raw", "mart.never") -> "bogus"))
+    assert(!stale.ok && stale.stale.contains(("reads-raw", "mart.never")))
   }
 }
