@@ -51,7 +51,9 @@ object Main {
                           overallStatus: String,
                           modelsSkipped: Seq[String] = Nil,
                           txnRecovered: Seq[String] = Nil,
-                          txnRolledBack: Seq[String] = Nil) {
+                          txnRolledBack: Seq[String] = Nil,
+                          manifestSeq: Long = -1L,
+                          lint: Option[graft.tools.DagLint.Report] = None) {
     def source(name: String): SourceRun = sources.find(_.source == name).get
   }
 
@@ -86,18 +88,27 @@ object Main {
     val seed = args.contains("--seed")
     val inc = args.contains("--incremental")
     require(!(seed && inc), "--seed and --incremental are mutually exclusive")
+    val strict = args.contains("--strict")
+    def checkStrict(r: Report): Report = {
+      if (strict && r.lint.exists(!_.ok)) {
+        System.err.println("[cli] --strict: daglint violations — failing")
+        spark.stop()
+        sys.exit(1)
+      }
+      r
+    }
     dataArg match {
       case Some(data) =>
         require(seed || inc, "pass --seed or --incremental with --data")
-        print(run(spark, if (seed) "seed" else "incremental", data, wh,
-          optValue(args, "--source")))
+        print(checkStrict(run(spark, if (seed) "seed" else "incremental",
+          data, wh, optValue(args, "--source"))))
       case None => // self-demo over a generated tree: seed → inc → skip
         val data = DemoSource.write(spark,
           Files.createTempDirectory("graft_cli_demo")).toString
         println(s"[cli] demo source tree at $data, warehouse at $wh")
-        print(run(spark, "seed", data, wh))
-        print(run(spark, "incremental", data, wh))
-        print(run(spark, "incremental", data, wh))
+        print(checkStrict(run(spark, "seed", data, wh)))
+        print(checkStrict(run(spark, "incremental", data, wh)))
+        print(checkStrict(run(spark, "incremental", data, wh)))
     }
     if (args.contains("--maintain")) {
       val actions = maintain(spark, wh)
@@ -145,9 +156,18 @@ object Main {
     val skipNote =
       if (r.modelsSkipped.isEmpty) ""
       else s" (${r.modelsSkipped.size} unchanged, served from cache)"
+    val lintNote = r.lint match {
+      case Some(l) if !l.ok =>
+        s", daglint RED (${l.unaccepted.size} unaccepted, " +
+          s"${l.stale.size} stale, ${l.staleExposures.size} stale-exposure)"
+      case Some(l) =>
+        s", daglint ok (${l.violations.size} accepted)"
+      case None => ""
+    }
     println(s"[cli] ${r.mode}: ${r.models} models materialized$skipNote, " +
       s"${r.quality.size} quality checks " +
-      s"(${failed.size} failed) → ${r.overallStatus}")
+      s"(${failed.size} failed), snapshot manifest seq ${r.manifestSeq}" +
+      s"$lintNote → ${r.overallStatus}")
   }
 
   /** One full pipeline pass. Testable entry: everything `main` does
@@ -238,13 +258,38 @@ object Main {
         // column-level contract alarm — row-count drift can't see a
         // dropped/retyped column (metadata-only, no data scan)
         Checks.schemaDrift(spark, s"${cat.root}/mart/$t", t))))
+    // ---- 4. cross-table snapshot publication: ONE manifest pinning
+    //      every table this run committed or served, so a warehouse
+    //      reader spanning several marts resolves all of them at a
+    //      single commit point (SnapshotManifest.snapshot) — the
+    //      cross-model half of the reference's per-statement MVCC
+    //      consistency. A reader opened mid-run stays on the previous
+    //      manifest (all-old) until this publish lands (r13 VERDICT #2). ----
+    val manifestSeq = graft.operators.SnapshotManifest.publish(spark,
+      s"$warehouseDir/_snapshots",
+      cat.commits.toSeq.sortBy(_._1).map { case (d, v) =>
+        graft.operators.TxnCommit.Staged(d, v) })
+
+    // ---- 5. DAG structure lint over the lineage this run observed —
+    //      the slot where the reference runs dbt_project_evaluator
+    //      (packages.yml:4-5). Non-fatal here; `main --strict` turns an
+    //      unaccepted violation into a non-zero exit (r13 VERDICT #3). ----
+    val lint = graft.tools.DagLint.check(cat.lineage)
+    lint.unaccepted.foreach(v =>
+      System.err.println(s"[cli] daglint violation: $v"))
+    lint.stale.foreach { case (k, m) =>
+      System.err.println(s"[cli] daglint stale accept: $k $m") }
+    lint.staleExposures.foreach(m =>
+      System.err.println(s"[cli] daglint stale exposure (now consumed): $m"))
+
     val overall =
       if (sources.exists(_.status == "failed")) "partial_failure"
       else if (quality.exists(!_.passed)) "quality_issues"
       else "success"
     Report(mode, sources, out.size, quality, overall,
       modelsSkipped = cat.skipped, txnRecovered = txnFwd,
-      txnRolledBack = txnBack)
+      txnRolledBack = txnBack, manifestSeq = manifestSeq,
+      lint = Some(lint))
   }
 
   /** QuickBooks XLSX source: discover per mode, mtime skip, land each

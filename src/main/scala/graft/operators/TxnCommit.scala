@@ -50,27 +50,47 @@ object TxnCommit {
   private def markerPath(dir: String, version: Long) =
     new Path(s"$dir/_commit_$version")
 
+  /** Journal payload. Snapshot transactions additionally record their
+    * `manifestDir` so [[recover]] can REPUBLISH the manifest when it
+    * rolls the transaction forward (r13 ADVICE: without it, a crash
+    * between the markers and the manifest publish left snapshot readers
+    * pinned to the pre-crash manifest forever). Plain [[commitAll]]
+    * journals keep the bare-array format; [[readJournal]] parses both. */
   private[graft] def writeJournal(spark: SparkSession, journalDir: String,
-                           id: String, staged: Seq[Staged]): Unit = {
+                           id: String, staged: Seq[Staged],
+                           manifestDir: Option[String] = None): Unit = {
     val f = fs(spark, journalDir)
     f.mkdirs(new Path(journalDir))
-    val json = staged.map(s =>
+    val arr = staged.map(s =>
       s"""{"dir":"${s.dir}","version":${s.version}}""")
       .mkString("[", ",", "]")
+    val json = manifestDir match {
+      case Some(m) => s"""{"manifest":"$m","staged":$arr}"""
+      case None => arr
+    }
     val out = f.create(journalPath(journalDir, id), true)
     out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.close()
   }
 
-  private def readJournal(spark: SparkSession,
-                          p: Path): Seq[Staged] = {
+  private def journalText(spark: SparkSession, p: Path): String = {
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = f.open(p)
-    val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    in.close()
-    """\{"dir":"([^"]+)","version":(\d+)\}""".r.findAllMatchIn(s)
-      .map(m => Staged(m.group(1), m.group(2).toLong)).toSeq
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
   }
+
+  private def readJournal(spark: SparkSession,
+                          p: Path): Seq[Staged] =
+    """\{"dir":"([^"]+)","version":(\d+)\}""".r
+      .findAllMatchIn(journalText(spark, p))
+      .map(m => Staged(m.group(1), m.group(2).toLong)).toSeq
+
+  /** Manifest dir of a snapshot transaction's journal, if recorded. */
+  private def readManifestDir(spark: SparkSession,
+                              p: Path): Option[String] =
+    """^\{"manifest":"([^"]+)"""".r
+      .findFirstMatchIn(journalText(spark, p).trim).map(_.group(1))
 
   /** Versions already claimed by OUTSTANDING journals (crashed-but-
     * committed transactions awaiting [[recover]]), per table dir.
@@ -106,14 +126,16 @@ object TxnCommit {
     }
   }
 
-  /** Publish markers for a staged set and drop the journal. */
-  private def publish(spark: SparkSession, journalDir: String,
-                      id: String, staged: Seq[Staged]): Unit = {
+  /** Publish markers for a staged set (each an O(1) metadata op). */
+  private def markers(spark: SparkSession, staged: Seq[Staged]): Unit =
     staged.foreach { s =>
       val f = fs(spark, s.dir)
       f.create(markerPath(s.dir, s.version), true).close()
     }
-    fs(spark, journalDir).delete(journalPath(journalDir, id), false)
+
+  private def dropJournal(spark: SparkSession, journalDir: String,
+                          id: String): Unit = {
+    fs(spark, journalDir).delete(journalPath(journalDir, id), false); ()
   }
 
   /** Atomically publish new versions of several tables. `id` must be
@@ -122,7 +144,8 @@ object TxnCommit {
                 tables: Seq[(String, DataFrame)]): Seq[Staged] = {
     val staged = stage(spark, tables, Some(journalDir))
     writeJournal(spark, journalDir, id, staged) // commit point
-    publish(spark, journalDir, id, staged)
+    markers(spark, staged)
+    dropJournal(spark, journalDir, id)
     staged
   }
 
@@ -131,14 +154,26 @@ object TxnCommit {
     * written to `manifestDir` ([[SnapshotManifest]]). Readers that
     * resolve through `SnapshotManifest.snapshot` get both-old or
     * both-new across the whole published set — the marker-loop race
-    * window documented above no longer reaches them. Returns
+    * window documented above no longer reaches them.
+    *
+    * The journal records `manifestDir` and outlives the manifest
+    * publish: a crash anywhere after the journal write is rolled
+    * FORWARD by [[recover]] including the manifest, so snapshot readers
+    * can never be stranded on the pre-crash manifest (r13 ADVICE). A
+    * crash between the manifest publish and the journal delete makes
+    * recovery republish an extra manifest seq with an identical pin
+    * map — benign by idempotence of the pins. Returns
     * (staged set, manifest seq). */
   def commitAllSnapshot(spark: SparkSession, journalDir: String,
                         manifestDir: String, id: String,
                         tables: Seq[(String, DataFrame)])
       : (Seq[Staged], Long) = {
-    val staged = commitAll(spark, journalDir, id, tables)
-    (staged, SnapshotManifest.publish(spark, manifestDir, staged))
+    val staged = stage(spark, tables, Some(journalDir))
+    writeJournal(spark, journalDir, id, staged, Some(manifestDir))
+    markers(spark, staged)
+    val seq = SnapshotManifest.publish(spark, manifestDir, staged)
+    dropJournal(spark, journalDir, id)
+    (staged, seq)
   }
 
   /** Repair after a crash: roll committed-but-unpublished transactions
@@ -161,6 +196,12 @@ object TxnCommit {
         if (!f.exists(markerPath(s.dir, s.version)))
           f.create(markerPath(s.dir, s.version), true).close()
       }
+      // snapshot transactions: REPUBLISH the manifest so snapshot
+      // readers advance with latest-readers (r13 ADVICE). Idempotent
+      // in the pins: if the crash fell after the pre-crash publish,
+      // this writes a same-pin manifest at the next seq.
+      readManifestDir(spark, p).foreach(m =>
+        SnapshotManifest.publish(spark, m, staged))
       jf.delete(p, false)
     }
     back.foreach { p =>

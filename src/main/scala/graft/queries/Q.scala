@@ -44,7 +44,17 @@ object Q {
 
   /** Delete every scratch dir registered since the last call. Harnesses
     * call this after materializing a query's result; a query re-built
-    * afterwards allocates fresh dirs, so cleanup between reps is safe. */
+    * afterwards allocates fresh dirs, so cleanup between reps is safe.
+    *
+    * SEQUENTIAL-HARNESS INVARIANT (r13 ADVICE): the queue is
+    * process-global, so exactly ONE harness may interleave
+    * build→materialize→cleanup at a time — Verify, Bench, PlanAudit and
+    * the specs all run queries sequentially in-JVM, and the streaming
+    * queries rely on the same single-consumer discipline for their
+    * RocksDB conf scoping. A future parallel harness must scope
+    * registration per pass (token from a beginScratchScope()/drain(tok)
+    * pair) or two consumers would delete each other's live dirs
+    * mid-materialization. */
   def cleanupScratch(): Unit = {
     var p = scratch.poll()
     while (p != null) { deleteRecursively(p); p = scratch.poll() }

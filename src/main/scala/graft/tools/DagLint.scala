@@ -69,7 +69,8 @@ object DagLint {
 
   /** All structural violations in a lineage graph (model → upstream
     * models), unfiltered by the accepted register. */
-  def lint(lineage: Map[String, Set[String]]): Seq[Violation] = {
+  def lint(lineage: Map[String, Set[String]],
+           exposed: Set[String] = exposures): Seq[Violation] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Violation]
 
     // layer-skipping reads
@@ -104,7 +105,7 @@ object DagLint {
     // terminal by contract)
     val consumed = lineage.values.flatten.toSet
     for (m <- lineage.keys.toSeq.sorted
-         if layerOf(m) != "mart" && !consumed(m) && !exposures(m))
+         if layerOf(m) != "mart" && !consumed(m) && !exposed(m))
       out += Violation("orphan", m, "no downstream model reads it")
 
     out.toSeq.distinct.sortBy(v => (v.kind, v.model, v.detail))
@@ -167,20 +168,36 @@ object DagLint {
 
   final case class Report(violations: Seq[Violation],
                           unaccepted: Seq[Violation],
-                          stale: Seq[(String, String)]) {
-    def ok: Boolean = unaccepted.isEmpty && stale.isEmpty
+                          stale: Seq[(String, String)],
+                          staleExposures: Seq[String] = Nil) {
+    def ok: Boolean =
+      unaccepted.isEmpty && stale.isEmpty && staleExposures.isEmpty
   }
 
   /** Lint + apply the accepted register. Green iff every violation is
-    * accepted AND every accepted entry still occurs. */
+    * accepted AND every accepted entry still occurs AND no [[exposures]]
+    * entry has gained a model consumer (r13 VERDICT nit #3: an exposure
+    * that a model now reads is no longer terminal-by-contract and must
+    * leave the register — same anti-rot rule the `accepted` staleness
+    * check applies; an exposure merely absent from this DAG variant is
+    * fine). */
   def check(lineage: Map[String, Set[String]],
-            accept: Map[(String, String), String] = accepted): Report = {
-    val vs = lint(lineage)
+            accept: Map[(String, String), String] = accepted,
+            exposed: Set[String] = exposures): Report = {
+    val vs = lint(lineage, exposed)
     val present = vs.map(v => (v.kind, v.model)).toSet
+    val consumed = lineage.values.flatten.toSet
     Report(
       violations = vs,
       unaccepted = vs.filterNot(v => accept.contains((v.kind, v.model))),
-      stale = accept.keys.toSeq.filterNot(present).sorted)
+      // stale = the MODEL was built this run but its accepted violation
+      // no longer occurs (the entry should be deleted). An accepted
+      // model absent from the lineage is a DAG VARIANT, not rot — the
+      // cli's minimal mode runs without the Shopify models, and their
+      // accepted rejoins must not read as stale there.
+      stale = accept.keys.toSeq.filterNot(present)
+        .filter { case (_, m) => lineage.contains(m) }.sorted,
+      staleExposures = exposed.filter(consumed).toSeq.sorted)
   }
 
   /** Run the lint over the fixture DAG (the same one RefDemo drives). */

@@ -1,0 +1,421 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Sessions, Tables}
+import graft.llm.{Clustering, CorpusIndex, Dedup, TextAnalysis => TA}
+import graft.streaming.EventStream
+
+/** MEASURED SCALING EXPONENTS for the heaviest operator families — the
+  * empirical companion of SCALE.md's design arguments. Every other
+  * claim of "survives 100×" in this repo rests on plan-shape reasoning;
+  * this tool produces the data: it AMPLIFIES the sf inputs by
+  * k ∈ {1, 3, 10, 30}, runs each family at every scale, and fits the
+  * wall-time scaling exponent α (t ∝ k^α, least squares over log-log).
+  * α ≈ 1 means the family's cost is linear in corpus size on a fixed
+  * worker pool — the property that lets the same plan ride a
+  * 1000-executor cluster by adding workers; α ≈ 2 is a design bug at
+  * 100 TB no cluster can absorb.
+  *
+  * AMPLIFICATION preserves each family's work DISTRIBUTION instead of
+  * inflating it artificially: the corpus is k salted replicas, each
+  * shifted by a stride chosen as a multiple of every modulus the
+  * operators key on, so per-replica structure (CC components, star/
+  * chain edges, query sets) is exactly the 1× structure — cross-replica
+  * interaction is driven to chance level by rotating the text alphabet
+  * (near-dup families must NOT see k-fold duplicate clusters, which
+  * would measure an amplification artifact, not the operator) and by
+  * per-replica vector offsets. Amplified inputs are MATERIALIZED to
+  * parquet before the clock starts, so measured time includes a real
+  * scan and excludes amplification cost.
+  *
+  * Two IVF-PQ arms are measured deliberately (and the naive one is the
+  * documented superlinear case): `ivfpq_fixed_stride` keeps the
+  * codebook stride constant, so the centroid count grows ∝ n and Lloyd
+  * assignment — every (vector, dim) row joined against every centroid
+  * of that dim — costs O(n²·dims/stride): α ≈ 2 by construction, the
+  * FAISS-scale mistake of training a coarse quantizer whose cell count
+  * tracks corpus size. `ivfpq_scaled_stride` scales the stride with k
+  * (fixed cell/code count, the production discipline: codebook size is
+  * a model hyperparameter, not a corpus fraction): the same code path
+  * measures α ≈ 1. Both arms run the full lifecycle (train, assign,
+  * probe, LUT, ADC, exact baseline) via [[Clustering.ivfPqTopK]].
+  *
+  * Streaming (`session_timers`) replays the real two-pass
+  * RocksDB-backed timer sessionization of `st_session_timers`
+  * (initial stream + checkpoint resume with a watermark-advancing
+  * sentinel); its state and timer count scale with distinct users,
+  * which the amplification scales ∝ k.
+  *
+  * Methodology per CLAUDE.md's noise rules: min-of-2 at k ≤ 3 (where
+  * per-sample noise is the largest fraction of the measurement); one
+  * sample at k ≥ 10 (multi-minute runs, relative noise small, and
+  * stateful families — kmeans memo, streaming checkpoints — must not
+  * re-run against warm artifacts). A family whose sample exceeds the
+  * cutoff (default 300 s) skips its remaining scales and reports the
+  * exponent over the scales that ran. Output: a table on stdout plus
+  * `bench/SCALE.json`; SCALE.md's "Measured scaling" section cites it.
+  *
+  * Usage: `sbt "runMain graft.tools.ScaleBench [family...]"` with
+  * env SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS / SPARK_GRAFT_SCALE_CUTOFF
+  * / SPARK_GRAFT_SCALES (comma list, default 1,3,10,30).
+  */
+object ScaleBench {
+
+  // Strides are multiples of every modulus the family queries key on:
+  // documents: lcm(7,13,10)=910 (cc star/chain/day split); embeddings:
+  // lcm(97,100)=9700 (queryMod, codebook stride); events: any (ids are
+  // opaque). Large enough that replica id ranges never overlap.
+  private val DocStride = 910L * 11000L     // 10,010,000
+  private val EmbStride = 9700L * 1000L     // 9,700,000
+  private val UserStride = 10000000L
+  private val EventStride = 1000000000L
+
+  private def rot(s: String, i: Int): String = {
+    val r = ((i % s.length) + s.length) % s.length
+    s.drop(r) + s.take(r)
+  }
+
+  /** k salted replicas of `documents`: ids shifted by DocStride; the
+    * token alphabet rotated per replica ((i mod 26, i mod 10) is
+    * injective below lcm=130) so cross-replica texts share no tokens
+    * and near-dup families see k independent 1× corpora. */
+  private def amplifyDocs(spark: SparkSession, src: String, k: Int,
+                          out: String): Unit = {
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val digits = "0123456789"
+    val docs = Tables.documents(spark, src)
+    (0 until k).map { i =>
+      docs.select(
+        (col("doc_id") + lit(i * DocStride)).as("doc_id"),
+        translate(col("text"), lower + digits,
+          rot(lower, i % 26) + rot(digits, i % 10)).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+  }
+
+  /** k replicas of `embeddings`: ids shifted by EmbStride (multiple of
+    * queryMod=97 → query count scales ∝ k), vectors offset by an
+    * exactly-representable per-replica constant so codebooks train on
+    * k distinct shifted copies rather than exact duplicates. */
+  private def amplifyEmb(spark: SparkSession, src: String, k: Int,
+                         out: String): Unit = {
+    val emb = Tables.embeddings(spark, src)
+    (0 until k).map { i =>
+      emb.select(
+        (col("vec_id") + lit(i * EmbStride)).as("vec_id"),
+        transform(col("embedding"),
+          x => x + lit(i * 0.0078125f)).as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+
+  /** k replicas of `events`: user and event ids shifted per replica,
+    * timestamps unchanged — k× users, k× sessions, k× timers, same
+    * per-user stream shape. Written as TIMESTAMP_MICROS (the session's
+    * parquet output type), one of the flavors every events reader
+    * already normalizes. */
+  private def amplifyEvents(spark: SparkSession, src: String, k: Int,
+                            out: String): Unit = {
+    val ev = Tables.events(spark, src)
+    (0 until k).map { i =>
+      ev.select(
+        (col("event_id") + lit(i * EventStride)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(i * UserStride)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+  }
+
+  // ---- families (each mirrors its registered oracle query's plan) ----
+
+  private def docsOf(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def ccGraph(docs: DataFrame): (DataFrame, DataFrame) = {
+    val id = col("doc_id")
+    val nodes = docs.select(id.as("id"))
+    val star = docs.filter((id % 7).isin(1, 2, 3))
+      .select(id.as("src"), (id - id % 7).as("dst"))
+    val chain = docs.filter(id % 13 === 0)
+      .select(id.as("src"), (id + 13).as("dst"))
+      .join(nodes.select(col("id").as("dst")), Seq("dst"), "left_semi")
+    (nodes, star.unionByName(chain.select(col("src"), col("dst"))))
+  }
+
+  private def ccFull(s: SparkSession, dir: String): Long = {
+    val (nodes, edges) = ccGraph(docsOf(s, dir))
+    Dedup.connectedComponents(nodes, edges).count()
+  }
+
+  private def ccIncremental(s: SparkSession, dir: String): Long = {
+    val docs = docsOf(s, dir)
+    val id = col("doc_id")
+    val nodes = docs.select(id.as("id"))
+    val star = docs.filter((id % 7).isin(1, 2, 3))
+      .select(id.as("src"), (id - id % 7).as("dst"))
+    val chain = docs.filter(id % 13 === 0)
+      .select(id.as("src"), (id + 13).as("dst"))
+      .join(nodes.select(col("id").as("dst")), Seq("dst"), "left_semi")
+    def old(c: org.apache.spark.sql.Column) = c % 10 =!= 9
+    val labels1 = Dedup.connectedComponents(
+      nodes.filter(old(col("id"))),
+      star.filter(old(col("src")) && old(col("dst"))))
+    Dedup.incrementalComponents(labels1,
+      nodes.filter(col("id") % 10 === 9),
+      star.filter(!(old(col("src")) && old(col("dst"))))
+        .unionByName(chain.select("src", "dst"))).count()
+  }
+
+  private def minhashLsh(s: SparkSession, dir: String): Long = {
+    val shingled = TA.shingleRows(docsOf(s, dir),
+      col("doc_id"), col("text"), 3).distinct()
+    val bands = Dedup.minhashBands(shingled, bands = 4, rowsPerBand = 2)
+    val candidates = Dedup.lshCandidates(bands, maxBucketSize = 64)
+    Dedup.jaccardVerify(candidates, shingled)
+      .filter(col("jaccard") >= 0.8).count()
+  }
+
+  /** Persisted-index daily-crawl chain: commit day 1 (even ids) into a
+    * fresh CorpusIndex, then probe+commit day 2 (odd ids) against it —
+    * the incremental exact-dedup discipline, index work ∝ batch. */
+  private def indexChain(s: SparkSession, dir: String): Long = {
+    val idx = java.nio.file.Files.createTempDirectory("graft_scale_idx")
+    try {
+      val docs = docsOf(s, dir)
+      CorpusIndex.processBatch(s, idx.toString,
+        docs.filter(col("doc_id") % 2 === 0),
+        col("doc_id"), col("text")).count()
+      CorpusIndex.processBatch(s, idx.toString,
+        docs.filter(col("doc_id") % 2 === 1),
+        col("doc_id"), col("text")).count()
+    } finally graft.queries.Q.deleteRecursively(idx)
+  }
+
+  private def bpe(s: SparkSession, dir: String): Long =
+    TA.bpeTrainApply(docsOf(s, dir), col("doc_id"), col("text"),
+      rounds = 2).count()
+
+  /** simhash → banded near-dup pairs → CC → representative (the
+    * dd_cluster_canonical composition, heaviest committed chain). */
+  private def clusterCanonical(s: SparkSession, dir: String): Long = {
+    val docs = docsOf(s, dir).filter(col("doc_id") % 10 === 0)
+    val tokenRows = docs.select(col("doc_id"),
+      explode(TA.tokens(col("text"))).as("token"))
+    val pairs = Dedup.simhashNearDups(
+      Dedup.simhashFromTokens(tokenRows), maxBucketSize = 512)
+    val cc = Dedup.connectedComponents(
+      docs.select(col("doc_id").as("id")),
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("text_len").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cc.select(col("id").as("doc_id"), col("component"))
+      .join(docs.select(col("doc_id"),
+        length(trim(col("text"))).cast("long").as("text_len")),
+        Seq("doc_id"))
+      .withColumn("representative_id", first(col("doc_id")).over(w))
+      .count()
+  }
+
+  private def ivfpq(s: SparkSession, dir: String, k: Int,
+                    scaledStride: Boolean): Long = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val f = if (scaledStride) k else 1
+    Clustering.ivfPqTopK(s, emb,
+      coarseStride = 100 * f, stride = 100 * f).count()
+  }
+
+  private def sessionTimers(s: SparkSession, dir: String): Long = {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(provKey)
+    s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val landing = s"$dir/events.parquet"
+    val scratch = java.nio.file.Files.createTempDirectory("graft_scale_st")
+    val out = scratch.resolve("emissions").toString
+    val ckpt = scratch.resolve("ckpt").toString
+    try {
+      def runPass(): Unit = {
+        val q = EventStream.timerSessions(
+            EventStream.readEvents(s, landing)).toDF()
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (df: org.apache.spark.sql.DataFrame, _: Long) =>
+              df.write.mode("append").parquet(out); ()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      runPass()
+      // watermark-advancing sentinel: close every remaining session on
+      // the checkpoint-resumed pass (amplified events are TimestampType)
+      val raw = s.read.parquet(landing)
+      val sentinel = raw.agg(max(col("ts")).as("mx"))
+        .select(lit(-1L).as("event_id"),
+          (col("mx") + expr("INTERVAL 2 DAYS")).as("ts"),
+          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+          lit(0.0).as("value"), lit(null).cast("string").as("props"))
+      val stage = scratch.resolve("stage")
+      sentinel.coalesce(1).write.mode("overwrite")
+        .parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.move(java.nio.file.Paths.get(part),
+        java.nio.file.Paths.get(s"$landing/z_sentinel.parquet"))
+      runPass()
+      s.read.parquet(out).filter(col("user_id") >= 0).count()
+    } finally {
+      graft.queries.Q.deleteRecursively(scratch)
+      prev match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None => s.conf.unset(provKey)
+      }
+    }
+  }
+
+  /** needs: which amplified tables the family reads; rep: whether a
+    * second sample at small scales is meaningful (stateful families —
+    * kmeans train memo, streaming checkpoints, sentinel-mutated landing
+    * dirs — must measure the cold run only). */
+  private final case class Fam(name: String, needs: Set[String],
+                               rep: Boolean,
+                               run: (SparkSession, String, Int) => Long)
+
+  private val families: Seq[Fam] = Seq(
+    Fam("cc_full", Set("documents"), rep = true,
+      (s, d, _) => ccFull(s, d)),
+    Fam("cc_incremental", Set("documents"), rep = true,
+      (s, d, _) => ccIncremental(s, d)),
+    Fam("minhash_lsh", Set("documents"), rep = true,
+      (s, d, _) => minhashLsh(s, d)),
+    Fam("index_chain", Set("documents"), rep = true,
+      (s, d, _) => indexChain(s, d)),
+    Fam("cluster_canonical", Set("documents"), rep = true,
+      (s, d, _) => clusterCanonical(s, d)),
+    Fam("bpe_train_apply", Set("documents"), rep = true,
+      (s, d, _) => bpe(s, d)),
+    Fam("ivfpq_fixed_stride", Set("embeddings"), rep = false,
+      (s, d, k) => ivfpq(s, d, k, scaledStride = false)),
+    Fam("ivfpq_scaled_stride", Set("embeddings"), rep = false,
+      (s, d, k) => ivfpq(s, d, k, scaledStride = true)),
+    Fam("session_timers", Set("events"), rep = false,
+      (s, d, _) => sessionTimers(s, d)))
+
+  /** Least-squares slope of ln(t) on ln(k). */
+  private def alpha(pts: Seq[(Int, Double)]): Option[Double] = {
+    val valid = pts.filter(_._2 > 0)
+    if (valid.size < 2) return None
+    val xs = valid.map(p => math.log(p._1.toDouble))
+    val ys = valid.map(p => math.log(p._2))
+    val n = xs.size
+    val mx = xs.sum / n; val my = ys.sum / n
+    val den = xs.map(x => (x - mx) * (x - mx)).sum
+    if (den == 0) None
+    else Some(xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum / den)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val cutoff = sys.env.getOrElse("SPARK_GRAFT_SCALE_CUTOFF", "300").toDouble
+    val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,3,10,30")
+      .split(",").map(_.trim.toInt).toSeq
+    val only: Option[Set[String]] =
+      if (args.nonEmpty) Some(args.toSet) else None
+    val fams = families.filter(f => only.forall(_.contains(f.name)))
+    require(fams.nonEmpty, s"no family matches $only — " +
+      s"known: ${families.map(_.name).mkString(", ")}")
+    val spark = Sessions.local(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    // absorb JIT/parquet/shuffle ramp outside the measured window
+    Tables.documents(spark, sfDir).groupBy(col("lang")).count().collect()
+
+    def reclaim(): Unit = {
+      spark.catalog.clearCache(); System.gc(); Thread.sleep(200)
+    }
+    val results = scala.collection.mutable.Map.empty[String,
+      scala.collection.mutable.ArrayBuffer[(Int, Double, Long)]]
+    val skipped = scala.collection.mutable.Set.empty[String]
+
+    for (k <- scales.sorted) {
+      val amp = java.nio.file.Files.createTempDirectory(s"graft_scale_${k}x")
+      try {
+        val needed = fams.filterNot(f => skipped(f.name))
+          .flatMap(_.needs).toSet
+        if (needed("documents")) amplifyDocs(spark, sfDir, k, amp.toString)
+        if (needed("embeddings")) amplifyEmb(spark, sfDir, k, amp.toString)
+        if (needed("events")) amplifyEvents(spark, sfDir, k, amp.toString)
+        for (f <- fams if !skipped(f.name)) {
+          def sample(): (Double, Long) = {
+            reclaim()
+            val t0 = System.nanoTime()
+            val n = f.run(spark, amp.toString, k)
+            ((System.nanoTime() - t0) / 1e9, n)
+          }
+          val s1 = sample()
+          val best =
+            if (f.rep && k <= 3) { val s2 = sample(); if (s2._1 < s1._1) s2 else s1 }
+            else s1
+          println(f"[scale] ${f.name}%-22s ${k}%2dx  ${best._1}%8.2f s" +
+            f"  (${best._2}%d rows)")
+          results.getOrElseUpdate(f.name,
+            scala.collection.mutable.ArrayBuffer.empty) += ((k, best._1, best._2))
+          if (best._1 > cutoff) {
+            skipped += f.name
+            println(f"[scale] ${f.name}: ${best._1}%.1f s > cutoff " +
+              f"$cutoff%.0f s — skipping larger scales")
+          }
+        }
+      } finally graft.queries.Q.deleteRecursively(amp)
+    }
+    spark.stop()
+
+    def sec(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    println()
+    println(f"${"family"}%-22s ${"alpha"}%6s ${"tail"}%6s  t(k) ...")
+    val famJson = fams.filter(f => results.contains(f.name)).map { f =>
+      val pts = results(f.name).toSeq
+      val a = alpha(pts.map(p => (p._1, p._2)))
+      // Tail exponent over the two LARGEST scales: per-run fixed
+      // overhead (JIT, session/stream init) deflates the full-range
+      // fit — which would OVERSTATE scalability — while by the tail
+      // the data term dominates. This is the asymptotic signal SCALE.md
+      // cites; the full fit is kept as the overhead-inclusive view.
+      val tail = pts.takeRight(2) match {
+        case Seq((k1, t1, _), (k2, t2, _)) if t1 > 0 && t2 > 0 && k1 != k2 =>
+          Some(math.log(t2 / t1) / math.log(k2.toDouble / k1))
+        case _ => None
+      }
+      def fmt(o: Option[Double]) = o.map(x => f"$x%6.2f").getOrElse("   n/a")
+      println(f"${f.name}%-22s ${fmt(a)} ${fmt(tail)}  " +
+        pts.map(p => s"${p._1}x=${sec(p._2)}s").mkString("  "))
+      val scalesJ = pts.map(_._1).mkString("[", ",", "]")
+      val secsJ = pts.map(p => sec(p._2)).mkString("[", ",", "]")
+      val rowsJ = pts.map(_._3).mkString("[", ",", "]")
+      s""""${f.name}":{"scales":$scalesJ,"secs":$secsJ,"rows":$rowsJ,""" +
+        s""""alpha":${a.map(sec).getOrElse("null")},""" +
+        s""""alpha_tail":${tail.map(sec).getOrElse("null")}}"""
+    }.mkString("{", ",", "}")
+    val json = s"""{"sf":"$sfDir","cpus":"$cpus","cutoff":$cutoff,""" +
+      s""""families":$famJson}"""
+    if (only.isEmpty && scales.size >= 3) {
+      val repoRoot = Iterator.iterate(
+          java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
+        .takeWhile(_ != null)
+        .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+        .getOrElse(sys.error("ScaleBench: no build.sbt above cwd"))
+      val out = repoRoot.resolve("bench/SCALE.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    println(json)
+  }
+}

@@ -721,6 +721,49 @@ class OperatorsSpec extends SparkSpec {
     graft.queries.Q.deleteRecursively(base)
   }
 
+  test("SnapshotManifest: torn manifest rejected with fallback; recover republishes a crashed snapshot txn") {
+    import graft.operators.{SnapshotManifest, TxnCommit}
+    val base = java.nio.file.Files.createTempDirectory("snaptorn")
+    val (ta, tb) = (base.resolve("a").toString, base.resolve("b").toString)
+    val journal = base.resolve("_txn").toString
+    val manifests = base.resolve("_snapshots").toString
+    def df(n: Int) = (1 to n).map(i => (i.toLong, s"r$i")).toDF("k", "v")
+    TxnCommit.commitAllSnapshot(spark, journal, manifests, "t1",
+      Seq(ta -> df(3), tb -> df(3)))
+    // TORN manifest at the next seq (crashed writer without atomic
+    // rename): strict parsing must reject it and serve seq 0 — not a
+    // partial pin map that fails reads spuriously (r13 ADVICE)
+    val torn = java.nio.file.Paths.get(manifests,
+      "manifest_000000000001.json")
+    java.nio.file.Files.write(torn,
+      s"""[{"dir":"$ta","version":1},{"dir":"$tb","ver""".getBytes)
+    val snap = SnapshotManifest.snapshot(spark, manifests).get
+    assert(snap.seq == 0L)
+    assert(snap.read(ta).count() == 3L && snap.read(tb).count() == 3L)
+    // zero-byte file (create-then-crash) is equally rejected
+    java.nio.file.Files.write(torn, Array.emptyByteArray)
+    assert(SnapshotManifest.snapshot(spark, manifests).get.seq == 0L)
+    // CRASH between the markers and the manifest publish: journal (with
+    // manifestDir) + markers exist, manifest missing. recover() rolls
+    // forward AND republishes, reclaiming the torn seq-1 slot — without
+    // it snapshot readers would stay pinned pre-crash forever.
+    val staged = TxnCommit.stage(spark,
+      Seq(ta -> df(5), tb -> df(7)), Some(journal))
+    TxnCommit.writeJournal(spark, journal, "t2", staged, Some(manifests))
+    val (fwd, back) = TxnCommit.recover(spark, journal)
+    assert(fwd == Seq("t2") && back.isEmpty)
+    val snap2 = SnapshotManifest.snapshot(spark, manifests).get
+    assert(snap2.seq == 1L)
+    assert(snap2.read(ta).count() == 5L && snap2.read(tb).count() == 7L)
+    // a plain (non-snapshot) journal still recovers without a manifest
+    val staged2 = TxnCommit.stage(spark, Seq(ta -> df(9)), Some(journal))
+    TxnCommit.writeJournal(spark, journal, "t3", staged2)
+    val (fwd2, _) = TxnCommit.recover(spark, journal)
+    assert(fwd2 == Seq("t3"))
+    assert(SnapshotManifest.snapshot(spark, manifests).get.seq == 1L)
+    graft.queries.Q.deleteRecursively(base)
+  }
+
   test("deleteWhere: rewrites only files containing victims, byte-copies the rest") {
     import graft.operators.AtomicTable
     val dir = java.nio.file.Files.createTempDirectory("tdel")

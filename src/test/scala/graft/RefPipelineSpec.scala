@@ -632,9 +632,15 @@ class RefPipelineSpec extends SparkSpec {
     assert(!red.ok)
     assert(red.unaccepted.exists(v =>
       v.kind == "reads-raw" && v.model == "mart.bad_mart"))
-    // an accepted entry that no longer occurs fails the check too
+    // an accepted entry whose model is BUILT but whose violation no
+    // longer occurs fails the check (the entry should be deleted) —
+    // while an entry for a model absent from this DAG variant (e.g.
+    // Shopify models in the cli's minimal mode) is NOT stale
     val stale = DagLint.check(cat.lineage,
-      DagLint.accepted + (("reads-raw", "mart.never") -> "bogus"))
-    assert(!stale.ok && stale.stale.contains(("reads-raw", "mart.never")))
+      DagLint.accepted + (("reads-raw", "mart.fct_orders") -> "bogus"))
+    assert(!stale.ok && stale.stale.contains(("reads-raw", "mart.fct_orders")))
+    val variant = DagLint.check(cat.lineage,
+      DagLint.accepted + (("reads-raw", "mart.not_in_this_variant") -> "x"))
+    assert(variant.ok, "absent model must not read as stale")
   }
 }
