@@ -43,6 +43,94 @@ object Clustering {
   /** Quantization offset; see class doc. */
   val Offset: Long = 4000000L
 
+  // ---- OPQ rotation (Ge et al. 2013 "Optimized Product Quantization",
+  // the FAISS OPQMatrix pre-transform): PQ quantizes each subspace
+  // independently, so correlated dimensions split across subspaces
+  // waste code budget; an ORTHOGONAL rotation applied before the split
+  // redistributes variance while preserving every distance, buying
+  // recall at IDENTICAL bytes per vector. Production OPQ learns R by
+  // alternating minimization; the cross-engine-replayable counterpart
+  // is a SEEDED block-Givens rotation — two stages of exact 2-D
+  // rotations on disjoint dimension pairs, angles from Pythagorean
+  // triples (3,4,5)/(5,12,13) so c²+s²=1 holds in rationals and the
+  // matrix is exactly orthogonal up to one double rounding per entry.
+  // Stage 1 pairs dim j with j+dims/2, stage 2 with j+dims/4: after
+  // both, every PQ subspace mixes all four original quarter-blocks.
+  // Determinism: each output element is TWO double multiplies and one
+  // add/subtract of engine-identical literals — elementwise IEEE
+  // arithmetic with no reassociation, so Spark and DuckDB produce
+  // bit-identical doubles, which the existing round(v*1e6) quantization
+  // then pins (ann_opq hash-gates the full rotated-PQ lifecycle).
+
+  private val OpqC1 = "CAST(0.6 AS DOUBLE)"
+  private val OpqS1 = "CAST(0.8 AS DOUBLE)"
+  private val OpqC2 = "(CAST(5 AS DOUBLE)/13)"
+  private val OpqS2 = "(CAST(12 AS DOUBLE)/13)"
+
+  /** Stage-1 per-dimension expression strings; `acc(j)` renders the
+    * engine's access to 0-based input dim j as a DOUBLE. */
+  def opqStage1Exprs(dims: Int, acc: Int => String): Seq[String] = {
+    val h = dims / 2
+    (0 until dims).map { j =>
+      if (j < h) s"$OpqC1*${acc(j)} - $OpqS1*${acc(j + h)}"
+      else s"$OpqS1*${acc(j - h)} + $OpqC1*${acc(j)}"
+    }
+  }
+
+  /** Stage-2 expressions over the stage-1 result (quarter-block pairs). */
+  def opqStage2Exprs(dims: Int, acc: Int => String): Seq[String] = {
+    val q = dims / 4
+    (0 until dims).map { j =>
+      if ((j / q) % 2 == 0) s"$OpqC2*${acc(j)} - $OpqS2*${acc(j + q)}"
+      else s"$OpqS2*${acc(j - q)} + $OpqC2*${acc(j)}"
+    }
+  }
+
+  /** Apply the seeded OPQ rotation to an embedding frame: returns
+    * (vec_id, embedding ARRAY<DOUBLE>) with both Givens stages applied,
+    * ready for [[pqTopK]].
+    *
+    * ROW FORM, not array literals: a 64-element array expression per
+    * stage looks natural, but CollapseProject inlines the whole stage-1
+    * array construction into EVERY stage-2 element reference — the
+    * expression tree grows multiplicatively per stage and the first
+    * attempt OOM'd the driver at sf0.01. Instead each stage is one
+    * (vec_id, partner-pos) self-join over the exploded rows — the
+    * 2-D Givens structure IS a pairing — and the rotated rows are
+    * reassembled once with the order-preserving
+    * `sort_array(collect_list(struct(pos, v)))` pattern (no interpreted
+    * HOFs). Shuffles are keyed by vec_id only; per-row work is two
+    * multiplies per stage — the scan-shaped cost a 100 TB corpus needs.
+    * The arithmetic (constants, operand order) matches
+    * [[opqStage1Exprs]]/[[opqStage2Exprs]] exactly, so the DuckDB twin
+    * replays it bit-identically. */
+  def opqRotate(emb: DataFrame, dims: Int = 64,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val rows0 = emb.select(col(idCol).as("vec_id"),
+      posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("pos0", "v")))
+    def stage(rows: DataFrame, off: Int, c: String, s: String)
+        : DataFrame = {
+      val a = rows.as("a")
+      val b = rows.select(col("vec_id"), col("pos0").as("ppos"),
+        col("v").as("pv")).as("b")
+      a.join(b, col("a.vec_id") === col("b.vec_id") &&
+          col("b.ppos") === expr(
+            s"CASE WHEN (a.pos0 div $off) % 2 = 0 " +
+              s"THEN a.pos0 + $off ELSE a.pos0 - $off END"))
+        .select(col("a.vec_id").as("vec_id"), col("a.pos0").as("pos0"),
+          expr(s"CASE WHEN (a.pos0 div $off) % 2 = 0 " +
+            s"THEN ($c) * a.v - ($s) * b.pv " +
+            s"ELSE ($s) * b.pv + ($c) * a.v END").as("v"))
+    }
+    val r2 = stage(stage(rows0, dims / 2, OpqC1, OpqS1),
+      dims / 4, OpqC2, OpqS2)
+    r2.groupBy("vec_id")
+      .agg(sort_array(collect_list(struct(col("pos0"), col("v"))))
+        .getField("v").as("embedding"))
+  }
+
   /** Exploded quantized row form: (vec_id, pos, qv) with qv offset-
     * positive. One row per (vector, dimension). */
   def quantRows(emb: DataFrame, idCol: String = "vec_id",

@@ -122,24 +122,102 @@ object GraphOps {
     * bipartite structures — bounded `iters` makes that a deterministic,
     * gateable property rather than a nontermination risk. Returns
     * (node, label). */
-  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame =
+    labelPropagationRounds(edges, iters).last
+
+  /** [[labelPropagation]] keeping EVERY round's labels (lp0 … lpIters)
+    * — the committed state [[incrementalLabelPropagation]] folds a
+    * daily edge batch into. iters×N rows of state instead of N: the
+    * price of incremental maintainability, tiny at iters=3. */
+  def labelPropagationRounds(edges: DataFrame,
+                             iters: Int): Seq[DataFrame] = {
     val dirs = edges.select(col("src").as("u"), col("dst").as("v"))
       .unionAll(edges.select(col("dst").as("u"), col("src").as("v")))
       .localCheckpoint(true)
     var labels = dirs.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint(true)
+    val rounds = scala.collection.mutable.ArrayBuffer(labels)
     for (_ <- 1 to iters) {
-      labels = dirs
-        .join(labels.select(col("node").as("v"), col("label")), Seq("v"))
-        .groupBy(col("u"), col("label"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy(col("u"))
-        .agg(min(struct((-col("cnt")).as("nc"), col("label"))).as("m"))
-        .select(col("u").as("node"), col("m.label").as("label"))
-        .localCheckpoint(true)
+      labels = lpRound(dirs, labels).localCheckpoint(true)
+      rounds += labels
     }
-    labels
+    rounds.toSeq
+  }
+
+  /** One synchronous LPA round: every `u` adopts the most frequent
+    * neighbor label, ties to the smaller label (shared by the full and
+    * incremental paths so their per-round arithmetic is identical). */
+  private def lpRound(dirs: DataFrame, labels: DataFrame): DataFrame =
+    dirs
+      .join(labels.select(col("node").as("v"), col("label")), Seq("v"))
+      .groupBy(col("u"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("u"))
+      .agg(min(struct((-col("cnt")).as("nc"), col("label"))).as("m"))
+      .select(col("u").as("node"), col("m.label").as("label"))
+
+  /** INCREMENTAL synchronous LPA — fold a daily batch of new edges into
+    * committed per-round labels ([[labelPropagationRounds]]) WITHOUT
+    * recomputing over the corpus-scale graph, bit-identical to a full
+    * recompute (the oracle gate proves it).
+    *
+    * Soundness: after k synchronous rounds a node's label is a function
+    * of its k-hop neighborhood ONLY — so adding edges E₀ can change
+    * round-t labels only inside the radius-t ball around E₀'s
+    * endpoints. The recurrence recomputes exactly that ball:
+    * affected₀ = endpoints(E₀); affectedₜ = endpoints(E₀) ∪
+    * N(affectedₜ₋₁) (a node's next label reads only its NEIGHBORS'
+    * labels, so an affected node whose neighbors are all settled drops
+    * back out). Each round recomputes [[lpRound]] for the affected set
+    * against the committed round-(t-1) labels overlaid with the
+    * previous round's recomputed values — one semi-join to restrict,
+    * one anti-join to overlay, both keyed by node.
+    *
+    * Daily work is ∝ |ball(E₀, iters)| + one label-table overlay join
+    * per round — never the corpus graph; the companion of
+    * [[graft.llm.Dedup.incrementalComponents]] for the community
+    * operator. `committedRounds` must come from the same `iters` and
+    * the OLD edge set; `oldEdges ∪ newEdges` must be the exact new
+    * graph (multiplicities preserved — mode counts see multi-edges the
+    * same way the full recompute does). Returns (node, label) for the
+    * union graph. */
+  def incrementalLabelPropagation(committedRounds: Seq[DataFrame],
+                                  oldEdges: DataFrame,
+                                  newEdges: DataFrame): DataFrame = {
+    val iters = committedRounds.size - 1
+    val edges = oldEdges.unionByName(newEdges)
+    val dirs = edges.select(col("src").as("u"), col("dst").as("v"))
+      .unionAll(edges.select(col("dst").as("u"), col("src").as("v")))
+      .localCheckpoint(true)
+    val e0 = newEdges.select(col("src").as("node"))
+      .unionByName(newEdges.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    // round-0 overlay: committed lp0 plus self-labels for NEW nodes
+    // (nodes of the union graph absent from the committed state)
+    var full = committedRounds.head.unionByName(
+        dirs.select(col("u").as("node")).distinct()
+          .join(committedRounds.head.select("node"), Seq("node"),
+            "left_anti")
+          .select(col("node"), col("node").as("label")))
+      .localCheckpoint(true)
+    var affected = e0
+    for (t <- 1 to iters) {
+      // recompute the affected ball against the full round-(t-1) view
+      val ballDirs = dirs.join(affected.select(col("node").as("u")),
+        Seq("u"), "left_semi")
+      val recomputed = lpRound(ballDirs, full)
+      full = committedRounds(t)
+        .join(recomputed.select("node"), Seq("node"), "left_anti")
+        .unionByName(recomputed)
+        .localCheckpoint(true)
+      // next ball: E0 endpoints ∪ neighbors of this round's set
+      affected = e0.unionByName(
+          dirs.join(affected.select(col("node").as("v")), Seq("v"),
+            "left_semi").select(col("u").as("node")))
+        .distinct().localCheckpoint(true)
+    }
+    full
   }
 
   /** DuckDB twin of [[labelPropagation]]: the round chain as CTE text.

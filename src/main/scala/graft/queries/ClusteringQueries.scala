@@ -375,11 +375,52 @@ object ClusteringQueries {
     * training chains (prefixed [[Clustering.kmeansOracleCtes]]), the
     * encode, the LUTs, the ADC ranking AND the exact baseline — the
     * entire index lifecycle is one hash gate. */
-  val annPqAdc: Q = {
+  val annPqAdc: Q = pqAdcQ("ann_pq_adc", "embeddings", "") { (s, d) =>
+    Clustering.pqTopK(s, Tables.embeddings(s, d), mSub = 4, subDim = 16,
+      stride = 100, iters = Iters, queryMod = 97, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** OPQ ARM ([[Clustering.opqRotate]] → [[Clustering.pqTopK]]) — the
+    * seeded block-Givens orthogonal rotation applied BEFORE the PQ
+    * subspace split, at IDENTICAL code budget to `ann_pq_adc` (same
+    * mSub/subDim/stride/iters/queryMod/k), so the two dumped frames
+    * compare raw-PQ vs OPQ recall directly (`hit_exact` flags against
+    * each space's exact baseline; distances are rotation-invariant up
+    * to quantization). The twin replays the rotation as two literal
+    * 64-element list CTEs — elementwise double arithmetic both engines
+    * evaluate bit-identically — then the full 4-subspace training/
+    * encode/LUT/ADC/baseline chain over the rotated space. */
+  val annOpq: Q = {
+    val accIn = (j: Int) => s"CAST(embedding[${j + 1}] AS DOUBLE)"
+    val accR1 = (j: Int) => s"r1e[${j + 1}]"
+    val s1 = Clustering.opqStage1Exprs(64, accIn).mkString("[", ",\n    ", "]")
+    val s2 = Clustering.opqStage2Exprs(64, accR1).mkString("[", ",\n    ", "]")
+    val prelude =
+      s"""opq1 AS (
+        |  SELECT vec_id, $s1 AS r1e FROM embeddings
+        |), rot AS (
+        |  SELECT vec_id, $s2 AS embedding FROM opq1
+        |),
+        |""".stripMargin
+    pqAdcQ("ann_opq", "rot", prelude) { (s, d) =>
+      Clustering.pqTopK(s,
+        Clustering.opqRotate(Tables.embeddings(s, d)),
+        mSub = 4, subDim = 16, stride = 100, iters = Iters,
+        queryMod = 97, k = 5)
+        .orderBy("query_id", "rank")
+    }
+  }
+
+  /** Shared PQ-ADC twin builder: the full 4-subspace index lifecycle
+    * over `source` (a raw table or a prelude-defined rotated CTE). */
+  private def pqAdcQ(name: String, source: String, prelude: String)(
+      build: (org.apache.spark.sql.SparkSession, String)
+        => org.apache.spark.sql.DataFrame): Q = {
     val PqStride = 100
     val slices = (0 until 4).map(m =>
       s"s$m AS (SELECT vec_id, embedding[${m * 16 + 1}:${(m + 1) * 16}]" +
-        s" AS embedding FROM embeddings)").mkString(",\n")
+        s" AS embedding FROM $source)").mkString(",\n")
     val chains = (0 until 4).map(m =>
       Clustering.kmeansOracleCtes(s"s$m", PqStride, Iters,
         prefix = s"q$m")).mkString(",\n")
@@ -393,13 +434,13 @@ object ClusteringQueries {
         |  JOIN q${m}c$Iters c ON c.pos = v.pos GROUP BY 1, 2, 3"""
         .stripMargin).mkString("\n  UNION ALL ")
     Q.sql(
-      "ann_pq_adc",
-      s"""WITH $slices,
+      name,
+      s"""WITH $prelude$slices,
         |$chains,
         |codes AS (
         |  $codesArms
         |), qids AS (
-        |  SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 97 = 0
+        |  SELECT vec_id AS query_id FROM $source WHERE vec_id % 97 = 0
         |), lut AS (
         |  $lutArms
         |), approx AS (
@@ -419,7 +460,7 @@ object ClusteringQueries {
         |      + ${Clustering.Offset} AS qv
         |  FROM (SELECT vec_id, unnest(embedding) AS v,
         |        unnest(generate_series(1, len(embedding))) AS pos
-        |        FROM embeddings)
+        |        FROM $source)
         |), qrows AS (
         |  SELECT qids.query_id, g.pos, g.qv AS q_qv
         |  FROM gve g JOIN qids ON qids.query_id = g.vec_id
@@ -441,11 +482,7 @@ object ClusteringQueries {
         |FROM ranked r LEFT JOIN etop e
         |  ON e.query_id = r.query_id AND e.vec_id = r.vec_id
         |WHERE r.rank <= 5
-        |ORDER BY r.query_id, r.rank""".stripMargin) { (s, d) =>
-      Clustering.pqTopK(s, Tables.embeddings(s, d), mSub = 4, subDim = 16,
-        stride = PqStride, iters = Iters, queryMod = 97, k = 5)
-        .orderBy("query_id", "rank")
-    }
+        |ORDER BY r.query_id, r.rank""".stripMargin)(build)
   }
 
   /** IVF-PQ COMPOSITE ([[Clustering.ivfPqTopK]]) — the FAISS IndexIVFPQ
@@ -709,5 +746,5 @@ object ClusteringQueries {
 
   val all: Seq[Q] =
     Seq(cKmeans, ddSemDeDup, annKmeansIvf, annRecallEval, annRecallCurve,
-      annPqAdc, annIvfPq, annIvfPqResidual, cKmeansText)
+      annPqAdc, annOpq, annIvfPq, annIvfPqResidual, cKmeansText)
 }

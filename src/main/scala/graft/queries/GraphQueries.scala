@@ -599,6 +599,58 @@ object GraphQueries {
       .orderBy("node")
   }
 
+  /** INCREMENTAL label propagation
+    * ([[GraphOps.incrementalLabelPropagation]]): day 1 commits the
+    * per-round LPA state for the star subgraph over the 90% old docs;
+    * day 2 delivers the remaining docs' star edges plus ALL chain edges
+    * (which bridge star communities). The Spark side folds the batch in
+    * by recomputing only the radius-t balls around the new edges'
+    * endpoints against the committed per-round labels; the twin runs
+    * the SEMANTIC CONTRACT — full 3-round synchronous LPA over the
+    * union graph. Hash equality proves incremental == full recompute
+    * bit-for-bit (the k-hop influence-radius argument in the operator's
+    * scaladoc), including label changes that chain through bridged
+    * communities. Companion of `dd_cc_incremental` for the community
+    * operator. */
+  val gLabelPropIncremental: Q = Q.sql(
+    "g_label_prop_incremental",
+    s"""WITH star AS (
+      |  SELECT doc_id AS src, doc_id - (doc_id % 7) AS dst
+      |  FROM documents WHERE doc_id % 7 IN (1, 2, 3)
+      |), chain AS (
+      |  SELECT doc_id AS src, doc_id + 13 AS dst
+      |  FROM documents
+      |  WHERE doc_id % 13 = 0
+      |    AND doc_id + 13 IN (SELECT doc_id FROM documents)
+      |), edges AS (
+      |  SELECT src, dst FROM star UNION ALL SELECT src, dst FROM chain
+      |), dirs AS (
+      |  SELECT src AS u, dst AS v FROM edges
+      |  UNION ALL SELECT dst, src FROM edges
+      |)${GraphOps.labelPropagationOracleCtes(3)}
+      |SELECT node, label, (node % 10 = 9) AS is_new_node
+      |FROM lp3
+      |ORDER BY node""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val id = col("doc_id")
+    val nodes = docs.select(id.as("id"))
+    val star = docs.filter((id % 7).isin(1, 2, 3))
+      .select(id.as("src"), (id - id % 7).as("dst"))
+    val chain = docs.filter(id % 13 === 0)
+      .select(id.as("src"), (id + 13).as("dst"))
+      .join(nodes.select(col("id").as("dst")), Seq("dst"), "left_semi")
+    def old(c: org.apache.spark.sql.Column) = c % 10 =!= 9
+    val oldStar = star.filter(old(col("src")) && old(col("dst")))
+    val newEdges = star.filter(!(old(col("src")) && old(col("dst"))))
+      .unionByName(chain.select("src", "dst"))
+    val committed = GraphOps.labelPropagationRounds(oldStar, iters = 3)
+    GraphOps.incrementalLabelPropagation(committed, oldStar, newEdges)
+      .select(col("node"), col("label"),
+        (col("node") % 10 === 9).as("is_new_node"))
+      .orderBy("node")
+  }
+
   val all: Seq[Q] = Seq(stFunnel, gTriangles, stCohort, gPageRank, gBfsHops,
-    stTopPaths, aAttrMultiTouch, gModularity, gLabelProp)
+    stTopPaths, aAttrMultiTouch, gModularity, gLabelProp,
+    gLabelPropIncremental)
 }

@@ -803,11 +803,111 @@ object UnionScalarQueries {
       .orderBy("p_partkey")
   }
 
+  /** S16 — CROSS-TABLE SNAPSHOT-READ INVARIANCE through the REAL
+    * `TxnCommit.commitAllSnapshot` → `SnapshotManifest.snapshot` →
+    * `Snapshot.read` chain (the governance path `cli.Main` publishes
+    * per run): epoch 1 commits two tables (a date-bounded orders subset
+    * and a keyed customer subset) under one manifest; a reader pins
+    * that snapshot; epoch 2 advances BOTH tables to their full-range
+    * versions. The pinned reader's aggregates over both tables must
+    * equal the EPOCH-1 definitions — the twin computes those from the
+    * raw tables directly — so the gate proves version pinning holds
+    * through a later publish on every table of the snapshot (a
+    * latest-read would hash-mismatch with the epoch-2 counts). */
+  val s16SnapshotRead: Q = Q.sql(
+    "s16_snapshot_read",
+    """SELECT 'customer' AS src, c_mktsegment AS k,
+      |  COUNT(*) AS n
+      |FROM customer WHERE c_custkey % 3 = 0
+      |GROUP BY 2
+      |UNION ALL
+      |SELECT 'orders' AS src, o_orderpriority AS k, COUNT(*) AS n
+      |FROM orders
+      |WHERE CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+      |GROUP BY 2
+      |ORDER BY src, k""".stripMargin) { (s, d) =>
+    import graft.operators.{SnapshotManifest, TxnCommit}
+    val base = Q.tempDir("graft_snapread").toString
+    val (ta, tb) = (s"$base/orders_sub", s"$base/customer_sub")
+    val journal = s"$base/_txn"
+    val manifests = s"$base/_snapshots"
+    val orders = Tables.orders(s, d)
+    val cust = Tables.customer(s, d)
+    TxnCommit.commitAllSnapshot(s, journal, manifests, "epoch1", Seq(
+      ta -> orders.filter(col("o_orderdate").cast("date") <
+          to_date(lit("1996-01-01")))
+        .select("o_orderpriority"),
+      tb -> cust.filter(col("c_custkey") % 3 === 0)
+        .select("c_mktsegment")))
+    val snap = SnapshotManifest.snapshot(s, manifests).get
+    // epoch 2 advances latest on BOTH tables; the pinned reader must
+    // not see it
+    TxnCommit.commitAllSnapshot(s, journal, manifests, "epoch2", Seq(
+      ta -> orders.select("o_orderpriority"),
+      tb -> cust.select("c_mktsegment")))
+    val c = snap.read(tb)
+      .groupBy(col("c_mktsegment").as("k"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .select(lit("customer").as("src"), col("k"), col("n"))
+    val o = snap.read(ta)
+      .groupBy(col("o_orderpriority").as("k"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .select(lit("orders").as("src"), col("k"), col("n"))
+    c.unionByName(o).orderBy("src", "k")
+  }
+
+  /** S17 — PLAN-DERIVED LINEAGE EDGES through the REAL
+    * `Catalog.recordDeps` path (the edge source `tools/DagLint` lints):
+    * a four-layer mini-DAG over the testdata tables — raw commits,
+    * staging VIEWS, an intermediate join table, a mart rollup — and the
+    * emitted (model, upstream) edge list is gated against the
+    * hand-pinned contract. Pins both attribution rules: a table
+    * consumer resolves by COMMITTED PATH (mart → intermediate), a view
+    * consumer by plan-subtree matching with the view's own scans
+    * subtracted (intermediate → the two staging views, with no phantom
+    * raw edges). The twin is the pinned edge list itself (constant
+    * VALUES — the contract, not a recomputation). */
+  val s17LineageEdges: Q = Q.sql(
+    "s17_lineage_edges",
+    """SELECT * FROM (VALUES
+      |  ('intermediate.order_segments', 'staging.customers_typed'),
+      |  ('intermediate.order_segments', 'staging.orders_typed'),
+      |  ('mart.segment_rollup', 'intermediate.order_segments'),
+      |  ('staging.customers_typed', 'raw.customer_src'),
+      |  ('staging.orders_typed', 'raw.orders_src')
+      |) AS t(model, upstream)
+      |ORDER BY model, upstream""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val cat = new graft.ref.Catalog(s,
+      Q.tempDir("graft_lineage").toString)
+    val rawO = cat.saveTable("raw", "orders_src",
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice"))
+    val rawC = cat.saveTable("raw", "customer_src",
+      Tables.customer(s, d).select("c_custkey", "c_mktsegment"))
+    val stgO = cat.saveView("staging", "orders_typed",
+      rawO.select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("double").as("price")))
+    val stgC = cat.saveView("staging", "customers_typed",
+      rawC.select(col("c_custkey"), col("c_mktsegment").as("segment")))
+    val int = cat.saveTable("intermediate", "order_segments",
+      stgO.join(stgC, col("o_custkey") === col("c_custkey"))
+        .groupBy("segment")
+        .agg(count(lit(1)).cast("long").as("n_orders")))
+    cat.saveTable("mart", "segment_rollup",
+      int.agg(count(lit(1)).cast("long").as("n_segments")))
+    cat.lineage.toSeq
+      .flatMap { case (m, ups) => ups.toSeq.map(u => (m, u)) }
+      .toDF("model", "upstream")
+      .orderBy("model", "upstream")
+  }
+
   val all: Seq[Q] = Seq(p1UnionAlign, p2p3FlagExcept, a15MultiLevel,
     u2UnionDistinct, fString, fPseudonymize, fHash, fDate, fSafeNumeric,
     fZOrderKey,
     s5MergeUpsert,
     s6VersionDiff, s13Scd2, s14SkippingRead, s15DppPrune, j17PitJoin,
     tsSpineFill,
-    i1Incremental, i5LookbackMerge, a17EventRollup)
+    i1Incremental, i5LookbackMerge, a17EventRollup,
+    s16SnapshotRead, s17LineageEdges)
 }

@@ -304,6 +304,91 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("contract evolution across checkpoints: state survives an INT->BIGINT widening") {
+    import org.apache.spark.sql.types._
+    import graft.quality.SchemaContract
+    // the consumer contract the typed processor needs (EventRow shape)
+    val contract = StructType(Seq(StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val srcDir = java.nio.file.Files.createTempDirectory("twse_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("twse_ckpt").toString
+    def stage(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("twse_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.move(java.nio.file.Paths.get(part),
+        srcDir.resolve(name))
+    }
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      // v1 producer: NARROWER physical types (event_id/user_id INT,
+      // value FLOAT) — a legal pre-widening producer under the contract
+      val v1 = Seq((1, 10, "view", 1.25f), (2, 10, "click", 2.50f),
+        (3, 20, "view", 3.00f))
+        .toDF("event_id", "user_id", "event_type", "value")
+      stage("f1.parquet", v1)
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      // Each run reads with ITS producer's physical schema and ALIGNS to
+      // the contract before the typed processor — so the post-align
+      // schema (and the processor's state encoding) is identical across
+      // producer versions, and the checkpointed state carries through
+      // the widening. The pre-resume gate is SchemaContract.check.
+      def runOnce(fileSchema: StructType): Map[Long, (Long, Long)] = {
+        assert(SchemaContract.check(contract, fileSchema).isEmpty,
+          "gate must pass before resuming")
+        got.clear()
+        val stream = SchemaContract.align(
+          spark.readStream.schema(fileSchema).parquet(srcDir.toString),
+          contract)
+        val q = EventStream.runningTotals(stream).toDF()
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            got.synchronized {
+              got ++= df.collect()
+                .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+            }
+            ()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+        got.groupBy(_._1).map { case (u, rs) =>
+          u -> rs.map(t => (t._2, t._3)).maxBy(_._1) }.toMap
+      }
+      assert(runOnce(v1.schema) ==
+        Map(10L -> ((2L, 375L)), 20L -> ((1L, 300L))))
+      // v2 producer WIDENS to the contract types and ADDS a column —
+      // compatible evolution; resume from the same checkpoint
+      val v2 = Seq((4L, 10L, "purchase", 0.75, "eu"),
+        (5L, 30L, "view", 1.00, "us"))
+        .toDF("event_id", "user_id", "event_type", "value", "region")
+      stage("f2.parquet", v2)
+      // user 10's state carries across the widening: 2 events + cents
+      // from the v1 run fold into the v2 totals
+      assert(runOnce(v2.schema) ==
+        Map(10L -> ((3L, 450L)), 30L -> ((1L, 100L))))
+      // v3 producer RETYPES value to STRING — incompatible: the gate
+      // refuses before the query resumes (state is never touched)
+      val v3 = Seq((6L, 10L, "view", "oops"))
+        .toDF("event_id", "user_id", "event_type", "value")
+      val vios = SchemaContract.check(contract, v3.schema)
+      assert(vios.exists(v => v.column == "value" &&
+        v.kind == "incompatible"))
+      assert(intercept[IllegalArgumentException](
+        SchemaContract.align(v3, contract))
+        .getMessage.contains("value"))
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
   test("transformWithState MapState: per-type tallies accumulate, only touched types emit") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("event_id", LongType),
