@@ -413,12 +413,12 @@ object Dedup {
                           maxIter: Int = 30): DataFrame = {
     // Materialized once: without the checkpoint every round's hook
     // recomputes the symmetrize+distinct shuffle from scratch.
-    val sym = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = nodes.select(col("id"),
-      col("id").as("component")).localCheckpoint(true)
+    val sym = graft.operators.Ckpt.truncated(
+      edges.select(col("src"), col("dst"))
+        .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    var labels = graft.operators.Ckpt.truncated(nodes.select(col("id"),
+      col("id").as("component")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -452,7 +452,10 @@ object Dedup {
       // blow-up per round dwarfs the saved rounds). Deeper jumping
       // would need a checkpoint BETWEEN jumps, i.e. more jobs — the
       // thing the jump exists to avoid.
-      val compressed = jump(jump(hooked)).localCheckpoint(true)
+      // Ckpt.truncated, NOT plain localCheckpoint: the double-jump body
+      // references this leaf 8x next round — carried stats would compound
+      // geometrically across rounds (see operators.Ckpt scaladoc)
+      val compressed = graft.operators.Ckpt.truncated(jump(jump(hooked)))
       val changed = compressed
         .filter(col("component") =!= col("old")).count()
       labels = compressed.select(col("id"), col("component"))

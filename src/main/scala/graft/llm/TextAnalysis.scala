@@ -342,7 +342,7 @@ object TextAnalysis {
       // (measured r11: rounds 2→16 scale ~linearly, see LlmSpec
       // round-depth test), values unchanged (checkpoint is
       // plan-transparent), so the rounds=2 oracle hash is untouched.
-      rows = bpeMergeFlagged(j, wSeq).localCheckpoint(true)
+      rows = graft.operators.Ckpt.truncated(bpeMergeFlagged(j, wSeq))
     }
     val aft = rows.groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_syms_after"))
@@ -383,7 +383,7 @@ object TextAnalysis {
       val j = rows.withColumn("nxt", lead(col("sym"), 1).over(wSeq))
         .withColumn("is_pair",
           col("sym") === lit(l) && col("nxt") === lit(r))
-      rows = bpeMergeFlagged(j, wSeq).localCheckpoint(true)
+      rows = graft.operators.Ckpt.truncated(bpeMergeFlagged(j, wSeq))
     }
     val counts = merges.zipWithIndex.map { case ((l, r), i) =>
       sum(when(col("sym") === lit(l + r), 1L).otherwise(0L))

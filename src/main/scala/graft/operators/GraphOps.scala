@@ -69,7 +69,7 @@ object GraphOps {
         .select(col("node"), col("deg"),
           (lit(150000L) +
             expr("85 * coalesce(in_sum, 0L) div 100")).as("pr"))
-        .localCheckpoint(true)
+      pr = Ckpt.truncated(pr) // non-compounding stats (Ckpt scaladoc)
     }
     pr
   }
@@ -139,7 +139,7 @@ object GraphOps {
       .localCheckpoint(true)
     val rounds = scala.collection.mutable.ArrayBuffer(labels)
     for (_ <- 1 to iters) {
-      labels = lpRound(dirs, labels).localCheckpoint(true)
+      labels = Ckpt.truncated(lpRound(dirs, labels))
       rounds += labels
     }
     rounds.toSeq
@@ -207,15 +207,14 @@ object GraphOps {
       val ballDirs = dirs.join(affected.select(col("node").as("u")),
         Seq("u"), "left_semi")
       val recomputed = lpRound(ballDirs, full)
-      full = committedRounds(t)
+      full = Ckpt.truncated(committedRounds(t)
         .join(recomputed.select("node"), Seq("node"), "left_anti")
-        .unionByName(recomputed)
-        .localCheckpoint(true)
+        .unionByName(recomputed))
       // next ball: E0 endpoints ∪ neighbors of this round's set
-      affected = e0.unionByName(
+      affected = Ckpt.truncated(e0.unionByName(
           dirs.join(affected.select(col("node").as("v")), Seq("v"),
             "left_semi").select(col("u").as("node")))
-        .distinct().localCheckpoint(true)
+        .distinct())
     }
     full
   }
@@ -260,9 +259,8 @@ object GraphOps {
       val next = dist.filter(col("hops") === (h - 1).toLong)
         .join(dirs, col("node") === col("u"))
         .select(col("v").as("node"), lit(h.toLong).as("hops"))
-      dist = dist.unionByName(next)
-        .groupBy("node").agg(min("hops").cast("long").as("hops"))
-        .localCheckpoint(true)
+      dist = Ckpt.truncated(dist.unionByName(next)
+        .groupBy("node").agg(min("hops").cast("long").as("hops")))
     }
     dist
   }

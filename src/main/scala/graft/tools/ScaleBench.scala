@@ -306,6 +306,36 @@ object ScaleBench {
     Fam("session_timers", Set("events"), rep = false,
       (s, d, _) => sessionTimers(s, d)))
 
+  /** Per-sample stage-metric accumulator (registered once): total
+    * shuffle bytes (read+write), disk spill, and summed per-task peak
+    * execution memory — the "does the shuffle/state grow superlinearly"
+    * half of the measurement (a family whose TIME scales linearly but
+    * whose shuffle bytes scale quadratically is still a 100-TB bug). */
+  private final class StageMetrics
+      extends org.apache.spark.scheduler.SparkListener {
+    private var shuffleRead = 0L
+    private var shuffleWrite = 0L
+    private var spill = 0L
+    private var peakMem = 0L
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+        : Unit = synchronized {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        shuffleRead += m.shuffleReadMetrics.totalBytesRead
+        shuffleWrite += m.shuffleWriteMetrics.bytesWritten
+        spill += m.diskBytesSpilled
+        peakMem = math.max(peakMem, m.peakExecutionMemory)
+      }
+    }
+    def reset(): Unit = synchronized {
+      shuffleRead = 0; shuffleWrite = 0; spill = 0; peakMem = 0
+    }
+    /** (shuffle bytes r+w, spill bytes, peak exec memory). */
+    def snap: (Long, Long, Long) =
+      synchronized((shuffleRead + shuffleWrite, spill, peakMem))
+  }
+
   /** Least-squares slope of ln(t) on ln(k). */
   private def alpha(pts: Seq[(Int, Double)]): Option[Double] = {
     val valid = pts.filter(_._2 > 0)
@@ -332,15 +362,29 @@ object ScaleBench {
     require(fams.nonEmpty, s"no family matches $only — " +
       s"known: ${families.map(_.name).mkString(", ")}")
     val spark = Sessions.local(cpus)
+    // diagnostic conf overrides (runtime-settable keys only), e.g.
+    // SPARK_GRAFT_EXTRA_CONF="spark.sql.adaptive.enabled=false" — used
+    // to bisect scale pathologies like the cluster_canonical 30×
+    // planning stall without touching Sessions
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(",").foreach {
+      kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+        println(s"[scale] conf override: ${k.trim}=${v.trim}")
+    })
     spark.sparkContext.setLogLevel("ERROR")
+    val metrics = new StageMetrics
+    spark.sparkContext.addSparkListener(metrics)
     // absorb JIT/parquet/shuffle ramp outside the measured window
     Tables.documents(spark, sfDir).groupBy(col("lang")).count().collect()
 
     def reclaim(): Unit = {
       spark.catalog.clearCache(); System.gc(); Thread.sleep(200)
     }
+    final case class Pt(k: Int, sec: Double, rows: Long,
+                        shuffle: Long, spill: Long, peakMem: Long)
     val results = scala.collection.mutable.Map.empty[String,
-      scala.collection.mutable.ArrayBuffer[(Int, Double, Long)]]
+      scala.collection.mutable.ArrayBuffer[Pt]]
     val skipped = scala.collection.mutable.Set.empty[String]
 
     for (k <- scales.sorted) {
@@ -352,23 +396,33 @@ object ScaleBench {
         if (needed("embeddings")) amplifyEmb(spark, sfDir, k, amp.toString)
         if (needed("events")) amplifyEvents(spark, sfDir, k, amp.toString)
         for (f <- fams if !skipped(f.name)) {
-          def sample(): (Double, Long) = {
+          def sample(): Pt = {
             reclaim()
+            // listener events are async (listenerBus is private):
+            // the reclaim sleep drains the previous sample's events;
+            // a short post-run sleep drains this sample's tail before
+            // the snapshot. Diagnostic-grade attribution only.
+            metrics.reset()
             val t0 = System.nanoTime()
             val n = f.run(spark, amp.toString, k)
-            ((System.nanoTime() - t0) / 1e9, n)
+            val sec = (System.nanoTime() - t0) / 1e9
+            Thread.sleep(500)
+            val (sh, sp, pm) = metrics.snap
+            Pt(k, sec, n, sh, sp, pm)
           }
           val s1 = sample()
           val best =
-            if (f.rep && k <= 3) { val s2 = sample(); if (s2._1 < s1._1) s2 else s1 }
+            if (f.rep && k <= 3) { val s2 = sample(); if (s2.sec < s1.sec) s2 else s1 }
             else s1
-          println(f"[scale] ${f.name}%-22s ${k}%2dx  ${best._1}%8.2f s" +
-            f"  (${best._2}%d rows)")
+          println(f"[scale] ${f.name}%-22s ${k}%2dx  ${best.sec}%8.2f s" +
+            f"  ${best.shuffle / 1048576.0}%9.1f MB shuffle" +
+            f"  ${best.spill / 1048576.0}%7.1f MB spill" +
+            f"  (${best.rows}%d rows)")
           results.getOrElseUpdate(f.name,
-            scala.collection.mutable.ArrayBuffer.empty) += ((k, best._1, best._2))
-          if (best._1 > cutoff) {
+            scala.collection.mutable.ArrayBuffer.empty) += best
+          if (best.sec > cutoff) {
             skipped += f.name
-            println(f"[scale] ${f.name}: ${best._1}%.1f s > cutoff " +
+            println(f"[scale] ${f.name}: ${best.sec}%.1f s > cutoff " +
               f"$cutoff%.0f s — skipping larger scales")
           }
         }
@@ -379,29 +433,41 @@ object ScaleBench {
     def sec(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     println()
-    println(f"${"family"}%-22s ${"alpha"}%6s ${"tail"}%6s  t(k) ...")
+    println(f"${"family"}%-22s ${"alpha"}%6s ${"tail"}%6s ${"shufA"}%6s  t(k) ...")
     val famJson = fams.filter(f => results.contains(f.name)).map { f =>
       val pts = results(f.name).toSeq
-      val a = alpha(pts.map(p => (p._1, p._2)))
+      val a = alpha(pts.map(p => (p.k, p.sec)))
       // Tail exponent over the two LARGEST scales: per-run fixed
       // overhead (JIT, session/stream init) deflates the full-range
       // fit — which would OVERSTATE scalability — while by the tail
       // the data term dominates. This is the asymptotic signal SCALE.md
       // cites; the full fit is kept as the overhead-inclusive view.
-      val tail = pts.takeRight(2) match {
-        case Seq((k1, t1, _), (k2, t2, _)) if t1 > 0 && t2 > 0 && k1 != k2 =>
-          Some(math.log(t2 / t1) / math.log(k2.toDouble / k1))
-        case _ => None
-      }
+      def tailOf(sel: Pt => Double): Option[Double] =
+        pts.takeRight(2) match {
+          case Seq(p1, p2) if sel(p1) > 0 && sel(p2) > 0 && p1.k != p2.k =>
+            Some(math.log(sel(p2) / sel(p1)) /
+              math.log(p2.k.toDouble / p1.k))
+          case _ => None
+        }
+      val tail = tailOf(_.sec)
+      // shuffle-BYTES tail exponent: a linear-time family with
+      // superlinear shuffle is still a scale bug
+      val shufTail = tailOf(_.shuffle.toDouble)
       def fmt(o: Option[Double]) = o.map(x => f"$x%6.2f").getOrElse("   n/a")
-      println(f"${f.name}%-22s ${fmt(a)} ${fmt(tail)}  " +
-        pts.map(p => s"${p._1}x=${sec(p._2)}s").mkString("  "))
-      val scalesJ = pts.map(_._1).mkString("[", ",", "]")
-      val secsJ = pts.map(p => sec(p._2)).mkString("[", ",", "]")
-      val rowsJ = pts.map(_._3).mkString("[", ",", "]")
+      println(f"${f.name}%-22s ${fmt(a)} ${fmt(tail)} ${fmt(shufTail)}  " +
+        pts.map(p => s"${p.k}x=${sec(p.sec)}s").mkString("  "))
+      val scalesJ = pts.map(_.k).mkString("[", ",", "]")
+      val secsJ = pts.map(p => sec(p.sec)).mkString("[", ",", "]")
+      val rowsJ = pts.map(_.rows).mkString("[", ",", "]")
+      val shufJ = pts.map(_.shuffle).mkString("[", ",", "]")
+      val spillJ = pts.map(_.spill).mkString("[", ",", "]")
+      val peakJ = pts.map(_.peakMem).mkString("[", ",", "]")
       s""""${f.name}":{"scales":$scalesJ,"secs":$secsJ,"rows":$rowsJ,""" +
+        s""""shuffle_bytes":$shufJ,"spill_bytes":$spillJ,""" +
+        s""""peak_exec_mem":$peakJ,""" +
         s""""alpha":${a.map(sec).getOrElse("null")},""" +
-        s""""alpha_tail":${tail.map(sec).getOrElse("null")}}"""
+        s""""alpha_tail":${tail.map(sec).getOrElse("null")},""" +
+        s""""shuffle_tail":${shufTail.map(sec).getOrElse("null")}}"""
     }.mkString("{", ",", "}")
     val json = s"""{"sf":"$sfDir","cpus":"$cpus","cutoff":$cutoff,""" +
       s""""families":$famJson}"""
