@@ -223,7 +223,17 @@ object Dedup {
     * near-dup cluster for canonical-id purposes); normal buckets keep
     * exact all-pairs recall. Chain pairs flow through the SAME Hamming
     * verify, so precision is never affected — only recall inside
-    * pathological buckets degrades, and degrades gracefully. */
+    * pathological buckets degrades, and degrades gracefully.
+    *
+    * MEASURED (ScaleBench r14, SCALE.md): candidate shuffle grows at
+    * exponent ~1.5 in the UNCAPPED regime (buckets below the cap grow
+    * ∝ corpus because the key space is fixed at 2^8 per band) — the
+    * 30× amplified run is already in it. At real corpus scale either
+    * the cap engages (bounding the quadratic to chains) or the band
+    * layout must widen: a 64-bit simhash with 4×16-bit bands keeps the
+    * same Hamming-3 exact-recall guarantee with 65k keys per band,
+    * pushing bucket saturation out by 256×. Band width, not the cap,
+    * is the primary corpus-scale knob. */
   def simhashNearDups(simhashes: DataFrame,
                       maxHamming: Int = 3,
                       maxBucketSize: Int = Int.MaxValue): DataFrame = {
