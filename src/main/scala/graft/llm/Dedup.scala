@@ -236,9 +236,10 @@ object Dedup {
     * is the primary corpus-scale knob. */
   def simhashNearDups(simhashes: DataFrame,
                       maxHamming: Int = 3,
-                      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                      maxBucketSize: Int = Int.MaxValue,
+                      bits: Int = 32): DataFrame = {
     val bands = 4
-    val width = 8
+    val width = bits / 4
     val banded = simhashes.select(col("doc_id"), col("simhash"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
@@ -271,7 +272,7 @@ object Dedup {
             col("simhash").as("sim_a"), col("sim_b"))
         allPairsOf(small).unionByName(bigChain)
       }
-    val hamming = (1 to 32).map(i =>
+    val hamming = (1 to bits).map(i =>
       when(substring(col("sim_a"), i, 1) =!= substring(col("sim_b"), i, 1),
         1).otherwise(0)).reduce(_ + _)
     // Hamming filter BEFORE the multi-band dedup: the filter is a
@@ -319,6 +320,30 @@ object Dedup {
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
         concat((1 to 32).map(i =>
+          when(col(s"v$i") > 0, "1").otherwise("0")): _*).as("simhash"))
+  }
+
+  /** 64-BIT SimHash from exploded (doc_id, token) rows — the WIDE-BAND
+    * variant the r14 ScaleBench measurement motivates: with 4 bands the
+    * Hamming ≤ 3 exact-recall pigeonhole holds at ANY band width, and
+    * 16-bit bands give 65,536 keys per band instead of 256 — pushing
+    * band-bucket saturation (the measured shuffle-exponent-1.5 regime
+    * of the 32-bit layout) out by 256× in corpus size. Bits 1–32 vote
+    * on md5(token) as in [[simhashFromTokens]]; bits 33–64 on
+    * md5('s2|' ∥ token) — an independent hash stream, portable to the
+    * twin engine verbatim. Pair with `simhashNearDups(..., bits = 64)`. */
+  def simhash64FromTokens(tokenRows: DataFrame): DataFrame = {
+    val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f").map(lit(_))
+    val h1 = md5(col("token"))
+    val h2 = md5(concat(lit("s2|"), col("token")))
+    val votes = (1 to 64).map { i =>
+      val src = if (i <= 32) substring(h1, i, 1) else substring(h2, i - 32, 1)
+      sum(when(src.isin(highHex: _*), 1).otherwise(-1)).as(s"v$i")
+    }
+    tokenRows.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        concat((1 to 64).map(i =>
           when(col(s"v$i") > 0, "1").otherwise("0")): _*).as("simhash"))
   }
 

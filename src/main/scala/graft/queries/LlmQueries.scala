@@ -2562,6 +2562,64 @@ object LlmQueries {
     }
   }
 
+  /** Dedup — WIDE-BAND (64-bit, 4×16-bit) SimHash near-dup pairs: the
+    * corpus-scale band layout the r14 ScaleBench measurement motivates
+    * (SCALE.md: the 32-bit layout's 256-key bands saturate — candidate
+    * shuffle exponent ~1.5 — while 16-bit bands push saturation out
+    * 256×; ScaleBench's simhash_band8/band16 A/B measures the
+    * difference directly). Same Hamming ≤ 3 exact-recall pigeonhole
+    * (4 bands at ANY width); the second 32 bits vote on an independent
+    * salted md5 stream both engines replay verbatim
+    * ([[Dedup.simhash64FromTokens]]). */
+  val ddSimhash64NearDup: Q = {
+    val highHex = "('8','9','a','b','c','d','e','f')"
+    val votes = (1 to 64).map { i =>
+      val src = if (i <= 32) s"substr(md5(token), $i, 1)"
+        else s"substr(md5('s2|' || token), ${i - 32}, 1)"
+      s"SUM(CASE WHEN $src IN $highHex THEN 1 ELSE -1 END) AS v$i"
+    }.mkString(",\n      |    ")
+    val bits = (1 to 64).map(i =>
+      s"CASE WHEN v$i > 0 THEN '1' ELSE '0' END").mkString(" || ")
+    Q.sql(
+      "dd_simhash64_neardup",
+      s"""WITH t AS (
+        |  SELECT doc_id, $toksSql AS toks FROM documents
+        |  WHERE doc_id % 10 = 0
+        |), tok AS (
+        |  SELECT doc_id, unnest(toks) AS token FROM t
+        |), v AS (
+        |  SELECT doc_id,
+        |    $votes
+        |  FROM tok GROUP BY doc_id
+        |), sh AS (
+        |  SELECT doc_id, $bits AS simhash FROM v
+        |), banded AS (
+        |  SELECT doc_id, simhash, b AS band,
+        |    substr(simhash, b * 16 + 1, 16) AS band_key
+        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
+        |), cand AS (
+        |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+        |    l.simhash AS sim_a, r.simhash AS sim_b
+        |  FROM banded l JOIN banded r USING (band, band_key)
+        |  WHERE l.doc_id < r.doc_id
+        |)
+        |SELECT doc_a, doc_b,
+        |  CAST(hamming(sim_a, sim_b) AS BIGINT) AS hamming,
+        |  LEAST(doc_a, doc_b) AS canonical_id
+        |FROM cand
+        |WHERE hamming(sim_a, sim_b) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val tokenRows = Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          explode(TA.tokens(col("text"))).as("token"))
+      Dedup.simhashNearDups(Dedup.simhash64FromTokens(tokenRows),
+          maxBucketSize = 512, bits = 64)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy("doc_a", "doc_b")
+    }
+  }
+
   /** SimHash QUALITY EVAL — precision/recall of the banded simhash
     * near-dup predictor against EXACT unigram-set Jaccard ground truth
     * (J ≥ 0.7, integer cross-multiplied), swept over the Hamming
@@ -3887,7 +3945,8 @@ object LlmQueries {
     ddConnectedComponents, ddCcIncremental, ddMinhashLsh,
     ddMinhashEstimate,
     ddLshBandSweep, ddSimhash,
-    ddSimhashNearDup, ddSimhashEval, ddEmbeddingNearDup, annBruteForce,
+    ddSimhashNearDup, ddSimhash64NearDup, ddSimhashEval,
+    ddEmbeddingNearDup, annBruteForce,
     annHardNegatives, annEmbeddingDrift, tDomainPolicy,
     annLsh, annRhLsh,
     annIvf, mmBinary, mmFeatures, mmAudio, mmVideo, mmSceneCut, mmMjpeg,

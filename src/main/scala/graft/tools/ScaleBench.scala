@@ -222,6 +222,23 @@ object ScaleBench {
       .count()
   }
 
+  /** Band-width A/B: candidate+verify pair generation only (no CC), at
+    * 32-bit/8-bit-band vs 64-bit/16-bit-band layouts — the measured
+    * basis for the "band width is the corpus-scale knob" claim
+    * (Dedup.simhashNearDups scaladoc / SCALE.md). */
+  private def simhashPairs(s: SparkSession, dir: String,
+                           wide: Boolean): Long = {
+    val tokenRows = docsOf(s, dir).filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        explode(TA.tokens(col("text"))).as("token"))
+    if (wide)
+      Dedup.simhashNearDups(Dedup.simhash64FromTokens(tokenRows),
+        maxBucketSize = 512, bits = 64).count()
+    else
+      Dedup.simhashNearDups(Dedup.simhashFromTokens(tokenRows),
+        maxBucketSize = 512).count()
+  }
+
   private def ivfpq(s: SparkSession, dir: String, k: Int,
                     scaledStride: Boolean): Long = {
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -297,6 +314,10 @@ object ScaleBench {
       (s, d, _) => indexChain(s, d)),
     Fam("cluster_canonical", Set("documents"), rep = true,
       (s, d, _) => clusterCanonical(s, d)),
+    Fam("simhash_band8", Set("documents"), rep = true,
+      (s, d, _) => simhashPairs(s, d, wide = false)),
+    Fam("simhash_band16", Set("documents"), rep = true,
+      (s, d, _) => simhashPairs(s, d, wide = true)),
     Fam("bpe_train_apply", Set("documents"), rep = true,
       (s, d, _) => bpe(s, d)),
     Fam("ivfpq_fixed_stride", Set("embeddings"), rep = false,
