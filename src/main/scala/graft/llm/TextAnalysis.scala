@@ -167,6 +167,92 @@ object TextAnalysis {
           .otherwise("test"))
       .drop("split_hash")
 
+  /** LEAKAGE-SAFE TRAIN/VAL/TEST SPLIT: assignment hashed at the
+    * dedup-CLUSTER grain, not the document grain. A doc-grain hash
+    * split ([[stratifiedSplit]]) puts two near-duplicates on opposite
+    * sides of the train/test wall with probability ≈ 2·p·(1-p) per
+    * pair — test-set contamination that inflates every eval. Hashing
+    * the connected-component label instead ([[Dedup.connectedComponents]]
+    * over the near-dup pair graph) makes the split a FUNCTION of the
+    * cluster: whole clusters move together, so no near-dup pair can
+    * straddle splits, while membership stays stable under corpus
+    * growth for unchanged clusters (a new member can merge two
+    * clusters — the merged cluster re-hashes under its new min-id
+    * label, the price of keeping the invariant).
+    *
+    * `labels`: (id, component) as produced by connectedComponents.
+    * Emits (doc_id, component, sample_bucket, split) — one row per
+    * doc, split ∈ train/val/test with val/test slice sizes `valPct`/
+    * `testPct`. Pure projection over the label table: no extra
+    * shuffle beyond what CC already paid, any scale. */
+  def leakageSafeSplit(labels: DataFrame, seed: String, valPct: Int,
+                       testPct: Int): DataFrame =
+    labels.select(col("id").as("doc_id"), col("component"),
+        md5(concat(lit(seed), lit("|"), col("component").cast("string")))
+          .as("split_hash"))
+      .withColumn("sample_bucket",
+        expr(s"${hex6Expr("split_hash")} % 100L"))
+      .withColumn("split",
+        when(col("sample_bucket") < 100L - valPct - testPct, "train")
+          .when(col("sample_bucket") < 100L - testPct, "val")
+          .otherwise("test"))
+      .drop("split_hash")
+
+  /** SHARDED TOP-K HEAVY HITTERS with a VERIFIED exactness bound —
+    * the distributed frequent-items shape that never sorts the global
+    * token space (TPUT / candidate-and-verify; the deterministic
+    * cousin of [[Sketches]]' Count-Min top-k, which trades exactness
+    * for fixed memory). Three bounded steps:
+    *
+    *   1. per-shard exact counts + per-shard top-`perShard` candidates
+    *      (WindowGroupLimit: a per-partition heap, never a shard sort);
+    *   2. τ = Σ_shards (the `perShard`-th count): any token OUTSIDE
+    *      the candidate union is < its shard's cutoff in EVERY shard,
+    *      so its global count is < τ — the pruning certificate;
+    *   3. exact global counts for candidates only (semi-join), final
+    *      top-`k` ranked over the ≤ shards×perShard candidate set —
+    *      the only global ordering, and it is O(candidates), not
+    *      O(vocabulary).
+    *
+    * `above_threshold` (global_cnt ≥ τ) is emitted per row: no pruned
+    * item can STRICTLY outrank a row that clears τ, so when the k-th
+    * result clears it the top-k is provably exact (up to count ties
+    * at exactly τ), not heuristic — the oracle gate pins both the
+    * counts and the certificate. At 100
+    * TB: shard = whatever partitioning the corpus already has; τ and
+    * candidates are driver-free; rerun with larger `perShard` only if
+    * the certificate fails.
+    *
+    * `tokens`: one row per token occurrence with a shard column.
+    * Emits (rank, token, global_cnt, tau, above_threshold), rank 1..k
+    * by (global_cnt DESC, token). */
+  def shardedTopK(tokens: DataFrame, shard: Column, token: Column,
+                  perShard: Int, k: Int): DataFrame = {
+    val sc = tokens.select(shard.as("shard"), token.as("token"))
+      .groupBy(col("shard"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val ranked = sc.withColumn("rn", row_number().over(
+      Window.partitionBy(col("shard"))
+        .orderBy(col("cnt").desc, col("token"))))
+    val cand = ranked.filter(col("rn") <= perShard)
+      .select(col("token")).distinct()
+    val tau = ranked.filter(col("rn") === perShard)
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("tau"))
+    val global = sc.join(cand, Seq("token"), "left_semi")
+      .groupBy(col("token"))
+      .agg(sum(col("cnt")).as("global_cnt"))
+    // Unpartitioned window over the CANDIDATE set only (≤ shards ×
+    // perShard rows) — bounded by construction, never corpus-scale.
+    global
+      .withColumn("rank", row_number().over(
+          Window.orderBy(col("global_cnt").desc, col("token")))
+        .cast("long"))
+      .filter(col("rank") <= k)
+      .crossJoin(broadcast(tau))
+      .select(col("rank"), col("token"), col("global_cnt"), col("tau"),
+        (col("global_cnt") >= col("tau")).as("above_threshold"))
+  }
+
   /** URL CANONICALIZATION for web-corpus dedup: fragment stripped,
     * userinfo (`user@` / `user:pw@`) dropped from the authority, scheme
     * + host lowercased (path case PRESERVED — paths are

@@ -529,8 +529,66 @@ object JoinQueries {
       .orderBy("dirty_key")
   }
 
+  /** J18 — BUCKETED RANGE JOIN ([[graft.operators.RangeJoin]]): ship
+    * dates joined into per-order date intervals by pure containment
+    * (`pd BETWEEN sd AND ed`, NO equi key), then rolled up per
+    * interval. The DuckDB twin runs the naive range predicate — the
+    * gate proves the bucket-explode + equi-join + residual-filter
+    * rewrite is semantically exact — while the Spark side never plans
+    * the BroadcastNestedLoopJoin a bare range predicate would get
+    * (OperatorsSpec pins the plan). Intervals are ≤ 44 days, bucket
+    * 32 days ⇒ ≤ 2-3 bucket rows per interval; empty intervals
+    * survive via the post-aggregate left join (COUNT 0 / SUM 0).
+    * Day arithmetic in exact integer epoch days on both sides. */
+  val j18IntervalBucketJoin: Q = Q.sql(
+    "j18_interval_bucket_join",
+    """WITH iv AS (
+      |  SELECT o_orderkey AS iv_id, CAST(o_orderdate AS DATE) AS sd,
+      |    CAST(o_orderdate AS DATE) + CAST(o_orderkey % 45 AS INTEGER) AS ed
+      |  FROM orders WHERE o_orderkey % 97 = 0
+      |), pt AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS pd,
+      |    CAST(l_quantity AS BIGINT) AS qty
+      |  FROM lineitem
+      |), j AS (
+      |  SELECT iv_id, sd, ed,
+      |    CAST(COUNT(pt.pd) AS BIGINT) AS point_count,
+      |    CAST(COALESCE(SUM(qty), 0) AS BIGINT) AS total_qty
+      |  FROM iv LEFT JOIN pt ON pt.pd BETWEEN iv.sd AND iv.ed
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT iv_id, CAST(sd AS VARCHAR) AS start_date,
+      |  CAST(ed AS VARCHAR) AS end_date, point_count, total_qty
+      |FROM j ORDER BY iv_id""".stripMargin) { (s, d) =>
+    val epoch = lit("1970-01-01").cast("date")
+    val iv = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").as("iv_id"),
+        datediff(col("o_orderdate").cast("date"), epoch).cast("long")
+          .as("start_day"))
+      .withColumn("end_day",
+        col("start_day") + (col("iv_id") % 45).cast("long"))
+    val pt = Tables.lineitem(s, d)
+      .select(datediff(col("l_shipdate").cast("date"), epoch).cast("long")
+          .as("point_day"),
+        col("l_quantity").cast("long").as("qty"))
+    val joined = graft.operators.RangeJoin.bucketedIntervalJoin(
+      pt, iv, "point_day", "start_day", "end_day", bucketSize = 32L)
+    val agg = joined.groupBy(col("iv_id"))
+      .agg(count(lit(1)).as("point_count"), sum(col("qty")).as("total_qty"))
+    iv.join(agg, Seq("iv_id"), "left")
+      .select(col("iv_id"),
+        date_add(epoch, col("start_day").cast("int")).cast("string")
+          .as("start_date"),
+        date_add(epoch, col("end_day").cast("int")).cast("string")
+          .as("end_date"),
+        coalesce(col("point_count"), lit(0L)).as("point_count"),
+        coalesce(col("total_qty"), lit(0L)).as("total_qty"))
+      .orderBy("iv_id")
+  }
+
   val all: Seq[Q] = Seq(j1BroadcastDims, j5OrderContact, j7FactBridge,
     j8FullOuterMatch, j11AsOf, j12AttributionWindows,
     j14LeadEmailCustomer, j13CrossAgg, jAntiSemi, jSaltedSkew,
-    jSkewAudit, j16FuzzyMatch)
+    jSkewAudit, j16FuzzyMatch, j18IntervalBucketJoin)
 }

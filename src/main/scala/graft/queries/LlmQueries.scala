@@ -3925,6 +3925,185 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** LEAKAGE-SAFE SPLIT through the REAL near-dup pipeline:
+    * `simhash64FromTokens` → banded near-dup pairs →
+    * `connectedComponents` → [[TextAnalysis.leakageSafeSplit]] —
+    * train/val/test assignment hashed at the CLUSTER grain so no
+    * near-dup pair can straddle the train/test wall. The gate pins
+    * the contrast: `cluster_is_leaky` is FALSE on every row (split is
+    * a function of the component — the invariant itself is
+    * hash-checked), while `naive_is_leaky` marks the multi-doc
+    * clusters a doc-grain hash split (same seed, same buckets) DOES
+    * tear apart — the measured contamination a cluster-level split
+    * removes. Same 1-in-10 dense-near-dup sample and capless-twin
+    * reasoning as `dd_simhash_neardup` (the 32-bit layout — its dense
+    * clusters at BOTH SFs are what make the contrast fire: seed
+    * 'split14' was checked at both draws per the sketch-demo rule —
+    * 1 / 3 naive-leaky multi-doc clusters at sf0.01 / sf0.1, zero
+    * cluster-leaky at either); the DuckDB twin recomputes pairs,
+    * closes them with a recursive CTE, and replays both hash
+    * assignments with the portable instr-based hex expansion. */
+  val tLeakageSafeSplit: Q = {
+    val highHex = "('8','9','a','b','c','d','e','f')"
+    val votes = (1 to 32).map(i =>
+      s"SUM(CASE WHEN substr(md5(token), $i, 1) IN $highHex THEN 1 ELSE -1 END) AS v$i")
+      .mkString(",\n      |    ")
+    val bits = (1 to 32).map(i =>
+      s"CASE WHEN v$i > 0 THEN '1' ELSE '0' END").mkString(" || ")
+    Q.sql(
+      "t_leakage_safe_split",
+      s"""WITH RECURSIVE t AS (
+        |  SELECT doc_id, $toksSql AS toks FROM documents
+        |  WHERE doc_id % 10 = 0
+        |), tok AS (
+        |  SELECT doc_id, unnest(toks) AS token FROM t
+        |), v AS (
+        |  SELECT doc_id,
+        |    $votes
+        |  FROM tok GROUP BY doc_id
+        |), sh AS (
+        |  SELECT doc_id, $bits AS simhash FROM v
+        |), banded AS (
+        |  SELECT doc_id, simhash, b AS band,
+        |    substr(simhash, b * 8 + 1, 8) AS band_key
+        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
+        |), pairs AS (
+        |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        |  FROM banded l JOIN banded r USING (band, band_key)
+        |  WHERE l.doc_id < r.doc_id
+        |    AND hamming(l.simhash, r.simhash) <= 3
+        |), sym AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs
+        |), r(a, b) AS (
+        |  SELECT doc_id, doc_id FROM t
+        |  UNION
+        |  SELECT r.a, s.dst FROM r JOIN sym s ON r.b = s.src
+        |), comp AS (
+        |  SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS component
+        |  FROM r GROUP BY a
+        |), hashed AS (
+        |  SELECT doc_id, component,
+        |    md5('split14|' || CAST(component AS VARCHAR)) AS ch,
+        |    md5('split14|' || CAST(doc_id AS VARCHAR)) AS nh
+        |  FROM comp
+        |), b AS (
+        |  SELECT doc_id, component,
+        |    CAST(${TA.hex6Expr("ch")} % 100 AS BIGINT) AS sample_bucket,
+        |    CAST(${TA.hex6Expr("nh")} % 100 AS BIGINT) AS naive_bucket
+        |  FROM hashed
+        |), sp AS (
+        |  SELECT doc_id, component, sample_bucket,
+        |    CASE WHEN sample_bucket < 80 THEN 'train'
+        |         WHEN sample_bucket < 90 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    CASE WHEN naive_bucket < 80 THEN 'train'
+        |         WHEN naive_bucket < 90 THEN 'val'
+        |         ELSE 'test' END AS naive_split
+        |  FROM b
+        |), cs AS (
+        |  SELECT component, CAST(COUNT(*) AS BIGINT) AS component_size,
+        |    COUNT(DISTINCT split) > 1 AS cluster_is_leaky,
+        |    COUNT(DISTINCT naive_split) > 1 AS naive_is_leaky
+        |  FROM sp GROUP BY component
+        |)
+        |SELECT sp.doc_id, sp.component, sp.sample_bucket, sp.split,
+        |  sp.naive_split, cs.component_size, cs.cluster_is_leaky,
+        |  cs.naive_is_leaky
+        |FROM sp JOIN cs USING (component)
+        |ORDER BY sp.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+      val tokenRows = docs.select(col("doc_id"),
+        explode(TA.tokens(col("text"))).as("token"))
+      val pairs = Dedup.simhashNearDups(Dedup.simhashFromTokens(tokenRows),
+        maxBucketSize = 512)
+      val cc = Dedup.connectedComponents(
+        docs.select(col("doc_id").as("id")),
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      val sp = TA.leakageSafeSplit(cc, seed = "split14",
+          valPct = 10, testPct = 10)
+        .withColumn("nh",
+          md5(concat(lit("split14|"), col("doc_id").cast("string"))))
+        .withColumn("naive_bucket", expr(s"${TA.hex6Expr("nh")} % 100L"))
+        .withColumn("naive_split",
+          when(col("naive_bucket") < 80, "train")
+            .when(col("naive_bucket") < 90, "val")
+            .otherwise("test"))
+      val cs = sp.groupBy(col("component"))
+        .agg(count(lit(1)).as("component_size"),
+          (countDistinct(col("split")) > 1).as("cluster_is_leaky"),
+          (countDistinct(col("naive_split")) > 1).as("naive_is_leaky"))
+      sp.join(cs, Seq("component"))
+        .select(col("doc_id"), col("component"), col("sample_bucket"),
+          col("split"), col("naive_split"), col("component_size"),
+          col("cluster_is_leaky"), col("naive_is_leaky"))
+        .orderBy("doc_id")
+    }
+  }
+
+  /** SHARDED TOP-K HEAVY HITTERS through the REAL
+    * [[TextAnalysis.shardedTopK]]: per-shard exact counts → per-shard
+    * top-300 candidates → TPUT pruning certificate τ = Σ shard
+    * cutoffs → exact global counts of candidates only → top-20. The
+    * gate pins counts AND the certificate (`above_threshold`:
+    * global_cnt ≥ τ ⇒ the result is provably the exact top-k despite
+    * never counting non-candidate items globally or sorting the
+    * vocabulary). Items are BIGRAMS (word unigrams here have a ~31-
+    * token vocabulary — trivially small; bigrams give ~880 distinct
+    * keys per shard) built with the codegen'd [[TextAnalysis
+    * .shingleRows]] lead-window form; the twin zips parallel unnests.
+    * perShard=300 is the measured certificate margin: the bigram
+    * distribution is near-uniform, and at perShard=200 τ misses the
+    * 20th count BY ONE at sf0.1 (333 vs 332) — the failure mode the
+    * certificate exists to catch, checked at both SFs. Shard =
+    * doc_id % 8 — deterministic, both engines. The only unbounded
+    * aggregations are per-shard (map-side partial-friendly); the
+    * global window runs over ≤ 2,400 candidate rows. */
+  val tTopkShardedVerified: Q = Q.sql(
+    "t_topk_sharded_verified",
+    s"""WITH t AS (
+      |  SELECT doc_id, $toksSql AS toks FROM documents
+      |), p AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(toks) - 1),
+      |      i -> toks[i])) AS w1,
+      |    unnest(list_transform(generate_series(1, len(toks) - 1),
+      |      i -> toks[i+1])) AS w2
+      |  FROM t
+      |), tok AS (
+      |  SELECT doc_id % 8 AS shard, w1 || ' ' || w2 AS token FROM p
+      |), sc AS (
+      |  SELECT shard, token, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM tok GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT shard, token, cnt, ROW_NUMBER() OVER (
+      |    PARTITION BY shard ORDER BY cnt DESC, token) AS rn
+      |  FROM sc
+      |), cand AS (
+      |  SELECT DISTINCT token FROM ranked WHERE rn <= 300
+      |), tau AS (
+      |  SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS tau
+      |  FROM ranked WHERE rn = 300
+      |), g AS (
+      |  SELECT token, CAST(SUM(cnt) AS BIGINT) AS global_cnt
+      |  FROM sc WHERE token IN (SELECT token FROM cand)
+      |  GROUP BY token
+      |), top AS (
+      |  SELECT token, global_cnt, CAST(ROW_NUMBER() OVER (
+      |    ORDER BY global_cnt DESC, token) AS BIGINT) AS rank
+      |  FROM g
+      |)
+      |SELECT rank, token, global_cnt, t.tau,
+      |  global_cnt >= t.tau AS above_threshold
+      |FROM top CROSS JOIN tau t
+      |WHERE rank <= 20 ORDER BY rank""".stripMargin) { (s, d) =>
+    val bigrams = TA.shingleRows(Tables.documents(s, d),
+      col("doc_id"), col("text"), n = 2)
+    TA.shardedTopK(bigrams, col("doc_id") % 8, col("shingle"),
+        perShard = 300, k = 20)
+      .orderBy("rank")
+  }
+
   val all: Seq[Q] = Seq(tTokens, tTokensBpe, tBpePairCounts, tLangId,
     tQuality, tQualityQuantile, tQualityDecileProfile, tCurriculumOrder,
     tQualityQuantileByLang, tMadOutliers,
@@ -3938,7 +4117,8 @@ object LlmQueries {
     tCorpusCuration, tPacking, tQuotaSample, tWeightedSample,
     tTemperatureMix,
     tCorpusShuffle,
-    tStratifiedSplit, tDocChunking, tOovRate, ddExact, ddExactNormalized, ddIncrementalDedup,
+    tStratifiedSplit, tLeakageSafeSplit, tTopkShardedVerified,
+    tDocChunking, tOovRate, ddExact, ddExactNormalized, ddIncrementalDedup,
     ddIncrementalBloom, ddIncrementalIndexChain, ddNearDupIndexChain,
     ddClusterCanonical,
     ddUrlDedup, ddLineDedup, ddDupSpanCoverage, ddDupSpanRemoval,

@@ -295,6 +295,39 @@ object ScaleBench {
     }
   }
 
+  /** Range-join A/B over amplified events ([[graft.operators.RangeJoin]]):
+    * per-user intervals [first event, first + (user%4+1) h] joined back
+    * to the raw event points by time containment, rolled up per
+    * interval. Amplification grows BOTH sides ∝ k inside the FIXED
+    * 30-day event window, so the UNKEYED arm's candidate pairs (and its
+    * true output) grow ∝ k² — the measured design bug of range-joining
+    * two co-growing fact tables on time alone; the KEYED arm passes
+    * user_id as the natural equi key through `equiKeys` and the same
+    * operator, same data, is linear (each user's points only ever meet
+    * that user's intervals). The production rule this measures: a pure
+    * range predicate between growing facts needs its entity key in the
+    * join, or pre-aggregation — time bucketing alone only bounds
+    * constants, not the exponent. */
+  private def rangeJoin(s: SparkSession, dir: String,
+                        keyed: Boolean): Long = {
+    import graft.operators.RangeJoin
+    val ev = s.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("ts").cast("long").as("sec"))
+    val iv = ev.groupBy(col("user_id"))
+      .agg(min(col("sec")).as("start_sec"))
+      .withColumn("end_sec",
+        col("start_sec") + (col("user_id") % 4 + 1) * 3600L)
+    val joined =
+      if (keyed) RangeJoin.bucketedIntervalJoin(ev, iv,
+        "sec", "start_sec", "end_sec", bucketSize = 7200L,
+        equiKeys = Seq("user_id"))
+      else RangeJoin.bucketedIntervalJoin(ev,
+        iv.withColumnRenamed("user_id", "iv_user"),
+        "sec", "start_sec", "end_sec", bucketSize = 7200L)
+    val key = if (keyed) col("user_id") else col("iv_user")
+    joined.groupBy(key).agg(count(lit(1)).as("n")).count()
+  }
+
   /** needs: which amplified tables the family reads; rep: whether a
     * second sample at small scales is meaningful (stateful families —
     * kmeans train memo, streaming checkpoints, sentinel-mutated landing
@@ -325,7 +358,11 @@ object ScaleBench {
     Fam("ivfpq_scaled_stride", Set("embeddings"), rep = false,
       (s, d, k) => ivfpq(s, d, k, scaledStride = true)),
     Fam("session_timers", Set("events"), rep = false,
-      (s, d, _) => sessionTimers(s, d)))
+      (s, d, _) => sessionTimers(s, d)),
+    Fam("range_join_unkeyed", Set("events"), rep = true,
+      (s, d, _) => rangeJoin(s, d, keyed = false)),
+    Fam("range_join_keyed", Set("events"), rep = true,
+      (s, d, _) => rangeJoin(s, d, keyed = true)))
 
   /** Per-sample stage-metric accumulator (registered once): total
     * shuffle bytes (read+write), disk spill, and summed per-task peak
@@ -492,7 +529,7 @@ object ScaleBench {
     }.mkString("{", ",", "}")
     val json = s"""{"sf":"$sfDir","cpus":"$cpus","cutoff":$cutoff,""" +
       s""""families":$famJson}"""
-    if (only.isEmpty && scales.size >= 3) {
+    if (scales.size >= 3) {
       val repoRoot = Iterator.iterate(
           java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
         .takeWhile(_ != null)
@@ -500,8 +537,26 @@ object ScaleBench {
         .getOrElse(sys.error("ScaleBench: no build.sbt above cwd"))
       val out = repoRoot.resolve("bench/SCALE.json")
       java.nio.file.Files.createDirectories(out.getParent)
+      // Full sweeps replace the artifact; SUBSET runs (explicit family
+      // args) merge their families into the committed file so a new or
+      // re-measured family doesn't require re-running all the others
+      // (Jackson is Spark's bundled JSON parser).
+      val payload =
+        if (only.isEmpty || !java.nio.file.Files.exists(out)) json
+        else {
+          val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+          val prev = mapper.readTree(out.toFile)
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          val cur = mapper.readTree(json)
+          val pf = prev.get("families")
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          cur.get("families").fields().forEachRemaining { e =>
+            pf.set(e.getKey, e.getValue); ()
+          }
+          mapper.writeValueAsString(prev)
+        }
       java.nio.file.Files.write(out,
-        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (payload + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     println(json)
   }

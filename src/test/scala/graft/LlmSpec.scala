@@ -1031,4 +1031,58 @@ class LlmSpec extends SparkSpec {
     val got = df.select(TA.langId(TA.tokens($"text"))).as[String].collect()
     assert(got.toSeq == Seq("en", "es", "und"))
   }
+
+  test("leakageSafeSplit: whole clusters move together; doc-grain hash would not") {
+    // Components: {1,2,3} labeled 1, {10,11} labeled 10, {20} singleton.
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L),
+      (20L, 20L)).toDF("id", "component")
+    val sp = TA.leakageSafeSplit(labels, seed = "s", valPct = 10,
+      testPct = 10)
+    assert(sp.columns.toSeq ==
+      Seq("doc_id", "component", "sample_bucket", "split"))
+    val rows = sp.select("doc_id", "component", "split")
+      .as[(Long, Long, String)].collect()
+    assert(rows.length == 6)
+    // split is a FUNCTION of the component: one split per component.
+    val perComp = rows.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(perComp.values.forall(_.size == 1))
+    // and membership only depends on the component label, so the same
+    // label under a different doc set gets the same split (stability).
+    val again = TA.leakageSafeSplit(
+      Seq((99L, 1L)).toDF("id", "component"), "s", 10, 10)
+      .select("split").as[String].head()
+    assert(again == perComp(1L).head)
+    // different seed may reassign (not pinned — just exercised)
+    TA.leakageSafeSplit(labels, "other", 10, 10).collect()
+  }
+
+  test("shardedTopK: exact counts, TPUT certificate, and the pruning bound") {
+    // 2 shards; token distribution crafted so 'z' is NOT in either
+    // shard's top-2 though globally mid-sized — the pruned case the
+    // tau bound covers: global('z') = 4 < tau = 3 + 3 = 6.
+    val occ =
+      Seq.fill(5)((0, "a")) ++ Seq.fill(3)((0, "b")) ++
+        Seq.fill(2)((0, "z")) ++
+        Seq.fill(6)((1, "c")) ++ Seq.fill(3)((1, "d")) ++
+        Seq.fill(2)((1, "z"))
+    val tok = occ.toDF("shard", "token")
+    val got = TA.shardedTopK(tok, $"shard", $"token", perShard = 2, k = 3)
+      .select("rank", "token", "global_cnt", "tau", "above_threshold")
+      .as[(Long, String, Long, Long, Boolean)].collect().toSeq
+    // candidates = {a,b} ∪ {c,d}; exact global counts; top-3 by
+    // (cnt DESC, token): c=6, a=5, then b=3 vs d=3 -> 'b'.
+    assert(got.map(r => (r._1, r._2, r._3)) ==
+      Seq((1L, "c", 6L), (2L, "a", 5L), (3L, "b", 3L)))
+    // tau = 2nd count of shard0 (3) + 2nd count of shard1 (3) = 6:
+    // ranks with global_cnt >= 6 are certified, the tail is not —
+    // honest: 'z' (4) was pruned and could in principle outrank 'b'.
+    assert(got.map(r => (r._4, r._5)) ==
+      Seq((6L, true), (6L, false), (6L, false)))
+    // A shard smaller than perShard contributes nothing to tau
+    // (certificate trivially passes when nothing was pruned).
+    val small = Seq((0, "x"), (0, "y"), (0, "x")).toDF("shard", "token")
+    val s2 = TA.shardedTopK(small, $"shard", $"token", perShard = 5, k = 2)
+      .select("tau", "above_threshold").as[(Long, Boolean)].collect()
+    assert(s2.forall { case (tau, ok) => tau == 0L && ok })
+  }
 }

@@ -1074,4 +1074,55 @@ class OperatorsSpec extends SparkSpec {
       "2020-01-01", "2020-01-02", Seq("qty"), Seq("price"))
       .schema("qty").dataType.typeName == "long")
   }
+
+  test("RangeJoin: bucketed interval join matches naive containment, no nested-loop join") {
+    import graft.operators.RangeJoin
+    // Intervals spanning 1..3 buckets at bucketSize=10, incl. a
+    // zero-length interval and one that matches nothing.
+    val iv = Seq((1L, 5L, 12L), (2L, 20L, 20L), (3L, 8L, 31L),
+      (4L, 100L, 105L))
+      .toDF("iv_id", "start_day", "end_day")
+    val pt = Seq((10L, 5L), (11L, 20L), (12L, 25L), (13L, 9L), (14L, 31L),
+      (15L, 32L), (16L, 19L))
+      .toDF("pt_id", "point_day")
+    val got = RangeJoin.bucketedIntervalJoin(pt, iv,
+        "point_day", "start_day", "end_day", bucketSize = 10L)
+      .select("iv_id", "pt_id").as[(Long, Long)].collect().toSet
+    // Naive containment over the cross product:
+    val naive = (for {
+      (ivId, s, e) <- Seq((1L, 5L, 12L), (2L, 20L, 20L), (3L, 8L, 31L),
+        (4L, 100L, 105L))
+      (ptId, p) <- Seq((10L, 5L), (11L, 20L), (12L, 25L), (13L, 9L),
+        (14L, 31L), (15L, 32L), (16L, 19L))
+      if p >= s && p <= e
+    } yield (ivId, ptId)).toSet
+    assert(got == naive)
+    assert(naive.exists(_._1 == 3L) && !naive.exists(_._1 == 4L))
+    // A point on a bucket boundary joins intervals in BOTH adjacent
+    // buckets exactly once (no dup from the interval's multi-bucket
+    // explode): (3, 20) must appear once, not twice.
+    val rows = RangeJoin.bucketedIntervalJoin(pt, iv,
+        "point_day", "start_day", "end_day", bucketSize = 10L)
+      .select("iv_id", "pt_id").collect()
+    assert(rows.length == rows.distinct.length)
+    // The plan is an equi-join on the bucket key — never the
+    // BroadcastNestedLoopJoin a bare range predicate would plan.
+    val planned = RangeJoin.bucketedIntervalJoin(pt, iv,
+      "point_day", "start_day", "end_day", bucketSize = 10L)
+    planned.collect()
+    val plan = planned.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    // equiKeys narrows containment to same-key pairs: the keyed
+    // result is exactly the unkeyed pairs whose sides share the key.
+    val ivK = Seq((1L, 5L, 12L, 7L), (2L, 20L, 20L, 8L), (3L, 8L, 31L, 7L))
+      .toDF("iv_id", "start_day", "end_day", "user_id")
+    val ptK = Seq((10L, 5L, 7L), (11L, 20L, 8L), (12L, 25L, 7L),
+      (13L, 9L, 9L)).toDF("pt_id", "point_day", "user_id")
+    val keyed = RangeJoin.bucketedIntervalJoin(ptK, ivK,
+        "point_day", "start_day", "end_day", bucketSize = 10L,
+        equiKeys = Seq("user_id"))
+      .select("iv_id", "pt_id").as[(Long, Long)].collect().toSet
+    assert(keyed == Set((1L, 10L), (2L, 11L), (3L, 12L)))
+  }
 }
