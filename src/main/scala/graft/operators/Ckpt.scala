@@ -26,16 +26,31 @@ import org.apache.spark.sql.DataFrame
   * the noise, which is why only amplified-input measurement caught it).
   *
   * [[truncated]] materializes through `localCheckpoint(true)` exactly
-  * as before, then rebuilds the frame over the SAME materialized RDD
-  * through the public `createDataFrame(RDD[Row], schema)` API — the new
-  * leaf carries constant-size default stats, restoring flat per-round
-  * planning at ANY iteration depth. Cost: one external-row conversion
-  * per downstream read of the leaf — a map over the (narrow) iteration
-  * state, negligible next to the round's shuffle. Trade-off: the leaf
-  * loses its carried size estimate, so a TINY checkpointed frame is no
-  * longer auto-broadcast — irrelevant inside these loops, whose round
-  * joins are label-table-sized by construction; one-shot checkpoints
-  * outside loops should keep plain `localCheckpoint`.
+  * as before, then rebuilds the frame over the SAME materialized RDD —
+  * in INTERNAL row form, via the narrow
+  * [[org.apache.spark.sql.graftinternal.InternalDf]] accessor — so the
+  * new `LogicalRDD` leaf carries constant-size default stats, restoring
+  * flat per-round planning at ANY iteration depth with ZERO per-row
+  * conversion cost. (The first r14 form rebuilt through the public
+  * `createDataFrame(RDD[Row], schema)`, which deserializes to external
+  * rows and re-encodes on every downstream read. Measured on the
+  * identical 3-query subset harness: the internal-RDD form returns
+  * t_bpe_apply_merges to plain-localCheckpoint speed — 4.56 s vs the
+  * external form's 5.27 s and plain's 4.61 s at sf0.1; the BPE loops'
+  * per-round state is corpus-sized so the conversion is the one cost
+  * that scales with data — while keeping the stats-truncation win
+  * (plain checkpoint: dd_cc_incremental 9.9 s vs ~5-6 s truncated).
+  * A same-session ScaleBench control showed the two truncated forms
+  * indistinguishable on the CC families at 30× — 10.7 vs 11.5 s,
+  * inside the session band — so the internal form strictly dominates:
+  * same planning behavior, no O(rows) conversion tax.)
+  *
+  * Trade-off kept from the first form: the leaf loses its carried size
+  * estimate, so a TINY checkpointed frame is no longer auto-broadcast —
+  * irrelevant inside these loops, whose round joins are
+  * label-table-sized by construction; one-shot checkpoints outside
+  * loops should keep plain `localCheckpoint` (the carried stats are
+  * what make small checkpointed frames broadcastable there).
   */
 object Ckpt {
 
@@ -43,6 +58,7 @@ object Ckpt {
     * Use for every per-round checkpoint inside an iterative loop. */
   def truncated(df: DataFrame): DataFrame = {
     val ck = df.localCheckpoint(true)
-    df.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    org.apache.spark.sql.graftinternal.InternalDf(
+      df.sparkSession, ck.queryExecution.toRdd, ck.schema)
   }
 }

@@ -1075,6 +1075,36 @@ class OperatorsSpec extends SparkSpec {
       .schema("qty").dataType.typeName == "long")
   }
 
+  test("Ckpt.truncated: values intact through the internal-RDD leaf; stats stay flat across self-joining rounds") {
+    import graft.operators.Ckpt
+    // Mixed types exercise the internal-row path (no external Row
+    // round trip): string, array, decimal, timestamp.
+    val src = spark.range(0, 50).toDF("id")
+      .withColumn("s", concat(lit("v"), col("id")))
+      .withColumn("arr", array(col("id"), col("id") * 2))
+      .withColumn("dec", col("id").cast("decimal(20,2)"))
+      .withColumn("ts", to_timestamp(lit("2024-03-01 10:00:00")))
+    val ck = Ckpt.truncated(src)
+    assert(ck.schema == src.schema)
+    assert(ck.collect().map(_.toString).sorted.toSeq ==
+      src.collect().map(_.toString).sorted.toSeq)
+    // Iterative shape: each round self-joins the previous leaf — with
+    // plain localCheckpoint the carried sizeInBytes estimate compounds
+    // geometrically (the 30x cluster_canonical planning stall);
+    // truncated leaves keep constant default stats at any depth.
+    var cur = Ckpt.truncated(spark.range(0, 100).toDF("id"))
+    for (_ <- 1 to 6) {
+      val joined = cur.as("a")
+        .join(cur.as("b").withColumnRenamed("id", "id2"),
+          col("id") === col("id2"))
+        .select(col("id"))
+      cur = Ckpt.truncated(joined)
+    }
+    assert(cur.count() == 100)
+    val bits = cur.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength
+    assert(bits <= 64, s"carried stats compounded to $bits bits")
+  }
+
   test("RangeJoin: bucketed interval join matches naive containment, no nested-loop join") {
     import graft.operators.RangeJoin
     // Intervals spanning 1..3 buckets at bucketSize=10, incl. a
