@@ -35,9 +35,16 @@ object PlanAudit {
             Some(s"exchanges=${count("Exchange")}") else None,
           if (count("PushedFilters: [") > count("PushedFilters: []"))
             Some("pushedFilters") else None,
-          // codegen stages print as "*(n) Op" in plan toString
+          // codegen stages print as "*(n) Op" in plan toString. A final
+          // plan AQE collapsed through empty-relation propagation (a
+          // zero-row intermediate at this SF's data draw — e.g. a
+          // near-dup query whose candidate pairs are empty at sf0.01)
+          // legitimately has no codegen stages: nothing runs. Flag it
+          // as emptyCollapsed instead of NO-CODEGEN; the Initial Plan
+          // section of the same string carries the real pipeline.
           if (plan.contains("WholeStageCodegen") || plan.contains("*("))
             None
+          else if (count("EmptyRelation") > 0) Some("emptyCollapsed")
           else Some("NO-CODEGEN")).flatten
         println(f"${q.name}%-28s ${flags.mkString(" ")}")
         if (only.isDefined) println(plan)
