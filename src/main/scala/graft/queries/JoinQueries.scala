@@ -587,8 +587,49 @@ object JoinQueries {
       .orderBy("iv_id")
   }
 
+  /** J19 — KEYED range join ([[graft.operators.RangeJoin]] `equiKeys`):
+    * each user's events contained in THAT user's onboarding window
+    * [first event, first + (user%4+1) h] — the entity-keyed form whose
+    * scale behavior ScaleBench's range_join_keyed arm measures (α≈0.33
+    * vs 1.78 unkeyed at 100×: candidates = Σ_user points·intervals
+    * instead of points·intervals per time bucket). Whole-second epoch
+    * arithmetic via integer division (micros exceed 2^53 as doubles —
+    * the r08 events trap); the DuckDB twin is the naive
+    * user-AND-BETWEEN join, proving the composite (bucket, key)
+    * equi-join + residual filter rewrite exact. */
+  val j19KeyedIntervalJoin: Q = Q.sql(
+    "j19_keyed_interval_join",
+    """WITH pt AS (
+      |  SELECT user_id, epoch_us(ts) // 1000000 AS sec FROM events
+      |), iv AS (
+      |  SELECT user_id, MIN(sec) AS start_sec,
+      |    MIN(sec) + (user_id % 4 + 1) * 3600 AS end_sec
+      |  FROM pt GROUP BY user_id
+      |)
+      |SELECT iv.user_id, iv.start_sec, iv.end_sec,
+      |  CAST(COUNT(*) AS BIGINT) AS n_in_window,
+      |  CAST(MAX(pt.sec) AS BIGINT) AS last_sec
+      |FROM iv JOIN pt ON pt.user_id = iv.user_id
+      |  AND pt.sec BETWEEN iv.start_sec AND iv.end_sec
+      |GROUP BY 1, 2, 3
+      |ORDER BY iv.user_id""".stripMargin) { (s, d) =>
+    val pt = Tables.events(s, d)
+      .select(col("user_id"), expr("unix_micros(ts) div 1000000").as("sec"))
+    val iv = pt.groupBy(col("user_id"))
+      .agg(min(col("sec")).as("start_sec"))
+      .withColumn("end_sec",
+        col("start_sec") + (col("user_id") % 4 + 1) * 3600L)
+    graft.operators.RangeJoin.bucketedIntervalJoin(pt, iv,
+        "sec", "start_sec", "end_sec", bucketSize = 7200L,
+        equiKeys = Seq("user_id"))
+      .groupBy(col("user_id"), col("start_sec"), col("end_sec"))
+      .agg(count(lit(1)).as("n_in_window"), max(col("sec")).as("last_sec"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(j1BroadcastDims, j5OrderContact, j7FactBridge,
     j8FullOuterMatch, j11AsOf, j12AttributionWindows,
     j14LeadEmailCustomer, j13CrossAgg, jAntiSemi, jSaltedSkew,
-    jSkewAudit, j16FuzzyMatch, j18IntervalBucketJoin)
+    jSkewAudit, j16FuzzyMatch, j18IntervalBucketJoin,
+    j19KeyedIntervalJoin)
 }
