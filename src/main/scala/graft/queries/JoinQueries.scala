@@ -627,9 +627,50 @@ object JoinQueries {
       .orderBy("user_id")
   }
 
+  /** J20 — BUCKETED CO-LOCATED fact-fact join: both sides of the
+    * orders ⋈ lineitem spine committed as bucketed tables on the join
+    * key (`bucketBy(8) + sortBy`), then joined and rolled up — the
+    * 100 TB storage answer for every orderkey equi-join in the
+    * pipeline (SURVEY §2.3 scale note; BucketDemo is the tool-level
+    * proof, OperatorsSpec pins the ZERO-Exchange plan with broadcast
+    * disabled). The oracle twin reads the PLAIN parquet — same rows
+    * through the shuffled join — so the gate proves the bucketed
+    * layout is a pure physical change. The query pays the one-time
+    * layout write in-body (the real pipeline pays it at commit time
+    * and amortizes it over every downstream join). */
+  val j20BucketedColocated: Q = Q.sql(
+    "j20_bucketed_colocated_join",
+    """SELECT o.o_orderstatus,
+      |  CAST(SUM(CAST((l.l_extendedprice * (1 - l.l_discount)) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS line_count,
+      |  CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS order_count
+      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val dir = Q.tempDir("bucketed_j20")
+    def commitBucketed(df: org.apache.spark.sql.DataFrame, key: String,
+                       name: String, sub: String): Unit =
+      df.write.mode("overwrite").bucketBy(8, key).sortBy(key)
+        .option("path", s"$dir/$sub").saveAsTable(name)
+    commitBucketed(Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus"),
+      "o_orderkey", "j20_orders_b", "orders")
+    commitBucketed(Tables.lineitem(s, d)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev")),
+      "l_orderkey", "j20_lineitem_b", "lineitem")
+    s.table("j20_orders_b")
+      .join(s.table("j20_lineitem_b"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(dsum(col("rev")).as("revenue"),
+        count(lit(1)).as("line_count"),
+        countDistinct(col("o_orderkey")).as("order_count"))
+      .orderBy("o_orderstatus")
+  }
+
   val all: Seq[Q] = Seq(j1BroadcastDims, j5OrderContact, j7FactBridge,
     j8FullOuterMatch, j11AsOf, j12AttributionWindows,
     j14LeadEmailCustomer, j13CrossAgg, jAntiSemi, jSaltedSkew,
     jSkewAudit, j16FuzzyMatch, j18IntervalBucketJoin,
-    j19KeyedIntervalJoin)
+    j19KeyedIntervalJoin, j20BucketedColocated)
 }
