@@ -141,6 +141,21 @@ object Clustering {
         (round(col("v").cast("double") * 1e6).cast("long") + Offset)
           .as("qv"))
 
+  /** IVF cells-∝-√n stride policy — the coarse-quantizer sizing rule
+    * ScaleBench derived and SCALE.md documents (r14): at probe time a
+    * query scores ∝ nlist centroids to route plus ∝ n/nlist candidates
+    * per probed cell, so total per-query work n/nlist + nlist is
+    * minimized at nlist ≈ √n (FAISS's published nlist guidance; with a
+    * query SET ∝ n the ADC term is n²/nlist, same optimum). Centroids
+    * here are a stride-sample (every `stride`-th id, offset-robust
+    * under id-block amplification), so nlist ≈ n/stride and the policy
+    * is stride = max(1, ⌊√n⌋). One count() of the corpus — the same
+    * cardinality a production index build reads from table stats.
+    * Callers pass an explicit stride to override (the oracle queries
+    * do, for twin-replayable cell layouts). */
+  def sqrtCellsStride(emb: DataFrame): Int =
+    math.max(1, math.sqrt(emb.count().toDouble).toInt)
+
   /** Stride-sampled initial centroids as (cid, pos, cv) rows:
     * every `stride`-th vec_id, renumbered cid = vec_id div stride. */
   def initCentroids(rows: DataFrame, stride: Int): DataFrame =
@@ -516,15 +531,21 @@ object Clustering {
     * composed lifecycle. Same top-`k`+`hit_exact` frame as [[pqTopK]]
     * so recall of PQ-only vs IVF-PQ is directly comparable. */
   def ivfPqTopK(spark: SparkSession, emb: DataFrame,
-                coarseStride: Int = 100, mSub: Int = 4, subDim: Int = 16,
+                coarseStride: Int = 0, mSub: Int = 4, subDim: Int = 16,
                 stride: Int = 100, iters: Int = 2, queryMod: Int = 97,
                 nProbe: Int = 2, k: Int = 5,
                 idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {
     val base = emb.select(col(idCol).as("vec_id"), col(vecCol).as("emb"))
+    // coarseStride <= 0 (the default) applies the cells-∝-√n policy
+    // ([[sqrtCellsStride]]) — a caller-chosen CONSTANT cell count is
+    // the measured quadratic (ScaleBench ivfpq_fixed_stride α_bytes
+    // 1.92); the PQ `stride` stays a hyperparameter (codewords per
+    // subspace are a model size, not a corpus fraction — FAISS's 256).
+    val cs = if (coarseStride > 0) coarseStride else sqrtCellsStride(base)
     // coarse router: full-dim codebook, one cell per corpus vector
     val gRows = quantRows(base, idCol = "vec_id", vecCol = "emb")
-    val coarseCb = train(spark, gRows, coarseStride, iters)
+    val coarseCb = train(spark, gRows, cs, iters)
     val cells = assign(gRows, coarseCb)
       .select(col("vec_id"), col("cid").as("cell"))
     // PQ: per-subspace codebooks + codes (as in pqTopK)
@@ -598,15 +619,17 @@ object Clustering {
     * [[pqTopK]], so raw-PQ vs residual-PQ recall is directly comparable
     * in the dumped results. */
   def ivfPqResidualTopK(spark: SparkSession, emb: DataFrame,
-                        coarseStride: Int = 100, mSub: Int = 4,
+                        coarseStride: Int = 0, mSub: Int = 4,
                         subDim: Int = 16, stride: Int = 100,
                         iters: Int = 2, queryMod: Int = 97,
                         nProbe: Int = 2, k: Int = 5,
                         idCol: String = "vec_id",
                         vecCol: String = "embedding"): DataFrame = {
     val base = emb.select(col(idCol).as("vec_id"), col(vecCol).as("emb"))
+    // cells-∝-√n default, as in [[ivfPqTopK]]
+    val cs = if (coarseStride > 0) coarseStride else sqrtCellsStride(base)
     val gRows = quantRows(base, idCol = "vec_id", vecCol = "emb")
-    val coarseCb = train(spark, gRows, coarseStride, iters)
+    val coarseCb = train(spark, gRows, cs, iters)
     val cells = assign(gRows, coarseCb)
       .select(col("vec_id"), col("cid").as("cell"))
     // residual rows, re-offset positive (see scaladoc)

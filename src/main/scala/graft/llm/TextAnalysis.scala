@@ -186,7 +186,11 @@ object TextAnalysis {
     * `testPct`. Pure projection over the label table: no extra
     * shuffle beyond what CC already paid, any scale. */
   def leakageSafeSplit(labels: DataFrame, seed: String, valPct: Int,
-                       testPct: Int): DataFrame =
+                       testPct: Int): DataFrame = {
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct < 100,
+      s"valPct ($valPct) and testPct ($testPct) must be non-negative " +
+        "and sum below 100 — otherwise the train threshold underflows " +
+        "and the split silently emits no train rows")
     labels.select(col("id").as("doc_id"), col("component"),
         md5(concat(lit(seed), lit("|"), col("component").cast("string")))
           .as("split_hash"))
@@ -197,6 +201,7 @@ object TextAnalysis {
           .when(col("sample_bucket") < 100L - testPct, "val")
           .otherwise("test"))
       .drop("split_hash")
+  }
 
   /** SHARDED TOP-K HEAVY HITTERS with a VERIFIED exactness bound —
     * the distributed frequent-items shape that never sorts the global

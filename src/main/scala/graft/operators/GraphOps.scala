@@ -174,13 +174,23 @@ object GraphOps {
     * previous round's recomputed values — one semi-join to restrict,
     * one anti-join to overlay, both keyed by node.
     *
-    * Daily work is ∝ |ball(E₀, iters)| + one label-table overlay join
-    * per round — never the corpus graph; the companion of
-    * [[graft.llm.Dedup.incrementalComponents]] for the community
-    * operator. `committedRounds` must come from the same `iters` and
-    * the OLD edge set; `oldEdges ∪ newEdges` must be the exact new
-    * graph (multiplicities preserved — mode counts see multi-edges the
-    * same way the full recompute does). Returns (node, label) for the
+    * Daily work is ∝ |ball(E₀, iters)| — never the corpus graph; the
+    * companion of [[graft.llm.Dedup.incrementalComponents]] for the
+    * community operator. SHUFFLE bytes are ∝ ball too (r15): the state
+    * carried between rounds is the ball-sized label DELTA, never a
+    * full overlaid label table — the committed rounds are only ever
+    * SCANNED through broadcast semi/anti joins (the ball is
+    * daily-batch-sized by the operator's own premise, so broadcasting
+    * it is the safe direction; a "batch" comparable to the corpus
+    * should run the full recompute instead). The r14 ScaleBench
+    * measurement of the previous form showed shuffle-tail α≈1.38 from
+    * exactly this: each round rebuilt a corpus-sized label table
+    * (committed ⊕ recomputed) and shipped it into the round join.
+    *
+    * `committedRounds` must come from the same `iters` and the OLD
+    * edge set; `oldEdges ∪ newEdges` must be the exact new graph
+    * (multiplicities preserved — mode counts see multi-edges the same
+    * way the full recompute does). Returns (node, label) for the
     * union graph. */
   def incrementalLabelPropagation(committedRounds: Seq[DataFrame],
                                   oldEdges: DataFrame,
@@ -193,30 +203,42 @@ object GraphOps {
     val e0 = newEdges.select(col("src").as("node"))
       .unionByName(newEdges.select(col("dst").as("node")))
       .distinct().localCheckpoint(true)
-    // round-0 overlay: committed lp0 plus self-labels for NEW nodes
-    // (nodes of the union graph absent from the committed state)
-    var full = committedRounds.head.unionByName(
-        dirs.select(col("u").as("node")).distinct()
-          .join(committedRounds.head.select("node"), Seq("node"),
-            "left_anti")
-          .select(col("node"), col("node").as("label")))
+    // round-0 delta: self-labels for NEW nodes (nodes the committed
+    // state lacks). All new nodes are E₀ endpoints, so the committed
+    // lp0 is probed scan-shaped: semi-join it down to the ball first
+    // (left-anti can only broadcast its right side, and committed
+    // tables are the corpus-sized side).
+    val oldInBall = committedRounds.head.select("node")
+      .join(broadcast(e0), Seq("node"), "left_semi")
+    var delta = e0.join(broadcast(oldInBall), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("label"))
       .localCheckpoint(true)
     var affected = e0
     for (t <- 1 to iters) {
-      // recompute the affected ball against the full round-(t-1) view
-      val ballDirs = dirs.join(affected.select(col("node").as("u")),
+      // the affected ball's edges: scan dirs, broadcast the ball
+      val ballDirs = dirs.join(
+        broadcast(affected.select(col("node").as("u"))),
         Seq("u"), "left_semi")
-      val recomputed = lpRound(ballDirs, full)
-      full = Ckpt.truncated(committedRounds(t)
-        .join(recomputed.select("node"), Seq("node"), "left_anti")
-        .unionByName(recomputed))
+      // round-(t-1) labels of exactly the ball's neighbor set:
+      // committed rows surviving a broadcast semi (scan-shaped, ball
+      // output), minus delta-overridden nodes, plus the delta itself
+      val nbrs = ballDirs.select(col("v").as("node")).distinct()
+      val labelsView = committedRounds(t - 1)
+        .join(broadcast(nbrs), Seq("node"), "left_semi")
+        .join(broadcast(delta.select("node")), Seq("node"), "left_anti")
+        .unionByName(delta)
+      delta = Ckpt.truncated(lpRound(ballDirs, labelsView))
       // next ball: E0 endpoints ∪ neighbors of this round's set
       affected = Ckpt.truncated(e0.unionByName(
-          dirs.join(affected.select(col("node").as("v")), Seq("v"),
-            "left_semi").select(col("u").as("node")))
+          dirs.join(broadcast(affected.select(col("node").as("v"))),
+            Seq("v"), "left_semi").select(col("u").as("node")))
         .distinct())
     }
-    full
+    // ONE corpus-wide overlay at the end — the output table itself;
+    // a warehouse would MERGE the delta into the committed table here.
+    committedRounds(iters)
+      .join(broadcast(delta.select("node")), Seq("node"), "left_anti")
+      .unionByName(delta)
   }
 
   /** DuckDB twin of [[labelPropagation]]: the round chain as CTE text.

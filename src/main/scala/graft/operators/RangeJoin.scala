@@ -49,23 +49,85 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
   private val Bucket = "__range_bucket"
+  private val Salt = "__range_salt"
+
+  // `div` (integer division) per the portability rules — `/` on
+  // longs is DOUBLE division and loses exactness past 2^53.
+  // Guard the documented interval preconditions executor-side:
+  // an INVERTED interval (start > end) would make sequence() step
+  // BACKWARDS (silently joining a descending bucket list), and an
+  // unbounded interval would hit sequence()'s max-array-length with
+  // an opaque error — fail with the contract instead.
+  private def explodedIntervals(intervals: DataFrame, startKey: String,
+                                endKey: String,
+                                bucketSize: Long): DataFrame = {
+    val checkedStart = expr(
+      s"""CASE
+         |  WHEN $startKey > $endKey THEN
+         |    raise_error(concat('RangeJoin: inverted interval (',
+         |      CAST($startKey AS STRING), ' > ', CAST($endKey AS STRING),
+         |      ') - intervals must satisfy start <= end'))
+         |  WHEN ($endKey div ${bucketSize}L) -
+         |       ($startKey div ${bucketSize}L) > 100000 THEN
+         |    raise_error(concat('RangeJoin: interval spans more than ',
+         |      '100000 buckets (', CAST($startKey AS STRING), '..',
+         |      CAST($endKey AS STRING),
+         |      ' at bucketSize=${bucketSize}) - intervals must be ',
+         |      'bounded; raise bucketSize or pre-split the interval'))
+         |  ELSE $startKey div ${bucketSize}L
+         |END""".stripMargin)
+    intervals.withColumn(Bucket,
+      explode(sequence(checkedStart, expr(s"$endKey div ${bucketSize}L"))))
+  }
+
+  private def bucketedPoints(points: DataFrame, pointKey: String,
+                             bucketSize: Long): DataFrame =
+    points.withColumn(Bucket, expr(s"$pointKey div ${bucketSize}L"))
 
   def bucketedIntervalJoin(points: DataFrame, intervals: DataFrame,
                            pointKey: String, startKey: String,
                            endKey: String, bucketSize: Long,
                            equiKeys: Seq[String] = Nil): DataFrame = {
     require(bucketSize > 0, "bucketSize must be positive")
-    // `div` (integer division) per the portability rules — `/` on
-    // longs is DOUBLE division and loses exactness past 2^53.
-    val iv = intervals.withColumn(Bucket,
-      explode(sequence(
-        expr(s"$startKey div ${bucketSize}L"),
-        expr(s"$endKey div ${bucketSize}L"))))
-    val pt = points.withColumn(Bucket,
-      expr(s"$pointKey div ${bucketSize}L"))
+    val iv = explodedIntervals(intervals, startKey, endKey, bucketSize)
+    val pt = bucketedPoints(points, pointKey, bucketSize)
     pt.join(iv, Bucket +: equiKeys)
       .filter(col(pointKey) >= col(startKey) &&
         col(pointKey) <= col(endKey))
       .drop(Bucket)
+  }
+
+  /** HOT-BUCKET (time-skew) variant — [[bucketedIntervalJoin]]
+    * composed with [[SaltedJoin]]'s discipline, the composition this
+    * file's 100-TB notes name: when the workload concentrates points
+    * AND intervals in few time buckets (everything happened during one
+    * hot week), the bucket equi-join hashes the hot bucket to ONE
+    * shuffle partition and that partition is the straggler. The point
+    * side gets a deterministic salt in [0, salts) from `saltBy` (any
+    * row-level column; never rand() — retries and the oracle), the
+    * interval side's bucket rows are replicated `salts`×, and the join
+    * key becomes (bucket, salt, equiKeys): the hot bucket's probe rows
+    * now spread over `salts` partitions. Rows out are IDENTICAL to the
+    * unsalted plan (`j21_salted_range_join` gate-proves it against the
+    * naive containment twin); the price is |interval bucket rows|×salts
+    * replication — use when intervals are the small side, and prefer
+    * plain [[bucketedIntervalJoin]] + AQE skew splitting when the skew
+    * is mild or unknown. */
+  def saltedBucketedIntervalJoin(points: DataFrame, intervals: DataFrame,
+                                 pointKey: String, startKey: String,
+                                 endKey: String, bucketSize: Long,
+                                 salts: Int,
+                                 saltBy: org.apache.spark.sql.Column,
+                                 equiKeys: Seq[String] = Nil): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    require(bucketSize > 0, "bucketSize must be positive")
+    val iv = explodedIntervals(intervals, startKey, endKey, bucketSize)
+      .withColumn(Salt, explode(array((0 until salts).map(lit(_)): _*)))
+    val pt = bucketedPoints(points, pointKey, bucketSize)
+      .withColumn(Salt, pmod(hash(saltBy), lit(salts)))
+    pt.join(iv, Seq(Bucket, Salt) ++ equiKeys)
+      .filter(col(pointKey) >= col(startKey) &&
+        col(pointKey) <= col(endKey))
+      .drop(Bucket, Salt)
   }
 }

@@ -412,78 +412,146 @@ object ClusteringQueries {
     }
   }
 
-  /** Shared PQ-ADC twin builder: the full 4-subspace index lifecycle
-    * over `source` (a raw table or a prelude-defined rotated CTE). */
-  private def pqAdcQ(name: String, source: String, prelude: String)(
-      build: (org.apache.spark.sql.SparkSession, String)
-        => org.apache.spark.sql.DataFrame): Q = {
+  /** OPQ-vs-PQ RECALL A/B at equal code budget — the summary row
+    * `ann_opq` doesn't gate: both full lifecycles (raw-space PQ and
+    * rotated-space OPQ, identical mSub/subDim/stride/iters/queryMod/k)
+    * in ONE query, reduced to per-method recall counts against each
+    * space's exact baseline. This is the measurement that justifies
+    * (or rejects) paying for the rotation on a given corpus — the
+    * ANN-side analog of `dd_simhash_eval`'s two-layout confusion
+    * matrix. On THIS corpus it rejects it: the testdata embeddings
+    * have near-independent dimensions, so the seeded rotation has no
+    * cross-dim energy to rebalance and quantization noise dominates
+    * (measured draws: pq/opq hits 2/2 at sf0.01, 10/3 at sf0.1) —
+    * exactly the decision data a curator needs before paying for OPQ;
+    * rotations win on real encoder embeddings with correlated dims
+    * (Ge et al. 2013, §1). Spark reuses the train memo from the
+    * single-arm queries; the twin replays both chains with prefixed
+    * CTEs ([[pqAdcArmCtes]]). */
+  val annOpqVsPq: Q = {
+    val accIn = (j: Int) => s"CAST(embedding[${j + 1}] AS DOUBLE)"
+    val accR1 = (j: Int) => s"r1e[${j + 1}]"
+    val s1 = Clustering.opqStage1Exprs(64, accIn).mkString("[", ",\n    ", "]")
+    val s2 = Clustering.opqStage2Exprs(64, accR1).mkString("[", ",\n    ", "]")
+    val prelude =
+      s"""opq1 AS (
+        |  SELECT vec_id, $s1 AS r1e FROM embeddings
+        |), rot AS (
+        |  SELECT vec_id, $s2 AS embedding FROM opq1
+        |),
+        |""".stripMargin
+    Q.sql(
+      "ann_opq_vs_pq",
+      s"""WITH $prelude${pqAdcArmCtes("embeddings", "a")},
+        |${pqAdcArmCtes("rot", "b")}
+        |SELECT method, n_results, n_hits FROM (
+        |  SELECT 'pq' AS method, CAST(COUNT(*) AS BIGINT) AS n_results,
+        |    CAST(SUM(CASE WHEN hit_exact THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hits
+        |  FROM ares
+        |  UNION ALL
+        |  SELECT 'opq', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN hit_exact THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM bres
+        |) ORDER BY method""".stripMargin) { (s, d) =>
+      def arm(df: org.apache.spark.sql.DataFrame, m: String) =
+        df.agg(count(lit(1)).cast("long").as("n_results"),
+            sum(when(col("hit_exact"), 1).otherwise(0)).cast("long")
+              .as("n_hits"))
+          .select(lit(m).as("method"), col("n_results"), col("n_hits"))
+      val pq = Clustering.pqTopK(s, Tables.embeddings(s, d),
+        mSub = 4, subDim = 16, stride = 100, iters = Iters,
+        queryMod = 97, k = 5)
+      val opq = Clustering.pqTopK(s,
+        Clustering.opqRotate(Tables.embeddings(s, d)),
+        mSub = 4, subDim = 16, stride = 100, iters = Iters,
+        queryMod = 97, k = 5)
+      arm(pq, "pq").unionByName(arm(opq, "opq")).orderBy("method")
+    }
+  }
+
+  /** Full PQ-ADC lifecycle as a CTE block over `source`, every CTE
+    * name prefixed `p` so two arms can live in ONE query
+    * (`ann_opq_vs_pq`). Ends with `${p}res` =
+    * (query_id, rank, cand_id, approx_dist, hit_exact). */
+  private def pqAdcArmCtes(source: String, p: String): String = {
     val PqStride = 100
     val slices = (0 until 4).map(m =>
-      s"s$m AS (SELECT vec_id, embedding[${m * 16 + 1}:${(m + 1) * 16}]" +
+      s"${p}s$m AS (SELECT vec_id, embedding[${m * 16 + 1}:${(m + 1) * 16}]" +
         s" AS embedding FROM $source)").mkString(",\n")
     val chains = (0 until 4).map(m =>
-      Clustering.kmeansOracleCtes(s"s$m", PqStride, Iters,
-        prefix = s"q$m")).mkString(",\n")
+      Clustering.kmeansOracleCtes(s"${p}s$m", PqStride, Iters,
+        prefix = s"${p}q$m")).mkString(",\n")
     val codesArms = (0 until 4).map(m =>
-      s"SELECT vec_id, $m AS sub, cid AS code FROM q${m}af WHERE rn = 1")
+      s"SELECT vec_id, $m AS sub, cid AS code FROM ${p}q${m}af WHERE rn = 1")
       .mkString("\n  UNION ALL ")
     val lutArms = (0 until 4).map(m =>
       s"""SELECT v.vec_id AS query_id, $m AS sub, c.cid,
         |    CAST(SUM((v.qv - c.cv) * (v.qv - c.cv)) AS BIGINT) AS d
-        |  FROM q${m}ve v JOIN qids ON qids.query_id = v.vec_id
-        |  JOIN q${m}c$Iters c ON c.pos = v.pos GROUP BY 1, 2, 3"""
+        |  FROM ${p}q${m}ve v JOIN ${p}qids ON ${p}qids.query_id = v.vec_id
+        |  JOIN ${p}q${m}c$Iters c ON c.pos = v.pos GROUP BY 1, 2, 3"""
         .stripMargin).mkString("\n  UNION ALL ")
+    s"""$slices,
+      |$chains,
+      |${p}codes AS (
+      |  $codesArms
+      |), ${p}qids AS (
+      |  SELECT vec_id AS query_id FROM $source WHERE vec_id % 97 = 0
+      |), ${p}lut AS (
+      |  $lutArms
+      |), ${p}approx AS (
+      |  SELECT l.query_id, ${p}codes.vec_id,
+      |    CAST(SUM(l.d) AS BIGINT) AS approx_dist
+      |  FROM ${p}codes JOIN ${p}lut l
+      |    ON l.sub = ${p}codes.sub AND l.cid = ${p}codes.code
+      |  WHERE ${p}codes.vec_id <> l.query_id
+      |  GROUP BY 1, 2
+      |), ${p}ranked AS (
+      |  SELECT query_id, vec_id, approx_dist, CAST(ROW_NUMBER() OVER (
+      |    PARTITION BY query_id ORDER BY approx_dist, vec_id) AS BIGINT)
+      |    AS rank
+      |  FROM ${p}approx
+      |), ${p}gve AS (
+      |  SELECT vec_id, pos,
+      |    CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT)
+      |      + ${Clustering.Offset} AS qv
+      |  FROM (SELECT vec_id, unnest(embedding) AS v,
+      |        unnest(generate_series(1, len(embedding))) AS pos
+      |        FROM $source)
+      |), ${p}qrows AS (
+      |  SELECT ${p}qids.query_id, g.pos, g.qv AS q_qv
+      |  FROM ${p}gve g JOIN ${p}qids ON ${p}qids.query_id = g.vec_id
+      |), ${p}escored AS (
+      |  SELECT q.query_id, g.vec_id,
+      |    CAST(SUM((q.q_qv - g.qv) * (q.q_qv - g.qv)) AS BIGINT)
+      |      AS exact_dist
+      |  FROM ${p}gve g JOIN ${p}qrows q ON q.pos = g.pos
+      |  WHERE g.vec_id <> q.query_id
+      |  GROUP BY 1, 2
+      |), ${p}etop AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+      |      PARTITION BY query_id ORDER BY exact_dist, vec_id) AS ern
+      |    FROM ${p}escored) WHERE ern <= 5
+      |), ${p}res AS (
+      |  SELECT r.query_id, r.rank, r.vec_id AS cand_id, r.approx_dist,
+      |    e.vec_id IS NOT NULL AS hit_exact
+      |  FROM ${p}ranked r LEFT JOIN ${p}etop e
+      |    ON e.query_id = r.query_id AND e.vec_id = r.vec_id
+      |  WHERE r.rank <= 5
+      |)""".stripMargin
+  }
+
+  /** Shared PQ-ADC twin builder: the full 4-subspace index lifecycle
+    * over `source` (a raw table or a prelude-defined rotated CTE). */
+  private def pqAdcQ(name: String, source: String, prelude: String)(
+      build: (org.apache.spark.sql.SparkSession, String)
+        => org.apache.spark.sql.DataFrame): Q =
     Q.sql(
       name,
-      s"""WITH $prelude$slices,
-        |$chains,
-        |codes AS (
-        |  $codesArms
-        |), qids AS (
-        |  SELECT vec_id AS query_id FROM $source WHERE vec_id % 97 = 0
-        |), lut AS (
-        |  $lutArms
-        |), approx AS (
-        |  SELECT l.query_id, codes.vec_id,
-        |    CAST(SUM(l.d) AS BIGINT) AS approx_dist
-        |  FROM codes JOIN lut l ON l.sub = codes.sub AND l.cid = codes.code
-        |  WHERE codes.vec_id <> l.query_id
-        |  GROUP BY 1, 2
-        |), ranked AS (
-        |  SELECT query_id, vec_id, approx_dist, CAST(ROW_NUMBER() OVER (
-        |    PARTITION BY query_id ORDER BY approx_dist, vec_id) AS BIGINT)
-        |    AS rank
-        |  FROM approx
-        |), gve AS (
-        |  SELECT vec_id, pos,
-        |    CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT)
-        |      + ${Clustering.Offset} AS qv
-        |  FROM (SELECT vec_id, unnest(embedding) AS v,
-        |        unnest(generate_series(1, len(embedding))) AS pos
-        |        FROM $source)
-        |), qrows AS (
-        |  SELECT qids.query_id, g.pos, g.qv AS q_qv
-        |  FROM gve g JOIN qids ON qids.query_id = g.vec_id
-        |), escored AS (
-        |  SELECT q.query_id, g.vec_id,
-        |    CAST(SUM((q.q_qv - g.qv) * (q.q_qv - g.qv)) AS BIGINT)
-        |      AS exact_dist
-        |  FROM gve g JOIN qrows q ON q.pos = g.pos
-        |  WHERE g.vec_id <> q.query_id
-        |  GROUP BY 1, 2
-        |), etop AS (
-        |  SELECT query_id, vec_id FROM (
-        |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
-        |      PARTITION BY query_id ORDER BY exact_dist, vec_id) AS ern
-        |    FROM escored) WHERE ern <= 5
-        |)
-        |SELECT r.query_id, r.rank, r.vec_id AS cand_id, r.approx_dist,
-        |  e.vec_id IS NOT NULL AS hit_exact
-        |FROM ranked r LEFT JOIN etop e
-        |  ON e.query_id = r.query_id AND e.vec_id = r.vec_id
-        |WHERE r.rank <= 5
-        |ORDER BY r.query_id, r.rank""".stripMargin)(build)
-  }
+      s"""WITH $prelude${pqAdcArmCtes(source, "")}
+        |SELECT query_id, rank, cand_id, approx_dist, hit_exact
+        |FROM res ORDER BY query_id, rank""".stripMargin)(build)
 
   /** IVF-PQ COMPOSITE ([[Clustering.ivfPqTopK]]) — the FAISS IndexIVFPQ
     * architecture end to end: a coarse full-dimension Lloyd codebook
@@ -746,5 +814,6 @@ object ClusteringQueries {
 
   val all: Seq[Q] =
     Seq(cKmeans, ddSemDeDup, annKmeansIvf, annRecallEval, annRecallCurve,
-      annPqAdc, annOpq, annIvfPq, annIvfPqResidual, cKmeansText)
+      annPqAdc, annOpq, annOpqVsPq, annIvfPq, annIvfPqResidual,
+      cKmeansText)
 }

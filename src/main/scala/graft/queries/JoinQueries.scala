@@ -668,9 +668,78 @@ object JoinQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** J21 — SALTED range join ([[graft.operators.RangeJoin
+    * .saltedBucketedIntervalJoin]]): a deliberately TIME-SKEWED
+    * interval workload — ¾ of the order intervals compressed into one
+    * hot week (bucketSize=8 ⇒ the hot week is ~3 bucket keys carrying
+    * ~¾ of all interval rows, the straggler-partition shape) — run
+    * through the salted variant (8 salts from the lineitem row id).
+    * The DuckDB twin is the NAIVE containment join with no salt and no
+    * buckets: the gate proves the salted rewrite is row-identical to
+    * the plain semantics, which is the entire correctness contract of
+    * salting. Empty intervals survive via the post-aggregate left join
+    * (j18 pattern); day arithmetic in exact integer epoch days. */
+  val j21SaltedRangeJoin: Q = Q.sql(
+    "j21_salted_range_join",
+    """WITH iv AS (
+      |  SELECT o_orderkey AS iv_id,
+      |    CASE WHEN o_orderkey % 4 < 3
+      |         THEN DATE '1994-03-01' + CAST(o_orderkey % 7 AS INTEGER)
+      |         ELSE CAST(o_orderdate AS DATE) END AS sd
+      |  FROM orders WHERE o_orderkey % 97 = 0
+      |), iv2 AS (
+      |  SELECT iv_id, sd, sd + CAST(iv_id % 10 AS INTEGER) AS ed FROM iv
+      |), pt AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS pd,
+      |    CAST(l_quantity AS BIGINT) AS qty
+      |  FROM lineitem
+      |), j AS (
+      |  SELECT iv_id, sd, ed,
+      |    CAST(COUNT(pt.pd) AS BIGINT) AS point_count,
+      |    CAST(COALESCE(SUM(qty), 0) AS BIGINT) AS total_qty
+      |  FROM iv2 LEFT JOIN pt ON pt.pd BETWEEN iv2.sd AND iv2.ed
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT iv_id, CAST(sd AS VARCHAR) AS start_date,
+      |  CAST(ed AS VARCHAR) AS end_date, point_count, total_qty,
+      |  iv_id % 4 < 3 AS is_hot
+      |FROM j ORDER BY iv_id""".stripMargin) { (s, d) =>
+    val epoch = lit("1970-01-01").cast("date")
+    val hot = datediff(lit("1994-03-01").cast("date"), epoch).cast("long")
+    val iv = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").as("iv_id"),
+        when(col("o_orderkey") % 4 < 3,
+            hot + (col("o_orderkey") % 7).cast("long"))
+          .otherwise(
+            datediff(col("o_orderdate").cast("date"), epoch).cast("long"))
+          .as("start_day"))
+      .withColumn("end_day", col("start_day") + (col("iv_id") % 10))
+    val pt = Tables.lineitem(s, d)
+      .select(datediff(col("l_shipdate").cast("date"), epoch).cast("long")
+          .as("point_day"),
+        col("l_quantity").cast("long").as("qty"),
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("pt_uid"))
+    val joined = graft.operators.RangeJoin.saltedBucketedIntervalJoin(
+      pt, iv, "point_day", "start_day", "end_day", bucketSize = 8L,
+      salts = 8, saltBy = col("pt_uid"))
+    val agg = joined.groupBy(col("iv_id"))
+      .agg(count(lit(1)).as("point_count"), sum(col("qty")).as("total_qty"))
+    iv.join(agg, Seq("iv_id"), "left")
+      .select(col("iv_id"),
+        date_add(epoch, col("start_day").cast("int")).cast("string")
+          .as("start_date"),
+        date_add(epoch, col("end_day").cast("int")).cast("string")
+          .as("end_date"),
+        coalesce(col("point_count"), lit(0L)).as("point_count"),
+        coalesce(col("total_qty"), lit(0L)).as("total_qty"),
+        (col("iv_id") % 4 < 3).as("is_hot"))
+      .orderBy("iv_id")
+  }
+
   val all: Seq[Q] = Seq(j1BroadcastDims, j5OrderContact, j7FactBridge,
     j8FullOuterMatch, j11AsOf, j12AttributionWindows,
     j14LeadEmailCustomer, j13CrossAgg, jAntiSemi, jSaltedSkew,
     jSkewAudit, j16FuzzyMatch, j18IntervalBucketJoin,
-    j19KeyedIntervalJoin, j20BucketedColocated)
+    j19KeyedIntervalJoin, j20BucketedColocated, j21SaltedRangeJoin)
 }

@@ -1930,28 +1930,39 @@ object LlmQueries {
   }
 
   /** Dedup — the FULL production near-dup pipeline in one hash-gated
-    * chain: REAL `simhashFromTokens` → `simhashNearDups` (banded
+    * chain: REAL `simhash64FromTokens` → `simhashNearDups` (banded
     * candidates + Hamming verify, hot-bucket cap on) → REAL
     * `connectedComponents` (transitive clustering) → cluster-
     * REPRESENTATIVE selection (the W2 pattern: longest text, then min
-    * id — "keep the best copy", not "keep the first"). Same 1-in-10
-    * sample as dd_simhash_neardup (dense synthetic near-dups; the cap
-    * is a measured no-op on testdata so the capless SQL twin matches).
-    * The DuckDB twin recomputes pairs, closes them with a recursive
-    * CTE, and picks representatives with the same ordered window. */
+    * id — "keep the best copy", not "keep the first"). Runs the
+    * CORPUS-SCALE 64-bit/16-bit-band layout (migrated r15): ScaleBench
+    * measured the 32-bit/8-bit layout's 256-key bands saturating
+    * (shuffle-tail α≈1.54, borderline pairs 4,266→91,652 over 30×)
+    * while the 16-bit bands stay linear (α 0.36/1.01) — the canonical
+    * cluster consumer must run the layout that survives the corpus.
+    * Runs the FULL corpus, no doc sample: the 1-in-10 sample existed
+    * because the 32-bit layout's pair volume was oracle-hostile; the
+    * 64-bit layout collapses it (18 / 585 pairs at sf0.01 / sf0.1 on
+    * the full corpus — precision, demonstrated) so the gate now covers
+    * every document. The cap is a measured no-op on testdata so the
+    * capless SQL twin matches. The DuckDB twin recomputes pairs,
+    * closes them with a recursive CTE, and picks representatives with
+    * the same ordered window. */
   val ddClusterCanonical: Q = {
     val highHex = "('8','9','a','b','c','d','e','f')"
-    val votes = (1 to 32).map(i =>
-      s"SUM(CASE WHEN substr(md5(token), $i, 1) IN $highHex THEN 1 ELSE -1 END) AS v$i")
-      .mkString(",\n      |    ")
-    val bits = (1 to 32).map(i =>
+    val votes = (1 to 64).map { i =>
+      val src = if (i <= 32) s"substr(md5(token), $i, 1)"
+        else s"substr(md5('s2|' || token), ${i - 32}, 1)"
+      s"SUM(CASE WHEN $src IN $highHex THEN 1 ELSE -1 END) AS v$i"
+    }.mkString(",\n      |    ")
+    val bits = (1 to 64).map(i =>
       s"CASE WHEN v$i > 0 THEN '1' ELSE '0' END").mkString(" || ")
     Q.sql(
       "dd_cluster_canonical",
       s"""WITH RECURSIVE t AS (
         |  SELECT doc_id, $toksSql AS toks,
         |    CAST(length(trim(text)) AS BIGINT) AS text_len
-        |  FROM documents WHERE doc_id % 10 = 0
+        |  FROM documents
         |), tok AS (
         |  SELECT doc_id, unnest(toks) AS token FROM t
         |), v AS (
@@ -1962,7 +1973,7 @@ object LlmQueries {
         |  SELECT doc_id, $bits AS simhash FROM v
         |), banded AS (
         |  SELECT doc_id, simhash, b AS band,
-        |    substr(simhash, b * 8 + 1, 8) AS band_key
+        |    substr(simhash, b * 16 + 1, 16) AS band_key
         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
         |), pairs AS (
         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
@@ -1993,11 +2004,12 @@ object LlmQueries {
         |FROM comp c JOIN t USING (doc_id)
         |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+      val docs = Tables.documents(s, d)
       val tokenRows = docs.select(col("doc_id"),
         explode(TA.tokens(col("text"))).as("token"))
-      val pairs = Dedup.simhashNearDups(Dedup.simhashFromTokens(tokenRows),
-        maxBucketSize = 512)
+      val pairs = Dedup.simhashNearDups(
+        Dedup.simhash64FromTokens(tokenRows),
+        maxBucketSize = 512, bits = 64)
       val cc = Dedup.connectedComponents(
         docs.select(col("doc_id").as("id")),
         pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
@@ -2505,7 +2517,15 @@ object LlmQueries {
 
   /** Dedup — SimHash near-dup pairs: 4×8-bit pigeonhole bands generate
     * candidates (exact recall for Hamming ≤ 3), full Hamming distance
-    * verifies (Dedup.simhashNearDups). */
+    * verifies (Dedup.simhashNearDups). EXPLICITLY KEPT on the 32-bit/
+    * 8-bit-band layout (r15 decision): this query gates the
+    * SMALL-CORPUS arm of the band-width A/B — the layout a user with
+    * <10k docs per shard would run (cheaper signature, denser recall on
+    * tiny corpora) — while the canonical cluster consumers
+    * (`dd_cluster_canonical`, `t_leakage_safe_split`) and
+    * `dd_simhash64_neardup` run the corpus-scale 64-bit/16-bit layout
+    * ScaleBench measured linear. `dd_simhash_eval` gates BOTH layouts'
+    * precision/recall side by side on shared ground truth. */
   val ddSimhashNearDup: Q = {
     val highHex = "('8','9','a','b','c','d','e','f')"
     val votes = (1 to 32).map(i =>
@@ -2623,22 +2643,31 @@ object LlmQueries {
   /** SimHash QUALITY EVAL — precision/recall of the banded simhash
     * near-dup predictor against EXACT unigram-set Jaccard ground truth
     * (J ≥ 0.7, integer cross-multiplied), swept over the Hamming
-    * threshold 0..3: the dedup-side analog of `ann_recall_eval`'s
-    * "measure the index before trusting it" discipline. Within the
-    * sweep range recall loss is attributable ONLY to simhash itself —
-    * 4×8-bit pigeonhole banding surfaces every pair at Hamming ≤ 3
-    * deterministically (Dedup.simhashNearDups scaladoc), so pred(t) is
-    * exactly {pairs : hamming ≤ t}, not a sampled approximation. Same
-    * 1-in-10 doc sample and cap(512)-is-a-no-op reasoning as
-    * `dd_simhash_neardup`. TP/FP/FN are integer counts over the
-    * full-outer join of predicted and true pairs — the whole confusion
-    * matrix is hash-gated in both engines. */
+    * threshold 0..3 AND over BOTH band layouts side by side (r15):
+    * `layout` = 'b32' (32-bit signature, 4×8-bit bands — the kept
+    * small-corpus arm, `dd_simhash_neardup`) vs 'b64' (64-bit,
+    * 4×16-bit — the corpus-scale arm the canonical consumers run).
+    * Both predictors share ONE ground truth, so the confusion matrices
+    * are directly comparable — the quality half of ScaleBench's
+    * band8/band16 cost A/B. Within the sweep range recall loss is
+    * attributable ONLY to simhash itself — 4-band pigeonhole banding
+    * surfaces every pair at Hamming ≤ 3 deterministically at ANY band
+    * width (Dedup.simhashNearDups scaladoc), so pred(t) is exactly
+    * {pairs : hamming ≤ t}, not a sampled approximation. Bits 1–32 of
+    * the 64-bit signature ARE the 32-bit signature (same md5 stream,
+    * [[Dedup.simhash64FromTokens]] scaladoc), so one token aggregation
+    * feeds both arms. Same 1-in-10 doc sample and cap(512)-is-a-no-op
+    * reasoning as `dd_simhash_neardup`. TP/FP/FN are integer counts
+    * over the per-layout full-outer join of predicted and true pairs —
+    * the whole confusion matrix is hash-gated in both engines. */
   val ddSimhashEval: Q = {
     val highHex = "('8','9','a','b','c','d','e','f')"
-    val votes = (1 to 32).map(i =>
-      s"SUM(CASE WHEN substr(md5(token), $i, 1) IN $highHex THEN 1 ELSE -1 END) AS v$i")
-      .mkString(",\n      |    ")
-    val bits = (1 to 32).map(i =>
+    val votes = (1 to 64).map { i =>
+      val src = if (i <= 32) s"substr(md5(token), $i, 1)"
+        else s"substr(md5('s2|' || token), ${i - 32}, 1)"
+      s"SUM(CASE WHEN $src IN $highHex THEN 1 ELSE -1 END) AS v$i"
+    }.mkString(",\n      |    ")
+    val bits = (1 to 64).map(i =>
       s"CASE WHEN v$i > 0 THEN '1' ELSE '0' END").mkString(" || ")
     Q.sql(
       "dd_simhash_eval",
@@ -2652,18 +2681,23 @@ object LlmQueries {
         |    $votes
         |  FROM tok GROUP BY doc_id
         |), sh AS (
-        |  SELECT doc_id, $bits AS simhash FROM v
+        |  SELECT doc_id, $bits AS sh64 FROM v
+        |), sigs AS (
+        |  SELECT 'b32' AS layout, doc_id, substr(sh64, 1, 32) AS sig,
+        |    8 AS w FROM sh
+        |  UNION ALL
+        |  SELECT 'b64' AS layout, doc_id, sh64 AS sig, 16 AS w FROM sh
         |), banded AS (
-        |  SELECT doc_id, simhash, b AS band,
-        |    substr(simhash, b * 8 + 1, 8) AS band_key
-        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
+        |  SELECT layout, doc_id, sig, b AS band,
+        |    substr(sig, b * w + 1, w) AS band_key
+        |  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
         |), pred AS (
-        |  SELECT doc_a, doc_b, MIN(h) AS h FROM (
-        |    SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
-        |      hamming(l.simhash, r.simhash) AS h
-        |    FROM banded l JOIN banded r USING (band, band_key)
+        |  SELECT layout, doc_a, doc_b, MIN(h) AS h FROM (
+        |    SELECT l.layout, l.doc_id AS doc_a, r.doc_id AS doc_b,
+        |      hamming(l.sig, r.sig) AS h
+        |    FROM banded l JOIN banded r USING (layout, band, band_key)
         |    WHERE l.doc_id < r.doc_id)
-        |  WHERE h <= 3 GROUP BY 1, 2
+        |  WHERE h <= 3 GROUP BY 1, 2, 3
         |), sets AS (
         |  SELECT DISTINCT doc_id, unnest(toks) AS token FROM t
         |), sizes AS (
@@ -2678,13 +2712,18 @@ object LlmQueries {
         |  JOIN sizes sa ON sa.doc_id = doc_a
         |  JOIN sizes sb ON sb.doc_id = doc_b
         |  WHERE inter * 10 >= (sa.sz + sb.sz - inter) * 7
+        |), gtl AS (
+        |  SELECT layout, doc_a, doc_b FROM gt
+        |  CROSS JOIN (SELECT unnest(['b32', 'b64']) AS layout)
         |), f AS (
-        |  SELECT p.h, g.doc_a IS NOT NULL AS is_gt,
+        |  SELECT COALESCE(p.layout, g.layout) AS layout, p.h,
+        |    g.doc_a IS NOT NULL AS is_gt,
         |    p.doc_a IS NOT NULL AS is_pred
-        |  FROM pred p FULL OUTER JOIN gt g
-        |    ON g.doc_a = p.doc_a AND g.doc_b = p.doc_b
+        |  FROM pred p FULL OUTER JOIN gtl g
+        |    ON g.layout = p.layout
+        |    AND g.doc_a = p.doc_a AND g.doc_b = p.doc_b
         |)
-        |SELECT thr,
+        |SELECT layout, thr,
         |  CAST(SUM(CASE WHEN is_pred AND h <= thr THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_pred,
         |  CAST(SUM(CASE WHEN is_gt THEN 1 ELSE 0 END) AS BIGINT) AS n_gt,
@@ -2696,14 +2735,24 @@ object LlmQueries {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS fn
         |FROM f CROSS JOIN (SELECT
         |  CAST(unnest(generate_series(0, 3)) AS BIGINT) AS thr)
-        |GROUP BY thr ORDER BY thr""".stripMargin) { (s, d) =>
+        |GROUP BY layout, thr ORDER BY layout, thr""".stripMargin) { (s, d) =>
       import graft.Tables
       val docs = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
       val tokenRows = docs.select(col("doc_id"),
         explode(TA.tokens(col("text"))).as("token"))
-      val pred = Dedup.simhashNearDups(Dedup.simhashFromTokens(tokenRows),
+      // one 64-bit signature pass feeds both arms: bits 1–32 of
+      // simhash64FromTokens ARE simhashFromTokens' signature
+      val sh64 = Dedup.simhash64FromTokens(tokenRows)
+      val sh32 = sh64.select(col("doc_id"),
+        substring(col("simhash"), 1, 32).as("simhash"))
+      val pred = Dedup.simhashNearDups(sh32,
           maxHamming = 3, maxBucketSize = 512)
-        .select(col("doc_a"), col("doc_b"), col("hamming").as("h"))
+        .select(lit("b32").as("layout"), col("doc_a"), col("doc_b"),
+          col("hamming").as("h"))
+        .unionByName(Dedup.simhashNearDups(sh64,
+            maxHamming = 3, maxBucketSize = 512, bits = 64)
+          .select(lit("b64").as("layout"), col("doc_a"), col("doc_b"),
+            col("hamming").as("h")))
       val sets = tokenRows.distinct()
       val sizes = sets.groupBy("doc_id")
         .agg(count(lit(1)).cast("long").as("sz"))
@@ -2718,13 +2767,16 @@ object LlmQueries {
         .filter(col("inter") * 10 >=
           (col("sz_a") + col("sz_b") - col("inter")) * 7)
         .select("doc_a", "doc_b")
-      val f = pred.join(gt.withColumn("is_gt", lit(true)),
-          Seq("doc_a", "doc_b"), "full_outer")
-        .select(col("h"), coalesce(col("is_gt"), lit(false)).as("is_gt"),
+      val gtl = gt.withColumn("layout", lit("b32"))
+        .unionByName(gt.withColumn("layout", lit("b64")))
+      val f = pred.join(gtl.withColumn("is_gt", lit(true)),
+          Seq("layout", "doc_a", "doc_b"), "full_outer")
+        .select(col("layout"), col("h"),
+          coalesce(col("is_gt"), lit(false)).as("is_gt"),
           col("h").isNotNull.as("is_pred"))
       val thr = s.range(0, 4).select(col("id").as("thr"))
       f.crossJoin(broadcast(thr))
-        .groupBy("thr")
+        .groupBy("layout", "thr")
         .agg(
           sum(when(col("is_pred") && col("h") <= col("thr"), 1)
             .otherwise(0)).cast("long").as("n_pred"),
@@ -2736,7 +2788,7 @@ object LlmQueries {
           sum(when(col("is_gt") &&
             (col("h").isNull || col("h") > col("thr")), 1)
             .otherwise(0)).cast("long").as("fn"))
-        .orderBy("thr")
+        .orderBy("layout", "thr")
     }
   }
 
@@ -3935,26 +3987,33 @@ object LlmQueries {
     * hash-checked), while `naive_is_leaky` marks the multi-doc
     * clusters a doc-grain hash split (same seed, same buckets) DOES
     * tear apart — the measured contamination a cluster-level split
-    * removes. Same 1-in-10 dense-near-dup sample and capless-twin
-    * reasoning as `dd_simhash_neardup` (the 32-bit layout — its dense
-    * clusters at BOTH SFs are what make the contrast fire: seed
-    * 'split14' was checked at both draws per the sketch-demo rule —
-    * 1 / 3 naive-leaky multi-doc clusters at sf0.01 / sf0.1, zero
-    * cluster-leaky at either); the DuckDB twin recomputes pairs,
+    * removes. Runs the CORPUS-SCALE 64-bit/16-bit-band layout
+    * (migrated r15 with dd_cluster_canonical: leakage-safe splitting
+    * is the one operator where the 32-bit layout's band saturation
+    * silently under-merges — i.e. leaks — at corpus scale). Runs the
+    * FULL corpus like dd_cluster_canonical (the 64-bit layout's pair
+    * volume makes the sample unnecessary — and a split gate SHOULD
+    * cover every document); same capless-twin reasoning as
+    * `dd_simhash_neardup`; seed 'split14' re-checked at both draws
+    * per the sketch-demo rule on the 64-bit full-corpus clusters —
+    * 4 / 117 naive-leaky of 17 / 303 multi-doc clusters at
+    * sf0.01 / sf0.1, zero cluster-leaky at either. The DuckDB twin
+    * recomputes pairs,
     * closes them with a recursive CTE, and replays both hash
     * assignments with the portable instr-based hex expansion. */
   val tLeakageSafeSplit: Q = {
     val highHex = "('8','9','a','b','c','d','e','f')"
-    val votes = (1 to 32).map(i =>
-      s"SUM(CASE WHEN substr(md5(token), $i, 1) IN $highHex THEN 1 ELSE -1 END) AS v$i")
-      .mkString(",\n      |    ")
-    val bits = (1 to 32).map(i =>
+    val votes = (1 to 64).map { i =>
+      val src = if (i <= 32) s"substr(md5(token), $i, 1)"
+        else s"substr(md5('s2|' || token), ${i - 32}, 1)"
+      s"SUM(CASE WHEN $src IN $highHex THEN 1 ELSE -1 END) AS v$i"
+    }.mkString(",\n      |    ")
+    val bits = (1 to 64).map(i =>
       s"CASE WHEN v$i > 0 THEN '1' ELSE '0' END").mkString(" || ")
     Q.sql(
       "t_leakage_safe_split",
       s"""WITH RECURSIVE t AS (
         |  SELECT doc_id, $toksSql AS toks FROM documents
-        |  WHERE doc_id % 10 = 0
         |), tok AS (
         |  SELECT doc_id, unnest(toks) AS token FROM t
         |), v AS (
@@ -3965,7 +4024,7 @@ object LlmQueries {
         |  SELECT doc_id, $bits AS simhash FROM v
         |), banded AS (
         |  SELECT doc_id, simhash, b AS band,
-        |    substr(simhash, b * 8 + 1, 8) AS band_key
+        |    substr(simhash, b * 16 + 1, 16) AS band_key
         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
         |), pairs AS (
         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
@@ -4012,11 +4071,12 @@ object LlmQueries {
         |  cs.naive_is_leaky
         |FROM sp JOIN cs USING (component)
         |ORDER BY sp.doc_id""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+      val docs = Tables.documents(s, d)
       val tokenRows = docs.select(col("doc_id"),
         explode(TA.tokens(col("text"))).as("token"))
-      val pairs = Dedup.simhashNearDups(Dedup.simhashFromTokens(tokenRows),
-        maxBucketSize = 512)
+      val pairs = Dedup.simhashNearDups(
+        Dedup.simhash64FromTokens(tokenRows),
+        maxBucketSize = 512, bits = 64)
       val cc = Dedup.connectedComponents(
         docs.select(col("doc_id").as("id")),
         pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))

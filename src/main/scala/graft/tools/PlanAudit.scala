@@ -40,11 +40,21 @@ object PlanAudit {
           // zero-row intermediate at this SF's data draw — e.g. a
           // near-dup query whose candidate pairs are empty at sf0.01)
           // legitimately has no codegen stages: nothing runs. Flag it
-          // as emptyCollapsed instead of NO-CODEGEN; the Initial Plan
-          // section of the same string carries the real pipeline.
+          // as emptyCollapsed instead of NO-CODEGEN — but ONLY when no
+          // heavy operator survives in the final plan: a plan with one
+          // empty side-branch and a genuinely codegen-less main
+          // pipeline must keep the NO-CODEGEN flag (both are printed)
+          // or a real regression would hide behind the empty branch.
           if (plan.contains("WholeStageCodegen") || plan.contains("*("))
             None
-          else if (count("EmptyRelation") > 0) Some("emptyCollapsed")
+          else if (count("EmptyRelation") > 0) {
+            val heavySurvives = Seq("Join", "HashAggregate",
+              "SortAggregate", "ObjectHashAggregate", "Window",
+              "Generate", "Expand").exists(op =>
+                lines.exists(_.contains(op)))
+            if (heavySurvives) Some("emptyCollapsed NO-CODEGEN")
+            else Some("emptyCollapsed")
+          }
           else Some("NO-CODEGEN")).flatten
         println(f"${q.name}%-28s ${flags.mkString(" ")}")
         if (only.isDefined) println(plan)

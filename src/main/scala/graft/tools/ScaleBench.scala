@@ -36,11 +36,13 @@ import graft.streaming.EventStream
   * assignment — every (vector, dim) row joined against every centroid
   * of that dim — costs O(n²·dims/stride): α ≈ 2 by construction, the
   * FAISS-scale mistake of training a coarse quantizer whose cell count
-  * tracks corpus size. `ivfpq_scaled_stride` scales the stride with k
-  * (fixed cell/code count, the production discipline: codebook size is
-  * a model hyperparameter, not a corpus fraction): the same code path
-  * measures α ≈ 1. Both arms run the full lifecycle (train, assign,
-  * probe, LUT, ADC, exact baseline) via [[Clustering.ivfPqTopK]].
+  * tracks corpus size. `ivfpq_sqrt_cells` (r15, replacing the
+  * hand-scaled `ivfpq_scaled_stride` arm) runs the SHIPPED default:
+  * coarse cells from [[Clustering.sqrtCellsStride]]'s cells-∝-√n rule
+  * and a constant PQ codeword count (stride ∝ k — codebook size is a
+  * model hyperparameter, not a corpus fraction). Both arms run the
+  * full lifecycle (train, assign, probe, LUT, ADC, exact baseline)
+  * via [[Clustering.ivfPqTopK]].
   *
   * Streaming (`session_timers`) replays the real two-pass
   * RocksDB-backed timer sessionization of `st_session_timers`
@@ -201,13 +203,19 @@ object ScaleBench {
       rounds = 2).count()
 
   /** simhash → banded near-dup pairs → CC → representative (the
-    * dd_cluster_canonical composition, heaviest committed chain). */
+    * dd_cluster_canonical composition, heaviest committed chain).
+    * r15: 64-bit/16-bit-band layout, matching the migrated consumer —
+    * the r14 measurement of this family on the 32-bit layout (shuffle-
+    * tail α≈1.54 from 256-key band saturation) is what motivated the
+    * migration; this re-measures the family as it now ships. */
   private def clusterCanonical(s: SparkSession, dir: String): Long = {
-    val docs = docsOf(s, dir).filter(col("doc_id") % 10 === 0)
+    // full corpus, mirroring the migrated consumer (sample dropped r15)
+    val docs = docsOf(s, dir)
     val tokenRows = docs.select(col("doc_id"),
       explode(TA.tokens(col("text"))).as("token"))
     val pairs = Dedup.simhashNearDups(
-      Dedup.simhashFromTokens(tokenRows), maxBucketSize = 512)
+      Dedup.simhash64FromTokens(tokenRows), maxBucketSize = 512,
+      bits = 64)
     val cc = Dedup.connectedComponents(
       docs.select(col("doc_id").as("id")),
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
@@ -239,12 +247,61 @@ object ScaleBench {
         maxBucketSize = 512).count()
   }
 
+  /** The dd_phash_index_chain composition at scale: day-1 images
+    * synthesized + dHash'd + committed to a PhashIndex AtomicTable,
+    * day-2 probes (near-copies, re-crawls, fresh) verified against the
+    * committed version. Payload synthesis + JDK codec decode ∝ corpus
+    * (the codec boundary is mapPartitions — expect α≈1); the open
+    * question this measures is the PER-COMMIT overhead of the index
+    * AtomicTable versioning at growing batch sizes. Synthetic day-2 id
+    * offset sits above every amplified id (30× tops out ~3·10⁸). */
+  private def phashChain(s: SparkSession, dir: String): Long = {
+    import graft.llm.{Multimodal, PhashIndex}
+    val ids = docsOf(s, dir).select("doc_id")
+    val day1 = ids.filter(col("doc_id") % 5 =!= 4)
+    val day2 = ids.filter(col("doc_id") % 5 === 4 ||
+        (col("doc_id") % 7 === 0 && col("doc_id") % 5 =!= 4))
+      .unionByName(ids.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") * 2 + 1000000000L).as("doc_id")))
+    val idx = java.nio.file.Files.createTempDirectory("graft_scale_ph")
+    try {
+      PhashIndex.processBatch(s, idx.toString,
+        Multimodal.asPhashImageTable(day1)).count()
+      PhashIndex.processBatch(s, idx.toString,
+        Multimodal.asPhashImageTable(day2)).count()
+    } finally graft.queries.Q.deleteRecursively(idx)
+  }
+
+  /** The t_leakage_safe_split composition at scale: 64-bit simhash →
+    * banded pairs → CC → cluster-grain split. Composes two measured
+    * families (simhash_band16 + cc_full) plus a projection — one row
+    * confirming the composition inherits their exponents. */
+  private def leakageSplit(s: SparkSession, dir: String): Long = {
+    val docs = docsOf(s, dir)
+    val tokenRows = docs.select(col("doc_id"),
+      explode(TA.tokens(col("text"))).as("token"))
+    val pairs = Dedup.simhashNearDups(
+      Dedup.simhash64FromTokens(tokenRows), maxBucketSize = 512,
+      bits = 64)
+    val cc = Dedup.connectedComponents(
+      docs.select(col("doc_id").as("id")),
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    TA.leakageSafeSplit(cc, seed = "split14", valPct = 10, testPct = 10)
+      .count()
+  }
+
   private def ivfpq(s: SparkSession, dir: String, k: Int,
                     scaledStride: Boolean): Long = {
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
-    val f = if (scaledStride) k else 1
-    Clustering.ivfPqTopK(s, emb,
-      coarseStride = 100 * f, stride = 100 * f).count()
+    if (scaledStride)
+      // the SHIPPED policy arm (r15): coarse cells from the default
+      // cells-∝-√n rule (Clustering.sqrtCellsStride — coarseStride
+      // omitted), PQ codeword count held constant (stride ∝ k: a
+      // model hyperparameter, not a corpus fraction)
+      Clustering.ivfPqTopK(s, emb, stride = 100 * k).count()
+    else
+      Clustering.ivfPqTopK(s, emb,
+        coarseStride = 100, stride = 100).count()
   }
 
   private def sessionTimers(s: SparkSession, dir: String): Long = {
@@ -404,7 +461,7 @@ object ScaleBench {
       (s, d, _) => bpe(s, d)),
     Fam("ivfpq_fixed_stride", Set("embeddings"), rep = false,
       (s, d, k) => ivfpq(s, d, k, scaledStride = false)),
-    Fam("ivfpq_scaled_stride", Set("embeddings"), rep = false,
+    Fam("ivfpq_sqrt_cells", Set("embeddings"), rep = false,
       (s, d, k) => ivfpq(s, d, k, scaledStride = true)),
     Fam("session_timers", Set("events"), rep = false,
       (s, d, _) => sessionTimers(s, d)),
@@ -415,7 +472,11 @@ object ScaleBench {
     Fam("lpa_full", Set("documents"), rep = true,
       (s, d, _) => lpaFull(s, d)),
     Fam("lpa_incremental", Set("documents"), rep = true,
-      (s, d, _) => lpaIncremental(s, d), prep = Some(lpaPrep)))
+      (s, d, _) => lpaIncremental(s, d), prep = Some(lpaPrep)),
+    Fam("phash_index_chain", Set("documents"), rep = true,
+      (s, d, _) => phashChain(s, d)),
+    Fam("leakage_split", Set("documents"), rep = true,
+      (s, d, _) => leakageSplit(s, d)))
 
   /** Per-sample stage-metric accumulator (registered once): total
     * shuffle bytes (read+write), disk spill, and summed per-task peak
@@ -574,9 +635,15 @@ object ScaleBench {
       val shufJ = pts.map(_.shuffle).mkString("[", ",", "]")
       val spillJ = pts.map(_.spill).mkString("[", ",", "]")
       val peakJ = pts.map(_.peakMem).mkString("[", ",", "]")
+      // per-family measurement metadata (sf/cpus/cutoff): subset runs
+      // merge into a committed artifact whose top-level fields describe
+      // only the LAST run — each family must carry the settings it was
+      // actually measured under (e.g. the range_join arms ran to 100×
+      // while the sweep stops at 30×).
       s""""${f.name}":{"scales":$scalesJ,"secs":$secsJ,"rows":$rowsJ,""" +
         s""""shuffle_bytes":$shufJ,"spill_bytes":$spillJ,""" +
         s""""peak_exec_mem":$peakJ,""" +
+        s""""sf":"$sfDir","cpus":"$cpus","cutoff":$cutoff,""" +
         s""""alpha":${a.map(sec).getOrElse("null")},""" +
         s""""alpha_tail":${tail.map(sec).getOrElse("null")},""" +
         s""""shuffle_tail":${shufTail.map(sec).getOrElse("null")}}"""
@@ -595,19 +662,33 @@ object ScaleBench {
       // args) merge their families into the committed file so a new or
       // re-measured family doesn't require re-running all the others
       // (Jackson is Spark's bundled JSON parser).
+      // Guarded: a malformed or families-less committed artifact falls
+      // back to replace instead of NPE/ClassCastException mid-merge.
       val payload =
         if (only.isEmpty || !java.nio.file.Files.exists(out)) json
-        else {
+        else try {
           val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
           val prev = mapper.readTree(out.toFile)
-            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-          val cur = mapper.readTree(json)
-          val pf = prev.get("families")
-            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-          cur.get("families").fields().forEachRemaining { e =>
-            pf.set(e.getKey, e.getValue); ()
+          val pfRaw = if (prev != null && prev.isObject)
+            prev.get("families") else null
+          if (pfRaw == null || !pfRaw.isObject) {
+            println(s"[scale] committed $out lacks a families object — " +
+              "replacing instead of merging")
+            json
+          } else {
+            val pf = pfRaw
+              .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+            val cur = mapper.readTree(json)
+            cur.get("families").fields().forEachRemaining { e =>
+              pf.set(e.getKey, e.getValue); ()
+            }
+            mapper.writeValueAsString(prev)
           }
-          mapper.writeValueAsString(prev)
+        } catch {
+          case e: com.fasterxml.jackson.core.JacksonException =>
+            println(s"[scale] committed $out unparseable (${e.getMessage})" +
+              " — replacing instead of merging")
+            json
         }
       java.nio.file.Files.write(out,
         (payload + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

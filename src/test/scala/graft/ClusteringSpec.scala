@@ -38,6 +38,34 @@ class ClusteringSpec extends SparkSpec {
       Seq(0L))
   }
 
+  test("sqrtCellsStride applies the cells-∝-√n policy; ivfPqTopK defaults to it") {
+    // 100 dense ids -> stride ⌊√100⌋ = 10 -> 10 sampled seed cells
+    val emb = spark.range(0, 100).toDF("vec_id")
+      .withColumn("embedding", array(
+        (col("vec_id") % 7).cast("float") * 0.01f,
+        (col("vec_id") % 5).cast("float") * 0.01f))
+    assert(Clustering.sqrtCellsStride(emb) == 10)
+    val seeds = Clustering.initCentroids(Clustering.quantRows(emb),
+      Clustering.sqrtCellsStride(emb))
+    assert(seeds.select("cid").distinct().count() == 10L)
+    // the policy is offset-robust: id blocks at huge offsets (the
+    // ScaleBench amplification shape) still sample ≈ n/stride seeds
+    val blocks = spark.range(0, 50).toDF("vec_id").unionByName(
+        spark.range(9700000L, 9700050L).toDF("vec_id"))
+      .withColumn("embedding", array(lit(0.01f), lit(0.02f)))
+    val s2 = Clustering.sqrtCellsStride(blocks) // ⌊√100⌋ = 10
+    assert(s2 == 10)
+    assert(Clustering.initCentroids(Clustering.quantRows(blocks), s2)
+      .select("cid").distinct().count() == 10L)
+    // defaulted builder runs end-to-end on the policy (coarseStride
+    // omitted) and still emits a ranked frame
+    val wide = spark.range(0, 97 * 3).toDF("vec_id")
+      .withColumn("embedding", array((0 until 64).map(i =>
+        ((col("vec_id") + i) % 9).cast("float") * 0.01f): _*))
+    val out = Clustering.ivfPqTopK(spark, wide, nProbe = 2, k = 3)
+    assert(out.count() > 0)
+  }
+
   test("quantization offset keeps every qv and centroid positive") {
     val rows = Clustering.quantRows(blobs)
     assert(rows.filter($"qv" <= 0).count() == 0)

@@ -1155,4 +1155,47 @@ class OperatorsSpec extends SparkSpec {
       .select("iv_id", "pt_id").as[(Long, Long)].collect().toSet
     assert(keyed == Set((1L, 10L), (2L, 11L), (3L, 12L)))
   }
+
+  test("RangeJoin: violated interval preconditions fail loudly, not silently") {
+    import graft.operators.RangeJoin
+    def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse(""))
+      .mkString(" | ")
+    val pt = Seq((10L, 5L)).toDF("pt_id", "point_day")
+    // Inverted interval (start > end): without the guard, sequence()
+    // silently steps BACKWARDS and the pair joins a descending bucket
+    // list; with it the documented contract is in the error.
+    val inverted = Seq((1L, 12L, 5L)).toDF("iv_id", "start_day", "end_day")
+    val e1 = intercept[Exception] {
+      RangeJoin.bucketedIntervalJoin(pt, inverted,
+        "point_day", "start_day", "end_day", bucketSize = 10L).collect()
+    }
+    assert(chain(e1).contains("inverted interval"), chain(e1))
+    // Unbounded interval: sequence()'s max-array-length failure is
+    // opaque; the guard names the bounded-interval precondition.
+    val huge = Seq((1L, 0L, 5000000L)).toDF("iv_id", "start_day", "end_day")
+    val e2 = intercept[Exception] {
+      RangeJoin.bucketedIntervalJoin(pt, huge,
+        "point_day", "start_day", "end_day", bucketSize = 10L).collect()
+    }
+    assert(chain(e2).contains("100000 buckets"), chain(e2))
+    // Valid intervals still pass through the guarded expression.
+    val ok = Seq((1L, 5L, 12L)).toDF("iv_id", "start_day", "end_day")
+    assert(RangeJoin.bucketedIntervalJoin(pt, ok,
+      "point_day", "start_day", "end_day", bucketSize = 10L).count() == 1L)
+  }
+
+  test("TextAnalysis.leakageSafeSplit: invalid pct split fails at entry") {
+    import graft.llm.TextAnalysis
+    val labels = Seq((1L, 1L), (2L, 1L)).toDF("id", "component")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.leakageSafeSplit(labels, "s", valPct = 60, testPct = 50)
+    }
+    assert(e.getMessage.contains("sum below 100"))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.leakageSafeSplit(labels, "s", valPct = -1, testPct = 10)
+    }
+    assert(TextAnalysis.leakageSafeSplit(labels, "s", 10, 10)
+      .select("split").distinct().count() >= 1L)
+  }
 }
