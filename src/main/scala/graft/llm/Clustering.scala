@@ -141,20 +141,39 @@ object Clustering {
         (round(col("v").cast("double") * 1e6).cast("long") + Offset)
           .as("qv"))
 
-  /** IVF cells-∝-√n stride policy — the coarse-quantizer sizing rule
-    * ScaleBench derived and SCALE.md documents (r14): at probe time a
-    * query scores ∝ nlist centroids to route plus ∝ n/nlist candidates
-    * per probed cell, so total per-query work n/nlist + nlist is
-    * minimized at nlist ≈ √n (FAISS's published nlist guidance; with a
-    * query SET ∝ n the ADC term is n²/nlist, same optimum). Centroids
-    * here are a stride-sample (every `stride`-th id, offset-robust
-    * under id-block amplification), so nlist ≈ n/stride and the policy
-    * is stride = max(1, ⌊√n⌋). One count() of the corpus — the same
-    * cardinality a production index build reads from table stats.
-    * Callers pass an explicit stride to override (the oracle queries
-    * do, for twin-replayable cell layouts). */
+  /** IVF coarse-quantizer AUTO-SIZING policy — BOTH halves of the
+    * FAISS rule, derived from one corpus cardinality (the same number
+    * a production build reads from table stats):
+    *
+    *   1. cells ∝ √n (ScaleBench r14 / SCALE.md): at probe time a
+    *      query scores ∝ nlist centroids to route plus ∝ n/nlist
+    *      candidates per probed cell; n/nlist + nlist is minimized at
+    *      nlist ≈ √n (FAISS's published nlist guidance — with a query
+    *      SET ∝ n the ADC term is n²/nlist, same optimum).
+    *   2. TRAINING SAMPLE capped at 256·nlist vectors (FAISS
+    *      `max_points_per_centroid`): full-corpus Lloyd at √n cells
+    *      costs n·√n — the cap bounds codebook training to
+    *      O(256·nlist·nlist) = O(256·n) row-centroid pairs, linear,
+    *      while 256 points per centroid keeps the estimate stable.
+    *      Below 256·nlist vectors (n ≤ ~65k) the whole corpus trains.
+    *
+    * Returns (seedStride, trainSampleMod): seeds are every
+    * `seedStride`-th id (≈ nlist of them; offset-robust under id-block
+    * amplification), training rows every `trainSampleMod`-th id —
+    * `trainSampleMod` divides `seedStride`, so seeds ⊆ sample.
+    * Callers pass an explicit stride to override the policy entirely
+    * (the oracle queries do, for twin-replayable cell layouts). */
+  def autoCoarsePolicy(n: Long): (Int, Long) = {
+    val nlist = math.max(1L, math.sqrt(n.toDouble).toLong)
+    val sampleMod = math.max(1L, n / (256L * nlist))
+    val seedStride = sampleMod * math.max(1L, n / (nlist * sampleMod))
+    (seedStride.toInt, sampleMod)
+  }
+
+  /** The policy's seed stride alone (cells ≈ √n) for callers that
+    * train on the full corpus by choice. */
   def sqrtCellsStride(emb: DataFrame): Int =
-    math.max(1, math.sqrt(emb.count().toDouble).toInt)
+    autoCoarsePolicy(emb.count())._1
 
   /** Stride-sampled initial centroids as (cid, pos, cv) rows:
     * every `stride`-th vec_id, renumbered cid = vec_id div stride. */
@@ -537,15 +556,22 @@ object Clustering {
                 idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {
     val base = emb.select(col(idCol).as("vec_id"), col(vecCol).as("emb"))
-    // coarseStride <= 0 (the default) applies the cells-∝-√n policy
-    // ([[sqrtCellsStride]]) — a caller-chosen CONSTANT cell count is
-    // the measured quadratic (ScaleBench ivfpq_fixed_stride α_bytes
-    // 1.92); the PQ `stride` stays a hyperparameter (codewords per
-    // subspace are a model size, not a corpus fraction — FAISS's 256).
-    val cs = if (coarseStride > 0) coarseStride else sqrtCellsStride(base)
-    // coarse router: full-dim codebook, one cell per corpus vector
+    // coarseStride <= 0 (the default) applies [[autoCoarsePolicy]]:
+    // cells ∝ √n with the codebook trained on a ≤256·nlist sample —
+    // a caller-chosen CONSTANT cell count is the measured quadratic
+    // (ScaleBench ivfpq_fixed_stride α_bytes 1.92), and full-corpus
+    // training at √n cells would be n^1.5. The PQ `stride` stays a
+    // hyperparameter (codewords per subspace are a model size, not a
+    // corpus fraction — FAISS's 256).
     val gRows = quantRows(base, idCol = "vec_id", vecCol = "emb")
-    val coarseCb = train(spark, gRows, cs, iters)
+    val (cs, trainRows) =
+      if (coarseStride > 0) (coarseStride, gRows)
+      else {
+        val (stride0, sampleMod) = autoCoarsePolicy(base.count())
+        (stride0, gRows.filter(col("vec_id") % sampleMod === 0))
+      }
+    // coarse router: full-dim codebook, one cell per corpus vector
+    val coarseCb = train(spark, trainRows, cs, iters)
     val cells = assign(gRows, coarseCb)
       .select(col("vec_id"), col("cid").as("cell"))
     // PQ: per-subspace codebooks + codes (as in pqTopK)
@@ -626,10 +652,15 @@ object Clustering {
                         idCol: String = "vec_id",
                         vecCol: String = "embedding"): DataFrame = {
     val base = emb.select(col(idCol).as("vec_id"), col(vecCol).as("emb"))
-    // cells-∝-√n default, as in [[ivfPqTopK]]
-    val cs = if (coarseStride > 0) coarseStride else sqrtCellsStride(base)
     val gRows = quantRows(base, idCol = "vec_id", vecCol = "emb")
-    val coarseCb = train(spark, gRows, cs, iters)
+    // cells-∝-√n + capped-sample training default, as in [[ivfPqTopK]]
+    val (cs, trainRows) =
+      if (coarseStride > 0) (coarseStride, gRows)
+      else {
+        val (stride0, sampleMod) = autoCoarsePolicy(base.count())
+        (stride0, gRows.filter(col("vec_id") % sampleMod === 0))
+      }
+    val coarseCb = train(spark, trainRows, cs, iters)
     val cells = assign(gRows, coarseCb)
       .select(col("vec_id"), col("cid").as("cell"))
     // residual rows, re-offset positive (see scaladoc)

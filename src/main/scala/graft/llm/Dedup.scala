@@ -308,7 +308,17 @@ object Dedup {
     * from exploded (doc_id, token) rows — md5 evaluated once per token
     * (the array form above gets inlined 32× by project-collapsing), and
     * the per-bit votes become 32 conditional sums in ONE groupBy(doc_id)
-    * aggregate. This is the form to use on real corpora. */
+    * aggregate. This is the form to use on real corpora.
+    *
+    * Measured-and-REJECTED (r15): pre-aggregating to (doc, token, cnt)
+    * so md5 + the bit tests run once per DISTINCT pair (votes as
+    * count-weighted sums — hash-identical). Wall time was flat at 30×
+    * amplified input (56 vs 59 s, the hash work is map-side and
+    * embarrassingly parallel) while shuffle bytes DOUBLED (533 MB →
+    * 1.18 GB): the extra (doc, token) exchange ships distinct-pair
+    * rows, whereas this form's single doc-grain exchange ships only
+    * 32 partial-sum longs per doc. At 100 TB shuffle dwarfs hash CPU —
+    * keep the one-exchange form. */
   def simhashFromTokens(tokenRows: DataFrame): DataFrame = {
     val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f").map(lit(_))
     val h = md5(col("token"))

@@ -64,6 +64,13 @@ class ClusteringSpec extends SparkSpec {
         ((col("vec_id") + i) % 9).cast("float") * 0.01f): _*))
     val out = Clustering.ivfPqTopK(spark, wide, nProbe = 2, k = 3)
     assert(out.count() > 0)
+    // the second half of the rule: above 256·nlist vectors, training
+    // samples down (sampleMod > 1) while seeds stay ⊆ sample and
+    // nlist stays ≈ √n
+    val (stride1M, mod1M) = Clustering.autoCoarsePolicy(1000000L)
+    assert(mod1M == 3L && stride1M == 999 && stride1M % mod1M == 0)
+    val (strideSmall, modSmall) = Clustering.autoCoarsePolicy(1000L)
+    assert(modSmall == 1L && strideSmall == 32)
   }
 
   test("quantization offset keeps every qv and centroid positive") {
