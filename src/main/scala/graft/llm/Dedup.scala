@@ -212,8 +212,8 @@ object Dedup {
     * band matches exactly and the pair surfaces from a band-keyed
     * equi-join (the classic simhash index; recall is EXACT for
     * hamming ≤ bands-1, never probabilistic). Candidates are verified
-    * with the full 32-position Hamming distance — a codegen'd 32-term
-    * conditional sum, no UDF.
+    * with the full Hamming distance — xor + bit_count over the packed
+    * signature halves, codegen'd, no UDF.
     *
     * Skew protection: each band has only 2^8 possible keys, so at
     * corpus scale EVERY bucket is hot — O(n²/256) candidate pairs with
@@ -240,21 +240,42 @@ object Dedup {
                       bits: Int = 32): DataFrame = {
     val bands = 4
     val width = bits / 4
-    val banded = simhashes.select(col("doc_id"), col("simhash"),
+    // The signature is PACKED into integer halves once per row, and
+    // candidates verify with two xor+bit_count ops instead of `bits`
+    // per-position substring compares. This matters because candidate
+    // volume is the hot term: band keys are majority-vote bits, so a
+    // homogeneous corpus biases many docs into the same buckets and
+    // candidates dwarf verified pairs — per-candidate verify cost is
+    // what the whole banded design amortizes. Measured (r15, sf0.1
+    // full-corpus 64-bit chain): pair generation 20.8 → 1.7 s; the
+    // packed longs also shuffle 8 bytes/side instead of a `bits`-char
+    // string, and the pack runs once per (doc, band) row, insulated
+    // from project-collapsing re-inlining of the signature concat.
+    val hiExpr = expr(
+      "cast(conv(substring(simhash, 1, 32), 2, 10) as bigint)")
+    val loExpr =
+      if (bits > 32)
+        expr(s"cast(conv(substring(simhash, 33, ${bits - 32}), 2, 10) " +
+          "as bigint)")
+      else lit(0L)
+    val banded = simhashes.select(col("doc_id"), hiExpr.as("h_hi"),
+      loExpr.as("h_lo"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           substring(col("simhash"), b * width + 1, width)
             .as("band_key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"),
+      .select(col("doc_id"), col("h_hi"), col("h_lo"),
         col("bk.band").as("band"), col("bk.band_key").as("band_key"))
     val allPairsOf = (df: DataFrame) => {
       val l = df.select(col("band"), col("band_key"),
-        col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+        col("doc_id").as("doc_a"), col("h_hi").as("hi_a"),
+        col("h_lo").as("lo_a"))
       val r = df.select(col("band"), col("band_key"),
-        col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+        col("doc_id").as("doc_b"), col("h_hi").as("hi_b"),
+        col("h_lo").as("lo_b"))
       l.join(r, Seq("band", "band_key"))
         .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .select("doc_a", "doc_b", "hi_a", "lo_a", "hi_b", "lo_b")
     }
     val candidates =
       if (maxBucketSize == Int.MaxValue) allPairsOf(banded)
@@ -266,15 +287,17 @@ object Dedup {
           .drop("bucket_size")
         val bigChain = sized.filter(col("bucket_size") > maxBucketSize)
           .withColumn("doc_b", lead(col("doc_id"), 1).over(ow))
-          .withColumn("sim_b", lead(col("simhash"), 1).over(ow))
+          .withColumn("hi_b", lead(col("h_hi"), 1).over(ow))
+          .withColumn("lo_b", lead(col("h_lo"), 1).over(ow))
           .filter(col("doc_b").isNotNull)
           .select(col("doc_id").as("doc_a"), col("doc_b"),
-            col("simhash").as("sim_a"), col("sim_b"))
+            col("h_hi").as("hi_a"), col("h_lo").as("lo_a"),
+            col("hi_b"), col("lo_b"))
         allPairsOf(small).unionByName(bigChain)
       }
-    val hamming = (1 to bits).map(i =>
-      when(substring(col("sim_a"), i, 1) =!= substring(col("sim_b"), i, 1),
-        1).otherwise(0)).reduce(_ + _)
+    val hamming =
+      bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+        bit_count(col("lo_a").bitwiseXOR(col("lo_b")))
     // Hamming filter BEFORE the multi-band dedup: the filter is a
     // codegen'd per-row expression (re-evaluated per band collision —
     // cheap), while distinct() is a shuffle — dropping the >threshold
