@@ -48,10 +48,19 @@ object PlanAudit {
           if (plan.contains("WholeStageCodegen") || plan.contains("*("))
             None
           else if (count("EmptyRelation") > 0) {
+            // Heavy ops are sought in the FINAL (executed) section only
+            // — the Initial Plan section always carries the full
+            // pre-collapse pipeline — and an `EmptyRelation ...` line
+            // that NAMES the collapsed subtree's operators doesn't
+            // count: only an operator line that actually survives.
+            val finalLines = (if (plan.contains("== Initial Plan =="))
+              plan.substring(0, plan.indexOf("== Initial Plan =="))
+            else plan).linesIterator.toSeq
             val heavySurvives = Seq("Join", "HashAggregate",
               "SortAggregate", "ObjectHashAggregate", "Window",
               "Generate", "Expand").exists(op =>
-                lines.exists(_.contains(op)))
+                finalLines.exists(l =>
+                  l.contains(op) && !l.contains("EmptyRelation")))
             if (heavySurvives) Some("emptyCollapsed NO-CODEGEN")
             else Some("emptyCollapsed")
           }
