@@ -2640,6 +2640,105 @@ object LlmQueries {
     }
   }
 
+  /** Dedup — the HOT-BUCKET CAP path of [[Dedup.simhashNearDups]],
+    * oracle-gated (r15): every prior gate ran the cap as a measured
+    * no-op, leaving the production degradation path — oversized
+    * band buckets emit successor CHAIN pairs instead of all-pairs —
+    * spec-only. Here a deliberately HOMOGENEOUS slice (12 shared
+    * tokens per doc + one of 3 variant tokens) drives whole variant
+    * groups to IDENTICAL signatures, so band buckets exceed a tiny
+    * cap (8) and the chain path must carry connectivity: the gate
+    * pins, through a recursive-CTE twin that REPLAYS the cap (bucket
+    * count window → all-pairs under the cap, lead-chains over it),
+    * that capped clusters still close into the SAME components —
+    * "recall inside pathological buckets degrades gracefully, never
+    * precision" as the operator scaladoc claims. At sf0.01 the ~8-9
+    * doc groups straddle the cap so BOTH branches execute. */
+  val ddSimhashHotBucketChain: Q = {
+    val highHex = "('8','9','a','b','c','d','e','f')"
+    val votes = (1 to 64).map { i =>
+      val src = if (i <= 32) s"substr(md5(token), $i, 1)"
+        else s"substr(md5('s2|' || token), ${i - 32}, 1)"
+      s"SUM(CASE WHEN $src IN $highHex THEN 1 ELSE -1 END) AS v$i"
+    }.mkString(",\n      |    ")
+    val bits = (1 to 64).map(i =>
+      s"CASE WHEN v$i > 0 THEN '1' ELSE '0' END").mkString(" || ")
+    Q.sql(
+      "dd_simhash_hot_bucket_chain",
+      s"""WITH RECURSIVE ids AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 20 = 0
+        |), tok AS (
+        |  SELECT doc_id,
+        |    'w' || CAST(unnest(generate_series(0, 11)) AS VARCHAR) AS token
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT doc_id, 'v' || CAST(doc_id % 3 AS VARCHAR) FROM ids
+        |), v AS (
+        |  SELECT doc_id,
+        |    $votes
+        |  FROM tok GROUP BY doc_id
+        |), sh AS (
+        |  SELECT doc_id, $bits AS simhash FROM v
+        |), sized AS (
+        |  SELECT doc_id, simhash, band, band_key,
+        |    COUNT(*) OVER (PARTITION BY band, band_key) AS bucket_size
+        |  FROM (
+        |    SELECT doc_id, simhash, b AS band,
+        |      substr(simhash, b * 16 + 1, 16) AS band_key
+        |    FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b))
+        |), cand AS (
+        |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+        |    l.simhash AS sim_a, r.simhash AS sim_b
+        |  FROM (SELECT * FROM sized WHERE bucket_size <= 8) l
+        |  JOIN (SELECT * FROM sized WHERE bucket_size <= 8) r
+        |    USING (band, band_key)
+        |  WHERE l.doc_id < r.doc_id
+        |  UNION ALL
+        |  SELECT doc_a, doc_b, sim_a, sim_b FROM (
+        |    SELECT doc_id AS doc_a, LEAD(doc_id) OVER w AS doc_b,
+        |      simhash AS sim_a, LEAD(simhash) OVER w AS sim_b
+        |    FROM (SELECT * FROM sized WHERE bucket_size > 8)
+        |    WINDOW w AS (PARTITION BY band, band_key ORDER BY doc_id))
+        |  WHERE doc_b IS NOT NULL
+        |), pairs AS (
+        |  SELECT DISTINCT doc_a, doc_b FROM cand
+        |  WHERE hamming(sim_a, sim_b) <= 3
+        |), sym AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs
+        |), r(a, b) AS (
+        |  SELECT doc_id, doc_id FROM ids
+        |  UNION
+        |  SELECT r.a, s.dst FROM r JOIN sym s ON r.b = s.src
+        |), comp AS (
+        |  SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS component
+        |  FROM r GROUP BY a
+        |)
+        |SELECT doc_id, component,
+        |  CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT)
+        |    AS component_size
+        |FROM comp ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ids = Tables.documents(s, d).filter(col("doc_id") % 20 === 0)
+        .select("doc_id")
+      val tokenRows = ids.select(col("doc_id"),
+          explode(array((0 until 12).map(i => lit(s"w$i")): _*)).as("token"))
+        .unionByName(ids.select(col("doc_id"),
+          concat(lit("v"), (col("doc_id") % 3).cast("string")).as("token")))
+      val pairs = Dedup.simhashNearDups(
+        Dedup.simhash64FromTokens(tokenRows),
+        maxBucketSize = 8, bits = 64)
+      val cc = Dedup.connectedComponents(
+        ids.select(col("doc_id").as("id")),
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      cc.select(col("id").as("doc_id"), col("component"))
+        .withColumn("component_size",
+          count(lit(1)).over(Window.partitionBy(col("component")))
+            .cast("long"))
+        .orderBy("doc_id")
+    }
+  }
+
   /** SimHash QUALITY EVAL — precision/recall of the banded simhash
     * near-dup predictor against EXACT unigram-set Jaccard ground truth
     * (J ≥ 0.7, integer cross-multiplied), swept over the Hamming
@@ -4186,6 +4285,7 @@ object LlmQueries {
     ddMinhashEstimate,
     ddLshBandSweep, ddSimhash,
     ddSimhashNearDup, ddSimhash64NearDup, ddSimhashEval,
+    ddSimhashHotBucketChain,
     ddEmbeddingNearDup, annBruteForce,
     annHardNegatives, annEmbeddingDrift, tDomainPolicy,
     annLsh, annRhLsh,

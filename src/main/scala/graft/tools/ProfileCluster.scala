@@ -4,7 +4,13 @@ import org.apache.spark.sql.functions._
 import graft.{Sessions, Tables}
 import graft.llm.{Dedup, TextAnalysis => TA}
 
-/** Throwaway stage profiler for the dd_cluster_canonical chain. */
+/** Stage profiler for the near-dup chain (signature → pairs → CC →
+  * representative): times each stage cumulatively so a regression is
+  * attributable to ONE stage instead of the whole 4-job query. This is
+  * the tool that localized the r15 hotspot — pairs at 20.8 s of the
+  * chain's 25 s, fixed by the packed xor+bit_count Hamming verify
+  * (Dedup.simhashNearDups scaladoc; pairs re-read 1.7 s after). Keep
+  * it pointed at the committed chain shape when the chain changes. */
 object ProfileCluster {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
