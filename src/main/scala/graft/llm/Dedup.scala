@@ -251,31 +251,34 @@ object Dedup {
     // packed longs also shuffle 8 bytes/side instead of a `bits`-char
     // string, and the pack runs once per (doc, band) row, insulated
     // from project-collapsing re-inlining of the signature concat.
-    val hiExpr = expr(
-      "cast(conv(substring(simhash, 1, 32), 2, 10) as bigint)")
-    val loExpr =
-      if (bits > 32)
-        expr(s"cast(conv(substring(simhash, 33, ${bits - 32}), 2, 10) " +
-          "as bigint)")
-      else lit(0L)
-    val banded = simhashes.select(col("doc_id"), hiExpr.as("h_hi"),
-      loExpr.as("h_lo"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          substring(col("simhash"), b * width + 1, width)
-            .as("band_key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("h_hi"), col("h_lo"),
-        col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    // ceil(bits/32) packed words, 32 signature chars each
+    val nWords = (bits + 31) / 32
+    val wordCols = (0 until nWords).map(w => s"h$w")
+    val wordExprs = (0 until nWords).map { w =>
+      val len = math.min(32, bits - w * 32)
+      expr(s"cast(conv(substring(simhash, ${w * 32 + 1}, $len), 2, 10) " +
+        "as bigint)").as(s"h$w")
+    }
+    val banded = simhashes.select(
+      (col("doc_id") +: wordExprs :+
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            substring(col("simhash"), b * width + 1, width)
+              .as("band_key"))): _*)).as("bk")): _*)
+      .select((col("doc_id") +: wordCols.map(col) :+
+        col("bk.band").as("band") :+ col("bk.band_key").as("band_key")): _*)
+    val aCols = wordCols.map(w => s"${w}_a")
+    val bCols = wordCols.map(w => s"${w}_b")
     val allPairsOf = (df: DataFrame) => {
-      val l = df.select(col("band"), col("band_key"),
-        col("doc_id").as("doc_a"), col("h_hi").as("hi_a"),
-        col("h_lo").as("lo_a"))
-      val r = df.select(col("band"), col("band_key"),
-        col("doc_id").as("doc_b"), col("h_hi").as("hi_b"),
-        col("h_lo").as("lo_b"))
+      val l = df.select((col("band") +: col("band_key") +:
+        col("doc_id").as("doc_a") +:
+        wordCols.map(w => col(w).as(s"${w}_a"))): _*)
+      val r = df.select((col("band") +: col("band_key") +:
+        col("doc_id").as("doc_b") +:
+        wordCols.map(w => col(w).as(s"${w}_b"))): _*)
       l.join(r, Seq("band", "band_key"))
         .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b", "hi_a", "lo_a", "hi_b", "lo_b")
+        .select(("doc_a" +: "doc_b" +: (aCols ++ bCols)).map(col): _*)
     }
     val candidates =
       if (maxBucketSize == Int.MaxValue) allPairsOf(banded)
@@ -285,19 +288,19 @@ object Dedup {
         val sized = banded.withColumn("bucket_size", count(lit(1)).over(bw))
         val small = sized.filter(col("bucket_size") <= maxBucketSize)
           .drop("bucket_size")
-        val bigChain = sized.filter(col("bucket_size") > maxBucketSize)
-          .withColumn("doc_b", lead(col("doc_id"), 1).over(ow))
-          .withColumn("hi_b", lead(col("h_hi"), 1).over(ow))
-          .withColumn("lo_b", lead(col("h_lo"), 1).over(ow))
+        val bigChain = bCols.zip(wordCols).foldLeft(
+            sized.filter(col("bucket_size") > maxBucketSize)
+              .withColumn("doc_b", lead(col("doc_id"), 1).over(ow))) {
+            case (df, (bc, w)) => df.withColumn(bc, lead(col(w), 1).over(ow))
+          }
           .filter(col("doc_b").isNotNull)
-          .select(col("doc_id").as("doc_a"), col("doc_b"),
-            col("h_hi").as("hi_a"), col("h_lo").as("lo_a"),
-            col("hi_b"), col("lo_b"))
+          .select((col("doc_id").as("doc_a") +: col("doc_b") +:
+            (wordCols.map(w => col(w).as(s"${w}_a")) ++ bCols.map(col))): _*)
         allPairsOf(small).unionByName(bigChain)
       }
-    val hamming =
-      bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
-        bit_count(col("lo_a").bitwiseXOR(col("lo_b")))
+    val hamming = wordCols.map(w =>
+      bit_count(col(s"${w}_a").bitwiseXOR(col(s"${w}_b"))))
+      .reduce(_ + _)
     // Hamming filter BEFORE the multi-band dedup: the filter is a
     // codegen'd per-row expression (re-evaluated per band collision —
     // cheap), while distinct() is a shuffle — dropping the >threshold
@@ -377,6 +380,32 @@ object Dedup {
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
         concat((1 to 64).map(i =>
+          when(col(s"v$i") > 0, "1").otherwise("0")): _*).as("simhash"))
+  }
+
+  /** 128-BIT SimHash — the NEXT band widening after
+    * [[simhash64FromTokens]], for shards past the measured 16-bit
+    * saturation onset (SCALE.md: the 64-bit layout's shuffle-tail
+    * rises from 1.16 at 150k docs to 1.74 at 500k; 4×32-bit bands give
+    * 4.3B keys per band, deferring saturation another 65,536× in
+    * corpus size with the identical Hamming ≤ 3 exact-recall
+    * pigeonhole). Bits 32(k-1)+1..32k vote on the independent stream
+    * md5('s{k}|' ∥ token) (k = 2..4; stream 1 is plain md5 — bits
+    * 1–64 ARE [[simhash64FromTokens]]'s signature). Pair with
+    * `simhashNearDups(..., bits = 128)`, which packs any width into
+    * 32-bit words for the xor+bit_count verify. */
+  def simhash128FromTokens(tokenRows: DataFrame): DataFrame = {
+    val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f").map(lit(_))
+    val streams = Seq(md5(col("token"))) ++ (2 to 4).map(k =>
+      md5(concat(lit(s"s$k|"), col("token"))))
+    val votes = (1 to 128).map { i =>
+      val src = substring(streams((i - 1) / 32), (i - 1) % 32 + 1, 1)
+      sum(when(src.isin(highHex: _*), 1).otherwise(-1)).as(s"v$i")
+    }
+    tokenRows.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        concat((1 to 128).map(i =>
           when(col(s"v$i") > 0, "1").otherwise("0")): _*).as("simhash"))
   }
 

@@ -2640,6 +2640,68 @@ object LlmQueries {
     }
   }
 
+  /** Dedup — 128-BIT (4×32-bit-band) SimHash near-dup pairs: the NEXT
+    * band widening ([[Dedup.simhash128FromTokens]]) for shards past
+    * the measured 16-bit saturation onset (SCALE.md: 64-bit
+    * shuffle-tail 1.16 at 150k docs → 1.74 at 500k; 32-bit bands
+    * defer saturation another 65,536×). Same Hamming ≤ 3 exact-recall
+    * pigeonhole at any width; streams 3–4 vote on md5('s3|'/'s4|' ∥
+    * token), replayed verbatim by the twin. Completes the measured
+    * band-width ladder (8 → 16 → 32-bit keys) as CODE, not prose. */
+  val ddSimhash128NearDup: Q = {
+    val highHex = "('8','9','a','b','c','d','e','f')"
+    val votes = (1 to 128).map { i =>
+      val stream = (i - 1) / 32 + 1
+      val pos = (i - 1) % 32 + 1
+      val src = if (stream == 1) s"substr(md5(token), $pos, 1)"
+        else s"substr(md5('s$stream|' || token), $pos, 1)"
+      s"SUM(CASE WHEN $src IN $highHex THEN 1 ELSE -1 END) AS v$i"
+    }.mkString(",\n      |    ")
+    // variadic CONCAT, not a ||-chain: 128 nested binary concats
+    // exceed DuckDB's binder recursion depth (max 128)
+    val bits = (1 to 128).map(i =>
+      s"CASE WHEN v$i > 0 THEN '1' ELSE '0' END")
+      .mkString("CONCAT(", ",\n      |      ", ")")
+    Q.sql(
+      "dd_simhash128_neardup",
+      s"""WITH t AS (
+        |  SELECT doc_id, $toksSql AS toks FROM documents
+        |  WHERE doc_id % 10 = 0
+        |), tok AS (
+        |  SELECT doc_id, unnest(toks) AS token FROM t
+        |), v AS (
+        |  SELECT doc_id,
+        |    $votes
+        |  FROM tok GROUP BY doc_id
+        |), sh AS (
+        |  SELECT doc_id, $bits AS simhash FROM v
+        |), banded AS (
+        |  SELECT doc_id, simhash, b AS band,
+        |    substr(simhash, b * 32 + 1, 32) AS band_key
+        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
+        |), cand AS (
+        |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+        |    l.simhash AS sim_a, r.simhash AS sim_b
+        |  FROM banded l JOIN banded r USING (band, band_key)
+        |  WHERE l.doc_id < r.doc_id
+        |)
+        |SELECT doc_a, doc_b,
+        |  CAST(hamming(sim_a, sim_b) AS BIGINT) AS hamming,
+        |  LEAST(doc_a, doc_b) AS canonical_id
+        |FROM cand
+        |WHERE hamming(sim_a, sim_b) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val tokenRows = Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          explode(TA.tokens(col("text"))).as("token"))
+      Dedup.simhashNearDups(Dedup.simhash128FromTokens(tokenRows),
+          maxBucketSize = 512, bits = 128)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy("doc_a", "doc_b")
+    }
+  }
+
   /** Dedup — the HOT-BUCKET CAP path of [[Dedup.simhashNearDups]],
     * oracle-gated (r15): every prior gate ran the cap as a measured
     * no-op, leaving the production degradation path — oversized
@@ -4284,8 +4346,8 @@ object LlmQueries {
     ddConnectedComponents, ddCcIncremental, ddMinhashLsh,
     ddMinhashEstimate,
     ddLshBandSweep, ddSimhash,
-    ddSimhashNearDup, ddSimhash64NearDup, ddSimhashEval,
-    ddSimhashHotBucketChain,
+    ddSimhashNearDup, ddSimhash64NearDup, ddSimhash128NearDup,
+    ddSimhashEval, ddSimhashHotBucketChain,
     ddEmbeddingNearDup, annBruteForce,
     annHardNegatives, annEmbeddingDrift, tDomainPolicy,
     annLsh, annRhLsh,

@@ -235,16 +235,16 @@ object ScaleBench {
     * basis for the "band width is the corpus-scale knob" claim
     * (Dedup.simhashNearDups scaladoc / SCALE.md). */
   private def simhashPairs(s: SparkSession, dir: String,
-                           wide: Boolean): Long = {
+                           bits: Int): Long = {
     val tokenRows = docsOf(s, dir).filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"),
         explode(TA.tokens(col("text"))).as("token"))
-    if (wide)
-      Dedup.simhashNearDups(Dedup.simhash64FromTokens(tokenRows),
-        maxBucketSize = 512, bits = 64).count()
-    else
-      Dedup.simhashNearDups(Dedup.simhashFromTokens(tokenRows),
-        maxBucketSize = 512).count()
+    val sh = bits match {
+      case 32 => Dedup.simhashFromTokens(tokenRows)
+      case 64 => Dedup.simhash64FromTokens(tokenRows)
+      case _ => Dedup.simhash128FromTokens(tokenRows)
+    }
+    Dedup.simhashNearDups(sh, maxBucketSize = 512, bits = bits).count()
   }
 
   /** The dd_phash_index_chain composition at scale: day-1 images
@@ -454,9 +454,11 @@ object ScaleBench {
     Fam("cluster_canonical", Set("documents"), rep = true,
       (s, d, _) => clusterCanonical(s, d)),
     Fam("simhash_band8", Set("documents"), rep = true,
-      (s, d, _) => simhashPairs(s, d, wide = false)),
+      (s, d, _) => simhashPairs(s, d, bits = 32)),
     Fam("simhash_band16", Set("documents"), rep = true,
-      (s, d, _) => simhashPairs(s, d, wide = true)),
+      (s, d, _) => simhashPairs(s, d, bits = 64)),
+    Fam("simhash_band32", Set("documents"), rep = true,
+      (s, d, _) => simhashPairs(s, d, bits = 128)),
     Fam("bpe_train_apply", Set("documents"), rep = true,
       (s, d, _) => bpe(s, d)),
     Fam("ivfpq_fixed_stride", Set("embeddings"), rep = false,

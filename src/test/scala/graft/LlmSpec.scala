@@ -309,6 +309,17 @@ class LlmSpec extends SparkSpec {
     assert(arrayForm == distForm)
     assert(arrayForm(1L).length == 32)
     assert(arrayForm(1L).forall(c => c == '0' || c == '1'))
+    // the band-width ladder shares its hash streams: bits 1-32 of the
+    // 64-bit signature ARE the 32-bit signature, bits 1-64 of the
+    // 128-bit ARE the 64-bit — one token pass can serve any width
+    val tok = df.select($"doc_id", explode(TA.tokens($"text")).as("token"))
+    val s64 = Dedup.simhash64FromTokens(tok)
+      .as[(Long, String)].collect().toMap
+    val s128 = Dedup.simhash128FromTokens(tok)
+      .as[(Long, String)].collect().toMap
+    assert(s64.forall { case (id, s) => s.take(32) == distForm(id) })
+    assert(s128.forall { case (id, s) =>
+      s.length == 128 && s.take(64) == s64(id) })
   }
 
   test("bruteForceTopK ranks by cosine, excludes self, deterministic ties") {
