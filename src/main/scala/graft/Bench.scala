@@ -98,35 +98,63 @@ object Bench {
     // per-query rows got reps + adaptive third samples.
     def minOf2(body: () => Double): Double =
       math.min({ reclaim(); body() }, { reclaim(); body() })
-    def dagRun(inputs: ref.ModelDag.RawInputs): Double = {
+    // Returns (wall, per-model timings + _readback pseudo-model): the
+    // refdemo_sf01 pass is BIMODAL under driver conditions (r15
+    // VERDICT watch item — 135.0/171.9 s driver vs 71.0/65.9 s
+    // builder on identical trees, per-query blocks within 1%), so
+    // every run now emits per-model walls for BOTH reps under
+    // `refdemo_sf01_models`; the next slow draw names its model
+    // instead of being VM-noise folklore.
+    def dagRun(inputs: ref.ModelDag.RawInputs)
+        : (Double, Map[String, Double]) = {
       val wh = java.nio.file.Files.createTempDirectory("graft_bench_wh")
       try {
         val t0 = System.nanoTime()
-        val out = ref.ModelDag.run(new ref.Catalog(spark, wh.toString), inputs)
+        val cat = new ref.Catalog(spark, wh.toString)
+        val out = ref.ModelDag.run(cat, inputs)
+        val tDag = System.nanoTime()
         out.values.foreach(_.count())
-        (System.nanoTime() - t0) / 1e9
+        val tEnd = System.nanoTime()
+        ((tEnd - t0) / 1e9,
+          cat.timings + ("_readback" -> (tEnd - tDag) / 1e9))
       } finally queries.Q.deleteRecursively(wh)
     }
     val refdemo: Option[Double] =
       if (only.forall(_.contains("refdemo_total")))
-        Some(minOf2(() => dagRun(ref.RefFixtures.inputs(spark))))
+        Some(minOf2(() => dagRun(ref.RefFixtures.inputs(spark))._1))
       else None
     // Same DAG at testdata volume (RefFixturesScale): refdemo_total
     // tracks the sink/commit path, this key tracks model-plan
     // throughput (sf0.1: 600k order lines through every mart).
-    val refdemoSf: Option[Double] =
+    val refdemoSfRuns: Option[Seq[(Double, Map[String, Double])]] =
       if (only.forall(_.contains("refdemo_sf01_total")))
-        Some(minOf2(() => dagRun(ref.RefFixturesScale.inputs(spark, sfDir))))
+        Some(Seq.fill(2) {
+          reclaim()
+          dagRun(ref.RefFixturesScale.inputs(spark, sfDir))
+        })
       else None
+    val refdemoSf: Option[Double] = refdemoSfRuns.map(_.map(_._1).min)
     val total = results.map(_._2).sum
     // Locale.ROOT: a comma decimal separator would corrupt the JSON.
     def sec(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
+    // Slowest 10 models (plus wall + read-back) of EACH sf01 rep — the
+    // per-model instrumentation the bimodality hunt needs (see dagRun).
+    val refdemoSfModels = refdemoSfRuns.map { runs =>
+      runs.zipWithIndex.map { case ((wall, times), i) =>
+        val top = times.toSeq.sortBy(-_._2).take(10)
+          .map { case (m, v) => s"\"$m\":${sec(v)}" }
+        s"\"rep${i + 1}\":{" +
+          ((s"\"_total\":${sec(wall)}" +: top).mkString(",")) + "}"
+      }.mkString("{", ",", "}")
+    }
     val refdemoJson =
       refdemo.map(v => s""""refdemo_total":${sec(v)},""").getOrElse("") +
         refdemoSf.map(v => s""""refdemo_sf01_total":${sec(v)},""")
+          .getOrElse("") +
+        refdemoSfModels.map(m => s""""refdemo_sf01_models":$m,""")
           .getOrElse("")
     // Stop Spark BEFORE printing so no executor-shutdown log line can land
     // after the JSON, and keep "metric"/"value" as the LAST keys: the

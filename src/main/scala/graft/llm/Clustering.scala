@@ -167,6 +167,11 @@ object Clustering {
     val nlist = math.max(1L, math.sqrt(n.toDouble).toLong)
     val sampleMod = math.max(1L, n / (256L * nlist))
     val seedStride = sampleMod * math.max(1L, n / (nlist * sampleMod))
+    // seedStride ≈ √n: an Int overflow needs n ≳ 4.6e18 ids — guard
+    // loudly instead of silently truncating to a wrong/negative stride
+    // (r15 ADVICE).
+    require(seedStride <= Int.MaxValue,
+      s"autoCoarsePolicy: seed stride $seedStride overflows Int (n=$n)")
     (seedStride.toInt, sampleMod)
   }
 
@@ -554,7 +559,8 @@ object Clustering {
                 stride: Int = 100, iters: Int = 2, queryMod: Int = 97,
                 nProbe: Int = 2, k: Int = 5,
                 idCol: String = "vec_id",
-                vecCol: String = "embedding"): DataFrame = {
+                vecCol: String = "embedding",
+                knownN: Long = -1L): DataFrame = {
     val base = emb.select(col(idCol).as("vec_id"), col(vecCol).as("emb"))
     // coarseStride <= 0 (the default) applies [[autoCoarsePolicy]]:
     // cells ∝ √n with the codebook trained on a ≤256·nlist sample —
@@ -563,11 +569,17 @@ object Clustering {
     // training at √n cells would be n^1.5. The PQ `stride` stays a
     // hyperparameter (codewords per subspace are a model size, not a
     // corpus fraction — FAISS's 256).
+    // NOTE (r15 ADVICE): sizing the policy costs one eager count()
+    // action per call — fine at index-BUILD granularity, but callers
+    // that already know the corpus cardinality (table stats, a
+    // composed query building several arms over one frame) should
+    // pass it as `knownN` to skip the extra scan.
     val gRows = quantRows(base, idCol = "vec_id", vecCol = "emb")
     val (cs, trainRows) =
       if (coarseStride > 0) (coarseStride, gRows)
       else {
-        val (stride0, sampleMod) = autoCoarsePolicy(base.count())
+        val (stride0, sampleMod) = autoCoarsePolicy(
+          if (knownN > 0) knownN else base.count())
         (stride0, gRows.filter(col("vec_id") % sampleMod === 0))
       }
     // coarse router: full-dim codebook, one cell per corpus vector
@@ -620,6 +632,108 @@ object Clustering {
     flagAgainstExact(ranked, base, qids, k)
   }
 
+  /** Trained IVF-PQ index artifacts — the BUILD half of the serve
+    * lifecycle [[ivfPqBuild]]/[[ivfPqQueryTopK]] split out of
+    * [[ivfPqTopK]] (r15 VERDICT task #4): a production index trains
+    * ONCE (linear in corpus: one coarse assignment scan + capped-
+    * sample Lloyd) and then serves MANY query batches whose per-query
+    * cost is ∝ √n (nlist centroid routes + nProbe·n/nlist ADC
+    * candidates — the FAISS minimum at nlist ≈ √n). [[ivfPqTopK]]
+    * deliberately conflates the two (its oracle gates the whole
+    * lifecycle plus an exact-baseline eval); this pair is the shape a
+    * serving deployment persists — all four frames are plain columnar
+    * tables (parquet round-trip safe), `codebooks` k-row broadcasts.
+    * ScaleBench's `ivfpq_query_fixed` family measures the query half
+    * alone: index built un-timed in prep, a FIXED query set served
+    * per scale — the direct measurement of the served √n claim that
+    * the corpus-proportional eval convention (queries ∝ n) hides
+    * behind its n^1.5 total. */
+  final case class IvfPqIndex(coarseCb: DataFrame, cells: DataFrame,
+                              codebooks: Seq[DataFrame], codes: DataFrame,
+                              mSub: Int, subDim: Int)
+
+  /** Train coarse router + per-subspace PQ codebooks and encode the
+    * corpus. Same construction (and defaults) as [[ivfPqTopK]]'s build
+    * prefix — cells-∝-√n policy with capped-sample training unless
+    * `coarseStride` overrides; pass `knownN` to skip the sizing
+    * count(). */
+  def ivfPqBuild(spark: SparkSession, emb: DataFrame,
+                 coarseStride: Int = 0, mSub: Int = 4, subDim: Int = 16,
+                 stride: Int = 100, iters: Int = 2,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding",
+                 knownN: Long = -1L): IvfPqIndex = {
+    val base = emb.select(col(idCol).as("vec_id"), col(vecCol).as("emb"))
+    val gRows = quantRows(base, idCol = "vec_id", vecCol = "emb")
+    val (cs, trainRows) =
+      if (coarseStride > 0) (coarseStride, gRows)
+      else {
+        val (stride0, sampleMod) = autoCoarsePolicy(
+          if (knownN > 0) knownN else base.count())
+        (stride0, gRows.filter(col("vec_id") % sampleMod === 0))
+      }
+    val coarseCb = train(spark, trainRows, cs, iters)
+    val cells = assign(gRows, coarseCb)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val subRows = (0 until mSub).map { m =>
+      quantRows(base.select(col("vec_id"),
+        slice(col("emb"), m * subDim + 1, subDim).as("emb")),
+        idCol = "vec_id", vecCol = "emb")
+    }
+    val codebooks = subRows.map(r => train(spark, r, stride, iters))
+    val codes = subRows.lazyZip(codebooks).lazyZip(0 until mSub).map {
+      (r, cb, m) =>
+        assign(r, cb).select(col("vec_id"), lit(m).as("sub"),
+          col("cid").as("code"))
+    }.reduce(_ unionByName _)
+    IvfPqIndex(coarseCb, cells, codebooks, codes, mSub, subDim)
+  }
+
+  /** Serve a query batch against a built index: route each query to
+    * its `nProbe` nearest cells, build the per-subspace LUT from the
+    * query's own sub-vectors vs the (broadcast) codebooks, and
+    * ADC-rank ONLY the probed cells' codes. Returns
+    * (query_id, vec_id, approx_dist, rank ≤ k). Queries drawn from the
+    * corpus id namespace have their self-match dropped (`excludeSelf`,
+    * on by default to mirror [[ivfPqTopK]]); disable it for a disjoint
+    * query id space. No exact-baseline eval here — that is the offline
+    * [[ivfPqTopK]] gate's job, not the serve path's. */
+  def ivfPqQueryTopK(index: IvfPqIndex, queries: DataFrame,
+                     nProbe: Int = 2, k: Int = 5,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding",
+                     excludeSelf: Boolean = true): DataFrame = {
+    val qBase = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("emb"))
+    val qRows = quantRows(qBase, idCol = "query_id", vecCol = "emb")
+    val probes = nearestCentroids(qRows, index.coarseCb, nProbe)
+      .select(col("vec_id").as("query_id"), col("cid").as("cell"))
+    val lut = (0 until index.mSub).map { m =>
+      quantRows(qBase.select(col("query_id"),
+        slice(col("emb"), m * index.subDim + 1, index.subDim).as("emb")),
+        idCol = "query_id", vecCol = "emb")
+        .join(broadcast(index.codebooks(m)), Seq("pos"))
+        .groupBy(col("vec_id").as("query_id"), col("cid"))
+        .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv")))
+          .as("d"))
+        .withColumn("sub", lit(m))
+    }.reduce(_ unionByName _)
+    val scored = index.codes.join(index.cells, Seq("vec_id"))
+      .join(probes, Seq("cell"))
+    val filtered =
+      if (excludeSelf) scored.filter(col("vec_id") =!= col("query_id"))
+      else scored
+    val approx = filtered
+      .join(broadcast(lut.withColumnRenamed("cid", "code")),
+        Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d")).cast("long").as("approx_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dist"), col("vec_id"))
+    approx.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** RESIDUAL IVF-PQ — what FAISS IndexIVFPQ actually encodes: the PQ
     * codebooks quantize the RESIDUAL (x − coarse_centroid(x)), not the
     * raw vector. Residuals of one cell are centered near the origin, so
@@ -650,14 +764,17 @@ object Clustering {
                         iters: Int = 2, queryMod: Int = 97,
                         nProbe: Int = 2, k: Int = 5,
                         idCol: String = "vec_id",
-                        vecCol: String = "embedding"): DataFrame = {
+                        vecCol: String = "embedding",
+                        knownN: Long = -1L): DataFrame = {
     val base = emb.select(col(idCol).as("vec_id"), col(vecCol).as("emb"))
     val gRows = quantRows(base, idCol = "vec_id", vecCol = "emb")
     // cells-∝-√n + capped-sample training default, as in [[ivfPqTopK]]
+    // (pass `knownN` to skip the policy's sizing count(), ditto)
     val (cs, trainRows) =
       if (coarseStride > 0) (coarseStride, gRows)
       else {
-        val (stride0, sampleMod) = autoCoarsePolicy(base.count())
+        val (stride0, sampleMod) = autoCoarsePolicy(
+          if (knownN > 0) knownN else base.count())
         (stride0, gRows.filter(col("vec_id") % sampleMod === 0))
       }
     val coarseCb = train(spark, trainRows, cs, iters)

@@ -77,11 +77,18 @@ object NearDupIndex {
     * sharing any band with the committed index → commit index ∪ kept
     * docs' bands as the next version. Returns (doc_id, hit_index,
     * keep); docs too short to shingle have no bands — never flagged,
-    * never indexed. */
+    * never indexed. `version`/`writerId` let a STREAMING caller pin
+    * the commit to its micro-batch id under its checkpoint lineage
+    * ([[graft.streaming.EventStream.nearDupDedupSink]]) so a replayed
+    * batch is an idempotent already-committed no-op — the same
+    * contract as [[PhashIndex.processBatch]]; batch callers take the
+    * default next-version numbering. */
   def processBatch(spark: SparkSession, dir: String, batch: DataFrame,
                    id: Column, text: Column,
                    nBands: Int = 4, rowsPerBand: Int = 2,
-                   shingleN: Int = 3): DataFrame = {
+                   shingleN: Int = 3,
+                   version: Option[Long] = None,
+                   writerId: Option[String] = None): DataFrame = {
     val base = batch.select(id.as("doc_id"), text.as("text"))
     val shingled = TextAnalysis.shingleRows(base, col("doc_id"),
       col("text"), shingleN).distinct()
@@ -99,7 +106,9 @@ object NearDupIndex {
         Seq("doc_id"), "left_semi")
       .select(col("band"), col("band_key")).distinct()
     val next = MergeUpsert.upsert(idx, keptBands, Seq("band", "band_key"))
-    AtomicTable.commit(next, dir, AtomicTable.nextVersion(spark, dir))
+    AtomicTable.commit(next, dir,
+      version.getOrElse(AtomicTable.nextVersion(spark, dir)),
+      writerId = writerId)
     annotated
   }
 }

@@ -206,6 +206,58 @@ object Dedup {
         lit(simNum.toLong) * col("union_size"))
   }
 
+  /** Default [[simhashNearDups]] hot-bucket cap — see its scaladoc
+    * for the measured derivation (≈100–500× the ≤1-doc uniform load
+    * [[autoBandPolicy]] holds buckets to). */
+  final val DefaultBucketCap = 512
+
+  /** SimHash BAND-WIDTH POLICY — the r15 VERDICT's missing knob: the
+    * width ladder (32/64/128-bit signatures = 8/16/32-bit bands) all
+    * shipped and gated, but every consumer inherited a FIXED width, so
+    * corpus growth walked each rung into the measured saturation
+    * regime (band8 shuffle α≈1.5; band16 shuffle-tail 1.74 at 500k
+    * docs). This picks the smallest shipped width whose per-band
+    * KEYSPACE covers the corpus — 2^(bits/4) ≥ nDocs, i.e. expected
+    * uniform bucket load ≤ 1 doc — exactly the corpus-driven sizing
+    * [[graft.llm.Clustering.autoCoarsePolicy]] applies to IVF cells:
+    *
+    *   32-bit (256-key bands)    for nDocs ≤ 256
+    *   64-bit (65,536 keys)      for nDocs ≤ 65,536
+    *   128-bit (4.29B keys)      beyond (covers ~4.3B docs per
+    *                             near-dup pass — past that, shard the
+    *                             corpus ([[shardedNearDupLabels]]) or
+    *                             accept the [[DefaultBucketCap]]
+    *                             chain fallback, the documented
+    *                             last-resort defense past 128 bits)
+    *
+    * The ≤1 load rule widens BEFORE the measured onset: ScaleBench
+    * mapped the 16-bit layout linear at 150k docs (2.3× keyspace,
+    * shuffle-tail 1.16) and saturating at 500k (7.6×, tail 1.74), so
+    * keyspace ≥ nDocs keeps ≥2.3× measured margin while costing only
+    * 2 extra md5 streams per widening (all three rungs keep the
+    * identical 4-band pigeonhole, so Hamming ≤ 3 recall stays EXACT
+    * at every width — the trade is hash CPU for linear shuffle).
+    * Oracle twins that pin a width in portable SQL pass it
+    * explicitly; the two cluster-grain consumers call this with their
+    * corpus count and gate the CHOICE via a `band_bits` column (both
+    * gate SFs sit inside the 64-bit window: 500 and 5,000 docs vs
+    * bounds 256/65,536). */
+  def autoBandPolicy(nDocs: Long): Int =
+    Seq(32, 64, 128).find(b => (1L << (b / 4)) >= nDocs).getOrElse(128)
+
+  /** Signature builder for a policy-chosen width — dispatches to the
+    * matching `simhash*FromTokens` rung (the widths are distinct
+    * hash-stream layouts, not a parameter, so the ladder stays three
+    * individually-gated functions). */
+  def simhashForWidth(bits: Int, tokenRows: DataFrame): DataFrame =
+    bits match {
+      case 32  => simhashFromTokens(tokenRows)
+      case 64  => simhash64FromTokens(tokenRows)
+      case 128 => simhash128FromTokens(tokenRows)
+      case b => throw new IllegalArgumentException(
+        s"no simhash rung for $b bits (shipped: 32, 64, 128)")
+    }
+
   /** SimHash NEAR-DUP pairS via PIGEONHOLE BANDING: split the 32-bit
     * signature into 4 exact-match bands of 8 bits — any pair within
     * Hamming distance 3 differs in at most 3 bands, so at least one
@@ -233,13 +285,31 @@ object Dedup {
     * layout must widen: a 64-bit simhash with 4×16-bit bands keeps the
     * same Hamming-3 exact-recall guarantee with 65k keys per band,
     * pushing bucket saturation out by 256×. Band width, not the cap,
-    * is the primary corpus-scale knob. */
+    * is the primary corpus-scale knob — [[autoBandPolicy]] picks it
+    * from corpus size; the cap default below is the measured backstop
+    * for the hot buckets the width math cannot see.
+    *
+    * `maxBucketSize` DEFAULT (r16, from the r15 band8 saturation
+    * data): under [[autoBandPolicy]] the expected UNIFORM band-bucket
+    * load is ≤ 1 doc, but band keys are majority-vote bits —
+    * `tools/ProfileCluster` measured hot buckets on the homogeneous
+    * testdata corpus filling to ~100–170× the uniform load long
+    * before uniform-hash math predicts. 512 ≈ 3–5× that measured
+    * skew ceiling over the policy's load: every healthy bucket keeps
+    * exact all-pairs recall (the cap is a measured no-op at both gate
+    * SFs — the cluster-grain oracle twins REPLAY it, so a denser draw
+    * fails loudly, not silently), while a pathological bucket is
+    * bounded to 512·n chain pairs instead of n²/2. When the cap
+    * engages on NON-identical signatures the right fix is widening
+    * (the next [[autoBandPolicy]] rung), and past 128 bits the cap is
+    * the only remaining defense — accept chain-degraded recall inside
+    * those buckets (precision is never affected; the degradation path
+    * itself is oracle-gated by `dd_simhash_hot_bucket_chain`). */
   def simhashNearDups(simhashes: DataFrame,
                       maxHamming: Int = 3,
-                      maxBucketSize: Int = Int.MaxValue,
-                      bits: Int = 32): DataFrame = {
-    val bands = 4
-    val width = bits / 4
+                      maxBucketSize: Int = DefaultBucketCap,
+                      bits: Int = 32,
+                      keyCols: Seq[String] = Nil): DataFrame = {
     // The signature is PACKED into integer halves once per row, and
     // candidates verify with two xor+bit_count ops instead of `bits`
     // per-position substring compares. This matters because candidate
@@ -251,39 +321,31 @@ object Dedup {
     // packed longs also shuffle 8 bytes/side instead of a `bits`-char
     // string, and the pack runs once per (doc, band) row, insulated
     // from project-collapsing re-inlining of the signature concat.
-    // ceil(bits/32) packed words, 32 signature chars each
     val nWords = (bits + 31) / 32
     val wordCols = (0 until nWords).map(w => s"h$w")
-    val wordExprs = (0 until nWords).map { w =>
-      val len = math.min(32, bits - w * 32)
-      expr(s"cast(conv(substring(simhash, ${w * 32 + 1}, $len), 2, 10) " +
-        "as bigint)").as(s"h$w")
-    }
-    val banded = simhashes.select(
-      (col("doc_id") +: wordExprs :+
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"),
-            substring(col("simhash"), b * width + 1, width)
-              .as("band_key"))): _*)).as("bk")): _*)
-      .select((col("doc_id") +: wordCols.map(col) :+
-        col("bk.band").as("band") :+ col("bk.band_key").as("band_key")): _*)
+    // `keyCols` join AS EQUI-KEYS alongside (band, band_key): a shard
+    // (or any partition) column in the key bounds bucket fill by the
+    // PARTITION's size, not the corpus's — the within-shard half of
+    // [[shardedNearDupLabels]] — while staying one banded pass.
+    val banded = bandRows(simhashes, bits, keyCols)
+    val joinKeys = keyCols ++ Seq("band", "band_key")
     val aCols = wordCols.map(w => s"${w}_a")
     val bCols = wordCols.map(w => s"${w}_b")
     val allPairsOf = (df: DataFrame) => {
-      val l = df.select((col("band") +: col("band_key") +:
-        col("doc_id").as("doc_a") +:
-        wordCols.map(w => col(w).as(s"${w}_a"))): _*)
-      val r = df.select((col("band") +: col("band_key") +:
-        col("doc_id").as("doc_b") +:
-        wordCols.map(w => col(w).as(s"${w}_b"))): _*)
-      l.join(r, Seq("band", "band_key"))
+      val l = df.select((joinKeys.map(col) :+
+        col("doc_id").as("doc_a")) ++
+        wordCols.map(w => col(w).as(s"${w}_a")): _*)
+      val r = df.select((joinKeys.map(col) :+
+        col("doc_id").as("doc_b")) ++
+        wordCols.map(w => col(w).as(s"${w}_b")): _*)
+      l.join(r, joinKeys)
         .filter(col("doc_a") < col("doc_b"))
         .select(("doc_a" +: "doc_b" +: (aCols ++ bCols)).map(col): _*)
     }
     val candidates =
       if (maxBucketSize == Int.MaxValue) allPairsOf(banded)
       else {
-        val bw = Window.partitionBy(col("band"), col("band_key"))
+        val bw = Window.partitionBy(joinKeys.map(col): _*)
         val ow = bw.orderBy(col("doc_id"))
         val sized = banded.withColumn("bucket_size", count(lit(1)).over(bw))
         val small = sized.filter(col("bucket_size") <= maxBucketSize)
@@ -298,9 +360,7 @@ object Dedup {
             (wordCols.map(w => col(w).as(s"${w}_a")) ++ bCols.map(col))): _*)
         allPairsOf(small).unionByName(bigChain)
       }
-    val hamming = wordCols.map(w =>
-      bit_count(col(s"${w}_a").bitwiseXOR(col(s"${w}_b"))))
-      .reduce(_ + _)
+    val hamming = packedHamming(wordCols)
     // Hamming filter BEFORE the multi-band dedup: the filter is a
     // codegen'd per-row expression (re-evaluated per band collision —
     // cheap), while distinct() is a shuffle — dropping the >threshold
@@ -312,6 +372,120 @@ object Dedup {
       .withColumn("canonical_id", least(col("doc_a"), col("doc_b")))
       .select("doc_a", "doc_b", "hamming", "canonical_id")
       .distinct() // a close pair can collide in several bands
+  }
+
+  /** Banded rows shared by [[simhashNearDups]] and the cross-shard
+    * join of [[shardedNearDupLabels]]: one row per (doc, band) carrying
+    * the packed signature words (the codegen'd xor+bit_count verify
+    * operands) plus any pass-through `keyCols` from the input frame. */
+  private def bandRows(simhashes: DataFrame, bits: Int,
+                       keyCols: Seq[String]): DataFrame = {
+    val bands = 4
+    val width = bits / 4
+    val nWords = (bits + 31) / 32
+    val wordCols = (0 until nWords).map(w => s"h$w")
+    val wordExprs = (0 until nWords).map { w =>
+      val len = math.min(32, bits - w * 32)
+      expr(s"cast(conv(substring(simhash, ${w * 32 + 1}, $len), 2, 10) " +
+        "as bigint)").as(s"h$w")
+    }
+    simhashes.select(
+      ((col("doc_id") +: keyCols.map(col)) ++ wordExprs :+
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            substring(col("simhash"), b * width + 1, width)
+              .as("band_key"))): _*)).as("bk")): _*)
+      .select(((col("doc_id") +: keyCols.map(col)) ++ wordCols.map(col) :+
+        col("bk.band").as("band") :+ col("bk.band_key").as("band_key")): _*)
+  }
+
+  /** Full Hamming distance over the packed signature words — two (or
+    * four) codegen'd xor + bit_count ops, never a per-bit compare. */
+  private def packedHamming(wordCols: Seq[String]): Column =
+    wordCols.map(w =>
+      bit_count(col(s"${w}_a").bitwiseXOR(col(s"${w}_b"))))
+      .reduce(_ + _)
+
+  /** CROSS-SHARD NEAR-DUP MERGE — the 100-TB deployment shape of the
+    * simhash pipeline (r15 VERDICT task #6): at real scale the corpus
+    * is SHARDED and each shard's banded pass is bounded by SHARD size
+    * (the within-shard buckets key on (shard, band, band_key) —
+    * [[autoBandPolicy]] then sizes the width from the SHARD's doc
+    * count, which is what finally defeats band saturation: shard
+    * size, not corpus size, bounds bucket fill). Input must carry a
+    * `shard` column next to (doc_id, simhash). Three stages:
+    *
+    *   1. WITHIN: one keyed banded pass ([[simhashNearDups]] with
+    *      keyCols = shard) → per-shard verified pairs → ONE
+    *      [[connectedComponents]] call over their union (within-pairs
+    *      never cross shards, so its labels ARE the per-shard
+    *      components — min doc_id per shard-cluster).
+    *   2. ACROSS: band-collision candidates between DIFFERENT shards
+    *      ((band, band_key) equi-join, shard_a ≠ shard_b), verified by
+    *      the same packed Hamming filter before the pair-dedup
+    *      shuffle.
+    *   3. MERGE: cross edges CONTRACTED to their endpoints' per-shard
+    *      labels, closed with a second (label-grain — orders of
+    *      magnitude smaller) [[connectedComponents]], and joined back.
+    *
+    * EXACTNESS: the single-pass pair set partitions into same-shard ∪
+    * cross-shard collisions, both Hamming-verified identically, and
+    * component labels are min-ids — min is associative over any
+    * grouping, so the composed labels equal the single-pass labels
+    * row-for-row (the `dd_sharded_cluster_merge` gate pins this
+    * cross-engine at both SFs). Holds in the cap-no-op regime; an
+    * ENGAGED `maxBucketSize` degrades the two passes' recall inside
+    * oversized buckets differently (shard buckets are smaller), so
+    * capped pathological corpora trade exact equivalence for the same
+    * graceful chain fallback both arms share.
+    *
+    * Scale: stage 1 is k independent bounded problems (ScaleBench
+    * `sharded_merge` holds SHARD size constant while shard count
+    * grows); stage 2's buckets do grow with corpus, but ship only
+    * banded rows (no signatures re-hashed) and at deployment run as
+    * new-shard-vs-index increments (the [[incrementalComponents]] /
+    * NearDupIndex discipline), never all-shards-at-once; stage 3
+    * touches cluster labels only. */
+  def shardedNearDupLabels(simhashes: DataFrame,
+                           maxHamming: Int = 3,
+                           maxBucketSize: Int = DefaultBucketCap,
+                           bits: Int = 32): DataFrame = {
+    val nWords = (bits + 31) / 32
+    val wordCols = (0 until nWords).map(w => s"h$w")
+    val within = simhashNearDups(simhashes, maxHamming, maxBucketSize,
+      bits, keyCols = Seq("shard"))
+    val shardLabels = connectedComponents(
+      simhashes.select(col("doc_id").as("id")),
+      within.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    val banded = bandRows(simhashes, bits, Seq("shard"))
+    val l = banded.select((col("band") +: col("band_key") +:
+      col("shard").as("shard_a") +: col("doc_id").as("doc_a") +:
+      wordCols.map(w => col(w).as(s"${w}_a"))): _*)
+    val r = banded.select((col("band") +: col("band_key") +:
+      col("shard").as("shard_b") +: col("doc_id").as("doc_b") +:
+      wordCols.map(w => col(w).as(s"${w}_b"))): _*)
+    val cross = l.join(r, Seq("band", "band_key"))
+      .filter(col("shard_a") =!= col("shard_b") &&
+        col("doc_a") < col("doc_b"))
+      .filter(packedHamming(wordCols) <= maxHamming)
+      .select("doc_a", "doc_b").distinct()
+    val contracted = cross
+      .join(shardLabels.select(col("id").as("doc_a"),
+        col("component").as("src")), Seq("doc_a"))
+      .join(shardLabels.select(col("id").as("doc_b"),
+        col("component").as("dst")), Seq("doc_b"))
+      .select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val lnodes = contracted.select(col("src").as("id"))
+      .unionByName(contracted.select(col("dst").as("id")))
+      .distinct()
+    val merged = connectedComponents(lnodes, contracted)
+    shardLabels
+      .join(merged.select(col("id").as("component"),
+        col("component").as("merged")), Seq("component"), "left")
+      .select(col("id"),
+        coalesce(col("merged"), col("component")).as("component"))
   }
 
   /** SimHash signature as a 32-char '0'/'1' string: bit i is the sign of

@@ -1935,19 +1935,24 @@ object LlmQueries {
     * `connectedComponents` (transitive clustering) → cluster-
     * REPRESENTATIVE selection (the W2 pattern: longest text, then min
     * id — "keep the best copy", not "keep the first"). Runs the
-    * CORPUS-SCALE 64-bit/16-bit-band layout (migrated r15): ScaleBench
-    * measured the 32-bit/8-bit layout's 256-key bands saturating
-    * (shuffle-tail α≈1.54, borderline pairs 4,266→91,652 over 30×)
-    * while the 16-bit bands stay linear (α 0.36/1.01) — the canonical
-    * cluster consumer must run the layout that survives the corpus.
-    * Runs the FULL corpus, no doc sample: the 1-in-10 sample existed
-    * because the 32-bit layout's pair volume was oracle-hostile; the
-    * 64-bit layout collapses it (18 / 585 pairs at sf0.01 / sf0.1 on
-    * the full corpus — precision, demonstrated) so the gate now covers
-    * every document. The cap is a measured no-op on testdata so the
-    * capless SQL twin matches. The DuckDB twin recomputes pairs,
-    * closes them with a recursive CTE, and picks representatives with
-    * the same ordered window. */
+    * band width `Dedup.autoBandPolicy` picks from the CORPUS COUNT
+    * (r16 — no more inherited fixed width: the policy lands on the
+    * 64-bit/16-bit-band layout at both gate SFs, the layout ScaleBench
+    * measured linear where the 32-bit rung saturates, and would step
+    * to 128-bit past 65,536 docs — safely before the 16-bit
+    * saturation onset ScaleBench measured between 150k and 500k
+    * docs). The width choice is itself hash-gated via the `band_bits`
+    * output column. Runs the FULL corpus, no doc sample: the 1-in-10
+    * sample existed because the 32-bit layout's pair volume was
+    * oracle-hostile; the 64-bit layout collapses it (18 / 585 pairs at
+    * sf0.01 / sf0.1 on the full corpus — precision, demonstrated) so
+    * the gate covers every document. The hot-bucket cap
+    * (`Dedup.DefaultBucketCap`) is REPLAYED by the twin's bucket-size
+    * window (r16, was capless-twin + measured-no-op reasoning), so a
+    * denser regenerated draw keeps the two engines equivalent instead
+    * of silently flipping Spark to chain pairs. The DuckDB twin
+    * recomputes pairs, closes them with a recursive CTE, and picks
+    * representatives with the same ordered window. */
   val ddClusterCanonical: Q = {
     val highHex = "('8','9','a','b','c','d','e','f')"
     val votes = (1 to 64).map { i =>
@@ -1971,15 +1976,30 @@ object LlmQueries {
         |  FROM tok GROUP BY doc_id
         |), sh AS (
         |  SELECT doc_id, $bits AS simhash FROM v
-        |), banded AS (
-        |  SELECT doc_id, simhash, b AS band,
-        |    substr(simhash, b * 16 + 1, 16) AS band_key
-        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
-        |), pairs AS (
-        |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-        |  FROM banded l JOIN banded r USING (band, band_key)
+        |), sized AS (
+        |  SELECT doc_id, simhash, band, band_key,
+        |    COUNT(*) OVER (PARTITION BY band, band_key) AS bucket_size
+        |  FROM (
+        |    SELECT doc_id, simhash, b AS band,
+        |      substr(simhash, b * 16 + 1, 16) AS band_key
+        |    FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b))
+        |), cand AS (
+        |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+        |    l.simhash AS sim_a, r.simhash AS sim_b
+        |  FROM (SELECT * FROM sized WHERE bucket_size <= 512) l
+        |  JOIN (SELECT * FROM sized WHERE bucket_size <= 512) r
+        |    USING (band, band_key)
         |  WHERE l.doc_id < r.doc_id
-        |    AND hamming(l.simhash, r.simhash) <= 3
+        |  UNION ALL
+        |  SELECT doc_a, doc_b, sim_a, sim_b FROM (
+        |    SELECT doc_id AS doc_a, LEAD(doc_id) OVER w AS doc_b,
+        |      simhash AS sim_a, LEAD(simhash) OVER w AS sim_b
+        |    FROM (SELECT * FROM sized WHERE bucket_size > 512)
+        |    WINDOW w AS (PARTITION BY band, band_key ORDER BY doc_id))
+        |  WHERE doc_b IS NOT NULL
+        |), pairs AS (
+        |  SELECT DISTINCT doc_a, doc_b FROM cand
+        |  WHERE hamming(sim_a, sim_b) <= 3
         |), sym AS (
         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
         |  UNION SELECT doc_b, doc_a FROM pairs
@@ -2000,16 +2020,26 @@ object LlmQueries {
         |  c.doc_id = FIRST_VALUE(c.doc_id) OVER (PARTITION BY c.component
         |    ORDER BY t.text_len DESC, c.doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        |    AS is_representative
+        |    AS is_representative,
+        |  CAST(64 AS BIGINT) AS band_bits
         |FROM comp c JOIN t USING (doc_id)
         |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
       val tokenRows = docs.select(col("doc_id"),
         explode(TA.tokens(col("text"))).as("token"))
+      // Width from Dedup.autoBandPolicy (r16): picks 64-bit at both
+      // gate SFs (500/5,000 docs inside the (256, 65536] window);
+      // the choice itself is GATED via the band_bits
+      // output column (twin pins 64), so a regenerated-testdata draw
+      // that flips the policy fails the hash gate on a self-naming
+      // column instead of a confusing pair-set diff. The cap
+      // (DefaultBucketCap=512) is REPLAYED by the twin's bucket-size
+      // window, so equivalence no longer rests on the cap staying a
+      // no-op (r15 ADVICE).
+      val bits = Dedup.autoBandPolicy(docs.count())
       val pairs = Dedup.simhashNearDups(
-        Dedup.simhash64FromTokens(tokenRows),
-        maxBucketSize = 512, bits = 64)
+        Dedup.simhashForWidth(bits, tokenRows), bits = bits)
       val cc = Dedup.connectedComponents(
         docs.select(col("doc_id").as("id")),
         pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
@@ -2026,8 +2056,101 @@ object LlmQueries {
         .withColumn("representative_id", first(col("doc_id")).over(w))
         .withColumn("is_representative",
           col("doc_id") === col("representative_id"))
+        .withColumn("band_bits", lit(bits).cast("long"))
         .select("doc_id", "component", "component_size",
-          "representative_id", "is_representative")
+          "representative_id", "is_representative", "band_bits")
+        .orderBy("doc_id")
+    }
+  }
+
+  /** Dedup — CROSS-SHARD near-dup merge through the REAL
+    * [[Dedup.shardedNearDupLabels]] (r15 VERDICT task #6): the corpus
+    * is split into 3 salted shards (doc_id % 3 — every shard sees the
+    * same doc mix, the deployment shape where each shard's banded
+    * pass is bounded by SHARD size), per-shard pairs come from ONE
+    * (shard, band, band_key)-keyed banded pass, cross-shard
+    * band-collision edges are Hamming-verified and contracted to
+    * per-shard labels, and a label-grain closure merges them into a
+    * corpus-level labeling. The gate is the EXACTNESS theorem itself:
+    * the DuckDB twin computes the SINGLE-PASS closure (same recursive
+    * CTE + replayed cap as dd_cluster_canonical), so the hash match
+    * proves sharded labels == single-pass labels row-for-row —
+    * min-label associativity made concrete cross-engine at both SFs.
+    * Width pinned at 64-bit in both engines (oracle override, the
+    * autoCoarsePolicy precedent): the theorem needs both arms on ONE
+    * width, and the twin's band substrings are 16 chars. */
+  val ddShardedClusterMerge: Q = {
+    val highHex = "('8','9','a','b','c','d','e','f')"
+    val votes = (1 to 64).map { i =>
+      val src = if (i <= 32) s"substr(md5(token), $i, 1)"
+        else s"substr(md5('s2|' || token), ${i - 32}, 1)"
+      s"SUM(CASE WHEN $src IN $highHex THEN 1 ELSE -1 END) AS v$i"
+    }.mkString(",\n      |    ")
+    val bits = (1 to 64).map(i =>
+      s"CASE WHEN v$i > 0 THEN '1' ELSE '0' END").mkString(" || ")
+    Q.sql(
+      "dd_sharded_cluster_merge",
+      s"""WITH RECURSIVE t AS (
+        |  SELECT doc_id, $toksSql AS toks FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(toks) AS token FROM t
+        |), v AS (
+        |  SELECT doc_id,
+        |    $votes
+        |  FROM tok GROUP BY doc_id
+        |), sh AS (
+        |  SELECT doc_id, $bits AS simhash FROM v
+        |), sized AS (
+        |  SELECT doc_id, simhash, band, band_key,
+        |    COUNT(*) OVER (PARTITION BY band, band_key) AS bucket_size
+        |  FROM (
+        |    SELECT doc_id, simhash, b AS band,
+        |      substr(simhash, b * 16 + 1, 16) AS band_key
+        |    FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b))
+        |), cand AS (
+        |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+        |    l.simhash AS sim_a, r.simhash AS sim_b
+        |  FROM (SELECT * FROM sized WHERE bucket_size <= 512) l
+        |  JOIN (SELECT * FROM sized WHERE bucket_size <= 512) r
+        |    USING (band, band_key)
+        |  WHERE l.doc_id < r.doc_id
+        |  UNION ALL
+        |  SELECT doc_a, doc_b, sim_a, sim_b FROM (
+        |    SELECT doc_id AS doc_a, LEAD(doc_id) OVER w AS doc_b,
+        |      simhash AS sim_a, LEAD(simhash) OVER w AS sim_b
+        |    FROM (SELECT * FROM sized WHERE bucket_size > 512)
+        |    WINDOW w AS (PARTITION BY band, band_key ORDER BY doc_id))
+        |  WHERE doc_b IS NOT NULL
+        |), pairs AS (
+        |  SELECT DISTINCT doc_a, doc_b FROM cand
+        |  WHERE hamming(sim_a, sim_b) <= 3
+        |), sym AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs
+        |), r(a, b) AS (
+        |  SELECT doc_id, doc_id FROM t
+        |  UNION
+        |  SELECT r.a, s.dst FROM r JOIN sym s ON r.b = s.src
+        |), comp AS (
+        |  SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS component
+        |  FROM r GROUP BY a
+        |)
+        |SELECT doc_id, CAST(doc_id % 3 AS BIGINT) AS shard, component,
+        |  CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT)
+        |    AS component_size
+        |FROM comp ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val tokenRows = docs.select(col("doc_id"),
+        explode(TA.tokens(col("text"))).as("token"))
+      val sharded = Dedup.simhash64FromTokens(tokenRows)
+        .withColumn("shard", col("doc_id") % 3)
+      val labels = Dedup.shardedNearDupLabels(sharded, bits = 64)
+      labels.select(col("id").as("doc_id"),
+          (col("id") % 3).cast("long").as("shard"), col("component"))
+        .withColumn("component_size",
+          count(lit(1)).over(Window.partitionBy(col("component")))
+            .cast("long"))
         .orderBy("doc_id")
     }
   }
@@ -4148,14 +4271,15 @@ object LlmQueries {
     * hash-checked), while `naive_is_leaky` marks the multi-doc
     * clusters a doc-grain hash split (same seed, same buckets) DOES
     * tear apart — the measured contamination a cluster-level split
-    * removes. Runs the CORPUS-SCALE 64-bit/16-bit-band layout
-    * (migrated r15 with dd_cluster_canonical: leakage-safe splitting
-    * is the one operator where the 32-bit layout's band saturation
-    * silently under-merges — i.e. leaks — at corpus scale). Runs the
+    * removes. Band width from `Dedup.autoBandPolicy` over the corpus
+    * count (r16, with dd_cluster_canonical: leakage-safe splitting is
+    * the one operator where band saturation silently under-merges —
+    * i.e. leaks — so the consumer must stop inheriting a fixed width;
+    * the choice is hash-gated via `band_bits` and the twin replays
+    * `Dedup.DefaultBucketCap` with a bucket-size window). Runs the
     * FULL corpus like dd_cluster_canonical (the 64-bit layout's pair
     * volume makes the sample unnecessary — and a split gate SHOULD
-    * cover every document); same capless-twin reasoning as
-    * `dd_simhash_neardup`; seed 'split14' re-checked at both draws
+    * cover every document); seed 'split14' re-checked at both draws
     * per the sketch-demo rule on the 64-bit full-corpus clusters —
     * 4 / 117 naive-leaky of 17 / 303 multi-doc clusters at
     * sf0.01 / sf0.1, zero cluster-leaky at either. The DuckDB twin
@@ -4183,15 +4307,30 @@ object LlmQueries {
         |  FROM tok GROUP BY doc_id
         |), sh AS (
         |  SELECT doc_id, $bits AS simhash FROM v
-        |), banded AS (
-        |  SELECT doc_id, simhash, b AS band,
-        |    substr(simhash, b * 16 + 1, 16) AS band_key
-        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
-        |), pairs AS (
-        |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-        |  FROM banded l JOIN banded r USING (band, band_key)
+        |), sized AS (
+        |  SELECT doc_id, simhash, band, band_key,
+        |    COUNT(*) OVER (PARTITION BY band, band_key) AS bucket_size
+        |  FROM (
+        |    SELECT doc_id, simhash, b AS band,
+        |      substr(simhash, b * 16 + 1, 16) AS band_key
+        |    FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b))
+        |), cand AS (
+        |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+        |    l.simhash AS sim_a, r.simhash AS sim_b
+        |  FROM (SELECT * FROM sized WHERE bucket_size <= 512) l
+        |  JOIN (SELECT * FROM sized WHERE bucket_size <= 512) r
+        |    USING (band, band_key)
         |  WHERE l.doc_id < r.doc_id
-        |    AND hamming(l.simhash, r.simhash) <= 3
+        |  UNION ALL
+        |  SELECT doc_a, doc_b, sim_a, sim_b FROM (
+        |    SELECT doc_id AS doc_a, LEAD(doc_id) OVER w AS doc_b,
+        |      simhash AS sim_a, LEAD(simhash) OVER w AS sim_b
+        |    FROM (SELECT * FROM sized WHERE bucket_size > 512)
+        |    WINDOW w AS (PARTITION BY band, band_key ORDER BY doc_id))
+        |  WHERE doc_b IS NOT NULL
+        |), pairs AS (
+        |  SELECT DISTINCT doc_a, doc_b FROM cand
+        |  WHERE hamming(sim_a, sim_b) <= 3
         |), sym AS (
         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
         |  UNION SELECT doc_b, doc_a FROM pairs
@@ -4229,15 +4368,19 @@ object LlmQueries {
         |)
         |SELECT sp.doc_id, sp.component, sp.sample_bucket, sp.split,
         |  sp.naive_split, cs.component_size, cs.cluster_is_leaky,
-        |  cs.naive_is_leaky
+        |  cs.naive_is_leaky, CAST(64 AS BIGINT) AS band_bits
         |FROM sp JOIN cs USING (component)
         |ORDER BY sp.doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val tokenRows = docs.select(col("doc_id"),
         explode(TA.tokens(col("text"))).as("token"))
+      // autoBandPolicy width + twin-replayed DefaultBucketCap, gated
+      // via band_bits — see dd_cluster_canonical (identical r16
+      // migration; this is the consumer where band saturation
+      // silently under-merges = LEAKS, so the policy matters most).
+      val bits = Dedup.autoBandPolicy(docs.count())
       val pairs = Dedup.simhashNearDups(
-        Dedup.simhash64FromTokens(tokenRows),
-        maxBucketSize = 512, bits = 64)
+        Dedup.simhashForWidth(bits, tokenRows), bits = bits)
       val cc = Dedup.connectedComponents(
         docs.select(col("doc_id").as("id")),
         pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
@@ -4257,7 +4400,8 @@ object LlmQueries {
       sp.join(cs, Seq("component"))
         .select(col("doc_id"), col("component"), col("sample_bucket"),
           col("split"), col("naive_split"), col("component_size"),
-          col("cluster_is_leaky"), col("naive_is_leaky"))
+          col("cluster_is_leaky"), col("naive_is_leaky"),
+          lit(bits).cast("long").as("band_bits"))
         .orderBy("doc_id")
     }
   }
@@ -4341,7 +4485,7 @@ object LlmQueries {
     tStratifiedSplit, tLeakageSafeSplit, tTopkShardedVerified,
     tDocChunking, tOovRate, ddExact, ddExactNormalized, ddIncrementalDedup,
     ddIncrementalBloom, ddIncrementalIndexChain, ddNearDupIndexChain,
-    ddClusterCanonical,
+    ddClusterCanonical, ddShardedClusterMerge,
     ddUrlDedup, ddLineDedup, ddDupSpanCoverage, ddDupSpanRemoval,
     ddConnectedComponents, ddCcIncremental, ddMinhashLsh,
     ddMinhashEstimate,

@@ -38,6 +38,28 @@ final class Catalog(val spark: SparkSession, val root: String,
     * (only populated when [[skipUnchanged]] is on). */
   def skipped: Seq[String] = skippedSet.keys.toSeq.sorted
 
+  // ---- per-model materialization wall times (r15 VERDICT task #2:
+  // the refdemo_sf01 DAG pass is BIMODAL under driver conditions —
+  // 135.0/171.9 s driver vs 71.0/65.9 s builder min-of-2 on identical
+  // trees while per-query blocks agreed within 1% — so the slow draw
+  // needs to NAME a model). Each table save records its full
+  // fingerprint+commit+read-back wall; with the thread-pool waves a
+  // model's wall includes scheduler contention — which is exactly
+  // what a slow draw should surface. Bench emits the slowest models
+  // per rep under `refdemo_sf01_models` in bench/BENCH.json.
+  private val timingsMap =
+    scala.collection.concurrent.TrieMap[String, Double]()
+
+  /** model → seconds spent materializing it this run. */
+  def timings: Map[String, Double] = timingsMap.toMap
+
+  private def timed[A](layer: String, name: String)(body: => A): A = {
+    val t0 = System.nanoTime()
+    val r = body
+    timingsMap(s"$layer.$name") = (System.nanoTime() - t0) / 1e9
+    r
+  }
+
   // ---- per-run pin set for cross-table snapshot publication: every
   // table this catalog committed OR served (skip-unchanged hit) this
   // run, at the version a reader of this run's output should see. The
@@ -183,7 +205,8 @@ final class Catalog(val spark: SparkSession, val root: String,
 
   private def commitUnlessUnchanged(layer: String, name: String,
                                     df: DataFrame)(
-                                    commit: Long => Unit): DataFrame = {
+                                    commit: Long => Unit): DataFrame =
+      timed(layer, name) {
     val p = path(layer, name)
     recordDeps(layer, name, df)
     val (key, hit) = fingerprintHit(p, df)
@@ -211,7 +234,8 @@ final class Catalog(val spark: SparkSession, val root: String,
     * Returns the committed snapshot and the observed check results. */
   def saveTableObserved(layer: String, name: String, df: DataFrame,
                         notNullCols: Seq[String])
-      : (DataFrame, Seq[graft.quality.Checks.Result]) = {
+      : (DataFrame, Seq[graft.quality.Checks.Result]) =
+      timed(layer, name) {
     // Fingerprint the RAW frame, not the instrumented one: on a
     // skip-unchanged hit no action ever runs on the observed plan, and
     // Observation.get would block the run forever (r12 ADVICE). A skip

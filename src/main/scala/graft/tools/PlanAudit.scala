@@ -56,11 +56,20 @@ object PlanAudit {
             val finalLines = (if (plan.contains("== Initial Plan =="))
               plan.substring(0, plan.indexOf("== Initial Plan =="))
             else plan).linesIterator.toSeq
+            // Anchor the match to the OPERATOR token (first letter run
+            // after the tree-prefix characters), not contains() over
+            // the whole line — an output attribute list mentioning
+            // e.g. `join_key#12` must not false-flag (r15 ADVICE).
+            def opToken(l: String): String =
+              l.dropWhile(c => " :+-|*()0123456789".indexOf(c) >= 0)
+                .takeWhile(_.isLetter)
             val heavySurvives = Seq("Join", "HashAggregate",
               "SortAggregate", "ObjectHashAggregate", "Window",
-              "Generate", "Expand").exists(op =>
-                finalLines.exists(l =>
-                  l.contains(op) && !l.contains("EmptyRelation")))
+              "Generate", "Expand", "CartesianProduct").exists(op =>
+                finalLines.exists(l => {
+                  val t = opToken(l)
+                  t.contains(op) && t != "EmptyRelation"
+                }))
             if (heavySurvives) Some("emptyCollapsed NO-CODEGEN")
             else Some("emptyCollapsed")
           }

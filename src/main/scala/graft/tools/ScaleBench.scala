@@ -207,15 +207,18 @@ object ScaleBench {
     * r15: 64-bit/16-bit-band layout, matching the migrated consumer —
     * the r14 measurement of this family on the 32-bit layout (shuffle-
     * tail α≈1.54 from 256-key band saturation) is what motivated the
-    * migration; this re-measures the family as it now ships. */
+    * migration. r16: width now from `Dedup.autoBandPolicy`, matching
+    * the policy-driven consumer — at 100× (500k docs) the policy
+    * steps to 128-bit, which is exactly the measured fix for the r15
+    * 100× row's 1.74 shuffle-tail (16-bit band saturation onset). */
   private def clusterCanonical(s: SparkSession, dir: String): Long = {
     // full corpus, mirroring the migrated consumer (sample dropped r15)
     val docs = docsOf(s, dir)
     val tokenRows = docs.select(col("doc_id"),
       explode(TA.tokens(col("text"))).as("token"))
+    val bits = Dedup.autoBandPolicy(docs.count())
     val pairs = Dedup.simhashNearDups(
-      Dedup.simhash64FromTokens(tokenRows), maxBucketSize = 512,
-      bits = 64)
+      Dedup.simhashForWidth(bits, tokenRows), bits = bits)
     val cc = Dedup.connectedComponents(
       docs.select(col("doc_id").as("id")),
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
@@ -280,9 +283,10 @@ object ScaleBench {
     val docs = docsOf(s, dir)
     val tokenRows = docs.select(col("doc_id"),
       explode(TA.tokens(col("text"))).as("token"))
+    // policy-driven width, mirroring the r16 consumer (128-bit at 100×)
+    val bits = Dedup.autoBandPolicy(docs.count())
     val pairs = Dedup.simhashNearDups(
-      Dedup.simhash64FromTokens(tokenRows), maxBucketSize = 512,
-      bits = 64)
+      Dedup.simhashForWidth(bits, tokenRows), bits = bits)
     val cc = Dedup.connectedComponents(
       docs.select(col("doc_id").as("id")),
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
@@ -302,6 +306,57 @@ object ScaleBench {
     else
       Clustering.ivfPqTopK(s, emb,
         coarseStride = 100, stride = 100).count()
+  }
+
+  /** Fixed-query-workload serve arm (r15 VERDICT task #4): the shipped
+    * `ivfpq_sqrt_cells` row reads shuffle-tail 1.47 only because the
+    * EVAL convention grows queries ∝ corpus — the SERVED claim
+    * (per-query cost ∝ √n at nlist ≈ √n) needs the workload held
+    * constant. Here the index is built UN-TIMED in prep
+    * (Clustering.ivfPqBuild, policy defaults) and persisted as
+    * parquet; run serves the SAME 400-query batch (first-replica ids,
+    * vec_id % 5 = 0) at every scale. The timed half still contains
+    * one linear term — the codes/cells scans feeding the probed-cell
+    * filter — so the expected wall tail is between 0.5 and 1 with
+    * shuffle ≈ the candidate volume (q·nProbe·n/nlist ∝ √n). */
+  private def ivfpqQueryFixedPrep(s: SparkSession, dir: String): Unit = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val idx = Clustering.ivfPqBuild(s, emb)
+    idx.coarseCb.write.mode("overwrite").parquet(s"$dir/_ivfpq/coarse")
+    idx.cells.write.mode("overwrite").parquet(s"$dir/_ivfpq/cells")
+    idx.codes.write.mode("overwrite").parquet(s"$dir/_ivfpq/codes")
+    idx.codebooks.zipWithIndex.foreach { case (cb, m) =>
+      cb.write.mode("overwrite").parquet(s"$dir/_ivfpq/cb$m") }
+  }
+
+  private def ivfpqQueryFixed(s: SparkSession, dir: String): Long = {
+    val idx = Clustering.IvfPqIndex(
+      s.read.parquet(s"$dir/_ivfpq/coarse"),
+      s.read.parquet(s"$dir/_ivfpq/cells"),
+      (0 until 4).map(m => s.read.parquet(s"$dir/_ivfpq/cb$m")),
+      s.read.parquet(s"$dir/_ivfpq/codes"), mSub = 4, subDim = 16)
+    val queries = s.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") % 5 === 0 && col("vec_id") < EmbStride)
+    Clustering.ivfPqQueryTopK(idx, queries).count()
+  }
+
+  /** Cross-shard near-dup merge at scale (r15 VERDICT task #6): shard
+    * = the amplification replica (doc_id div DocStride), so shard SIZE
+    * is constant (one 1× corpus) while shard COUNT grows ∝ scale —
+    * the deployment shape that defeats band saturation (within-shard
+    * buckets key on (shard, band, band_key); the width policy sizes
+    * from the SHARD's doc count and never widens as the corpus grows).
+    * Expected: within-shard work ∝ k with flat per-shard cost ⇒ wall
+    * tail ≈1; the cross-shard stage ships banded rows only. */
+  private def shardedMerge(s: SparkSession, dir: String): Long = {
+    val docs = docsOf(s, dir)
+    val tokenRows = docs.select(col("doc_id"),
+      explode(TA.tokens(col("text"))).as("token"))
+    val bits = Dedup.autoBandPolicy(
+      docs.filter(col("doc_id") < DocStride).count())
+    val sharded = Dedup.simhashForWidth(bits, tokenRows)
+      .withColumn("shard", expr(s"doc_id div ${DocStride}"))
+    Dedup.shardedNearDupLabels(sharded, bits = bits).count()
   }
 
   private def sessionTimers(s: SparkSession, dir: String): Long = {
@@ -465,6 +520,11 @@ object ScaleBench {
       (s, d, k) => ivfpq(s, d, k, scaledStride = false)),
     Fam("ivfpq_sqrt_cells", Set("embeddings"), rep = false,
       (s, d, k) => ivfpq(s, d, k, scaledStride = true)),
+    Fam("ivfpq_query_fixed", Set("embeddings"), rep = true,
+      (s, d, _) => ivfpqQueryFixed(s, d),
+      prep = Some(ivfpqQueryFixedPrep)),
+    Fam("sharded_merge", Set("documents"), rep = true,
+      (s, d, _) => shardedMerge(s, d)),
     Fam("session_timers", Set("events"), rep = false,
       (s, d, _) => sessionTimers(s, d)),
     Fam("range_join_unkeyed", Set("events"), rep = true,

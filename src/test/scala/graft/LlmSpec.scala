@@ -405,11 +405,62 @@ class LlmSpec extends SparkSpec {
     val tokenRows = Tables.documents(spark, sf)
       .select(col("doc_id"), explode(TA.tokens(col("text"))).as("token"))
     val healthy = Dedup.simhashFromTokens(tokenRows).cache()
-    val un = Dedup.simhashNearDups(healthy)
+    // explicit Int.MaxValue: the default is now DefaultBucketCap (r16),
+    // so the uncapped arm must opt out to keep this a real A/B
+    val un = Dedup.simhashNearDups(healthy, maxBucketSize = Int.MaxValue)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     val cp = Dedup.simhashNearDups(healthy, maxBucketSize = 512)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(un == cp, "cap is a no-op when buckets are under the limit")
+  }
+
+  test("autoBandPolicy: width rungs track corpus size, bounds exact") {
+    // bound_b = 2^(b/4) (keyspace ≥ nDocs): 256 / 65,536
+    assert(Dedup.autoBandPolicy(1) == 32)
+    assert(Dedup.autoBandPolicy(256) == 32)
+    assert(Dedup.autoBandPolicy(257) == 64)
+    assert(Dedup.autoBandPolicy(65536) == 64)
+    assert(Dedup.autoBandPolicy(65537) == 128)
+    assert(Dedup.autoBandPolicy(100L * 1000 * 1000 * 1000) == 128)
+    // both oracle gate SFs sit inside the 64-bit window with margin
+    // (the dd_cluster_canonical / t_leakage_safe_split twins pin 64)
+    assert(Dedup.autoBandPolicy(500) == 64)
+    assert(Dedup.autoBandPolicy(5000) == 64)
+    // dispatch produces the matching signature width
+    val toks = Seq((1L, "alpha"), (1L, "beta"), (2L, "alpha"))
+      .toDF("doc_id", "token")
+    Seq(32, 64, 128).foreach { b =>
+      val sig = Dedup.simhashForWidth(b, toks).head().getString(1)
+      assert(sig.length == b && sig.forall(c => c == '0' || c == '1'))
+    }
+    intercept[IllegalArgumentException](Dedup.simhashForWidth(48, toks))
+  }
+
+  test("shardedNearDupLabels == single-pass labels (min-label assoc)") {
+    // The dd_sharded_cluster_merge gate proves this cross-engine; the
+    // spec pins it Spark-vs-Spark at sf0.001 where the corpus is small
+    // enough for the single-pass arm to be the in-suite oracle, plus a
+    // keyed-banding sanity: within-pairs never cross shards.
+    val sf = "/root/testdata/sf0.001"
+    val tokenRows = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(TA.tokens(col("text"))).as("token"))
+    val sh = Dedup.simhash64FromTokens(tokenRows).cache()
+    val sharded = sh.withColumn("shard", col("doc_id") % 3)
+    val within = Dedup.simhashNearDups(sharded, bits = 64,
+      keyCols = Seq("shard"))
+    assert(within.filter(col("doc_a") % 3 =!= col("doc_b") % 3)
+      .count() == 0, "keyed banding must not emit cross-shard pairs")
+    val singlePairs = Dedup.simhashNearDups(sh, bits = 64)
+    val single = Dedup.connectedComponents(
+        sh.select(col("doc_id").as("id")),
+        singlePairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .as[(Long, Long)].collect().toMap
+    val merged = Dedup.shardedNearDupLabels(sharded, bits = 64)
+      .as[(Long, Long)].collect().toMap
+    assert(merged == single)
+    assert(single.exists { case (id, c) => id != c },
+      "draw sanity: at least one non-singleton cluster")
+    sh.unpersist()
   }
 
   test("ANN bucket cap bounds the candidate pool deterministically") {

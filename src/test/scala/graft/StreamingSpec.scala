@@ -621,6 +621,58 @@ class StreamingSpec extends SparkSpec {
     assert(snap(sIdx) == before)
   }
 
+  test("streaming text dedup sink: committed near-dup index matches the batch chain") {
+    import org.apache.spark.sql.types._
+    import graft.llm.NearDupIndex
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val srcDir = java.nio.file.Files.createTempDirectory("nd_src")
+    val sIdx = java.nio.file.Files.createTempDirectory("nd_sidx")
+      .resolve("t").toString
+    val bIdx = java.nio.file.Files.createTempDirectory("nd_bidx")
+      .resolve("t").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("nd_ckpt").toString
+    def doc(i: Long): (Long, String) =
+      (i, s"alpha beta gamma delta epsilon zeta variant$i tail words")
+    def stage(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("nd_stage")
+      import spark.implicits._
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite")
+        .parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.move(java.nio.file.Paths.get(part),
+        srcDir.resolve(name))
+    }
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
+      val q = EventStream.nearDupDedupSink(stream, sIdx, ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val b1 = Seq(doc(1), doc(2), doc(3))
+    val b2 = Seq(doc(1), doc(4)) // near-dup of batch-1 doc + fresh
+    stage("b1.parquet", b1)
+    runOnce()
+    stage("b2.parquet", b2)
+    runOnce() // resumes from checkpoint: only b2 is new
+    // batch twin over the same two batches
+    def run(rows: Seq[(Long, String)]): Unit = {
+      import spark.implicits._
+      NearDupIndex.processBatch(spark, bIdx, rows.toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      ()
+    }
+    run(b1); run(b2)
+    def snap(dir: String) = NearDupIndex.load(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(snap(sIdx) == snap(bIdx))
+    assert(snap(sIdx).nonEmpty)
+    // restart with no new data: replay is a no-op, index unchanged
+    val before = snap(sIdx)
+    runOnce()
+    assert(snap(sIdx) == before)
+  }
+
   test("upsert sink crash window: orphan uncommitted version loses no history") {
     import graft.operators.AtomicTable
     import org.apache.spark.sql.types._
