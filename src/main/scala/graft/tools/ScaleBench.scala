@@ -79,20 +79,40 @@ object ScaleBench {
     s.drop(r) + s.take(r)
   }
 
+  /** Affine permutation of the alphabet: index ↦ s[(a·idx + b) mod n],
+    * `a` coprime to n. a = 1 IS the plain rotation, so replicas < 26
+    * stay BYTE-IDENTICAL to the r14/r15 amplifier (every committed
+    * ≤30× row remains reproducible); each block of 26 replicas
+    * advances `a` through 1, 3, 5, 7 (all coprime to 26), giving all
+    * 100 replicas distinct letter mappings. Why this matters (r16,
+    * found by the first 100× sweep): rotation alone wraps at 26, so a
+    * 100× run held ~4 IDENTICAL corpora per rotation for every
+    * pure-letter token — the minhash_lsh 100× point read 819k
+    * verified pairs (vs 29.7k at 30×) of genuine cross-replica
+    * duplicates, a harness artifact masquerading as band saturation.
+    * Two distinct affine maps agree on at most one letter, so
+    * pure-letter tokens now share essentially nothing across any two
+    * replicas below 104. */
+  private def affine(s: String, a: Int, b: Int): String =
+    s.indices.map(idx => s((a * idx + b) % s.length)).mkString
+
   /** k salted replicas of `documents`: ids shifted by DocStride; the
-    * token alphabet rotated per replica ((i mod 26, i mod 10) is
-    * injective below lcm=130) so cross-replica texts share no tokens
-    * and near-dup families see k independent 1× corpora. */
+    * token alphabet permuted per replica by [[affine]] (letters; 26·4
+    * distinct maps) + rotation (digits) so cross-replica texts share
+    * no tokens and near-dup families see k independent 1× corpora. */
   private def amplifyDocs(spark: SparkSession, src: String, k: Int,
                           out: String): Unit = {
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val digits = "0123456789"
     val docs = Tables.documents(spark, src)
+    require(k <= 104, s"amplifyDocs: $k replicas exceed the 104 distinct " +
+      "letter mappings (4 affine blocks × 26 rotations)")
     (0 until k).map { i =>
       docs.select(
         (col("doc_id") + lit(i * DocStride)).as("doc_id"),
         translate(col("text"), lower + digits,
-          rot(lower, i % 26) + rot(digits, i % 10)).as("text"),
+          affine(lower, 2 * (i / 26) + 1, i % 26) +
+            rot(digits, i % 10)).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
