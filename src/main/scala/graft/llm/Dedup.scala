@@ -143,6 +143,18 @@ object Dedup {
 
   /** Exact Jaccard similarity over distinct shingles for candidate
     * pairs. `shingled` must have (doc_id, shingle) distinct rows. */
+  /** Measured-and-REJECTED (r16): pruning `shingled` to candidate
+    * endpoints with a semi join before the two intersection joins —
+    * motivated by the minhash_lsh 100× shuffle step (646 MB → 3.6 GB
+    * over 30→100× while verified pairs stayed exactly linear). The
+    * prune read WORSE at every scale ≤30× (shuffle +15–22%: the
+    * candidate-endpoint distinct plus the candidates subplan's
+    * re-execution cost more than the saved shingle rows) and saved
+    * only 9% at 100× — on near-dup corpora most docs ARE candidate
+    * endpoints, so there is little to prune. The 100× step itself is
+    * a plan-shape/spill effect, not a quadratic (bytes resume slope
+    * ~1 beyond it); revisit only if a corpus with sparse candidates
+    * shows up, where the same semi-prune is the textbook fix. */
   def jaccardVerify(candidates: DataFrame, shingled: DataFrame): DataFrame = {
     val sizes = shingled.groupBy("doc_id")
       .agg(count(lit(1)).as("set_size"))
