@@ -143,6 +143,44 @@ class ClusteringSpec extends SparkSpec {
     assert(got.forall(_.getBoolean(4)), "every ADC hit is an exact hit")
   }
 
+  test("ivfPqBuild + ivfPqQueryTopK == ivfPqTopK ranked results, through parquet") {
+    // The serve-path split (r16) must reproduce the gated lifecycle's
+    // ranking exactly: same corpus, same explicit strides, queries =
+    // the same corpus subset ivfPqTopK uses. The index round-trips
+    // through parquet first — the IvfPqIndex scaladoc's durability
+    // claim, exercised.
+    val emb = Tables.embeddings(spark, sf)
+    def tuples(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val full = tuples(Clustering.ivfPqTopK(spark, emb,
+        coarseStride = 100, stride = 100)
+      .select(col("query_id"), col("cand_id"), col("approx_dist"),
+        col("rank")))
+    val idx = Clustering.ivfPqBuild(spark, emb,
+      coarseStride = 100, stride = 100)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_idx")
+    val roundTripped = try {
+      idx.coarseCb.write.parquet(s"$dir/coarse")
+      idx.cells.write.parquet(s"$dir/cells")
+      idx.codes.write.parquet(s"$dir/codes")
+      idx.codebooks.zipWithIndex.foreach { case (cb, m) =>
+        cb.write.parquet(s"$dir/cb$m") }
+      Clustering.IvfPqIndex(
+        spark.read.parquet(s"$dir/coarse"),
+        spark.read.parquet(s"$dir/cells"),
+        idx.codebooks.indices.map(m => spark.read.parquet(s"$dir/cb$m")),
+        spark.read.parquet(s"$dir/codes"), idx.mSub, idx.subDim)
+    } finally ()
+    val queries = emb.filter(col("vec_id") % 97 === 0)
+    val served = tuples(Clustering.ivfPqQueryTopK(roundTripped, queries)
+      .select(col("query_id"), col("vec_id"), col("approx_dist"),
+        col("rank")))
+    assert(served == full)
+    assert(served.nonEmpty)
+    graft.queries.Q.deleteRecursively(dir)
+  }
+
   test("pqTopK recall degrades but ranking stays deterministic at coarse k") {
     val emb = Tables.embeddings(spark, sf).limit(60)
     val a = Clustering.pqTopK(spark, emb, mSub = 4, subDim = 16,
