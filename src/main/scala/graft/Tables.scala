@@ -52,4 +52,18 @@ object Tables {
     normalizeEventTs(table(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  private val docCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** MEMOIZED `documents` row count per data dir — the sizing input for
+    * [[graft.llm.Dedup.autoBandPolicy]] callers. The testdata dirs are
+    * immutable within a run, so the count is computed ONCE per JVM and
+    * shared by every policy-driven consumer (dd_cluster_canonical,
+    * t_leakage_safe_split, the ScaleBench families) instead of each
+    * paying an extra eager action per run — the dedup-side analogue of
+    * Clustering's `knownN` bypass (r16 ADVICE). A production pipeline
+    * passes `TableStats.committedRows` here for free. */
+  def documentsCount(s: SparkSession, d: String): Long =
+    docCountCache.computeIfAbsent(d, _ => documents(s, d).count())
 }

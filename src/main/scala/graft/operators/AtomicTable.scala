@@ -136,12 +136,9 @@ object AtomicTable {
     *   - `_writer` creation uses create-no-overwrite, so two first
     *     writers racing produce one winner and one reader-of-the-file —
     *     never a silent split lineage. */
-  def commit(df: DataFrame, dir: String, version: Long,
-             writerId: Option[String] = None,
-             partitionCols: Seq[String] = Nil,
-             retainVersions: Int = 2,
-             adoptExisting: Boolean = false): Unit = {
-    val spark = df.sparkSession
+  private def bindWriter(spark: SparkSession, dir: String,
+                         writerId: Option[String],
+                         adoptExisting: Boolean): Unit = {
     val f = fs(spark, dir)
     writerId.foreach { id =>
       val wp = writerPath(dir)
@@ -182,6 +179,16 @@ object AtomicTable {
             "reuse the original checkpoint.")
       }
     }
+  }
+
+  def commit(df: DataFrame, dir: String, version: Long,
+             writerId: Option[String] = None,
+             partitionCols: Seq[String] = Nil,
+             retainVersions: Int = 2,
+             adoptExisting: Boolean = false): Unit = {
+    val spark = df.sparkSession
+    val f = fs(spark, dir)
+    bindWriter(spark, dir, writerId, adoptExisting)
     if (isCommitted(spark, dir, version)) return
     val w = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
@@ -356,16 +363,161 @@ object AtomicTable {
       .select(keys.map(col) :+ col("change_type"): _*)
   }
 
+  // ------------------------------------------------------------------
+  // BASE + DELTA merge-on-read layout (r17) — for APPEND-ONLY committed
+  // tables whose per-commit change is tiny relative to the accumulated
+  // table: the persisted dedup indexes (CorpusIndex / NearDupIndex /
+  // PhashIndex). The snapshot protocol above rewrites the FULL table
+  // per version, so at deployment grain (a year of daily commits, or a
+  // streaming sink committing per micro-batch) day-N's WRITE cost is
+  // ∝ index size, not ∝ batch — the measured r16 weak mark
+  // (phash_index_chain shuffle-bytes-tail 1.30 @100×, SCALE.md). Here a
+  // commit writes ONLY the delta:
+  //
+  //   v_<n>/ + _commit_<n>      delta for version n (same markers and
+  //                             idempotency as `commit`; NEVER pruned
+  //                             by the committing writer)
+  //   base_<n>/ + _basecommit_<n>  full snapshot covering every delta
+  //                             with version ≤ n, written by
+  //                             [[compactToBase]]
+  //
+  // Readers ([[readMerged]]) resolve MAX committed base b and scan
+  // base_<b> ∪ { v_<n> : n > b } — ONE multi-path parquet scan, same
+  // bytes as a single-version snapshot of equal size. Bases live in
+  // their OWN namespace keyed by the highest delta version they cover,
+  // so compaction never mints a version number a streaming writer
+  // (version = batch id) could later collide with — a base appearing
+  // between micro-batches must not make batch N+1's marker check
+  // silently no-op. The hive-partitioned alternative (rewrite only
+  // touched partitions) was considered and REJECTED for the index
+  // workloads: their keys are uniform hashes, so any batch touches
+  // essentially every partition — partition-grain rewrite degenerates
+  // to the full rewrite it was meant to avoid. Merge-on-read is the
+  // layout that actually makes the write ∝ batch; Delta/Iceberg reach
+  // the same conclusion with their deletion-vector / delta-file designs.
+  //
+  // This layout intentionally supports ONLY append deltas (no keyed
+  // upsert): the index workloads' deltas are provably disjoint from the
+  // committed table (a kept doc by definition missed the index), so
+  // union == upsert there. Tables needing keyed merges keep `commit`.
+  // ------------------------------------------------------------------
+
+  private val BaseMarkerPrefix = "_basecommit_"
+
+  private def baseDataPath(dir: String, version: Long) =
+    new Path(s"$dir/base_$version")
+  private def baseMarkerPath(dir: String, version: Long) =
+    new Path(s"$dir/$BaseMarkerPrefix$version")
+
+  /** Committed base snapshots, ascending by the delta version they
+    * cover. */
+  def committedBases(spark: SparkSession, dir: String): Seq[Long] = {
+    val f = fs(spark, dir)
+    if (!f.exists(new Path(dir))) Seq.empty
+    else f.listStatus(new Path(dir)).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith(BaseMarkerPrefix))
+      .map(_.stripPrefix(BaseMarkerPrefix).toLong)
+      .sorted
+  }
+
+  /** Append `df` as the DELTA for `version` and commit it. Same
+    * idempotency (marker per version) and writer-lineage binding as
+    * [[commit]]; unlike `commit`, NOTHING is pruned — deltas stay live
+    * until a [[compactToBase]] supersedes them. A crash after
+    * data-write but before marker leaves an invisible orphan the
+    * replayed batch overwrites. */
+  def commitDelta(df: DataFrame, dir: String, version: Long,
+                  writerId: Option[String] = None,
+                  adoptExisting: Boolean = false): Unit = {
+    val spark = df.sparkSession
+    val f = fs(spark, dir)
+    bindWriter(spark, dir, writerId, adoptExisting)
+    if (isCommitted(spark, dir, version)) return
+    df.write.mode("overwrite").parquet(dataPath(dir, version).toString)
+    f.create(markerPath(dir, version), true).close()
+  }
+
+  private def hasDataFiles(f: FileSystem, p: Path): Boolean =
+    f.exists(p) && f.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+
+  /** MERGE-ON-READ view of a base+delta table: latest committed base ∪
+    * all committed deltas after it, as one multi-path parquet scan.
+    * None when nothing committed (or every committed piece is
+    * zero-row — an all-duplicates day writes an empty delta, which
+    * parquet cannot self-describe; callers supply their typed empty
+    * frame, exactly as for an uncommitted table). */
+  def readMerged(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val f = fs(spark, dir)
+    val base = committedBases(spark, dir).lastOption
+    val paths = (base.map(b => baseDataPath(dir, b)).toSeq ++
+      committedVersions(spark, dir)
+        .filter(v => base.forall(_ < v)).map(v => dataPath(dir, v)))
+      .filter(hasDataFiles(f, _))
+    if (paths.isEmpty) None
+    else Some(spark.read.parquet(paths.map(_.toString): _*))
+  }
+
+  /** COMPACTION for the base+delta layout: fold the current merged view
+    * into a new base covering every committed delta so far, then prune
+    * the epoch BEFORE the previous base (retain-2 at epoch granularity —
+    * the same reader-grace rule as `commit`'s keep-two versions: a
+    * reader must be two full compaction cycles stale before a path it
+    * resolved disappears). Base data is written fully FIRST and the
+    * `_basecommit` flag is the single atomic visibility point, so a
+    * concurrent [[readMerged]] resolves either the old base+deltas or
+    * the new base — never a mix; a crash mid-compaction leaves an
+    * invisible orphan `base_<n>` the next compaction overwrites.
+    * Returns the covered version, or None when there are no committed
+    * deltas or the latest is already covered. */
+  def compactToBase(spark: SparkSession, dir: String): Option[Long] = {
+    val versions = committedVersions(spark, dir)
+    val bases = committedBases(spark, dir)
+    versions.lastOption.filter(v => !bases.lastOption.contains(v))
+      .flatMap { cover =>
+        readMerged(spark, dir).map { df =>
+          val f = fs(spark, dir)
+          df.write.mode("overwrite")
+            .parquet(baseDataPath(dir, cover).toString)
+          f.create(baseMarkerPath(dir, cover), true).close()
+          val retained = (bases :+ cover).takeRight(2)
+          bases.filterNot(retained.contains).foreach { b =>
+            f.delete(baseMarkerPath(dir, b), false)
+            f.delete(baseDataPath(dir, b), true)
+          }
+          // deltas covered by the retained PREVIOUS base have had a
+          // full epoch of grace — superseded twice over; prune them.
+          retained.headOption.filter(_ != cover).foreach { pb =>
+            versions.filter(_ <= pb).foreach { v =>
+              f.delete(markerPath(dir, v), false)
+              f.delete(dataPath(dir, v), true)
+            }
+          }
+          cover
+        }
+      }
+  }
+
+  /** Committed delta versions NOT yet covered by a base — the
+    * compaction-debt count an auto-compaction policy triggers on. */
+  def deltasSinceBase(spark: SparkSession, dir: String): Int = {
+    val base = committedBases(spark, dir).lastOption
+    committedVersions(spark, dir).count(v => base.forall(_ < v))
+  }
+
   /** True when `dir` holds data OUTSIDE the atomic layout (files that
-    * are neither `v_<n>` dirs nor `_`-prefixed protocol markers) — a
-    * legacy plain-parquet table. Resolved through the same Hadoop
-    * FileSystem as the commit protocol, so the answer is correct on
-    * HDFS/S3A, not just the local filesystem. */
+    * are neither `v_<n>`/`base_<n>` dirs nor `_`-prefixed protocol
+    * markers) — a legacy plain-parquet table. Resolved through the same
+    * Hadoop FileSystem as the commit protocol, so the answer is correct
+    * on HDFS/S3A, not just the local filesystem. */
   def hasLegacyFiles(spark: SparkSession, dir: String): Boolean = {
     val f = fs(spark, dir)
     f.exists(new Path(dir)) && f.listStatus(new Path(dir)).exists { st =>
       val n = st.getPath.getName
-      !n.startsWith("v_") && !n.startsWith("_")
+      !n.startsWith("v_") && !n.startsWith("base_") && !n.startsWith("_")
     }
   }
 

@@ -265,37 +265,43 @@ object EventStream {
     * writer lineage. A replayed batch after a crash is therefore an
     * idempotent already-committed no-op, and committed index history is
     * never lost; the per-batch plan is the batch operator's own, fully
-    * distributed. */
+    * distributed. Commits are DELTAS (write ∝ micro-batch, never ∝
+    * accumulated index — r17; this sink commits every micro-batch, so
+    * it hit the full-rewrite cost hardest), folded into a base every
+    * `compactEvery` deltas so merged-read file counts stay bounded. */
   def phashDedupSink(stream: DataFrame, indexDir: String,
                      checkpoint: String,
-                     toImages: DataFrame => DataFrame = identity)
+                     toImages: DataFrame => DataFrame = identity,
+                     compactEvery: Int = 16)
       : DataStreamWriter[Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.llm.PhashIndex.processBatch(batch.sparkSession, indexDir,
           toImages(batch), version = Some(batchId),
-          writerId = Some(checkpoint))
+          writerId = Some(checkpoint), compactEvery = compactEvery)
         ()
       }
 
   /** TEXT sibling of [[phashDedupSink]] (r15 VERDICT stretch #8): each
     * micro-batch of (doc_id, text) rows runs the REAL
     * [[graft.llm.NearDupIndex.processBatch]] — MinHash-band the batch,
-    * flag docs colliding with the committed index, upsert kept docs'
-    * bands — committing at `version = batch id` under this
+    * flag docs colliding with the committed index, append kept docs'
+    * bands as a delta — committing at `version = batch id` under this
     * checkpoint's writer lineage, so a crash-replayed micro-batch is
     * an idempotent already-committed no-op and the committed index
     * after N micro-batches is BYTE-IDENTICAL to N sequential batch
     * calls (StreamingSpec pins both, plus restart-no-op). */
   def nearDupDedupSink(stream: DataFrame, indexDir: String,
-                       checkpoint: String): DataStreamWriter[Row] =
+                       checkpoint: String,
+                       compactEvery: Int = 16): DataStreamWriter[Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.llm.NearDupIndex.processBatch(batch.sparkSession, indexDir,
           batch, col("doc_id"), col("text"),
-          version = Some(batchId), writerId = Some(checkpoint))
+          version = Some(batchId), writerId = Some(checkpoint),
+          compactEvery = compactEvery)
         ()
       }
 

@@ -90,9 +90,11 @@ object ScaleBench {
     * pure-letter token — the minhash_lsh 100× point read 819k
     * verified pairs (vs 29.7k at 30×) of genuine cross-replica
     * duplicates, a harness artifact masquerading as band saturation.
-    * Two distinct affine maps agree on at most one letter, so
-    * pure-letter tokens now share essentially nothing across any two
-    * replicas below 104. */
+    * Two distinct affine maps agree on at most TWO letters (their
+    * slopes differ by an even number, which is never invertible mod
+    * 26, so the agreement set is a coset of size 0 or 2 — never the
+    * alphabet), so pure-letter tokens still share essentially nothing
+    * across any two replicas below 104. */
   private def affine(s: String, a: Int, b: Int): String =
     s.indices.map(idx => s((a * idx + b) % s.length)).mkString
 
@@ -202,6 +204,39 @@ object ScaleBench {
       .filter(col("jaccard") >= 0.8).count()
   }
 
+  /** DEPLOYMENT-GRAIN commit cost of the persisted corpus index (r16
+    * VERDICT task #1's measurement): the daily batch is held FIXED at
+    * one replica's docs while the NUMBER OF DAYS grows ∝ scale — the
+    * axis the two-day `index_chain`/`phash_index_chain` families can't
+    * see (their batches grow with scale, so a write ∝ index and a
+    * write ∝ batch are both "linear"). Each day runs the full
+    * incremental discipline: Bloom-pruned probe
+    * ([[Dedup.incrementalExactBloom]] — probe shuffle ∝ batch) +
+    * DELTA commit (write ∝ batch, the r17 base+delta layout). Expected
+    * OUTPUT-bytes tail ≈ 1.0 (day-D writes a constant-size delta); the
+    * pre-r17 index∪delta rewrite would read ≈ 2.0 on this family by
+    * construction (Σ d·|batch| = O(D²)). Compaction deliberately OFF
+    * in the measured loop — it is amortized schedulable maintenance
+    * (∝ index per run, ∝ batch amortized per commit at any fixed
+    * cadence), and folding it in would re-add the quadratic term the
+    * per-commit claim is about. */
+  private def indexCommitDays(s: SparkSession, dir: String,
+                              k: Int): Long = {
+    val idx = java.nio.file.Files.createTempDirectory("graft_scale_icd")
+    try {
+      val docs = docsOf(s, dir)
+        .withColumn("day", expr(s"doc_id div $DocStride"))
+      var kept = 0L
+      (0 until k).foreach { d =>
+        kept += CorpusIndex.processBatch(s, idx.toString,
+          docs.filter(col("day") === d).drop("day"),
+          col("doc_id"), col("text"), bloom = true)
+          .filter(col("keep")).count()
+      }
+      kept
+    } finally graft.queries.Q.deleteRecursively(idx)
+  }
+
   /** Persisted-index daily-crawl chain: commit day 1 (even ids) into a
     * fresh CorpusIndex, then probe+commit day 2 (odd ids) against it —
     * the incremental exact-dedup discipline, index work ∝ batch. */
@@ -236,7 +271,7 @@ object ScaleBench {
     val docs = docsOf(s, dir)
     val tokenRows = docs.select(col("doc_id"),
       explode(TA.tokens(col("text"))).as("token"))
-    val bits = Dedup.autoBandPolicy(docs.count())
+    val bits = Dedup.autoBandPolicy(Tables.documentsCount(s, dir))
     val pairs = Dedup.simhashNearDups(
       Dedup.simhashForWidth(bits, tokenRows), bits = bits)
     val cc = Dedup.connectedComponents(
@@ -304,7 +339,7 @@ object ScaleBench {
     val tokenRows = docs.select(col("doc_id"),
       explode(TA.tokens(col("text"))).as("token"))
     // policy-driven width, mirroring the r16 consumer (128-bit at 100×)
-    val bits = Dedup.autoBandPolicy(docs.count())
+    val bits = Dedup.autoBandPolicy(Tables.documentsCount(s, dir))
     val pairs = Dedup.simhashNearDups(
       Dedup.simhashForWidth(bits, tokenRows), bits = bits)
     val cc = Dedup.connectedComponents(
@@ -377,6 +412,50 @@ object ScaleBench {
     val sharded = Dedup.simhashForWidth(bits, tokenRows)
       .withColumn("shard", expr(s"doc_id div ${DocStride}"))
     Dedup.shardedNearDupLabels(sharded, bits = bits).count()
+  }
+
+  /** INCREMENTAL cross-shard merge at deployment grain (r16 VERDICT
+    * task #2's measurement): committed state = ALL k amplification
+    * replicas seeded as shards (un-timed prep —
+    * [[graft.llm.ShardedNearDupIndex.seedShards]]); the timed run
+    * folds ONE new fixed-size shard (the k-th affine replica, ids
+    * above every committed id) through
+    * [[graft.llm.ShardedNearDupIndex.addShard]]. The banded/CC work is
+    * ∝ the new shard; the only corpus-scale terms are the committed
+    * band-index SCAN feeding the cross probe and the label-snapshot
+    * rewrite (the documented lakehouse-MERGE fallback) — so the
+    * expected wall tail is well under 1, and the ACROSS stage's
+    * all-shards-at-once 1.17 shuffle tail (the r16 weak mark,
+    * `sharded_merge` family) should not appear here at all. */
+  private def shardedIncPrep(s: SparkSession, dir: String,
+                             k: Int): Unit = {
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val digits = "0123456789"
+    val docs = docsOf(s, dir)
+    // the new shard: replica index k (amplifyDocs wrote 0..k-1), same
+    // affine/rotation discipline so it shares no tokens with any
+    // committed shard beyond chance
+    docs.filter(col("doc_id") < DocStride).select(
+        (col("doc_id") + lit(k * DocStride)).as("doc_id"),
+        translate(col("text"), lower + digits,
+          affine(lower, 2 * (k / 26) + 1, k % 26) +
+            rot(digits, k % 10)).as("text"))
+      .write.mode("overwrite").parquet(s"$dir/new_shard.parquet")
+    val tokenRows = docs.select(col("doc_id"),
+      explode(TA.tokens(col("text"))).as("token"))
+    val sharded = Dedup.simhash64FromTokens(tokenRows)
+      .withColumn("shard", expr(s"doc_id div ${DocStride}"))
+    graft.llm.ShardedNearDupIndex.seedShards(s,
+      s"$dir/shardinc_state", sharded, bits = 64)
+    ()
+  }
+
+  private def shardedIncremental(s: SparkSession, dir: String): Long = {
+    val newShard = s.read.parquet(s"$dir/new_shard.parquet")
+    val tokenRows = newShard.select(col("doc_id"),
+      explode(TA.tokens(col("text"))).as("token"))
+    graft.llm.ShardedNearDupIndex.addShard(s, s"$dir/shardinc_state",
+      Dedup.simhash64FromTokens(tokenRows), bits = 64).count()
   }
 
   private def sessionTimers(s: SparkSession, dir: String): Long = {
@@ -514,7 +593,7 @@ object ScaleBench {
   private final case class Fam(name: String, needs: Set[String],
                                rep: Boolean,
                                run: (SparkSession, String, Int) => Long,
-                               prep: Option[(SparkSession, String) => Unit]
+                               prep: Option[(SparkSession, String, Int) => Unit]
                                  = None)
 
   private val families: Seq[Fam] = Seq(
@@ -542,9 +621,14 @@ object ScaleBench {
       (s, d, k) => ivfpq(s, d, k, scaledStride = true)),
     Fam("ivfpq_query_fixed", Set("embeddings"), rep = true,
       (s, d, _) => ivfpqQueryFixed(s, d),
-      prep = Some(ivfpqQueryFixedPrep)),
+      prep = Some((s, d, _) => ivfpqQueryFixedPrep(s, d))),
     Fam("sharded_merge", Set("documents"), rep = true,
       (s, d, _) => shardedMerge(s, d)),
+    Fam("sharded_incremental", Set("documents"), rep = false,
+      (s, d, _) => shardedIncremental(s, d),
+      prep = Some(shardedIncPrep)),
+    Fam("index_commit_days", Set("documents"), rep = false,
+      (s, d, k) => indexCommitDays(s, d, k)),
     Fam("session_timers", Set("events"), rep = false,
       (s, d, _) => sessionTimers(s, d)),
     Fam("range_join_unkeyed", Set("events"), rep = true,
@@ -554,7 +638,8 @@ object ScaleBench {
     Fam("lpa_full", Set("documents"), rep = true,
       (s, d, _) => lpaFull(s, d)),
     Fam("lpa_incremental", Set("documents"), rep = true,
-      (s, d, _) => lpaIncremental(s, d), prep = Some(lpaPrep)),
+      (s, d, _) => lpaIncremental(s, d),
+      prep = Some((s, d, _) => lpaPrep(s, d))),
     Fam("phash_index_chain", Set("documents"), rep = true,
       (s, d, _) => phashChain(s, d)),
     Fam("leakage_split", Set("documents"), rep = true,
@@ -571,6 +656,7 @@ object ScaleBench {
     private var shuffleWrite = 0L
     private var spill = 0L
     private var peakMem = 0L
+    private var outBytes = 0L
     override def onStageCompleted(
         sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
         : Unit = synchronized {
@@ -580,14 +666,19 @@ object ScaleBench {
         shuffleWrite += m.shuffleWriteMetrics.bytesWritten
         spill += m.diskBytesSpilled
         peakMem = math.max(peakMem, m.peakExecutionMemory)
+        // sink-output bytes (parquet/commit writes): the COMMIT-COST
+        // signal the index families measure — a write ∝ index instead
+        // of ∝ batch is invisible to shuffle bytes (r17)
+        outBytes += m.outputMetrics.bytesWritten
       }
     }
     def reset(): Unit = synchronized {
       shuffleRead = 0; shuffleWrite = 0; spill = 0; peakMem = 0
+      outBytes = 0
     }
-    /** (shuffle bytes r+w, spill bytes, peak exec memory). */
-    def snap: (Long, Long, Long) =
-      synchronized((shuffleRead + shuffleWrite, spill, peakMem))
+    /** (shuffle bytes r+w, spill bytes, peak exec memory, output bytes). */
+    def snap: (Long, Long, Long, Long) =
+      synchronized((shuffleRead + shuffleWrite, spill, peakMem, outBytes))
   }
 
   /** Least-squares slope of ln(t) on ln(k). */
@@ -636,7 +727,8 @@ object ScaleBench {
       spark.catalog.clearCache(); System.gc(); Thread.sleep(200)
     }
     final case class Pt(k: Int, sec: Double, rows: Long,
-                        shuffle: Long, spill: Long, peakMem: Long)
+                        shuffle: Long, spill: Long, peakMem: Long,
+                        outBytes: Long)
     val results = scala.collection.mutable.Map.empty[String,
       scala.collection.mutable.ArrayBuffer[Pt]]
     val skipped = scala.collection.mutable.Set.empty[String]
@@ -650,7 +742,7 @@ object ScaleBench {
         if (needed("embeddings")) amplifyEmb(spark, sfDir, k, amp.toString)
         if (needed("events")) amplifyEvents(spark, sfDir, k, amp.toString)
         for (f <- fams if !skipped(f.name)) {
-          f.prep.foreach(p => p(spark, amp.toString))
+          f.prep.foreach(p => p(spark, amp.toString, k))
           def sample(): Pt = {
             reclaim()
             // listener events are async (listenerBus is private):
@@ -662,8 +754,8 @@ object ScaleBench {
             val n = f.run(spark, amp.toString, k)
             val sec = (System.nanoTime() - t0) / 1e9
             Thread.sleep(500)
-            val (sh, sp, pm) = metrics.snap
-            Pt(k, sec, n, sh, sp, pm)
+            val (sh, sp, pm, ob) = metrics.snap
+            Pt(k, sec, n, sh, sp, pm, ob)
           }
           val s1 = sample()
           val best =
@@ -688,7 +780,7 @@ object ScaleBench {
     def sec(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     println()
-    println(f"${"family"}%-22s ${"alpha"}%6s ${"tail"}%6s ${"shufA"}%6s  t(k) ...")
+    println(f"${"family"}%-22s ${"alpha"}%6s ${"tail"}%6s ${"shufA"}%6s ${"outA"}%6s  t(k) ...")
     val famJson = fams.filter(f => results.contains(f.name)).map { f =>
       val pts = results(f.name).toSeq
       val a = alpha(pts.map(p => (p.k, p.sec)))
@@ -708,8 +800,12 @@ object ScaleBench {
       // shuffle-BYTES tail exponent: a linear-time family with
       // superlinear shuffle is still a scale bug
       val shufTail = tailOf(_.shuffle.toDouble)
+      // output-BYTES tail: the commit-cost signal (write ∝ index vs
+      // ∝ batch is invisible to both wall and shuffle at small scales)
+      val outTail = tailOf(_.outBytes.toDouble)
       def fmt(o: Option[Double]) = o.map(x => f"$x%6.2f").getOrElse("   n/a")
-      println(f"${f.name}%-22s ${fmt(a)} ${fmt(tail)} ${fmt(shufTail)}  " +
+      println(f"${f.name}%-22s ${fmt(a)} ${fmt(tail)} ${fmt(shufTail)}" +
+        f" ${fmt(outTail)}  " +
         pts.map(p => s"${p.k}x=${sec(p.sec)}s").mkString("  "))
       val scalesJ = pts.map(_.k).mkString("[", ",", "]")
       val secsJ = pts.map(p => sec(p.sec)).mkString("[", ",", "]")
@@ -717,6 +813,7 @@ object ScaleBench {
       val shufJ = pts.map(_.shuffle).mkString("[", ",", "]")
       val spillJ = pts.map(_.spill).mkString("[", ",", "]")
       val peakJ = pts.map(_.peakMem).mkString("[", ",", "]")
+      val outJ = pts.map(_.outBytes).mkString("[", ",", "]")
       // per-family measurement metadata (sf/cpus/cutoff): subset runs
       // merge into a committed artifact whose top-level fields describe
       // only the LAST run — each family must carry the settings it was
@@ -724,11 +821,12 @@ object ScaleBench {
       // while the sweep stops at 30×).
       s""""${f.name}":{"scales":$scalesJ,"secs":$secsJ,"rows":$rowsJ,""" +
         s""""shuffle_bytes":$shufJ,"spill_bytes":$spillJ,""" +
-        s""""peak_exec_mem":$peakJ,""" +
+        s""""peak_exec_mem":$peakJ,"output_bytes":$outJ,""" +
         s""""sf":"$sfDir","cpus":"$cpus","cutoff":$cutoff,""" +
         s""""alpha":${a.map(sec).getOrElse("null")},""" +
         s""""alpha_tail":${tail.map(sec).getOrElse("null")},""" +
-        s""""shuffle_tail":${shufTail.map(sec).getOrElse("null")}}"""
+        s""""shuffle_tail":${shufTail.map(sec).getOrElse("null")},""" +
+        s""""output_tail":${outTail.map(sec).getOrElse("null")}}"""
     }.mkString("{", ",", "}")
     val json = s"""{"sf":"$sfDir","cpus":"$cpus","cutoff":$cutoff,""" +
       s""""families":$famJson}"""

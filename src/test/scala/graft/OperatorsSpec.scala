@@ -303,6 +303,51 @@ class OperatorsSpec extends SparkSpec {
       .map(_.getString(1)).toSeq == Seq("v4"))
   }
 
+  test("AtomicTable base+delta: merged read, idempotent deltas, compaction epochs") {
+    import graft.operators.AtomicTable
+    val dir = java.nio.file.Files.createTempDirectory("atomic_delta")
+      .resolve("t").toString
+    def df(ks: Long*) = ks.map(k => (k, s"v$k")).toDF("k", "v")
+    def merged: Set[Long] = AtomicTable.readMerged(spark, dir)
+      .map(_.collect().map(_.getLong(0)).toSet).getOrElse(Set.empty)
+    assert(AtomicTable.readMerged(spark, dir).isEmpty)
+    AtomicTable.commitDelta(df(1L, 2L), dir, 0L)
+    AtomicTable.commitDelta(df(3L), dir, 1L)
+    assert(merged == Set(1L, 2L, 3L))
+    // replayed delta is an idempotent no-op (marker already present)
+    AtomicTable.commitDelta(df(99L), dir, 1L)
+    assert(merged == Set(1L, 2L, 3L))
+    assert(AtomicTable.deltasSinceBase(spark, dir) == 2)
+    // compaction covers both deltas; read resolves the base
+    assert(AtomicTable.compactToBase(spark, dir) == Some(1L))
+    assert(AtomicTable.committedBases(spark, dir) == Seq(1L))
+    assert(AtomicTable.deltasSinceBase(spark, dir) == 0)
+    assert(merged == Set(1L, 2L, 3L))
+    // re-compacting with no new deltas is a no-op
+    assert(AtomicTable.compactToBase(spark, dir).isEmpty)
+    // new deltas after the base are merged on read
+    AtomicTable.commitDelta(df(4L), dir, 2L)
+    assert(merged == Set(1L, 2L, 3L, 4L))
+    assert(AtomicTable.deltasSinceBase(spark, dir) == 1)
+    // second compaction prunes the first epoch (retain-2 bases): the
+    // deltas covered by base 1 go; base 1 itself is kept for grace
+    assert(AtomicTable.compactToBase(spark, dir) == Some(2L))
+    assert(AtomicTable.committedBases(spark, dir) == Seq(1L, 2L))
+    assert(AtomicTable.committedVersions(spark, dir) == Seq(2L))
+    assert(merged == Set(1L, 2L, 3L, 4L))
+    // third epoch: base 1 and its covered deltas are pruned
+    AtomicTable.commitDelta(df(5L), dir, 3L)
+    assert(AtomicTable.compactToBase(spark, dir) == Some(3L))
+    assert(AtomicTable.committedBases(spark, dir) == Seq(2L, 3L))
+    assert(merged == Set(1L, 2L, 3L, 4L, 5L))
+    // an all-empty table (only zero-row deltas) reads as None
+    val dir2 = java.nio.file.Files.createTempDirectory("atomic_delta2")
+      .resolve("t").toString
+    AtomicTable.commitDelta(df().limit(0), dir2, 0L)
+    assert(AtomicTable.committedVersions(spark, dir2) == Seq(0L))
+    assert(AtomicTable.readMerged(spark, dir2).forall(_.count() == 0L))
+  }
+
   test("ZOrder: tiles prune on BOTH dims; clusterBy yields disjoint key ranges") {
     import graft.operators.ZOrder
     // Known spread values: dense bits map to alternating bits.
