@@ -154,27 +154,62 @@ object Dedup {
     * endpoints, so there is little to prune. The 100× step itself is
     * a plan-shape/spill effect, not a quadratic (bytes resume slope
     * ~1 beyond it); revisit only if a corpus with sparse candidates
-    * shows up, where the same semi-prune is the textbook fix. */
+    * shows up, where the same semi-prune is the textbook fix.
+    * (Historical: measured against the pre-r17 shingle-row form — the
+    * packed rewrite below removed the joins the prune targeted.) */
   def jaccardVerify(candidates: DataFrame, shingled: DataFrame): DataFrame = {
-    val sizes = shingled.groupBy("doc_id")
-      .agg(count(lit(1)).as("set_size"))
-    // `shingle` is part of the second join's key: the intersection is an
-    // equi-join on (doc, shingle), NOT a per-pair cross of both shingle
-    // sets filtered afterwards — that would be |A|·|B| rows per pair.
-    val inter = candidates
-      .join(shingled.toDF("doc_a", "shingle"), Seq("doc_a"))
-      .join(shingled.toDF("doc_b", "shingle"), Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("intersection_size"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("set_size", "size_a"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("set_size", "size_b"), Seq("doc_b"))
+    // PACKED two-stage verify (r17, closes the minhash_lsh 100× shuffle
+    // step — MinhashDiag measured the old shingle-row form): below
+    // ~30× AQE BROADCAST the full distinct-shingled table into both
+    // intersection joins (no spill, shuffle small); at 100× the
+    // broadcast flipped to sort-merge, shuffling the whole shingle
+    // table keyed (doc_b, shingle) (482 MB write + 59 MB spill) while
+    // the two per-doc size aggregates re-read the 306 MB token exchange
+    // and spilled 86 MB EACH — the committed 1.43 shuffle-tail / 344 MB
+    // spill row, a plan flip + recompute cost, not a quadratic. The
+    // packed form ships each doc's shingle set ONCE as one array row:
+    //  - `packed` groups by doc_id, which is satisfied by the token
+    //    exchange's existing hashpartitioning(doc_id) — no new exchange
+    //    and no broadcast to flip;
+    //  - both joins are equi-joins whose packed side is ALREADY
+    //    partitioned on the join key (doc_a/doc_b == its doc_id), so
+    //    only the candidate pairs (and pairs ⋈ A-arrays) move;
+    //  - the intersection is size(array_intersect) — codegen'd, exact
+    //    over the distinct sets, O(|A|+|B|) per pair — and set sizes
+    //    ride along in the same row, removing the separate size
+    //    aggregates entirely.
+    // Per-doc shingle sets must fit a row — the same bound every
+    // signature operator here already assumes (PPJoin-standard).
+    // Contract preserved: candidate pairs with an EMPTY intersection
+    // drop out (the old inner equi-join form never emitted them) and
+    // duplicate/extra candidate columns are dropped via the same
+    // (doc_a, doc_b) grain. Candidates must be distinct pairs, as
+    // before. Re-measured at 100×: see SCALE.md minhash_lsh row.
+    // packed is probed twice (doc_a side, doc_b side); each probe
+    // recomputes the collect_set over the REUSED token exchange —
+    // map-side CPU with no extra shuffle, the recompute-over-persist
+    // discipline this repo measures everywhere. (An explicit
+    // repartition(doc_id) "reuse seam" was tried and is a no-op: the
+    // child already satisfies the distribution, so Spark removes the
+    // user repartition and the plan is bit-identical.)
+    val packed = shingled.groupBy(col("doc_id"))
+      .agg(collect_set(col("shingle")).as("sh"))
+      .select(col("doc_id"), col("sh"),
+        size(col("sh")).cast("long").as("set_size"))
+    candidates.select("doc_a", "doc_b")
+      .join(packed.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("set_size").as("size_a")), Seq("doc_a"))
+      .join(packed.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("set_size").as("size_b")), Seq("doc_b"))
+      .withColumn("intersection_size",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .filter(col("intersection_size") > 0)
       .withColumn("union_size",
         col("size_a") + col("size_b") - col("intersection_size"))
       .withColumn("jaccard",
         col("intersection_size").cast("double") / col("union_size"))
+      .select(col("doc_b"), col("doc_a"), col("intersection_size"),
+        col("size_a"), col("size_b"), col("union_size"), col("jaccard"))
   }
 
   /** EXACT set-similarity self-join via PREFIX FILTERING (the

@@ -403,8 +403,16 @@ object TextAnalysis {
           .otherwise(col("sym")).as("sym"))
   }
 
+  /** `checkpoint` is the per-round lineage truncator: the default
+    * [[graft.operators.Ckpt.truncated]] keeps round state in the block
+    * store (fastest at oracle scale); pass
+    * [[graft.operators.Ckpt.durable]] when corpus-sized round state
+    * must live on disk instead of executor memory (the measured 100×
+    * heap ladder — Ckpt scaladoc). */
   def bpeTrainApply(docs: DataFrame, id: Column, text: Column,
-                    rounds: Int): DataFrame = {
+                    rounds: Int,
+                    checkpoint: DataFrame => DataFrame =
+                      graft.operators.Ckpt.truncated): DataFrame = {
     var rows = bpeSymbolRows(docs, id, text)
     val bef = rows.groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_syms_before"))
@@ -433,7 +441,7 @@ object TextAnalysis {
       // (measured r11: rounds 2→16 scale ~linearly, see LlmSpec
       // round-depth test), values unchanged (checkpoint is
       // plan-transparent), so the rounds=2 oracle hash is untouched.
-      rows = graft.operators.Ckpt.truncated(bpeMergeFlagged(j, wSeq))
+      rows = checkpoint(bpeMergeFlagged(j, wSeq))
     }
     val aft = rows.groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_syms_after"))
@@ -464,7 +472,9 @@ object TextAnalysis {
     * to the i-th merge's output — the per-doc vocabulary histogram a
     * token-count accounting needs. */
   def bpeApplyMerges(docs: DataFrame, id: Column, text: Column,
-                     merges: Seq[(String, String)]): DataFrame = {
+                     merges: Seq[(String, String)],
+                     checkpoint: DataFrame => DataFrame =
+                       graft.operators.Ckpt.truncated): DataFrame = {
     var rows = bpeSymbolRows(docs, id, text)
     val bef = rows.groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_syms_before"))
@@ -474,7 +484,7 @@ object TextAnalysis {
       val j = rows.withColumn("nxt", lead(col("sym"), 1).over(wSeq))
         .withColumn("is_pair",
           col("sym") === lit(l) && col("nxt") === lit(r))
-      rows = graft.operators.Ckpt.truncated(bpeMergeFlagged(j, wSeq))
+      rows = checkpoint(bpeMergeFlagged(j, wSeq))
     }
     val counts = merges.zipWithIndex.map { case ((l, r), i) =>
       sum(when(col("sym") === lit(l + r), 1L).otherwise(0L))
@@ -623,7 +633,16 @@ object TextAnalysis {
     * out via the isNotNull filter. Row form of [[shingles]]. */
   def shingleRows(docs: DataFrame, id: Column, text: Column,
                   n: Int): DataFrame = {
-    val tok = docs.select(id.as("doc_id"),
+    // The id filter is an EXCHANGE-REUSE unifier, not (just) hygiene: a
+    // shingle row without a document identity is meaningless to every
+    // consumer, but more importantly downstream equi-joins push
+    // isnotnull(doc_id) into their side's scan while aggregate-only
+    // consumers (minhash signatures, simhash votes) don't — so the same
+    // token exchange canonicalized TWO ways and materialized twice per
+    // query (MinhashDiag r17: two 305 MB shuffle writes at 100× where
+    // one suffices). Filtering at the source makes every lineage carry
+    // the filter, so all consumers reuse ONE exchange.
+    val tok = docs.filter(id.isNotNull).select(id.as("doc_id"),
       posexplode(tokens(text)).as(Seq("pos", "token")))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val parts = col("token") +: (1 until n).flatMap(k =>

@@ -61,4 +61,49 @@ object Ckpt {
     org.apache.spark.sql.graftinternal.InternalDf(
       df.sparkSession, ck.queryExecution.toRdd, ck.schema)
   }
+
+  /** DISK-BACKED iteration checkpointer — the reliable sibling of
+    * [[truncated]] for iteration state that must not live in executor
+    * memory (r16 VERDICT stretch #9: BPE's 100× per-round symbol table
+    * is ~GBs that `localCheckpoint` pins in the block store, which on
+    * `local[32]` concentrates every round's state in ONE heap — the
+    * measured ladder: 8g spills at 30× and OOMs at 100×, 16g
+    * heap-OOMs at 100×, only 32g completes).
+    *
+    * Each call writes the round's frame to `baseDir/r<n>` as parquet
+    * and returns the scan of it: lineage is truncated at a disk-backed
+    * leaf with fresh size-based stats (the same non-compounding
+    * property [[truncated]] exists for), and the heap holds NOTHING
+    * between rounds. A parquet round-trip is deliberately chosen over
+    * `Dataset.checkpoint(reliable = true)`: RDD reliable checkpointing
+    * computes the round TWICE (the eager action, then the re-run that
+    * writes the checkpoint files — Spark's own scaladoc warns of it),
+    * while write + read-back computes once; on a cluster `baseDir` on
+    * shared storage also survives executor loss, which localCheckpoint
+    * blocks do not. Files accumulate for the run's lifetime because
+    * LATER consumers may still reference EARLIER rounds' leaves (BPE
+    * train's merge frames do); the CALLER owns `baseDir` and deletes it
+    * after materializing the final result.
+    *
+    * One schema caveat: the parquet read-back widens every field to
+    * NULLABLE (a property of the scan, not of the data) — irrelevant
+    * to iteration state, but don't hang schema-equality assertions off
+    * a durable-checkpointed frame.
+    *
+    * This is not the in-plan materialization the r03/r07 bans cover:
+    * each loop round is a separately-executed plan by construction
+    * (the checkpoint IS the round boundary), the between-plans case
+    * where disk round-trips are legitimate. At sf scale [[truncated]]
+    * stays the default (no write amplification, measured fastest);
+    * use this when iteration state × rounds threatens executor memory.
+    */
+  def durable(baseDir: String): DataFrame => DataFrame = {
+    var round = 0
+    df => {
+      round += 1
+      val p = s"$baseDir/r$round"
+      df.write.mode("overwrite").parquet(p)
+      df.sparkSession.read.parquet(p)
+    }
+  }
 }

@@ -102,8 +102,8 @@ object ScaleBench {
     * token alphabet permuted per replica by [[affine]] (letters; 26·4
     * distinct maps) + rotation (digits) so cross-replica texts share
     * no tokens and near-dup families see k independent 1× corpora. */
-  private def amplifyDocs(spark: SparkSession, src: String, k: Int,
-                          out: String): Unit = {
+  private[tools] def amplifyDocs(spark: SparkSession, src: String, k: Int,
+                                 out: String): Unit = {
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val digits = "0123456789"
     val docs = Tables.documents(spark, src)
@@ -256,6 +256,21 @@ object ScaleBench {
   private def bpe(s: SparkSession, dir: String): Long =
     TA.bpeTrainApply(docsOf(s, dir), col("doc_id"), col("text"),
       rounds = 2).count()
+
+  /** The disk-checkpointed BPE arm (r16 VERDICT stretch #9): identical
+    * work to `bpe_train_apply` but per-round symbol state goes through
+    * [[graft.operators.Ckpt.durable]] (parquet round-trip) instead of
+    * the block store — the arm that must complete the 100× ladder at
+    * SPARK_DRIVER_MEM=16g, where the localCheckpoint arm OOMs (state
+    * concentration is a local[32] artifact; on a cluster the same
+    * switch moves round state to shared storage). Round dirs live
+    * under the amplified temp dir, so the sweep's cleanup removes
+    * them with the inputs. */
+  private def bpeDurable(s: SparkSession, dir: String): Long =
+    TA.bpeTrainApply(docsOf(s, dir), col("doc_id"), col("text"),
+      rounds = 2,
+      checkpoint = graft.operators.Ckpt.durable(s"$dir/_bpe_ckpt"))
+      .count()
 
   /** simhash → banded near-dup pairs → CC → representative (the
     * dd_cluster_canonical composition, heaviest committed chain).
@@ -615,6 +630,8 @@ object ScaleBench {
       (s, d, _) => simhashPairs(s, d, bits = 128)),
     Fam("bpe_train_apply", Set("documents"), rep = true,
       (s, d, _) => bpe(s, d)),
+    Fam("bpe_durable", Set("documents"), rep = true,
+      (s, d, _) => bpeDurable(s, d)),
     Fam("ivfpq_fixed_stride", Set("embeddings"), rep = false,
       (s, d, k) => ivfpq(s, d, k, scaledStride = false)),
     Fam("ivfpq_sqrt_cells", Set("embeddings"), rep = false,

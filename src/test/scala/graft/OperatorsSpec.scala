@@ -1150,6 +1150,27 @@ class OperatorsSpec extends SparkSpec {
     assert(bits <= 64, s"carried stats compounded to $bits bits")
   }
 
+  test("Ckpt.durable: disk round-trip keeps values, flat stats, earlier rounds stay readable") {
+    import graft.operators.Ckpt
+    val dir = java.nio.file.Files.createTempDirectory("ckpt_durable")
+    val ck = Ckpt.durable(dir.toString)
+    val src = spark.range(0, 50).toDF("id")
+      .withColumn("s", concat(lit("v"), col("id")))
+    val r1 = ck(src)
+    val r2 = ck(r1.withColumn("id", col("id") + 1))
+    // BPE-train shape: a consumer built from round 1 is evaluated AFTER
+    // round 2 checkpoints — round dirs must persist for the run.
+    assert(r1.count() == 50 && r2.count() == 50)
+    // parquet read-back widens nullability (Ckpt.durable scaladoc);
+    // names and types survive exactly
+    assert(r2.schema.map(f => (f.name, f.dataType)) ==
+      src.schema.map(f => (f.name, f.dataType)))
+    assert(r2.agg(min(col("id"))).head.getLong(0) == 1L)
+    val bits = r2.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength
+    assert(bits <= 64, s"durable leaf stats unexpectedly wide: $bits bits")
+    graft.queries.Q.deleteRecursively(dir)
+  }
+
   test("RangeJoin: bucketed interval join matches naive containment, no nested-loop join") {
     import graft.operators.RangeJoin
     // Intervals spanning 1..3 buckets at bucketSize=10, incl. a
