@@ -763,12 +763,40 @@ object Marts {
         when(col("actual_margin_amount").isNotNull &&
           col("product_service_quantity").isNotNull,
           col("actual_margin_amount") * col("product_service_quantity")))
-    def grainAgg(df: DataFrame, keys: Seq[Column]): DataFrame =
+    // The two COUNT(DISTINCT ...) are aggregated APART from the wide
+    // decimal battery and joined back at output grain (r17, wave-M2
+    // ceiling): planned together, RewriteDistinctAggregates EXPANDS
+    // every input row ×3 (one replica per distinct column + one for
+    // the regular aggregates) through the full-width row of 13
+    // DECIMAL(38,6) buffers — and because the distinct columns keep
+    // per-partition combos ≈ input rows, the partial aggregate can't
+    // shrink the exchange. Split, the decimal battery shuffles once at
+    // its real grain and the distinct pair shuffles a (keys, customer,
+    // order_number) projection; the join runs at OUTPUT grain
+    // (sku×period, orders of magnitude under line grain) and is
+    // null-safe because product_family/material_type/is_kit are
+    // nullable dimensions. Values are identical by construction —
+    // same rows, same aggregates, regrouped.
+    def grainAgg(df: DataFrame, keys: Seq[Column]): DataFrame = {
+      val nd = grainAggNonDistinct(df, keys)
+      val dd = df.groupBy(keys: _*)
+        .agg(countDistinct(col("customer")).as("unique_customers"),
+          countDistinct(col("order_number")).as("unique_orders"))
+      val keyNames = nd.columns.take(keys.length)
+      val joined = nd.alias("nd").join(dd.alias("dd"),
+        keyNames.map(n => col(s"nd.$n") <=> col(s"dd.$n")).reduce(_ && _))
+      // original column order: keys, transaction_count, the two
+      // distinct counts, then the decimal battery
+      val ndCols = nd.columns.map(n => col(s"nd.$n"))
+      joined.select(
+        (ndCols.take(keys.length + 1) ++
+          Seq(col("dd.unique_customers"), col("dd.unique_orders")) ++
+          ndCols.drop(keys.length + 1)): _*)
+    }
+    def grainAggNonDistinct(df: DataFrame, keys: Seq[Column]): DataFrame =
       df.groupBy(keys: _*)
         .agg(
           count(lit(1)).as("transaction_count"),
-          countDistinct(col("customer")).as("unique_customers"),
-          countDistinct(col("order_number")).as("unique_orders"),
           dsum(col("product_service_quantity")).as("total_quantity_sold"),
           dsum(col("total_units_sold")).as("total_units_sold"),
           dsum(col("line_amount")).as("total_revenue"),

@@ -187,6 +187,21 @@ class RefPipelineSpec extends SparkSpec {
     assert(math.abs(
       jun.getAs[Double]("volume_weighted_margin_percentage") - 57.33)
       < 1e-9)
+    // r17 split-distinct rewrite: the COUNT(DISTINCT) pair is aggregated
+    // apart from the decimal battery and joined back null-safely —
+    // recompute both counts independently from the line items and prove
+    // the join lost no grain row to a null dimension.
+    val li = out("mart.fct_order_line_items")
+      .filter(col("product_service") === "01-6310.AK4" &&
+        date_trunc("month", col("order_date")).cast("date") ===
+          to_date(lit("2024-06-01")) &&
+        col("actual_unit_price") > 0)
+    assert(jun.getAs[Long]("unique_customers") ==
+      li.select("customer").distinct().count())
+    assert(jun.getAs[Long]("unique_orders") ==
+      li.select("order_number").distinct().count())
+    assert(ma.filter(col("unique_customers").isNull ||
+      col("unique_orders").isNull).count() == 0)
   }
 
   test("inventory history mart: lag change and valuations") {
