@@ -63,7 +63,26 @@ object Tables {
     * t_leakage_safe_split, the ScaleBench families) instead of each
     * paying an extra eager action per run — the dedup-side analogue of
     * Clustering's `knownN` bypass (r16 ADVICE). A production pipeline
-    * passes `TableStats.committedRows` here for free. */
+    * passes `TableStats.committedRows` here for free.
+    *
+    * The same scan ASSERTS the no-null-doc_id invariant (r17 ADVICE):
+    * `TextAnalysis.shingleRows` filters null ids on the Spark side
+    * (exchange-reuse unifier) with no mirror in the DuckDB twins, so
+    * engine equivalence of every shingle consumer rests on the
+    * driver-regenerated testdata never growing a null id. A regen that
+    * violates it now fails HERE with one clear message (Verify's
+    * policy-driven queries hit this per run) instead of as
+    * inexplicable hash mismatches across every shingle gate. */
   def documentsCount(s: SparkSession, d: String): Long =
-    docCountCache.computeIfAbsent(d, _ => documents(s, d).count())
+    docCountCache.computeIfAbsent(d, _ => {
+      val r = documents(s, d).agg(
+        count(lit(1)).as("n"),
+        count(when(col("doc_id").isNull, 1)).as("nulls")).head()
+      require(r.getLong(1) == 0L,
+        s"documents at $d has ${r.getLong(1)} NULL doc_id rows — " +
+          "shingleRows' Spark-side null filter has no DuckDB twin " +
+          "mirror, so every shingle-consumer oracle gate would " +
+          "hash-mismatch; fix the data (or mirror the filter) first.")
+      r.getLong(0)
+    })
 }

@@ -124,17 +124,33 @@ object Main {
     * fresh commits so the stats-driven broadcast advisor has numbers,
     * vacuum beyond retention — all decided from committed metadata
     * ([[graft.operators.Maintenance]]); a steady-state warehouse runs
-    * zero actions. */
+    * zero actions.
+    *
+    * Base+delta INDEX dirs (anything committed under
+    * `warehouseRoot/index/` — the persisted dedup indexes a streaming
+    * or daily-crawl deployment accretes) are swept by the same loop:
+    * Maintenance plans `compact_to_base` on delta debt (r18, task #5's
+    * guard makes this safe — the snapshot rules refuse delta layouts)
+    * and nothing else, so the merged view is byte-identical before and
+    * after. */
   def maintain(spark: SparkSession, warehouseRoot: String)
       : Seq[graft.operators.Maintenance.Action] = {
     import graft.operators.Maintenance
-    Seq(
+    val marts = Seq(
       "fct_orders" -> Seq("order_number"),
       "fct_companies" -> Seq("company_domain_key")
     ).flatMap { case (t, keys) =>
       Maintenance.run(spark, s"$warehouseRoot/mart/$t",
         Maintenance.Policy(statsCols = keys))
     }
+    val idxRoot = new org.apache.hadoop.fs.Path(s"$warehouseRoot/index")
+    val fs = idxRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val indexes =
+      if (!fs.exists(idxRoot)) Nil
+      else fs.listStatus(idxRoot).toSeq.filter(_.isDirectory)
+        .map(_.getPath.toString).sorted
+        .flatMap(d => Maintenance.run(spark, d, Maintenance.Policy()))
+    marts ++ indexes
   }
 
   private def optValue(args: Array[String], flag: String): Option[String] =

@@ -596,13 +596,34 @@ object Dedup {
     *
     * `committedLabels`: (id, component); `committedBands`: the
     * accumulated newBandRows of prior calls; `newShard`:
-    * (doc_id, simhash) of the new shard only. */
+    * (doc_id, simhash) of the new shard only.
+    *
+    * The result also carries `labelsDelta` — ONLY the label rows this
+    * fold changed (old rows whose component merged to a new min, plus
+    * the new shard's rows). A lakehouse caller MERGEs exactly that set;
+    * [[graft.llm.ShardedNearDupIndex]] commits it as an upsert delta so
+    * the per-shard labels WRITE is ∝ touched components, never ∝ corpus
+    * (the r17 weak mark: the full-snapshot commit rewrote ~the corpus
+    * per arriving shard — a ~TB write per shard at 10^11 docs).
+    *
+    * `probeCap` (optional) bounds the ACROSS probe against a
+    * pathologically hot committed band key: index rows are ranked per
+    * (band, band_key) by doc_id and only rank ≤ cap rows join the
+    * probe — deterministic, engine-replayable (ROW_NUMBER in the
+    * twin), same graceful-degradation contract as `maxBucketSize`
+    * (recall inside an over-cap index bucket is sacrificed, exactness
+    * vs the uncapped single pass holds only while the cap is a no-op).
+    * The rank window shuffles the index's band rows once when enabled;
+    * a deployment materializes the rank at compaction instead. */
+  final case class ShardMerge(labels: DataFrame, labelsDelta: DataFrame,
+                              newBandRows: DataFrame)
+
   def addShardNearDups(committedLabels: DataFrame,
                        committedBands: DataFrame,
                        newShard: DataFrame, bits: Int,
                        maxHamming: Int = 3,
-                       maxBucketSize: Int = DefaultBucketCap)
-      : (DataFrame, DataFrame) = {
+                       maxBucketSize: Int = DefaultBucketCap,
+                       probeCap: Option[Int] = None): ShardMerge = {
     val nWords = (bits + 31) / 32
     val wordCols = (0 until nWords).map(w => s"h$w")
     // Plain localCheckpoint (NOT Ckpt.truncated): one-shot, outside any
@@ -615,7 +636,16 @@ object Dedup {
     val newSide = banded.select((Seq(col("band"), col("band_key"),
       col("doc_id").as("doc_b")) ++
       wordCols.map(w => col(w).as(s"${w}_b"))): _*)
-    val idxSide = committedBands.select((Seq(col("band"), col("band_key"),
+    val idxRows = probeCap match {
+      case Some(cap) =>
+        val w = Window.partitionBy(col("band"), col("band_key"))
+          .orderBy(col("doc_id"))
+        committedBands
+          .withColumn("_rk", row_number().over(w))
+          .filter(col("_rk") <= cap).drop("_rk")
+      case None => committedBands
+    }
+    val idxSide = idxRows.select((Seq(col("band"), col("band_key"),
       col("doc_id").as("doc_a")) ++
       wordCols.map(w => col(w).as(s"${w}_a"))): _*)
     val across = idxSide.join(newSide, Seq("band", "band_key"))
@@ -625,12 +655,49 @@ object Dedup {
     val edges = within
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(across)
-    val updated = incrementalComponents(committedLabels,
-      newShard.select(col("doc_id").as("id")), edges)
+    // incrementalComponents, opened up so the contracted CC result can
+    // also derive the CHANGED-ROW delta (the full remap and the delta
+    // must come from ONE cc frame — CC is iterative, rerunning it for
+    // the delta would double the fold's dominant cost).
+    val newNodes = newShard.select(col("doc_id").as("id"))
+    val contracted = edges
+      .join(committedLabels.select(col("id").as("src"),
+        col("component").as("src_l")), Seq("src"), "left")
+      .join(committedLabels.select(col("id").as("dst"),
+        col("component").as("dst_l")), Seq("dst"), "left")
+      .select(coalesce(col("src_l"), col("src")).as("src"),
+        coalesce(col("dst_l"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val cnodes = contracted.select(col("src").as("id"))
+      .unionByName(contracted.select(col("dst").as("id")))
+      .distinct()
+    val cc = connectedComponents(cnodes, contracted)
+    val allLabels = committedLabels.unionByName(
+      newNodes.join(committedLabels, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("component")))
+    val updated = allLabels
+      .join(cc.select(col("id").as("component"),
+        col("component").as("merged")), Seq("component"), "left")
+      .select(col("id"),
+        coalesce(col("merged"), col("component")).as("component"))
+    // Delta: old rows whose label actually moved (their old component
+    // is a contracted node that merged to a different min) ∪ the new
+    // shard's rows at their final labels. Disjoint by shard-disjointness.
+    val moved = cc.filter(col("id") =!= col("component"))
+      .select(col("id").as("component"), col("component").as("merged"))
+    val changedOld = committedLabels.join(moved, Seq("component"))
+      .select(col("id"), col("merged").as("component"))
+    val newRows = newNodes
+      .join(cc.select(col("id"), col("component").as("merged")),
+        Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("merged"), col("id")).as("component"))
+    val labelsDelta = changedOld.unionByName(newRows)
     val newBandRows = banded.select(
       (col("doc_id") +: wordCols.map(col)) :+
         col("band") :+ col("band_key"): _*)
-    (updated, newBandRows)
+    ShardMerge(updated, labelsDelta, newBandRows)
   }
 
   /** SimHash signature as a 32-char '0'/'1' string: bit i is the sign of

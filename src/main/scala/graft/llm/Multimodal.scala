@@ -991,18 +991,19 @@ object Multimodal {
     else g
   }
 
-  /** Real PNG encode of the phash spec image (gray replicated into all
-    * three channels — PNG truecolor is lossless, so the decode side
+  /** Real PNG encode of a grayscale spec image (gray replicated into
+    * all three channels — PNG truecolor is lossless, so the decode side
     * reads back exact values). Runs executor-side like the other
     * payload synthesizers. */
-  private[graft] def synthPhashPayload(id: Long): Array[Byte] = {
+  private def synthGrayPng(w: Int, h: Int,
+                           gray: (Int, Int) => Int): Array[Byte] = {
     val im = new java.awt.image.BufferedImage(
-      phW, phH, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
     var y = 0
-    while (y < phH) {
+    while (y < h) {
       var x = 0
-      while (x < phW) {
-        val g = phGray(id, x, y)
+      while (x < w) {
+        val g = gray(x, y)
         im.setRGB(x, y, (g << 16) | (g << 8) | g)
         x += 1
       }
@@ -1012,6 +1013,9 @@ object Multimodal {
     javax.imageio.ImageIO.write(im, "png", baos)
     baos.toByteArray
   }
+
+  private[graft] def synthPhashPayload(id: Long): Array[Byte] =
+    synthGrayPng(phW, phH, phGray(id, _, _))
 
   /** (doc_id, payload) with REAL PNG bytes for the perceptual-hash
     * family, synthesized per-partition. */
@@ -1109,6 +1113,103 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming", "lo_a", "hi_a", "lo_b", "hi_b")
       .distinct()
+  }
+
+  // ---------------------------------------------------------------------
+  // 128-bit dHash (r18) — the probe-saturation defense for persisted
+  // image indexes: a 17×8 grid gives 16 horizontal diffs × 8 rows =
+  // 128 bits, packed as FOUR 32-bit words, and the pigeonhole bands ARE
+  // the words — 4 bands × 32-bit keys. Recall for Hamming ≤ 3 is the
+  // same pigeonhole guarantee as the 64-bit layout, but expected probe
+  // candidates per band are |index|/2^32 instead of |index|/65536: the
+  // band width scales with the HASH, not the corpus, so the committed
+  // index can grow ~65k× further before band collisions dominate (the
+  // measured r17 weak mark — phash_index_chain shuffle-tail 1.43@100×
+  // — is exactly the 16-bit keyspace filling up).
+  // ---------------------------------------------------------------------
+
+  private[graft] val ph128W = 17
+
+  /** Same md5 gray spec as [[phGray]] over the wider grid; the planted
+    * near-copy's single perturbed pixel moves to (id % 17, (id/17) % 8)
+    * and still flips at most 2 of the 128 dHash bits. */
+  private[graft] def ph128Gray(id: Long, x: Int, y: Int): Int = {
+    val b = phBase(id)
+    val hv =
+      java.lang.Integer.parseInt(md5Hex(s"ph|$b|$x|$y").substring(0, 6), 16)
+    val g = hv % 251
+    if (id != b && x == (id % 17).toInt && y == ((id / 17) % 8).toInt)
+      (g + 100) % 251
+    else g
+  }
+
+  /** (doc_id, payload) with REAL 17×8 PNG bytes for the 128-bit
+    * perceptual-hash family, synthesized per-partition. */
+  def asPhash128ImageTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val rdd = docs.select("doc_id").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, synthGrayPng(ph128W, phH, ph128Gray(id, _, _)))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  val dhash128Schema: StructType = StructType(
+    StructField("doc_id", LongType) +:
+      (0 until 4).map(w => StructField(s"h$w", LongType)))
+
+  /** 128-bit dHash over the REAL decoded raster: bit (r, c) =
+    * [gray(c+1, r) > gray(c, r)] on the 17×8 grid, packed as four
+    * 32-bit words (h0..h3) so every value stays in non-negative BIGINT
+    * space in both engines. */
+  def dHash128(images: DataFrame): DataFrame = {
+    val spark = images.sparkSession
+    val rdd = images.select("doc_id", "payload").rdd.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        require(img != null && img.getWidth == ph128W &&
+          img.getHeight == phH, s"bad phash128 payload for doc $id")
+        val words = new Array[Long](4)
+        var row = 0
+        while (row < phH) {
+          var c = 0
+          while (c < ph128W - 1) {
+            val a = img.getRGB(c, row) & 0xff
+            val b = img.getRGB(c + 1, row) & 0xff
+            if (b > a) {
+              val pos = row * 16 + c
+              words(pos >> 5) |= 1L << (pos & 31)
+            }
+            c += 1
+          }
+          row += 1
+        }
+        Row(id, words(0), words(1), words(2), words(3))
+      }
+    }
+    spark.createDataFrame(rdd, dhash128Schema)
+  }
+
+  /** The 4×32-bit pigeonhole band rows of each 128-bit dHash — the
+    * bands ARE the packed words: (doc_id, h0..h3, band, band_key).
+    * Shared by the in-batch pairing and the persisted
+    * [[Phash128Index]]. */
+  def phash128Bands(hashes: DataFrame): DataFrame = {
+    val words = (0 until 4).map(w => col(s"h$w"))
+    hashes.select((col("doc_id") +: words :+
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), col(s"h$b").as("band_key"))): _*))
+        .as("bk")): _*)
+      .select((col("doc_id") +: words :+
+        col("bk.band").as("band") :+ col("bk.band_key").as("band_key")): _*)
   }
 
   /** Typed media wrapper: payload + metadata, media type derived

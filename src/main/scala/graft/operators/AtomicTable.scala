@@ -224,6 +224,8 @@ object AtomicTable {
                   keys: Seq[Long],
                   retainVersions: Int = 2): DeleteReport = {
     import org.apache.spark.sql.functions.{col, input_file_name}
+    requireSnapshotLayout(spark, dir, "deleteWhere",
+      "compactToBase first, then delete against the folded snapshot")
     val src = latestDataPath(spark, dir).getOrElse(
       sys.error(s"deleteWhere: no committed version under $dir"))
     val f = fs(spark, dir)
@@ -274,9 +276,17 @@ object AtomicTable {
     * always kept. Returns the versions actually deleted. Driver-side
     * O(#versions) metadata calls; safe to run concurrently with
     * readers of retained versions (marker is deleted first, so new
-    * readers stop resolving a version before its data disappears). */
+    * readers stop resolving a version before its data disappears).
+    *
+    * REFUSES base+delta dirs ([[isDeltaLayout]]): there every `v_<n>`
+    * is a live DELTA, not a superseded snapshot — retain-last-2 would
+    * silently delete uncovered deltas (committed fingerprints
+    * forgotten, duplicates re-admitted with no error). Delta epochs
+    * are pruned by [[compactToBase]], which knows what a base covers. */
   def vacuum(spark: SparkSession, dir: String, retainLast: Int = 2,
              olderThanMillis: Option[Long] = None): Seq[Long] = {
+    requireSnapshotLayout(spark, dir, "vacuum",
+      "deltas are pruned by compactToBase once a base covers them")
     val f = fs(spark, dir)
     val now = System.currentTimeMillis()
     val candidates = committedVersions(spark, dir)
@@ -307,11 +317,17 @@ object AtomicTable {
     * via the same write path when `partitionCols` is passed. Returns
     * the new version, or None when the table is empty/uncommitted.
     * Row content is identical by construction — only the file layout
-    * changes. Pair with [[vacuum]] to reclaim the fragmented history. */
+    * changes. Pair with [[vacuum]] to reclaim the fragmented history.
+    *
+    * On a base+delta dir ([[isDeltaLayout]]) this DELEGATES to
+    * [[compactToBase]]: the latest `v_<n>` there is one delta, not the
+    * table — snapshot-compacting it would commit a version that
+    * silently dropped every other delta and the base. */
   def compact(spark: SparkSession, dir: String,
               targetFileBytes: Long = 128L * 1024 * 1024,
               partitionCols: Seq[String] = Nil): Option[Long] =
-    committedVersions(spark, dir).lastOption.map { v =>
+    if (isDeltaLayout(spark, dir)) compactToBase(spark, dir)
+    else committedVersions(spark, dir).lastOption.map { v =>
       val f = fs(spark, dir)
       val bytes = f.getContentSummary(dataPath(dir, v)).getLength
       val files = math.max(1, math.ceil(
@@ -403,11 +419,33 @@ object AtomicTable {
   // ------------------------------------------------------------------
 
   private val BaseMarkerPrefix = "_basecommit_"
+  private val DeltaLayoutMarker = "_layout_delta"
 
   private def baseDataPath(dir: String, version: Long) =
     new Path(s"$dir/base_$version")
   private def baseMarkerPath(dir: String, version: Long) =
     new Path(s"$dir/$BaseMarkerPrefix$version")
+
+  /** True when `dir` uses the base+delta merge-on-read layout — every
+    * `v_<n>` is then a live DELTA, and snapshot-layout maintenance
+    * ([[vacuum]], snapshot [[compact]], [[deleteWhere]],
+    * [[Maintenance]]'s small-files rule) must not treat the latest one
+    * as "the table". Detected from the layout marker [[commitDelta]]
+    * writes, with committed bases as the fallback signal (a dir
+    * compacted before the marker existed). */
+  def isDeltaLayout(spark: SparkSession, dir: String): Boolean = {
+    val f = fs(spark, dir)
+    f.exists(new Path(s"$dir/$DeltaLayoutMarker")) ||
+      committedBases(spark, dir).nonEmpty
+  }
+
+  private def requireSnapshotLayout(spark: SparkSession, dir: String,
+                                    op: String, remedy: String): Unit =
+    if (isDeltaLayout(spark, dir))
+      throw new IllegalStateException(
+        s"AtomicTable.$op on $dir: this is a base+delta dir whose " +
+          s"v_<n> entries are live deltas, not snapshots — $op would " +
+          s"silently lose committed data; $remedy.")
 
   /** Committed base snapshots, ascending by the delta version they
     * cover. */
@@ -433,6 +471,10 @@ object AtomicTable {
     val spark = df.sparkSession
     val f = fs(spark, dir)
     bindWriter(spark, dir, writerId, adoptExisting)
+    // layout marker FIRST (idempotent, before the marker check): the
+    // guard in vacuum/compact/deleteWhere must see the dir as
+    // base+delta even between a replayed batch's no-op commits.
+    f.create(new Path(s"$dir/$DeltaLayoutMarker"), true).close()
     if (isCommitted(spark, dir, version)) return
     df.write.mode("overwrite").parquet(dataPath(dir, version).toString)
     f.create(markerPath(dir, version), true).close()
@@ -472,13 +514,23 @@ object AtomicTable {
     * the new base — never a mix; a crash mid-compaction leaves an
     * invisible orphan `base_<n>` the next compaction overwrites.
     * Returns the covered version, or None when there are no committed
-    * deltas or the latest is already covered. */
-  def compactToBase(spark: SparkSession, dir: String): Option[Long] = {
+    * deltas or the latest is already covered.
+    *
+    * `resolve` (default identity) rewrites the merged view before it
+    * becomes the base — the row-grain compaction hook for UPSERT-delta
+    * tables (drop superseded row versions, e.g. last-writer-wins per
+    * key). It must be a pure row-set reduction whose output under
+    * later merges resolves identically (keep the version column!);
+    * append-only tables never need it. */
+  def compactToBase(spark: SparkSession, dir: String,
+                    resolve: DataFrame => DataFrame = identity)
+      : Option[Long] = {
     val versions = committedVersions(spark, dir)
     val bases = committedBases(spark, dir)
     versions.lastOption.filter(v => !bases.lastOption.contains(v))
       .flatMap { cover =>
-        readMerged(spark, dir).map { df =>
+        readMerged(spark, dir).map { raw =>
+          val df = resolve(raw)
           val f = fs(spark, dir)
           df.write.mode("overwrite")
             .parquet(baseDataPath(dir, cover).toString)

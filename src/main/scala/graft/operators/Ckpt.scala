@@ -96,7 +96,16 @@ object Ckpt {
     * where disk round-trips are legitimate. At sf scale [[truncated]]
     * stays the default (no write amplification, measured fastest);
     * use this when iteration state × rounds threatens executor memory.
-    */
+    *
+    * ONE LOOP, ONE THREAD, ONE INSTANCE: the returned closure numbers
+    * rounds with an unsynchronized mutable counter, so each iterative
+    * loop must take its OWN `durable(dir)` with its own `baseDir` —
+    * sharing an instance across two loops, or calling it from
+    * concurrently-materialized models (ModelDag's `par` waves), would
+    * interleave round numbering and overwrite live round dirs
+    * (r17 ADVICE). The driver-side loops it serves (BPE, CC) are
+    * sequential by nature; concurrency belongs between loops, not
+    * inside one. */
   def durable(baseDir: String): DataFrame => DataFrame = {
     var round = 0
     df => {

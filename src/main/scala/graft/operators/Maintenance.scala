@@ -17,6 +17,10 @@ import org.apache.spark.sql.SparkSession
   *     [[TableStats.joinWithAdvisor]] / the injected
   *     [[graft.plans.StatsBroadcastRule]].
   *   - VACUUM when more versions are retained than `retainVersions`.
+  *   - COMPACT_TO_BASE when a base+delta dir ([[AtomicTable.isDeltaLayout]])
+  *     has accumulated more than `maxDeltas` uncovered deltas — the
+  *     ONLY rule applied there (the snapshot rules would misread live
+  *     deltas as superseded history).
   *
   * [[plan]] is pure inspection (safe to run anywhere, returns the
   * decisions with their evidence); [[run]] executes the plan through
@@ -30,11 +34,25 @@ object Maintenance {
                           maxFiles: Int = 16,
                           targetFileBytes: Long = 128L * 1024 * 1024,
                           retainVersions: Int = 2,
-                          statsCols: Seq[String] = Nil)
+                          statsCols: Seq[String] = Nil,
+                          maxDeltas: Int = 8)
 
   def plan(spark: SparkSession, dir: String,
            policy: Policy = Policy()): Seq[Action] = {
     val table = new Path(dir).getName
+    // Base+delta dirs get exactly one maintenance rule — COMPACTION
+    // DEBT (fold deltas into a new base via compactToBase once more
+    // than `maxDeltas` accumulate). The snapshot rules below would
+    // misread the layout: `latestDataPath` is one delta, not the
+    // table, and vacuum would delete live uncovered deltas (it
+    // refuses — see AtomicTable.vacuum).
+    if (AtomicTable.isDeltaLayout(spark, dir)) {
+      val debt = AtomicTable.deltasSinceBase(spark, dir)
+      return if (debt > policy.maxDeltas)
+        Seq(Action(table, "compact_to_base",
+          s"$debt uncovered deltas > ${policy.maxDeltas}"))
+      else Nil
+    }
     AtomicTable.latestDataPath(spark, dir) match {
       case None => Nil
       case Some(dataPath) =>
@@ -73,6 +91,8 @@ object Maintenance {
   def run(spark: SparkSession, dir: String,
           policy: Policy = Policy()): Seq[Action] = {
     val actions = plan(spark, dir, policy)
+    if (actions.exists(_.action == "compact_to_base"))
+      AtomicTable.compactToBase(spark, dir)
     if (actions.exists(_.action == "compact"))
       AtomicTable.compact(spark, dir,
         targetFileBytes = policy.targetFileBytes)

@@ -2103,10 +2103,11 @@ object LlmQueries {
         |), sh AS (
         |  SELECT doc_id, $bits AS simhash FROM v
         |), sized AS (
-        |  SELECT doc_id, simhash, band, band_key,
-        |    COUNT(*) OVER (PARTITION BY band, band_key) AS bucket_size
+        |  SELECT doc_id, shard, simhash, band, band_key,
+        |    COUNT(*) OVER (PARTITION BY shard, band, band_key)
+        |      AS bucket_size
         |  FROM (
-        |    SELECT doc_id, simhash, b AS band,
+        |    SELECT doc_id, doc_id % 3 AS shard, simhash, b AS band,
         |      substr(simhash, b * 16 + 1, 16) AS band_key
         |    FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b))
         |), cand AS (
@@ -2114,15 +2115,20 @@ object LlmQueries {
         |    l.simhash AS sim_a, r.simhash AS sim_b
         |  FROM (SELECT * FROM sized WHERE bucket_size <= 512) l
         |  JOIN (SELECT * FROM sized WHERE bucket_size <= 512) r
-        |    USING (band, band_key)
+        |    USING (shard, band, band_key)
         |  WHERE l.doc_id < r.doc_id
         |  UNION ALL
         |  SELECT doc_a, doc_b, sim_a, sim_b FROM (
         |    SELECT doc_id AS doc_a, LEAD(doc_id) OVER w AS doc_b,
         |      simhash AS sim_a, LEAD(simhash) OVER w AS sim_b
         |    FROM (SELECT * FROM sized WHERE bucket_size > 512)
-        |    WINDOW w AS (PARTITION BY band, band_key ORDER BY doc_id))
+        |    WINDOW w AS (PARTITION BY shard, band, band_key
+        |      ORDER BY doc_id))
         |  WHERE doc_b IS NOT NULL
+        |  UNION ALL
+        |  SELECT l.doc_id, r.doc_id, l.simhash, r.simhash
+        |  FROM sized l JOIN sized r USING (band, band_key)
+        |  WHERE l.shard <> r.shard AND l.doc_id < r.doc_id
         |), pairs AS (
         |  SELECT DISTINCT doc_a, doc_b FROM cand
         |  WHERE hamming(sim_a, sim_b) <= 3
@@ -2169,11 +2175,13 @@ object LlmQueries {
     * [[graft.llm.ShardedNearDupIndex]] chain (r16 VERDICT task #2 —
     * the deployment form `shardedNearDupLabels`'s scaladoc promised is
     * now code): the corpus's 3 salted shards are folded into COMMITTED
-    * state ONE AT A TIME — seed shard 0 (labels snapshot + band-row
-    * delta via AtomicTable), add shard 1 against the committed band
-    * index, commit, add shard 2 — and the final committed labels are
-    * compared against a DuckDB twin computing the SINGLE-PASS closure
-    * over the whole corpus. The hash match IS the left-fold exactness
+    * state ONE AT A TIME — seed shard 0 through the bulk migration
+    * path (seedShards: labels upsert-delta v0 + band-row delta via
+    * AtomicTable), add shard 1 against the committed band index,
+    * commit ONLY the changed label rows (r18 upsert-delta layout),
+    * add shard 2 — and the final committed labels (last-writer-wins
+    * resolved view) are compared against a DuckDB twin computing the
+    * SINGLE-PASS closure over the whole corpus. The hash match IS the left-fold exactness
     * theorem: per-shard banding + committed-index cross probes +
     * min-label incremental merge == one all-shards pass == the
     * unsharded labels, row-for-row at both SFs. The ACROSS work per
@@ -2204,10 +2212,11 @@ object LlmQueries {
         |), sh AS (
         |  SELECT doc_id, $bits AS simhash FROM v
         |), sized AS (
-        |  SELECT doc_id, simhash, band, band_key,
-        |    COUNT(*) OVER (PARTITION BY band, band_key) AS bucket_size
+        |  SELECT doc_id, shard, simhash, band, band_key,
+        |    COUNT(*) OVER (PARTITION BY shard, band, band_key)
+        |      AS bucket_size
         |  FROM (
-        |    SELECT doc_id, simhash, b AS band,
+        |    SELECT doc_id, doc_id % 3 AS shard, simhash, b AS band,
         |      substr(simhash, b * 16 + 1, 16) AS band_key
         |    FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b))
         |), cand AS (
@@ -2215,15 +2224,20 @@ object LlmQueries {
         |    l.simhash AS sim_a, r.simhash AS sim_b
         |  FROM (SELECT * FROM sized WHERE bucket_size <= 512) l
         |  JOIN (SELECT * FROM sized WHERE bucket_size <= 512) r
-        |    USING (band, band_key)
+        |    USING (shard, band, band_key)
         |  WHERE l.doc_id < r.doc_id
         |  UNION ALL
         |  SELECT doc_a, doc_b, sim_a, sim_b FROM (
         |    SELECT doc_id AS doc_a, LEAD(doc_id) OVER w AS doc_b,
         |      simhash AS sim_a, LEAD(simhash) OVER w AS sim_b
         |    FROM (SELECT * FROM sized WHERE bucket_size > 512)
-        |    WINDOW w AS (PARTITION BY band, band_key ORDER BY doc_id))
+        |    WINDOW w AS (PARTITION BY shard, band, band_key
+        |      ORDER BY doc_id))
         |  WHERE doc_b IS NOT NULL
+        |  UNION ALL
+        |  SELECT l.doc_id, r.doc_id, l.simhash, r.simhash
+        |  FROM sized l JOIN sized r USING (band, band_key)
+        |  WHERE l.shard <> r.shard AND l.doc_id < r.doc_id
         |), pairs AS (
         |  SELECT DISTINCT doc_a, doc_b FROM cand
         |  WHERE hamming(sim_a, sim_b) <= 3
@@ -2247,12 +2261,20 @@ object LlmQueries {
       val docs = Tables.documents(s, d)
       val tokenRows = docs.select(col("doc_id"),
         explode(TA.tokens(col("text"))).as("token"))
-      // One signature pass shared by the three addShard calls
+      // One signature pass shared by the seed and both addShard calls
       // (between-plans materialization: each step runs several
       // separately-executed commit jobs over its shard's slice).
       val sig = Dedup.simhash64FromTokens(tokenRows).localCheckpoint(true)
       val dir = Q.tempDir("graft_shardinc").toString
-      (0 to 2).foreach { k =>
+      // Seed shard 0 through the BULK migration path (seedShards — the
+      // r18 trim: the left-fold theorem needs folds over committed
+      // state, not a maximal replay, and seeding exercises the
+      // single-pass bootstrap the deployment migration uses), then fold
+      // shards 1 and 2 through the committed chain.
+      graft.llm.ShardedNearDupIndex.seedShards(s, dir,
+        sig.filter(col("doc_id") % 3 === 0).withColumn("shard", lit(0L)),
+        bits = 64)
+      (1 to 2).foreach { k =>
         graft.llm.ShardedNearDupIndex.addShard(s, dir,
           sig.filter(col("doc_id") % 3 === k), bits = 64)
         ()
@@ -2395,6 +2417,136 @@ object LlmQueries {
             .cast("long"))
         .select("doc_id", "shard", "component", "incr_component",
           "component_size")
+        .orderBy("doc_id")
+    }
+  }
+
+  /** Dedup — INDEX-SIDE PROBE CAP for the incremental cross-shard
+    * merge (r18; VERDICT r17 stretch #8): a pathologically hot band
+    * key in a 100-TB committed index makes one probe's candidates
+    * ∝ index, so [[graft.llm.Dedup.addShardNearDups]]'s `probeCap`
+    * ranks committed index rows per (band, band_key) by doc_id and
+    * probes only rank ≤ cap — deterministic, replayable. Here the
+    * homogeneous fixture (the hot-bucket construction: 12 shared
+    * tokens + one of 3 variants over a 2-shard split) drives identical
+    * signatures, shard 0 is seeded, and shard 1 folds with
+    * `probeCap = 4` ENGAGED (variant buckets are ~an order of
+    * magnitude over it). The twin replays the exact rank rule with
+    * ROW_NUMBER over shard 0's banded rows and closes over
+    * within(both shards) ∪ capped-across — the gate pins the capped
+    * fold == the replayed closure cross-engine at both SFs (min-label
+    * associativity: fold == one closure over the union of its edge
+    * sets). Exactness vs the UNCAPPED single pass is deliberately
+    * sacrificed when the cap engages — same graceful-degradation
+    * contract as `maxBucketSize`. */
+  val ddShardedProbeCapMerge: Q = {
+    val highHex = "('8','9','a','b','c','d','e','f')"
+    val votes = (1 to 64).map { i =>
+      val src = if (i <= 32) s"substr(md5(token), $i, 1)"
+        else s"substr(md5('s2|' || token), ${i - 32}, 1)"
+      s"SUM(CASE WHEN $src IN $highHex THEN 1 ELSE -1 END) AS v$i"
+    }.mkString(",\n      |    ")
+    val bits = (1 to 64).map(i =>
+      s"CASE WHEN v$i > 0 THEN '1' ELSE '0' END").mkString(" || ")
+    Q.sql(
+      "dd_sharded_probe_cap_merge",
+      s"""WITH RECURSIVE ids AS (
+        |  SELECT doc_id, CAST((doc_id // 10) % 2 AS BIGINT) AS shard
+        |  FROM documents WHERE doc_id % 10 = 0
+        |), tok AS (
+        |  SELECT doc_id,
+        |    'w' || CAST(unnest(generate_series(0, 11)) AS VARCHAR) AS token
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT doc_id, 'v' || CAST(doc_id % 3 AS VARCHAR) FROM ids
+        |), v AS (
+        |  SELECT doc_id,
+        |    $votes
+        |  FROM tok GROUP BY doc_id
+        |), sh AS (
+        |  SELECT doc_id, $bits AS simhash FROM v
+        |), banded AS (
+        |  SELECT s.doc_id, i.shard, s.simhash, b.band,
+        |    substr(s.simhash, b.band * 16 + 1, 16) AS band_key
+        |  FROM sh s JOIN ids i USING (doc_id)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b
+        |), sized AS (
+        |  SELECT *, COUNT(*) OVER (PARTITION BY shard, band, band_key)
+        |    AS bucket_size
+        |  FROM banded
+        |), idxcap AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id, simhash, band, band_key,
+        |      ROW_NUMBER() OVER (PARTITION BY band, band_key
+        |        ORDER BY doc_id) AS rk
+        |    FROM banded WHERE shard = 0)
+        |  WHERE rk <= 4
+        |), cand AS (
+        |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+        |    l.simhash AS sim_a, r.simhash AS sim_b
+        |  FROM (SELECT * FROM sized WHERE bucket_size <= 512) l
+        |  JOIN (SELECT * FROM sized WHERE bucket_size <= 512) r
+        |    USING (shard, band, band_key)
+        |  WHERE l.doc_id < r.doc_id
+        |  UNION ALL
+        |  SELECT doc_a, doc_b, sim_a, sim_b FROM (
+        |    SELECT doc_id AS doc_a, LEAD(doc_id) OVER w AS doc_b,
+        |      simhash AS sim_a, LEAD(simhash) OVER w AS sim_b
+        |    FROM (SELECT * FROM sized WHERE bucket_size > 512)
+        |    WINDOW w AS (PARTITION BY shard, band, band_key
+        |      ORDER BY doc_id))
+        |  WHERE doc_b IS NOT NULL
+        |  UNION ALL
+        |  SELECT l.doc_id, r.doc_id, l.simhash, r.simhash
+        |  FROM idxcap l
+        |  JOIN (SELECT * FROM banded WHERE shard = 1) r
+        |    USING (band, band_key)
+        |), pairs AS (
+        |  SELECT DISTINCT doc_a, doc_b FROM cand
+        |  WHERE hamming(sim_a, sim_b) <= 3 AND doc_a <> doc_b
+        |), sym AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs
+        |), r(a, b) AS (
+        |  SELECT doc_id, doc_id FROM ids
+        |  UNION
+        |  SELECT r.a, s.dst FROM r JOIN sym s ON r.b = s.src
+        |), comp AS (
+        |  SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS component
+        |  FROM r GROUP BY a
+        |)
+        |SELECT c.doc_id, i.shard, c.component,
+        |  CAST(COUNT(*) OVER (PARTITION BY c.component) AS BIGINT)
+        |    AS component_size
+        |FROM comp c JOIN ids i USING (doc_id)
+        |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ids = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          expr("(doc_id div 10) % 2").cast("long").as("shard"))
+      val tokenRows = ids.select(col("doc_id"),
+          explode(array((0 until 12).map(i => lit(s"w$i")): _*)).as("token"))
+        .unionByName(ids.select(col("doc_id"),
+          concat(lit("v"), (col("doc_id") % 3).cast("string")).as("token")))
+      val sig = Dedup.simhash64FromTokens(tokenRows).localCheckpoint(true)
+      val dir = Q.tempDir("graft_shardpcap").toString
+      graft.llm.ShardedNearDupIndex.seedShards(s, dir,
+        sig.join(ids.filter(col("shard") === 0).select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          .withColumn("shard", lit(0L)),
+        bits = 64)
+      graft.llm.ShardedNearDupIndex.addShard(s, dir,
+        sig.join(ids.filter(col("shard") === 1).select("doc_id"),
+          Seq("doc_id"), "left_semi"),
+        bits = 64, probeCap = Some(4))
+      val labels = graft.llm.ShardedNearDupIndex.loadLabels(s, dir)
+        .withColumnRenamed("id", "doc_id")
+      ids.select(col("doc_id"), col("shard"))
+        .join(labels, Seq("doc_id"))
+        .withColumn("component_size",
+          count(lit(1)).over(Window.partitionBy(col("component")))
+            .cast("long"))
+        .select("doc_id", "shard", "component", "component_size")
         .orderBy("doc_id")
     }
   }
@@ -3947,6 +4099,61 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Multimodal + incremental dedup — the 128-BIT persisted
+    * perceptual-hash index (r18: the probe-saturation defense VERDICT
+    * r17 task #2 names). Same daily-crawl chain as
+    * `dd_phash_index_chain`, but through [[graft.llm.Phash128Index]]:
+    * 17×8 payloads, real decode, 128-bit dHash packed as four 32-bit
+    * words, and the pigeonhole bands ARE the words — per-band keyspace
+    * 2^32, so probe candidates stay ∝ true near-dups as the committed
+    * index grows (the 64-bit gate's 16-bit keys saturate at
+    * |index|·4/65536 — its measured 1.43@100× shuffle tail). The twin
+    * replays every pixel, all 128 comparison bits, the 4×32-bit
+    * packing, the word-keyed band join, and the 4-word Hamming verify. */
+  val ddPhash128IndexChain: Q = Q.sql(
+    "dd_phash128_index_chain",
+    s"""${phash128HashCtes(
+         """SELECT doc_id FROM documents
+           |  UNION
+           |  SELECT doc_id * 2 + 1000000 FROM documents WHERE doc_id % 9 = 0""".stripMargin)}, bnd AS (
+      |  SELECT h.doc_id, h.h0, h.h1, h.h2, h.h3, bs.band,
+      |    CASE bs.band WHEN 0 THEN h.h0 WHEN 1 THEN h.h1
+      |                 WHEN 2 THEN h.h2 ELSE h.h3 END AS band_key
+      |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) bs
+      |), idx AS (
+      |  SELECT DISTINCT band, band_key, h0, h1, h2, h3
+      |  FROM bnd WHERE doc_id < 1000000 AND doc_id % 5 <> 4
+      |), probe AS (
+      |  SELECT * FROM bnd
+      |  WHERE doc_id >= 1000000 OR doc_id % 5 = 4
+      |     OR (doc_id % 7 = 0 AND doc_id % 5 <> 4)
+      |), hits AS (
+      |  SELECT DISTINCT p.doc_id
+      |  FROM probe p JOIN idx i
+      |    ON i.band = p.band AND i.band_key = p.band_key
+      |  WHERE bit_count(xor(p.h0, i.h0)) + bit_count(xor(p.h1, i.h1))
+      |      + bit_count(xor(p.h2, i.h2)) + bit_count(xor(p.h3, i.h3)) <= 3
+      |)
+      |SELECT p.doc_id,
+      |  p.doc_id IN (SELECT doc_id FROM hits) AS hit_index,
+      |  p.doc_id NOT IN (SELECT doc_id FROM hits) AS keep
+      |FROM (SELECT DISTINCT doc_id FROM probe) p
+      |ORDER BY p.doc_id""".stripMargin) { (s, d) =>
+    import graft.llm.Phash128Index
+    val ids = Tables.documents(s, d).select("doc_id")
+    val day1 = ids.filter(col("doc_id") % 5 =!= 4)
+    val day2 = ids.filter(col("doc_id") % 5 === 4 ||
+        (col("doc_id") % 7 === 0 && col("doc_id") % 5 =!= 4))
+      .unionByName(ids.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") * 2 + 1000000L).as("doc_id")))
+    val dir = Q.tempDir("graft_ph128idx").toString
+    Phash128Index.processBatch(s, dir,
+      Multimodal.asPhash128ImageTable(day1))
+    Phash128Index.processBatch(s, dir,
+      Multimodal.asPhash128ImageTable(day2))
+      .orderBy("doc_id")
+  }
+
   /** Multimodal — audio FEATURE EXTRACTION over the real codec path:
     * WAV payloads decoded to per-frame PCM rows (`decodeAudioFrames`),
     * then fixed 16-frame windowed sum-of-squares energy, per-doc
@@ -4229,6 +4436,49 @@ object LlmQueries {
       |    CAST(SUM(CASE WHEN pos >= 32
       |      THEN bit * CAST(POWER(2, pos - 32) AS BIGINT) ELSE 0 END) AS BIGINT)
       |      AS hash_hi
+      |  FROM bits GROUP BY 1
+      |)""".stripMargin
+  }
+
+  /** 128-bit sibling of [[phashHashCtes]]: replays the 17×8 grid of
+    * `Multimodal.ph128Gray` (same md5 hex6 pixel spec, perturbed pixel
+    * at (doc_id % 17, (doc_id // 17) % 8)), the 16 diffs × 8 rows =
+    * 128 dHash bits, and the 4×32-bit word packing. Ends at CTE
+    * `h(doc_id, h0, h1, h2, h3)`. */
+  private def phash128HashCtes(
+      phdocs: String = "SELECT doc_id FROM documents"): String = {
+    val h6 = TA.hex6Expr("md5('ph|' || b || '|' || x || '|' || y)")
+    val words = (0 until 4).map(w =>
+      s"""CAST(SUM(CASE WHEN pos // 32 = $w
+      |      THEN bit * CAST(POWER(2, pos % 32) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS h$w""".stripMargin).mkString(",\n      |    ")
+    s"""WITH phdocs AS ($phdocs), d AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 4 AND doc_id >= 4
+      |         THEN doc_id - 3 ELSE doc_id END AS b
+      |  FROM phdocs
+      |), px AS (
+      |  SELECT d.doc_id, d.b, xs.x, ys.y
+      |  FROM d
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 16)) AS x) xs
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y) ys
+      |), g0 AS (
+      |  SELECT doc_id, x, y, $h6 % 251 AS gray0,
+      |    doc_id <> b AND x = doc_id % 17 AND y = (doc_id // 17) % 8 AS pert
+      |  FROM px
+      |), g AS (
+      |  SELECT doc_id, x, y,
+      |    CASE WHEN pert THEN (gray0 + 100) % 251 ELSE gray0 END AS gray
+      |  FROM g0
+      |), bits AS (
+      |  SELECT a.doc_id, a.y * 16 + a.x AS pos,
+      |    CASE WHEN bb.gray > a.gray THEN 1 ELSE 0 END AS bit
+      |  FROM g a JOIN g bb
+      |    ON bb.doc_id = a.doc_id AND bb.y = a.y AND bb.x = a.x + 1
+      |  WHERE a.x < 16
+      |), h AS (
+      |  SELECT doc_id,
+      |    $words
       |  FROM bits GROUP BY 1
       |)""".stripMargin
   }
@@ -4732,6 +4982,7 @@ object LlmQueries {
     ddIncrementalBloom, ddIncrementalIndexChain, ddNearDupIndexChain,
     ddClusterCanonical, ddShardedClusterMerge,
     ddShardedIncrementalMerge, ddShardedHotBucketMerge,
+    ddShardedProbeCapMerge,
     ddUrlDedup, ddLineDedup, ddDupSpanCoverage, ddDupSpanRemoval,
     ddConnectedComponents, ddCcIncremental, ddMinhashLsh,
     ddMinhashEstimate,
@@ -4745,5 +4996,5 @@ object LlmQueries {
     mmMov,
     mmResize,
     mmFrameSample, mmDhash, mmPhashNearDup, mmAudioEnergy,
-    ddPhashIndexChain)
+    ddPhashIndexChain, ddPhash128IndexChain)
 }

@@ -783,14 +783,18 @@ object Marts {
         .agg(countDistinct(col("customer")).as("unique_customers"),
           countDistinct(col("order_number")).as("unique_orders"))
       val keyNames = nd.columns.take(keys.length)
-      val joined = nd.alias("nd").join(dd.alias("dd"),
-        keyNames.map(n => col(s"nd.$n") <=> col(s"dd.$n")).reduce(_ && _))
+      // resolve through the DataFrames' own apply, not col("nd.<name>")
+      // string paths: an unaliased expression key would get an
+      // auto-generated name with dots/parens that col() cannot parse
+      // (r17 ADVICE).
+      val joined = nd.join(dd,
+        keyNames.map(n => nd(n) <=> dd(n)).reduce(_ && _))
       // original column order: keys, transaction_count, the two
       // distinct counts, then the decimal battery
-      val ndCols = nd.columns.map(n => col(s"nd.$n"))
+      val ndCols = nd.columns.map(nd(_))
       joined.select(
         (ndCols.take(keys.length + 1) ++
-          Seq(col("dd.unique_customers"), col("dd.unique_orders")) ++
+          Seq(dd("unique_customers"), dd("unique_orders")) ++
           ndCols.drop(keys.length + 1)): _*)
     }
     def grainAggNonDistinct(df: DataFrame, keys: Seq[Column]): DataFrame =

@@ -57,7 +57,13 @@ object MinhashDiag {
         .filter(col("jaccard") >= 0.8)
       val n = verified.collect().length
       val sec = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(800) // drain async listener bus
+      // drain the async listener bus BEFORE reading the stage table —
+      // a fixed sleep silently dropped late-completing stages (r17
+      // ADVICE); the graftinternal forwarder reaches the private[spark]
+      // waitUntilEmpty.
+      org.apache.spark.sql.graftinternal.ListenerBusDrain
+        .waitUntilEmpty(spark, 30000L)
+      spark.sparkContext.removeSparkListener(st)
       println(f"\n[diag] k=$k  $sec%.1f s  $n pairs")
       println(f"${"stage"}%5s ${"tasks"}%5s ${"shufR MB"}%9s " +
         f"${"shufW MB"}%9s ${"spill MB"}%9s  name")

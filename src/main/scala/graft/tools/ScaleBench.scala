@@ -345,6 +345,29 @@ object ScaleBench {
     } finally graft.queries.Q.deleteRecursively(idx)
   }
 
+  /** The 128-bit probe-saturation defense, same chain shape (r18;
+    * VERDICT r17 task #2): 4×32-bit word bands over
+    * [[graft.llm.Phash128Index]]. The 64-bit family above keeps its
+    * measured 1.43@100× shuffle tail as the saturated contrast arm —
+    * this one's probe candidates are |index|/2^32 per band, so the
+    * expected shuffle tail is ≈ 1 at every measurable scale. */
+  private def phash128Chain(s: SparkSession, dir: String): Long = {
+    import graft.llm.{Multimodal, Phash128Index}
+    val ids = docsOf(s, dir).select("doc_id")
+    val day1 = ids.filter(col("doc_id") % 5 =!= 4)
+    val day2 = ids.filter(col("doc_id") % 5 === 4 ||
+        (col("doc_id") % 7 === 0 && col("doc_id") % 5 =!= 4))
+      .unionByName(ids.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") * 2 + 1000000000L).as("doc_id")))
+    val idx = java.nio.file.Files.createTempDirectory("graft_scale_ph128")
+    try {
+      Phash128Index.processBatch(s, idx.toString,
+        Multimodal.asPhash128ImageTable(day1)).count()
+      Phash128Index.processBatch(s, idx.toString,
+        Multimodal.asPhash128ImageTable(day2)).count()
+    } finally graft.queries.Q.deleteRecursively(idx)
+  }
+
   /** The t_leakage_safe_split composition at scale: 64-bit simhash →
     * banded pairs → CC → cluster-grain split. Composes two measured
     * families (simhash_band16 + cc_full) plus a projection — one row
@@ -659,6 +682,8 @@ object ScaleBench {
       prep = Some((s, d, _) => lpaPrep(s, d))),
     Fam("phash_index_chain", Set("documents"), rep = true,
       (s, d, _) => phashChain(s, d)),
+    Fam("phash128_index_chain", Set("documents"), rep = true,
+      (s, d, _) => phash128Chain(s, d)),
     Fam("leakage_split", Set("documents"), rep = true,
       (s, d, _) => leakageSplit(s, d)))
 

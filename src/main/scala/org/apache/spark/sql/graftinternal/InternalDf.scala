@@ -30,3 +30,14 @@ object InternalDf {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
 }
+
+/** Same-package accessor for `SparkContext.listenerBus.waitUntilEmpty`
+  * (both `private[spark]`): lets diagnostic tools that read their own
+  * `SparkListener` state (`tools.MinhashDiag`'s stage table) DRAIN the
+  * async listener bus deterministically instead of guessing with a
+  * fixed sleep, which silently dropped late-completing stages from the
+  * printed table (r17 ADVICE). Forwarding call only, no behavior. */
+object ListenerBusDrain {
+  def waitUntilEmpty(spark: SparkSession, timeoutMillis: Long): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMillis)
+}

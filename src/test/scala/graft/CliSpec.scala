@@ -211,6 +211,30 @@ class CliSpec extends SparkSpec {
     assert(Main.maintain(spark, wh).isEmpty)
   }
 
+  test("maintenance sweeps committed index dirs: delta debt compacts to a base, reads byte-identical") {
+    import graft.operators.AtomicTable
+    import spark.implicits._
+    incRun // forces seed → incremental, so the test runs standalone too
+    // make the mart side steady first so only the index acts below
+    Main.maintain(spark, wh)
+    val idxDir = s"$wh/index/content_fp_idx"
+    // a daily-crawl index: 10 delta commits, well past Policy.maxDeltas
+    (0L until 10L).foreach(v => AtomicTable.commitDelta(
+      Seq((v, s"fp$v")).toDF("day", "content_fp"), idxDir, v))
+    val before = AtomicTable.readMerged(spark, idxDir).get
+      .collect().map(_.toString).sorted.toSeq
+    val acts = Main.maintain(spark, wh)
+    assert(acts.map(_.action) == Seq("compact_to_base"),
+      s"expected one index compaction, got $acts")
+    assert(AtomicTable.committedBases(spark, idxDir) == Seq(9L))
+    assert(AtomicTable.deltasSinceBase(spark, idxDir) == 0)
+    val after = AtomicTable.readMerged(spark, idxDir).get
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before, "merged view must be byte-identical")
+    // steady state: nothing further planned for the index either
+    assert(Main.maintain(spark, wh).isEmpty)
+  }
+
   test("incremental without a seeded warehouse fails fast") {
     val freshWh =
       java.nio.file.Files.createTempDirectory("cli_spec_wh2").toString

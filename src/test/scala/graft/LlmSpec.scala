@@ -867,6 +867,103 @@ class LlmSpec extends SparkSpec {
     assert(idx.select("hash_lo", "hash_hi").distinct().count() == 5)
   }
 
+  test("dHash128 matches the 17x8 pixel spec; Phash128Index chain flags copies, keeps fresh") {
+    val docs = Tables.documents(spark, sf).limit(50)
+    val hashes = Multimodal.dHash128(Multimodal.asPhash128ImageTable(docs))
+    val got = hashes.orderBy("doc_id").collect()
+    assert(got.length == 50)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val words = new Array[Long](4)
+      for (row <- 0 until 8; c <- 0 until 16)
+        if (Multimodal.ph128Gray(id, c + 1, row) >
+          Multimodal.ph128Gray(id, c, row)) {
+          val pos = row * 16 + c
+          words(pos >> 5) |= 1L << (pos & 31)
+        }
+      assert((0 until 4).forall(w => r.getLong(1 + w) == words(w)),
+        s"doc $id")
+    }
+    // planted near-copies stay within Hamming 2 of their base on the
+    // wider grid too (one perturbed pixel, two adjacent diffs)
+    val byId = got.map(r => r.getLong(0) ->
+      (0 until 4).map(w => r.getLong(1 + w))).toMap
+    (0 until 50).filter(i => i % 5 == 4 && i >= 4).foreach { i =>
+      val a = byId(i.toLong); val b = byId(i - 3L)
+      val ham = (0 until 4).map(w =>
+        java.lang.Long.bitCount(a(w) ^ b(w))).sum
+      assert(ham <= 2, s"near-copy $i hamming $ham")
+    }
+    // the persisted 128-bit chain: re-crawl + near-copy flagged, fresh kept
+    val dir = java.nio.file.Files.createTempDirectory("graft_ph128_spec")
+      .toString
+    def imgs(ids: Seq[Long]) =
+      Multimodal.asPhash128ImageTable(ids.toDF("doc_id"))
+    val out1 = graft.llm.Phash128Index
+      .processBatch(spark, dir, imgs(Seq(0L, 1L, 2L, 3L)))
+    assert(out1.filter($"keep").count() == 4)
+    val out2 = graft.llm.Phash128Index
+      .processBatch(spark, dir, imgs(Seq(4L, 0L, 100L)))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).toSeq
+    assert(out2 == Seq((0L, true, false), (4L, true, false),
+      (100L, false, true)))
+    val idx = graft.llm.Phash128Index.load(spark, dir)
+    assert(idx.select("h0", "h1", "h2", "h3").distinct().count() == 5)
+  }
+
+  test("ShardedNearDupIndex upsert-delta: commits only changed label rows; compactLabels drops dead rows") {
+    import graft.llm.ShardedNearDupIndex
+    val zeros = "0" * 64
+    val ones = "1" * 64
+    def sig(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "simhash")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ups_spec")
+      .resolve("idx").toString
+    def resolved: Map[Long, Long] =
+      ShardedNearDupIndex.loadLabels(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def deltaRows(v: Long): Long =
+      graft.operators.AtomicTable
+        .readVersion(spark, s"$dir/labels", v).get.count()
+    // seed shard A: docs 1 (cluster) and 3 (loner, opposite signature)
+    ShardedNearDupIndex.seedShards(spark, dir,
+      sig(1L -> zeros, 3L -> ones).withColumn("shard", lit(0L)), bits = 64)
+    assert(resolved == Map(1L -> 1L, 3L -> 3L))
+    assert(deltaRows(0L) == 2)
+    // fold shard B: doc 2 joins doc 1's cluster — the delta is ONE row
+    // (the new doc at its merged label; no old label moved)
+    ShardedNearDupIndex.addShard(spark, dir, sig(2L -> zeros), bits = 64)
+    assert(resolved == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+    assert(deltaRows(1L) == 1)
+    // fold shard C: doc 0 becomes the new min — old rows 1 and 2 MOVE,
+    // so the delta is exactly {0, 1, 2}, never the untouched doc 3
+    ShardedNearDupIndex.addShard(spark, dir, sig(0L -> zeros), bits = 64)
+    assert(resolved ==
+      Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L))
+    assert(deltaRows(2L) == 3)
+    // compactLabels: dead row versions (1->1, 2->1) disappear; the
+    // resolved view is unchanged and the base carries one row per id
+    ShardedNearDupIndex.compactLabels(spark, dir)
+    assert(graft.operators.AtomicTable
+      .readMerged(spark, s"$dir/labels").get.count() == 4)
+    assert(resolved ==
+      Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L))
+    // a delta committed AFTER the fold still wins over the base
+    ShardedNearDupIndex.addShard(spark, dir, sig(10L -> ones), bits = 64)
+    assert(resolved(10L) == 3L)
+    // legacy snapshot layout stays readable and writable
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ups_spec2")
+      .resolve("idx").toString
+    ShardedNearDupIndex.seedShards(spark, dir2,
+      sig(1L -> zeros, 3L -> ones).withColumn("shard", lit(0L)),
+      bits = 64, snapshotLabels = true)
+    ShardedNearDupIndex.addShard(spark, dir2, sig(2L -> zeros),
+      bits = 64, snapshotLabels = true)
+    assert(ShardedNearDupIndex.loadLabels(spark, dir2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
   test("phash banding: Hamming<=3 always shares a band; 4 spread bits can evade") {
     val hashes = Seq(
       (1L, 0L, 0L),

@@ -348,6 +348,48 @@ class OperatorsSpec extends SparkSpec {
     assert(AtomicTable.readMerged(spark, dir2).forall(_.count() == 0L))
   }
 
+  test("base+delta guards: vacuum/deleteWhere refuse, compact delegates, Maintenance plans debt") {
+    import graft.operators.{AtomicTable, Maintenance}
+    val dir = java.nio.file.Files.createTempDirectory("atomic_guard")
+      .resolve("t").toString
+    def df(ks: Long*) = ks.map(k => (k, s"v$k")).toDF("k", "v")
+    def merged: Set[Long] = AtomicTable.readMerged(spark, dir)
+      .map(_.collect().map(_.getLong(0)).toSet).getOrElse(Set.empty)
+    (0L to 9L).foreach(v => AtomicTable.commitDelta(df(v), dir, v))
+    assert(AtomicTable.isDeltaLayout(spark, dir))
+    // vacuum would have deleted live uncovered deltas 0..7 — it must
+    // refuse loudly, and every delta must survive the attempt
+    val e = intercept[IllegalStateException](
+      AtomicTable.vacuum(spark, dir, retainLast = 2))
+    assert(e.getMessage.contains("base+delta"))
+    assert(merged == (0L to 9L).toSet)
+    // deleteWhere reads "the latest version" — same hazard, same guard
+    intercept[IllegalStateException](
+      AtomicTable.deleteWhere(spark, dir, "k", Seq(1L)))
+    // compact on a delta dir is compactToBase, not a snapshot rewrite
+    assert(AtomicTable.compact(spark, dir) == Some(9L))
+    assert(AtomicTable.committedBases(spark, dir) == Seq(9L))
+    assert(merged == (0L to 9L).toSet)
+    // Maintenance: fresh deltas over the base accumulate compaction
+    // debt; the plan is compact_to_base ONLY (no snapshot rules), and
+    // running it converges to a zero-action steady state
+    (10L to 14L).foreach(v => AtomicTable.commitDelta(df(v), dir, v))
+    val policy = Maintenance.Policy(maxDeltas = 3)
+    val planned = Maintenance.plan(spark, dir, policy)
+    assert(planned.map(_.action) == Seq("compact_to_base"))
+    Maintenance.run(spark, dir, policy)
+    assert(AtomicTable.deltasSinceBase(spark, dir) == 0)
+    assert(merged == (0L to 14L).toSet)
+    assert(Maintenance.plan(spark, dir, policy).isEmpty)
+    // a snapshot dir is untouched by the guard: vacuum still works
+    val dir2 = java.nio.file.Files.createTempDirectory("atomic_guard2")
+      .resolve("t").toString
+    (0L to 3L).foreach(v =>
+      AtomicTable.commit(df(v), dir2, v, retainVersions = 10))
+    assert(!AtomicTable.isDeltaLayout(spark, dir2))
+    assert(AtomicTable.vacuum(spark, dir2, retainLast = 2) == Seq(0L, 1L))
+  }
+
   test("ZOrder: tiles prune on BOTH dims; clusterBy yields disjoint key ranges") {
     import graft.operators.ZOrder
     // Known spread values: dense bits map to alternating bits.
