@@ -243,8 +243,11 @@ object ShardedNearDupIndex {
     if (snapshotLabels)
       AtomicTable.commit(labels, labelsDir(dir), 0L)
     else
-      // the seed IS the first delta (every row is new), coalesced like
-      // the other index deltas: label grain ≪ corpus bytes
+      // the seed IS the first delta (every row is new). Deliberately
+      // NOT coalesced: unlike the per-fold deltas this one is
+      // corpus-sized — the bulk-migration write should stay as
+      // parallel as the labels plan, and compactLabels/compactToBase
+      // own the file-count budget afterwards.
       AtomicTable.commitDelta(labels.withColumn(LabV, lit(0L)),
         labelsDir(dir), 0L)
     loadLabels(spark, dir)

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -523,7 +523,10 @@ object Dedup {
       bandRows(simhashes, bits, Seq("shard")))
     val within = verifiedPairs(banded, bits, maxHamming, maxBucketSize,
       keyCols = Seq("shard"))
-    val shardLabels = connectedComponents(
+    // endpoint-grain closure + isolated-doc join (r18): the within-CC
+    // previously iterated with corpus-covering labels — see
+    // [[nearDupLabels]]
+    val shardLabels = nearDupLabels(
       simhashes.select(col("doc_id").as("id")),
       within.select(col("doc_a").as("src"), col("doc_b").as("dst")))
     val l = banded.select((col("band") +: col("band_key") +:
@@ -548,7 +551,7 @@ object Dedup {
     val lnodes = contracted.select(col("src").as("id"))
       .unionByName(contracted.select(col("dst").as("id")))
       .distinct()
-    val merged = connectedComponents(lnodes, contracted)
+    val merged = contractedClosure(lnodes, contracted)
     shardLabels
       .join(merged.select(col("id").as("component"),
         col("component").as("merged")), Seq("component"), "left")
@@ -672,7 +675,7 @@ object Dedup {
     val cnodes = contracted.select(col("src").as("id"))
       .unionByName(contracted.select(col("dst").as("id")))
       .distinct()
-    val cc = connectedComponents(cnodes, contracted)
+    val cc = contractedClosure(cnodes, contracted)
     val allLabels = committedLabels.unionByName(
       newNodes.join(committedLabels, Seq("id"), "left_anti")
         .select(col("id"), col("id").as("component")))
@@ -948,6 +951,93 @@ object Dedup {
     labels
   }
 
+  /** ADAPTIVE closure for CONTRACTED (label-grain) graphs — the small
+    * second-stage closures of [[incrementalComponents]],
+    * [[addShardNearDups]] and [[shardedNearDupLabels]]'s merge stage.
+    * A contracted graph's size is ∝ the batch's touched components,
+    * orders of magnitude under the corpus, and the iterative
+    * [[connectedComponents]] loop pays 4–8 fixed-cost jobs (sym +
+    * labels checkpoints, per-round checkpoint + convergence count)
+    * regardless of size — the dominant cost of the sharded-merge gates
+    * (r18 task #3: the per-fold work was job COUNT, not data volume).
+    * Below `driverMaxEdges` the materialized edge set is collected and
+    * closed with a min-representative union-find (microseconds; union
+    * attaches the larger root under the smaller and `find`
+    * path-compresses, so every root IS its component's min id —
+    * bit-identical to the distributed min-label closure), and the
+    * result returns as a local — hence broadcastable — frame for the
+    * remap join. Above the threshold the distributed loop runs
+    * unchanged, so a deployment folding a mega-batch (millions of
+    * touched components) never sees a driver bottleneck: 500k edges ≈
+    * 8 MB of longs is the same order as a default broadcast side.
+    * This is the k-row-pull exception to the no-driver-loops rule, with
+    * the same justification as the k-means centroid pulls: the data is
+    * label-grain BY CONSTRUCTION, and the size check runs on the
+    * materialized frame before a single row is collected. */
+  private[llm] def contractedClosure(nodes: DataFrame, edges: DataFrame,
+                                     driverMaxEdges: Long = 500000L)
+      : DataFrame = {
+    val spark = nodes.sparkSession
+    // one materialization serves the size check, the collect (small
+    // path) or the distributed loop's first pass (big path)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    if (e.count() > driverMaxEdges) connectedComponents(nodes, e)
+    else {
+      val nodeIds = nodes.select(col("id")).collect().map(_.getLong(0))
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x
+        while (parent.getOrDefault(c, c) != c) {
+          val nx = parent.get(c); parent.put(c, r); c = nx
+        }
+        r
+      }
+      e.collect().foreach { row =>
+        val ra = find(row.getLong(0)); val rb = find(row.getLong(1))
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
+      nodeIds.foreach(id => rows.add(Row(id, find(id))))
+      spark.createDataFrame(rows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("component",
+            org.apache.spark.sql.types.LongType))))
+    }
+  }
+
+  /** Component labels for a NEAR-DUP PAIR set over a (possibly
+    * corpus-scale) node frame — the consumer-facing shape of the
+    * clustering stage (r18): the closure runs at PAIR-ENDPOINT grain
+    * (docs that appear in at least one verified pair — orders of
+    * magnitude under the corpus, since near-dup pair volume ≪ corpus
+    * by the whole point of dedup), and isolated docs label themselves
+    * through ONE left join at the end. The previous shape iterated
+    * [[connectedComponents]] with labels covering EVERY doc, so each
+    * of its O(log d) rounds joined corpus-sized frames; here the
+    * iteration (or the [[contractedClosure]] union-find below the
+    * threshold) never touches a corpus-scale frame, and the final
+    * remap is a broadcast-able join whenever the endpoint set is.
+    * Results are bit-identical by the [[connectedComponents]] contract
+    * (isolated nodes are their own min-label components).
+    *
+    * `nodes` needs column `id`; `edges` needs (src, dst). */
+  def nearDupLabels(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val endpoints = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id")))
+      .distinct()
+    val cc = contractedClosure(endpoints, edges)
+    nodes.join(cc.select(col("id"), col("component").as("_ndl_c")),
+        Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("_ndl_c"), col("id")).as("component"))
+  }
+
   /** INCREMENTAL connected components — fold a batch of NEW nodes and
     * edges into committed component labels WITHOUT recomputing over the
     * corpus-scale graph. Near-dup discovery only ever ADDS edges
@@ -984,7 +1074,7 @@ object Dedup {
     val cnodes = contracted.select(col("src").as("id"))
       .unionByName(contracted.select(col("dst").as("id")))
       .distinct()
-    val cc = connectedComponents(cnodes, contracted)
+    val cc = contractedClosure(cnodes, contracted)
     val allLabels = labels.unionByName(
       newNodes.join(labels, Seq("id"), "left_anti")
         .select(col("id"), col("id").as("component")))

@@ -1932,7 +1932,9 @@ object LlmQueries {
   /** Dedup — the FULL production near-dup pipeline in one hash-gated
     * chain: REAL `simhash64FromTokens` → `simhashNearDups` (banded
     * candidates + Hamming verify, hot-bucket cap on) → REAL
-    * `connectedComponents` (transitive clustering) → cluster-
+    * `nearDupLabels` (transitive clustering: endpoint-grain closure +
+    * isolated-doc join — r18; the closure never iterates over a
+    * corpus-sized frame) → cluster-
     * REPRESENTATIVE selection (the W2 pattern: longest text, then min
     * id — "keep the best copy", not "keep the first"). Runs the
     * band width `Dedup.autoBandPolicy` picks from the CORPUS COUNT
@@ -2042,7 +2044,7 @@ object LlmQueries {
       val bits = Dedup.autoBandPolicy(Tables.documentsCount(s, d))
       val pairs = Dedup.simhashNearDups(
         Dedup.simhashForWidth(bits, tokenRows), bits = bits)
-      val cc = Dedup.connectedComponents(
+      val cc = Dedup.nearDupLabels(
         docs.select(col("doc_id").as("id")),
         pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
       val w = Window.partitionBy(col("component"))
@@ -3309,7 +3311,7 @@ object LlmQueries {
       val pairs = Dedup.simhashNearDups(
         Dedup.simhash64FromTokens(tokenRows),
         maxBucketSize = 8, bits = 64)
-      val cc = Dedup.connectedComponents(
+      val cc = Dedup.nearDupLabels(
         ids.select(col("doc_id").as("id")),
         pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
       cc.select(col("id").as("doc_id"), col("component"))
@@ -4876,7 +4878,7 @@ object LlmQueries {
       val bits = Dedup.autoBandPolicy(Tables.documentsCount(s, d))
       val pairs = Dedup.simhashNearDups(
         Dedup.simhashForWidth(bits, tokenRows), bits = bits)
-      val cc = Dedup.connectedComponents(
+      val cc = Dedup.nearDupLabels(
         docs.select(col("doc_id").as("id")),
         pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
       val sp = TA.leakageSafeSplit(cc, seed = "split14",

@@ -289,7 +289,7 @@ object ScaleBench {
     val bits = Dedup.autoBandPolicy(Tables.documentsCount(s, dir))
     val pairs = Dedup.simhashNearDups(
       Dedup.simhashForWidth(bits, tokenRows), bits = bits)
-    val cc = Dedup.connectedComponents(
+    val cc = Dedup.nearDupLabels(
       docs.select(col("doc_id").as("id")),
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
     val w = Window.partitionBy(col("component"))
@@ -380,7 +380,7 @@ object ScaleBench {
     val bits = Dedup.autoBandPolicy(Tables.documentsCount(s, dir))
     val pairs = Dedup.simhashNearDups(
       Dedup.simhashForWidth(bits, tokenRows), bits = bits)
-    val cc = Dedup.connectedComponents(
+    val cc = Dedup.nearDupLabels(
       docs.select(col("doc_id").as("id")),
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
     TA.leakageSafeSplit(cc, seed = "split14", valPct = 10, testPct = 10)
