@@ -145,11 +145,46 @@ object Main {
     }
     val idxRoot = new org.apache.hadoop.fs.Path(s"$warehouseRoot/index")
     val fs = idxRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import graft.operators.AtomicTable
     val indexes =
       if (!fs.exists(idxRoot)) Nil
-      else fs.listStatus(idxRoot).toSeq.filter(_.isDirectory)
-        .map(_.getPath.toString).sorted
-        .flatMap(d => Maintenance.run(spark, d, Maintenance.Policy()))
+      else {
+        // A ShardedNearDupIndex commits at <name>/{labels,bands}, never
+        // at <name> itself — recurse ONE extra level so nested dirs are
+        // swept too (r18 ADVICE: a flat listing planned Nil for them and
+        // their delta debt silently never compacted). A dir counts as a
+        // table when it has committed versions at its own level.
+        val level1 = fs.listStatus(idxRoot).toSeq.filter(_.isDirectory)
+          .map(_.getPath)
+        val tables = level1.flatMap { p =>
+          if (AtomicTable.committedVersions(spark, p.toString).nonEmpty) Seq(p)
+          else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
+            .filter(c =>
+              AtomicTable.committedVersions(spark, c.toString).nonEmpty)
+        }.sortBy(_.toString)
+        tables.flatMap { p =>
+          val d = p.toString
+          if (p.getName == "labels" && AtomicTable.isDeltaLayout(spark, d)) {
+            // labels dirs carry lab_v upsert rows: compact through the
+            // last-writer-wins resolve (dead row VERSIONS disappear, not
+            // just files) instead of the generic file fold.
+            val acts = Maintenance.plan(spark, d, Maintenance.Policy())
+            if (acts.exists(_.action == "compact_to_base"))
+              graft.llm.ShardedNearDupIndex.compactLabels(spark,
+                p.getParent.toString)
+            acts
+          } else if (p.getName == "bands" &&
+              AtomicTable.isDeltaLayout(spark, d)) {
+            // bands dirs compact through the rank-materializing fold so
+            // probeCap's committed-bulk filter has stored probe_rk rows
+            val acts = Maintenance.plan(spark, d, Maintenance.Policy())
+            if (acts.exists(_.action == "compact_to_base"))
+              graft.llm.ShardedNearDupIndex.compactBands(spark,
+                p.getParent.toString)
+            acts
+          } else Maintenance.run(spark, d, Maintenance.Policy())
+        }
+      }
     marts ++ indexes
   }
 

@@ -616,8 +616,11 @@ object Dedup {
     * twin), same graceful-degradation contract as `maxBucketSize`
     * (recall inside an over-cap index bucket is sacrificed, exactness
     * vs the uncapped single pass holds only while the cap is a no-op).
-    * The rank window shuffles the index's band rows once when enabled;
-    * a deployment materializes the rank at compaction instead. */
+    * The rank is read from the `probe_rk` column where
+    * [[graft.llm.ShardedNearDupIndex.compactBands]] materialized it
+    * (the compacted bulk caps via a pushed-down filter — no index-wide
+    * window per fold); only post-compaction delta rows are windowed
+    * live, rank-continued behind the capped base rows per key. */
   final case class ShardMerge(labels: DataFrame, labelsDelta: DataFrame,
                               newBandRows: DataFrame)
 
@@ -640,6 +643,31 @@ object Dedup {
       col("doc_id").as("doc_b")) ++
       wordCols.map(w => col(w).as(s"${w}_b"))): _*)
     val idxRows = probeCap match {
+      case Some(cap) if committedBands.columns.contains("probe_rk") =>
+        // STORED-RANK path (r19; VERDICT r18 task #2): compaction
+        // materialized `probe_rk` on base rows
+        // ([[graft.llm.ShardedNearDupIndex.compactBands]]), so capping
+        // the compacted bulk of the index is a SCAN + FILTER — no
+        // corpus-wide window per fold. Only the post-compaction DELTA
+        // rows (probe_rk null, ∝ recent shards) are ranked live, and
+        // they rank AFTER the capped base rows per key ("first
+        // committed wins probe slots" — deterministic, replayable, and
+        // STABLE: a committed row's probe priority never reshuffles
+        // when later deltas arrive, which the global per-fold window
+        // could not guarantee). On a never-compacted dir every row is
+        // a delta and this reduces exactly to the global window below.
+        val baseCapped = committedBands
+          .filter(col("probe_rk").isNotNull && col("probe_rk") <= cap)
+        val baseCnt = baseCapped.groupBy(col("band"), col("band_key"))
+          .agg(count(lit(1)).as("_basec"))
+        val w = Window.partitionBy(col("band"), col("band_key"))
+          .orderBy(col("doc_id"))
+        val deltaCapped = committedBands.filter(col("probe_rk").isNull)
+          .withColumn("_rk", row_number().over(w))
+          .join(baseCnt, Seq("band", "band_key"), "left")
+          .filter(col("_rk") + coalesce(col("_basec"), lit(0L)) <= cap)
+          .drop("_rk", "_basec")
+        baseCapped.unionByName(deltaCapped)
       case Some(cap) =>
         val w = Window.partitionBy(col("band"), col("band_key"))
           .orderBy(col("doc_id"))
@@ -691,11 +719,20 @@ object Dedup {
       .select(col("id").as("component"), col("component").as("merged"))
     val changedOld = committedLabels.join(moved, Seq("component"))
       .select(col("id"), col("merged").as("component"))
+    // newRows must remap through cc on the PRE-fold COMPONENT, exactly
+    // like `updated` (restricted to the shard): on a REPLAYED shard a
+    // doc with a committed label != its own id contracts to its LABEL
+    // node, so a cc lookup by doc id would miss and emit (id, id) —
+    // committed as a higher-lab_v upsert it would overwrite the correct
+    // label and silently split committed clusters (r18 ADVICE). For a
+    // genuinely new doc allLabels carries (id, id), so this reduces to
+    // the cc-by-id lookup in the non-replay case.
     val newRows = newNodes
-      .join(cc.select(col("id"), col("component").as("merged")),
-        Seq("id"), "left")
+      .join(allLabels, Seq("id"))
+      .join(cc.select(col("id").as("component"),
+        col("component").as("merged")), Seq("component"), "left")
       .select(col("id"),
-        coalesce(col("merged"), col("id")).as("component"))
+        coalesce(col("merged"), col("component")).as("component"))
     val labelsDelta = changedOld.unionByName(newRows)
     val newBandRows = banded.select(
       (col("doc_id") +: wordCols.map(col)) :+

@@ -108,7 +108,19 @@ object Ckpt {
     * inside one. */
   def durable(baseDir: String): DataFrame => DataFrame = {
     var round = 0
+    var owner: Thread = null
     df => {
+      // Enforce the one-loop/one-thread contract above (r19; the r18
+      // ADVICE noted it was documented but unenforced): concurrent
+      // callers — e.g. two ModelDag `par`-wave models sharing an
+      // instance — would interleave round numbering and overwrite live
+      // round dirs. Fail fast instead.
+      val t = Thread.currentThread()
+      if (owner == null) owner = t
+      else require(owner eq t,
+        s"Ckpt.durable($baseDir) serves ONE sequential loop: created " +
+          s"on thread '${owner.getName}' but called from " +
+          s"'${t.getName}' — give each loop its own durable(dir)")
       round += 1
       val p = s"$baseDir/r$round"
       df.write.mode("overwrite").parquet(p)

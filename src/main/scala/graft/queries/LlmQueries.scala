@@ -2553,6 +2553,158 @@ object LlmQueries {
     }
   }
 
+  /** Dedup — STORED probe rank (r19; VERDICT r18 task #2): compaction
+    * materializes `probe_rk` per (band, band_key) on the committed
+    * band index ([[graft.llm.ShardedNearDupIndex.compactBands]]), so a
+    * capped fold FILTERS the compacted bulk instead of windowing the
+    * whole index, and only post-compaction delta rows are ranked live
+    * — AFTER the capped base rows per key ("first committed wins probe
+    * slots", stable across folds). Chain: seed shard 0 → compactBands
+    * (ranks committed) → fold shard 1 capped (probes stored ranks) →
+    * fold shard 2 capped (probes stored ranks ∪ shard 1's delta rows
+    * rank-continued behind them). The twin replays BOTH tiers with
+    * ROW_NUMBER + the base-count continuation and closes over
+    * within(3 shards) ∪ across(fold 1) ∪ across(fold 2). probeCap = 12
+    * so the sf0.01 draw exercises rank CONTINUATION (shard-0 variant
+    * buckets ≈ 5–6 < 12 leave slots for shard-1 rows) and the sf0.1
+    * draw exercises base SATURATION (buckets ≈ 55 > 12 — delta tier
+    * contributes zero), covering both regimes across the gate SFs. */
+  val ddShardedProbeRankCompact: Q = {
+    val highHex = "('8','9','a','b','c','d','e','f')"
+    val votes = (1 to 64).map { i =>
+      val src = if (i <= 32) s"substr(md5(token), $i, 1)"
+        else s"substr(md5('s2|' || token), ${i - 32}, 1)"
+      s"SUM(CASE WHEN $src IN $highHex THEN 1 ELSE -1 END) AS v$i"
+    }.mkString(",\n      |    ")
+    val bits = (1 to 64).map(i =>
+      s"CASE WHEN v$i > 0 THEN '1' ELSE '0' END").mkString(" || ")
+    Q.sql(
+      "dd_sharded_probe_rank_compact",
+      s"""WITH RECURSIVE ids AS (
+        |  SELECT doc_id, CAST((doc_id // 10) % 3 AS BIGINT) AS shard
+        |  FROM documents WHERE doc_id % 10 = 0
+        |), tok AS (
+        |  SELECT doc_id,
+        |    'w' || CAST(unnest(generate_series(0, 11)) AS VARCHAR) AS token
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT doc_id, 'v' || CAST((doc_id // 10) % 2 AS VARCHAR) FROM ids
+        |), v AS (
+        |  SELECT doc_id,
+        |    $votes
+        |  FROM tok GROUP BY doc_id
+        |), sh AS (
+        |  SELECT doc_id, $bits AS simhash FROM v
+        |), banded AS (
+        |  SELECT s.doc_id, i.shard, s.simhash, b.band,
+        |    substr(s.simhash, b.band * 16 + 1, 16) AS band_key
+        |  FROM sh s JOIN ids i USING (doc_id)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b
+        |), sized AS (
+        |  SELECT *, COUNT(*) OVER (PARTITION BY shard, band, band_key)
+        |    AS bucket_size
+        |  FROM banded
+        |), base_rk AS (
+        |  SELECT doc_id, simhash, band, band_key,
+        |    ROW_NUMBER() OVER (PARTITION BY band, band_key
+        |      ORDER BY doc_id) AS rk
+        |  FROM banded WHERE shard = 0
+        |), base_cap AS (
+        |  SELECT * FROM base_rk WHERE rk <= 12
+        |), basec AS (
+        |  SELECT band, band_key, COUNT(*) AS n FROM base_cap
+        |  GROUP BY 1, 2
+        |), d1_rk AS (
+        |  SELECT doc_id, simhash, band, band_key,
+        |    ROW_NUMBER() OVER (PARTITION BY band, band_key
+        |      ORDER BY doc_id) AS rk
+        |  FROM banded WHERE shard = 1
+        |), d1_cap AS (
+        |  SELECT d.doc_id, d.simhash, d.band, d.band_key
+        |  FROM d1_rk d LEFT JOIN basec b USING (band, band_key)
+        |  WHERE d.rk + COALESCE(b.n, 0) <= 12
+        |), cand AS (
+        |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+        |    l.simhash AS sim_a, r.simhash AS sim_b
+        |  FROM (SELECT * FROM sized WHERE bucket_size <= 512) l
+        |  JOIN (SELECT * FROM sized WHERE bucket_size <= 512) r
+        |    USING (shard, band, band_key)
+        |  WHERE l.doc_id < r.doc_id
+        |  UNION ALL
+        |  SELECT doc_a, doc_b, sim_a, sim_b FROM (
+        |    SELECT doc_id AS doc_a, LEAD(doc_id) OVER w AS doc_b,
+        |      simhash AS sim_a, LEAD(simhash) OVER w AS sim_b
+        |    FROM (SELECT * FROM sized WHERE bucket_size > 512)
+        |    WINDOW w AS (PARTITION BY shard, band, band_key
+        |      ORDER BY doc_id))
+        |  WHERE doc_b IS NOT NULL
+        |  UNION ALL
+        |  SELECT c.doc_id, p.doc_id, c.simhash, p.simhash
+        |  FROM base_cap c
+        |  JOIN (SELECT * FROM banded WHERE shard = 1) p
+        |    USING (band, band_key)
+        |  UNION ALL
+        |  SELECT c.doc_id, p.doc_id, c.simhash, p.simhash
+        |  FROM (SELECT doc_id, simhash, band, band_key FROM base_cap
+        |        UNION ALL
+        |        SELECT doc_id, simhash, band, band_key FROM d1_cap) c
+        |  JOIN (SELECT * FROM banded WHERE shard = 2) p
+        |    USING (band, band_key)
+        |), pairs AS (
+        |  SELECT DISTINCT doc_a, doc_b FROM cand
+        |  WHERE hamming(sim_a, sim_b) <= 3 AND doc_a <> doc_b
+        |), sym AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs
+        |), r(a, b) AS (
+        |  SELECT doc_id, doc_id FROM ids
+        |  UNION
+        |  SELECT r.a, s.dst FROM r JOIN sym s ON r.b = s.src
+        |), comp AS (
+        |  SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS component
+        |  FROM r GROUP BY a
+        |)
+        |SELECT c.doc_id, i.shard, c.component,
+        |  CAST(COUNT(*) OVER (PARTITION BY c.component) AS BIGINT)
+        |    AS component_size
+        |FROM comp c JOIN ids i USING (doc_id)
+        |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ids = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          expr("(doc_id div 10) % 3").cast("long").as("shard"))
+      val tokenRows = ids.select(col("doc_id"),
+          explode(array((0 until 12).map(i => lit(s"w$i")): _*)).as("token"))
+        .unionByName(ids.select(col("doc_id"),
+          concat(lit("v"),
+            expr("(doc_id div 10) % 2").cast("string")).as("token")))
+      val sig = Dedup.simhash64FromTokens(tokenRows).localCheckpoint(true)
+      val dir = Q.tempDir("graft_shardrank").toString
+      graft.llm.ShardedNearDupIndex.seedShards(s, dir,
+        sig.join(ids.filter(col("shard") === 0).select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          .withColumn("shard", lit(0L)),
+        bits = 64)
+      graft.llm.ShardedNearDupIndex.compactBands(s, dir)
+      (1 to 2).foreach { k =>
+        graft.llm.ShardedNearDupIndex.addShard(s, dir,
+          sig.join(ids.filter(col("shard") === k).select("doc_id"),
+            Seq("doc_id"), "left_semi"),
+          bits = 64, probeCap = Some(12))
+        ()
+      }
+      val labels = graft.llm.ShardedNearDupIndex.loadLabels(s, dir)
+        .withColumnRenamed("id", "doc_id")
+      ids.select(col("doc_id"), col("shard"))
+        .join(labels, Seq("doc_id"))
+        .withColumn("component_size",
+          count(lit(1)).over(Window.partitionBy(col("component")))
+            .cast("long"))
+        .select("doc_id", "shard", "component", "component_size")
+        .orderBy("doc_id")
+    }
+  }
+
   /** Dedup — URL canonicalization + dedup through the REAL
     * `TextAnalysis.canonicalizeUrl` / `Dedup.urlDedup`: synthesized
     * dirty URLs exercise every rule (uppercase scheme/host, default
@@ -4156,6 +4308,126 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Multimodal + incremental dedup — the WIDTH-POLICY front door
+    * (r19; closes the r18 weak mark): `PhashIndexAuto` picks the index
+    * width from expected corpus size — 64-bit while the 16-bit band
+    * keys' accidental candidates per probe (|index|·4/65536) stay ≤ 1,
+    * 128-bit past the 16,384-row crossover — and the CHOICE rides in a
+    * `band_bits` output column the twin RECOMPUTES from COUNT(*) with
+    * the same inequality (the r16 text-side discipline). Here the
+    * documents corpus sits below the crossover at both SFs, so the
+    * policy must pick 64 and the chain must replay the 64-bit index
+    * byte-for-byte. */
+  val ddPhashPolicySmall: Q = Q.sql(
+    "dd_phash_policy_small",
+    s"""${phashHashCtes(
+         """SELECT doc_id FROM documents
+           |  UNION
+           |  SELECT doc_id * 2 + 1000000 FROM documents WHERE doc_id % 9 = 0""".stripMargin)}, bnd AS (
+      |  SELECT h.doc_id, h.hash_lo, h.hash_hi, bs.band,
+      |    CASE bs.band WHEN 0 THEN h.hash_lo % 65536
+      |                 WHEN 1 THEN h.hash_lo // 65536
+      |                 WHEN 2 THEN h.hash_hi % 65536
+      |                 ELSE h.hash_hi // 65536 END AS band_key
+      |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) bs
+      |), idx AS (
+      |  SELECT DISTINCT band, band_key, hash_lo, hash_hi
+      |  FROM bnd WHERE doc_id < 1000000 AND doc_id % 5 <> 4
+      |), probe AS (
+      |  SELECT * FROM bnd
+      |  WHERE doc_id >= 1000000 OR doc_id % 5 = 4
+      |     OR (doc_id % 7 = 0 AND doc_id % 5 <> 4)
+      |), hits AS (
+      |  SELECT DISTINCT p.doc_id
+      |  FROM probe p JOIN idx i
+      |    ON i.band = p.band AND i.band_key = p.band_key
+      |  WHERE bit_count(xor(p.hash_lo, i.hash_lo))
+      |      + bit_count(xor(p.hash_hi, i.hash_hi)) <= 3
+      |)
+      |SELECT p.doc_id,
+      |  p.doc_id IN (SELECT doc_id FROM hits) AS hit_index,
+      |  p.doc_id NOT IN (SELECT doc_id FROM hits) AS keep,
+      |  CAST(CASE WHEN (SELECT COUNT(*) FROM documents) * 4.0 / 65536.0
+      |            <= 1.0 THEN 64 ELSE 128 END AS INTEGER) AS band_bits
+      |FROM (SELECT DISTINCT doc_id FROM probe) p
+      |ORDER BY p.doc_id""".stripMargin) { (s, d) =>
+    import graft.llm.PhashIndexAuto
+    val ids = Tables.documents(s, d).select("doc_id")
+    val day1 = ids.filter(col("doc_id") % 5 =!= 4)
+    val day2 = ids.filter(col("doc_id") % 5 === 4 ||
+        (col("doc_id") % 7 === 0 && col("doc_id") % 5 =!= 4))
+      .unionByName(ids.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") * 2 + 1000000L).as("doc_id")))
+    def toImages(day: org.apache.spark.sql.DataFrame)(bits: Int) =
+      if (bits == 64) Multimodal.asPhashImageTable(day)
+      else Multimodal.asPhash128ImageTable(day)
+    val dir = Q.tempDir("graft_phpol_s").toString
+    val expected = Tables.documentsCount(s, d)
+    PhashIndexAuto.processBatch(s, dir, toImages(day1),
+      expectedIndexRows = expected)
+    PhashIndexAuto.processBatch(s, dir, toImages(day2),
+      expectedIndexRows = expected)
+      .orderBy("doc_id")
+  }
+
+  /** Large-corpus arm of the width policy: expected index size is
+    * documentsCount × 40 — past the 16,384 crossover at BOTH SFs
+    * (20,000 / 200,000) — so the policy must pick the 128-bit layout
+    * and the chain must replay `Phash128Index` (17×8 grid, word-keyed
+    * bands, 4-word Hamming verify) with `band_bits` = 128 recomputed
+    * from the same inequality in the twin. Together with the small arm
+    * this gates BOTH policy branches cross-engine. */
+  val ddPhashPolicyLarge: Q = Q.sql(
+    "dd_phash_policy_large",
+    s"""${phash128HashCtes(
+         """SELECT doc_id FROM documents
+           |  UNION
+           |  SELECT doc_id * 2 + 1000000 FROM documents WHERE doc_id % 9 = 0""".stripMargin)}, bnd AS (
+      |  SELECT h.doc_id, h.h0, h.h1, h.h2, h.h3, bs.band,
+      |    CASE bs.band WHEN 0 THEN h.h0 WHEN 1 THEN h.h1
+      |                 WHEN 2 THEN h.h2 ELSE h.h3 END AS band_key
+      |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) bs
+      |), idx AS (
+      |  SELECT DISTINCT band, band_key, h0, h1, h2, h3
+      |  FROM bnd WHERE doc_id < 1000000 AND doc_id % 5 <> 4
+      |), probe AS (
+      |  SELECT * FROM bnd
+      |  WHERE doc_id >= 1000000 OR doc_id % 5 = 4
+      |     OR (doc_id % 7 = 0 AND doc_id % 5 <> 4)
+      |), hits AS (
+      |  SELECT DISTINCT p.doc_id
+      |  FROM probe p JOIN idx i
+      |    ON i.band = p.band AND i.band_key = p.band_key
+      |  WHERE bit_count(xor(p.h0, i.h0)) + bit_count(xor(p.h1, i.h1))
+      |      + bit_count(xor(p.h2, i.h2)) + bit_count(xor(p.h3, i.h3)) <= 3
+      |)
+      |SELECT p.doc_id,
+      |  p.doc_id IN (SELECT doc_id FROM hits) AS hit_index,
+      |  p.doc_id NOT IN (SELECT doc_id FROM hits) AS keep,
+      |  CAST(CASE WHEN (SELECT COUNT(*) FROM documents) * 40 * 4.0
+      |            / 65536.0 <= 1.0 THEN 64 ELSE 128 END AS INTEGER)
+      |    AS band_bits
+      |FROM (SELECT DISTINCT doc_id FROM probe) p
+      |ORDER BY p.doc_id""".stripMargin) { (s, d) =>
+    import graft.llm.PhashIndexAuto
+    val ids = Tables.documents(s, d).select("doc_id")
+    val day1 = ids.filter(col("doc_id") % 5 =!= 4)
+    val day2 = ids.filter(col("doc_id") % 5 === 4 ||
+        (col("doc_id") % 7 === 0 && col("doc_id") % 5 =!= 4))
+      .unionByName(ids.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") * 2 + 1000000L).as("doc_id")))
+    def toImages(day: org.apache.spark.sql.DataFrame)(bits: Int) =
+      if (bits == 64) Multimodal.asPhashImageTable(day)
+      else Multimodal.asPhash128ImageTable(day)
+    val dir = Q.tempDir("graft_phpol_l").toString
+    val expected = Tables.documentsCount(s, d) * 40
+    PhashIndexAuto.processBatch(s, dir, toImages(day1),
+      expectedIndexRows = expected)
+    PhashIndexAuto.processBatch(s, dir, toImages(day2),
+      expectedIndexRows = expected)
+      .orderBy("doc_id")
+  }
+
   /** Multimodal — audio FEATURE EXTRACTION over the real codec path:
     * WAV payloads decoded to per-frame PCM rows (`decodeAudioFrames`),
     * then fixed 16-frame windowed sum-of-squares energy, per-doc
@@ -4984,7 +5256,7 @@ object LlmQueries {
     ddIncrementalBloom, ddIncrementalIndexChain, ddNearDupIndexChain,
     ddClusterCanonical, ddShardedClusterMerge,
     ddShardedIncrementalMerge, ddShardedHotBucketMerge,
-    ddShardedProbeCapMerge,
+    ddShardedProbeCapMerge, ddShardedProbeRankCompact,
     ddUrlDedup, ddLineDedup, ddDupSpanCoverage, ddDupSpanRemoval,
     ddConnectedComponents, ddCcIncremental, ddMinhashLsh,
     ddMinhashEstimate,
@@ -4998,5 +5270,6 @@ object LlmQueries {
     mmMov,
     mmResize,
     mmFrameSample, mmDhash, mmPhashNearDup, mmAudioEnergy,
-    ddPhashIndexChain, ddPhash128IndexChain)
+    ddPhashIndexChain, ddPhash128IndexChain,
+    ddPhashPolicySmall, ddPhashPolicyLarge)
 }

@@ -257,28 +257,42 @@ object EventStream {
 
   /** Streaming CRAWL IMAGE DEDUP sink — the multimodal twin of
     * [[upsertSink]]: each micro-batch of images (doc_id + binary
-    * payload; `toImages` is the codec/fetch boundary mapping the raw
-    * micro-batch to that shape) is deduped against the COMMITTED
-    * [[graft.llm.PhashIndex]] — band join for candidates, indexed-hash
-    * Hamming verify for the decision — and the kept images' band+hash
-    * rows are committed as version = batch id under the checkpoint's
-    * writer lineage. A replayed batch after a crash is therefore an
-    * idempotent already-committed no-op, and committed index history is
-    * never lost; the per-batch plan is the batch operator's own, fully
-    * distributed. Commits are DELTAS (write ∝ micro-batch, never ∝
-    * accumulated index — r17; this sink commits every micro-batch, so
-    * it hit the full-rewrite cost hardest), folded into a base every
-    * `compactEvery` deltas so merged-read file counts stay bounded. */
+    * payload; `toImages(batch, bits)` is the codec/fetch boundary
+    * mapping the raw micro-batch to that shape at the grid the chosen
+    * width needs — 9×8 for 64-bit, 17×8 for 128-bit) is deduped
+    * against the COMMITTED perceptual-hash index — band join for
+    * candidates, indexed-hash Hamming verify for the decision — and
+    * the kept images' band+hash rows are committed as version = batch
+    * id under the checkpoint's writer lineage. A replayed batch after
+    * a crash is therefore an idempotent already-committed no-op, and
+    * committed index history is never lost; the per-batch plan is the
+    * batch operator's own, fully distributed. Commits are DELTAS
+    * (write ∝ micro-batch, never ∝ accumulated index — r17; this sink
+    * commits every micro-batch, so it hit the full-rewrite cost
+    * hardest), folded into a base every `compactEvery` deltas so
+    * merged-read file counts stay bounded.
+    *
+    * WIDTH comes from [[graft.llm.PhashIndexAuto]] (r19; the r18 weak
+    * mark: this sink hard-wired the 64-bit [[graft.llm.PhashIndex]],
+    * whose 16-bit band keys saturate at the measured 1.43@100× tail):
+    * an existing index keeps its committed width; a fresh one takes
+    * `autoPhashPolicy(expectedIndexRows)` — and the DEFAULT is the
+    * scale-safe 128-bit layout, so a daily-crawl pipeline built on
+    * defaults gets the non-saturating index. Pass the expected corpus
+    * size to opt down to 64-bit below the 16,384-row crossover. */
   def phashDedupSink(stream: DataFrame, indexDir: String,
                      checkpoint: String,
-                     toImages: DataFrame => DataFrame = identity,
+                     toImages: (DataFrame, Int) => DataFrame = (b, _) => b,
+                     expectedIndexRows: Long = Long.MaxValue,
                      compactEvery: Int = 16)
       : DataStreamWriter[Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.llm.PhashIndex.processBatch(batch.sparkSession, indexDir,
-          toImages(batch), version = Some(batchId),
+        graft.llm.PhashIndexAuto.processBatch(batch.sparkSession, indexDir,
+          bits => toImages(batch, bits),
+          expectedIndexRows = expectedIndexRows,
+          version = Some(batchId),
           writerId = Some(checkpoint), compactEvery = compactEvery)
         ()
       }

@@ -155,6 +155,52 @@ object ScaleBench {
       .write.mode("overwrite").parquet(s"$out/events.parquet")
   }
 
+  /** k salted replicas of the REFERENCE-MART raw inputs (r19; VERDICT
+    * r18 task #4: the two models that dominate every refdemo_sf01 wave
+    * had never been amplified). Identity is STRING-shaped here, so the
+    * salt rewrites the identity strings per replica instead of shifting
+    * numeric ids: item/product keys `P-<k>` → `P-r<i>-<k>` (consistent
+    * across items and order lines — the join key), invoice/receipt
+    * numbers and QuickBooks ids get an `r<i>` prefix, customer names an
+    * `-r<i>` suffix (distinct-count grain must scale ∝ k, not collide
+    * into 1×). All modular structure (price moves, tax split, status
+    * mix, snapshot dates) is the 1× builder's verbatim — each replica
+    * IS the 1× corpus. Customers aren't amplified: neither measured
+    * model touches them. */
+  private def amplifyRefMarts(spark: SparkSession, src: String, k: Int,
+                              out: String): Unit = {
+    import graft.ref.RefFixturesScale
+    def saltProduct(c: org.apache.spark.sql.Column, i: Int) =
+      regexp_replace(c, "^P-", s"P-r$i-")
+    val items = RefFixturesScale.rawItems(spark, src)
+    (0 until k).map { i =>
+      items
+        .withColumn("quick_books_internal_id",
+          concat(lit(s"r$i"), col("quick_books_internal_id")))
+        .withColumn("item_name", saltProduct(col("item_name"), i))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/refm_items.parquet")
+    val inv = RefFixturesScale.rawInvoices(spark, src)
+    (0 until k).map { i =>
+      inv
+        .withColumn("invoice_no", concat(lit(s"r$i"), col("invoice_no")))
+        .withColumn("customer", concat(col("customer"), lit(s"-r$i")))
+        .withColumn("product_service",
+          saltProduct(col("product_service"), i))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/refm_invoices.parquet")
+    val rec = RefFixturesScale.rawSalesReceipts(spark, src)
+    (0 until k).map { i =>
+      rec
+        .withColumn("sales_receipt_no",
+          concat(lit(s"r$i"), col("sales_receipt_no")))
+        .withColumn("customer", concat(col("customer"), lit(s"-r$i")))
+        .withColumn("product_service",
+          saltProduct(col("product_service"), i))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/refm_receipts.parquet")
+  }
+
   // ---- families (each mirrors its registered oracle query's plan) ----
 
   private def docsOf(s: SparkSession, dir: String): DataFrame =
@@ -623,6 +669,50 @@ object ScaleBench {
       .labelPropagation(old.unionByName(batch), iters = 3).count()
   }
 
+  // ---- reference-mart spine (r19, VERDICT r18 task #4): the two
+  //      heaviest refdemo models, measured at amplified data volume.
+  //      Each family mirrors its IN-DAG input shapes exactly: upstream
+  //      TABLES (fct_products, fct_order_line_items) are materialized
+  //      to parquet in untimed prep; upstream VIEWS (staging items,
+  //      order_items_typed) stay live plans over the amplified raw —
+  //      so the timed window is the MODEL's own cost, as in the DAG. ----
+
+  private def refTyped(s: SparkSession, dir: String): DataFrame =
+    graft.ref.Staging.orderItemsTyped(
+      graft.ref.Staging.orderItemsTaxStatus(
+        graft.ref.Staging.baseOrderItems(
+          s.read.parquet(s"$dir/refm_invoices.parquet"),
+          s.read.parquet(s"$dir/refm_receipts.parquet"))))
+
+  private def refStgItems(s: SparkSession, dir: String): DataFrame =
+    graft.ref.Staging.items(s.read.parquet(s"$dir/refm_items.parquet"))
+
+  private def refFctProducts(s: SparkSession, dir: String): DataFrame = {
+    val stg = refStgItems(s, dir)
+    graft.ref.Marts.fctProducts(
+      graft.ref.Intermediate.itemsEnriched(stg),
+      Some(graft.ref.Intermediate.materialType(stg)))
+  }
+
+  private def refPricingPrep(s: SparkSession, dir: String): Unit =
+    refFctProducts(s, dir).write.mode("overwrite")
+      .parquet(s"$dir/refm_fct_products.parquet")
+
+  private def refPricing(s: SparkSession, dir: String): Long =
+    graft.ref.TimeSeries.pricingHistory(
+      refTyped(s, dir), refStgItems(s, dir),
+      Some(s.read.parquet(s"$dir/refm_fct_products.parquet"))).count()
+
+  private def refMarginPrep(s: SparkSession, dir: String): Unit =
+    graft.ref.Marts.fctOrderLineItems(
+        refTyped(s, dir), refFctProducts(s, dir))
+      .write.mode("overwrite")
+      .parquet(s"$dir/refm_fct_line_items.parquet")
+
+  private def refMargin(s: SparkSession, dir: String): Long =
+    graft.ref.Marts.productMarginAnalytics(
+      s.read.parquet(s"$dir/refm_fct_line_items.parquet")).count()
+
   /** needs: which amplified tables the family reads; rep: whether a
     * second sample at small scales is meaningful (stateful families —
     * kmeans train memo, streaming checkpoints, sentinel-mutated landing
@@ -685,7 +775,13 @@ object ScaleBench {
     Fam("phash128_index_chain", Set("documents"), rep = true,
       (s, d, _) => phash128Chain(s, d)),
     Fam("leakage_split", Set("documents"), rep = true,
-      (s, d, _) => leakageSplit(s, d)))
+      (s, d, _) => leakageSplit(s, d)),
+    Fam("ref_pricing_history", Set("refmarts"), rep = true,
+      (s, d, _) => refPricing(s, d),
+      prep = Some((s, d, _) => refPricingPrep(s, d))),
+    Fam("ref_margin", Set("refmarts"), rep = true,
+      (s, d, _) => refMargin(s, d),
+      prep = Some((s, d, _) => refMarginPrep(s, d))))
 
   /** Per-sample stage-metric accumulator (registered once): total
     * shuffle bytes (read+write), disk spill, and summed per-task peak
@@ -783,6 +879,7 @@ object ScaleBench {
         if (needed("documents")) amplifyDocs(spark, sfDir, k, amp.toString)
         if (needed("embeddings")) amplifyEmb(spark, sfDir, k, amp.toString)
         if (needed("events")) amplifyEvents(spark, sfDir, k, amp.toString)
+        if (needed("refmarts")) amplifyRefMarts(spark, sfDir, k, amp.toString)
         for (f <- fams if !skipped(f.name)) {
           f.prep.foreach(p => p(spark, amp.toString, k))
           def sample(): Pt = {

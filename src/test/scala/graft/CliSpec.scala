@@ -235,6 +235,42 @@ class CliSpec extends SparkSpec {
     assert(Main.maintain(spark, wh).isEmpty)
   }
 
+  test("maintenance sweeps NESTED index dirs; labels compact through the lab_v resolve") {
+    import graft.operators.AtomicTable
+    import spark.implicits._
+    incRun
+    Main.maintain(spark, wh) // make the marts + flat indexes steady
+    // a ShardedNearDupIndex commits at <name>/{labels,bands}, not at
+    // <name> itself (r18 ADVICE: the flat sweep planned Nil for these).
+    // Simulate 10 shard folds: labels upsert-deltas relabel id 1 every
+    // fold (9 dead row versions), bands append one row per fold.
+    val nd = s"$wh/index/neardup_idx"
+    (0L until 10L).foreach { v =>
+      AtomicTable.commitDelta(
+        Seq((1L, 100L - v, v), (100L + v, 100L + v, v))
+          .toDF("id", "component", "lab_v"), s"$nd/labels", v)
+      AtomicTable.commitDelta(
+        Seq((v, v * 7, 0, s"k$v"))
+          .toDF("doc_id", "h0", "band", "band_key"), s"$nd/bands", v)
+    }
+    val resolvedBefore = graft.llm.ShardedNearDupIndex
+      .loadLabels(spark, nd).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resolvedBefore(1L) == 91L, "lab_v 9 wins before compaction")
+    val acts = Main.maintain(spark, wh)
+    assert(acts.map(a => (a.table, a.action)).toSet ==
+      Set("labels" -> "compact_to_base", "bands" -> "compact_to_base"),
+      s"expected both nested dirs compacted, got $acts")
+    // labels: dead row versions gone (11 live ids from 20 committed
+    // rows), resolved view unchanged, lab_v preserved in the base
+    assert(AtomicTable.readMerged(spark, s"$nd/labels").get.count() == 11)
+    assert(graft.llm.ShardedNearDupIndex.loadLabels(spark, nd).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == resolvedBefore)
+    // bands: generic fold, merged view intact
+    assert(AtomicTable.readMerged(spark, s"$nd/bands").get.count() == 10)
+    assert(Main.maintain(spark, wh).isEmpty, "steady after one sweep")
+  }
+
   test("incremental without a seeded warehouse fails fast") {
     val freshWh =
       java.nio.file.Files.createTempDirectory("cli_spec_wh2").toString

@@ -951,6 +951,20 @@ class LlmSpec extends SparkSpec {
     // a delta committed AFTER the fold still wins over the base
     ShardedNearDupIndex.addShard(spark, dir, sig(10L -> ones), bits = 64)
     assert(resolved(10L) == 3L)
+    // REPLAY regression (r18 ADVICE, medium): re-fold a shard whose
+    // labels are already committed. Doc 2's committed label is 0 (≠ its
+    // id) — the re-committed delta must carry (2 -> 0) again, never
+    // (2 -> 2), which as a higher-lab_v upsert would overwrite the
+    // correct label and silently split the committed cluster.
+    ShardedNearDupIndex.addShard(spark, dir, sig(2L -> zeros), bits = 64)
+    assert(resolved ==
+      Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 10L -> 3L))
+    val vReplay = graft.operators.AtomicTable
+      .committedVersions(spark, s"$dir/labels").max
+    assert(graft.operators.AtomicTable
+      .readVersion(spark, s"$dir/labels", vReplay).get
+      .select("id", "component").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 0L)))
     // legacy snapshot layout stays readable and writable
     val dir2 = java.nio.file.Files.createTempDirectory("graft_ups_spec2")
       .resolve("idx").toString
@@ -962,6 +976,17 @@ class LlmSpec extends SparkSpec {
     assert(ShardedNearDupIndex.loadLabels(spark, dir2).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap ==
       Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+    // layout guard (r18 ADVICE): mixing layouts is refused at the write
+    // boundary — a delta fold onto a snapshot-seeded dir would flip the
+    // dir and union lab_v-less snapshots as live deltas
+    assertThrows[IllegalArgumentException] {
+      ShardedNearDupIndex.addShard(spark, dir2, sig(5L -> zeros),
+        bits = 64)
+    }
+    assertThrows[IllegalArgumentException] {
+      ShardedNearDupIndex.addShard(spark, dir, sig(5L -> zeros),
+        bits = 64, snapshotLabels = true)
+    }
   }
 
   test("phash banding: Hamming<=3 always shares a band; 4 spread bits can evade") {

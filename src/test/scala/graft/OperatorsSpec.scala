@@ -1210,6 +1210,15 @@ class OperatorsSpec extends SparkSpec {
     assert(r2.agg(min(col("id"))).head.getLong(0) == 1L)
     val bits = r2.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength
     assert(bits <= 64, s"durable leaf stats unexpectedly wide: $bits bits")
+    // one-loop/one-thread contract is ENFORCED (r19): a second thread
+    // calling the same instance fails fast instead of interleaving
+    // round numbering with the owner loop
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val t = new Thread(() =>
+      try { ck(src); () } catch { case e: Throwable => err.set(e) })
+    t.start(); t.join()
+    assert(err.get().isInstanceOf[IllegalArgumentException],
+      s"expected the cross-thread guard, got ${err.get()}")
     graft.queries.Q.deleteRecursively(dir)
   }
 

@@ -593,10 +593,16 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Files.move(java.nio.file.Paths.get(part),
         srcDir.resolve(name))
     }
+    // the codec boundary resizes to whichever grid the POLICY width
+    // needs — the sink passes the chosen bits through
+    val toImages = (b: org.apache.spark.sql.DataFrame, bits: Int) =>
+      if (bits == 64) Multimodal.asPhashImageTable(b)
+      else Multimodal.asPhash128ImageTable(b)
     def runOnce(): Unit = {
       val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
+      // expectedIndexRows below the 16,384 crossover -> policy picks 64
       val q = EventStream.phashDedupSink(stream, sIdx, ckpt,
-        toImages = Multimodal.asPhashImageTable).start()
+        toImages = toImages, expectedIndexRows = 100L).start()
       try q.processAllAvailable() finally q.stop()
     }
     stage("b1.parquet", Seq(0L, 1L, 2L, 3L))
@@ -619,6 +625,46 @@ class StreamingSpec extends SparkSpec {
     val before = snap(sIdx)
     runOnce()
     assert(snap(sIdx) == before)
+    // DEFAULT-width arm (r19, the weak-mark closure): a fresh sink with
+    // no expected size commits the scale-safe 128-bit layout and
+    // matches the Phash128Index batch twin
+    val sIdx2 = java.nio.file.Files.createTempDirectory("ph_sidx2")
+      .resolve("t").toString
+    val bIdx2 = java.nio.file.Files.createTempDirectory("ph_bidx2")
+      .resolve("t").toString
+    val ckpt2 = java.nio.file.Files.createTempDirectory("ph_ckpt2").toString
+    def runOnce2(): Unit = {
+      val stream2 = spark.readStream.schema(schema).parquet(srcDir.toString)
+      val q2 = EventStream.phashDedupSink(stream2, sIdx2, ckpt2,
+        toImages = toImages).start()
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    runOnce2() // fresh checkpoint reads b1 ∪ b2 as its opening batch(es)
+    def imgs128(ids: Seq[Long]) = {
+      import spark.implicits._
+      Multimodal.asPhash128ImageTable(ids.toDF("doc_id"))
+    }
+    // twin replays the SAME batch split the source produced (one file
+    // per micro-batch or one combined batch both commit through the
+    // idempotent chain; replay the actual committed versions)
+    val nVersions = graft.operators.AtomicTable
+      .committedVersions(spark, sIdx2).size
+    if (nVersions == 1)
+      graft.llm.Phash128Index.processBatch(spark, bIdx2,
+        imgs128(Seq(0L, 1L, 2L, 3L, 4L, 100L)))
+    else {
+      graft.llm.Phash128Index.processBatch(spark, bIdx2,
+        imgs128(Seq(0L, 1L, 2L, 3L)))
+      graft.llm.Phash128Index.processBatch(spark, bIdx2,
+        imgs128(Seq(4L, 0L, 100L)))
+    }
+    assert(graft.llm.PhashIndexAuto.committedWidth(spark, sIdx2)
+      .contains(128))
+    def snap128(dir: String) = graft.llm.Phash128Index.load(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(snap128(sIdx2) == snap128(bIdx2))
+    assert(snap128(sIdx2).nonEmpty)
   }
 
   test("streaming text dedup sink: committed near-dup index matches the batch chain") {
