@@ -512,7 +512,8 @@ object ScaleBench {
     * all-shards-at-once 1.17 shuffle tail (the r16 weak mark,
     * `sharded_merge` family) should not appear here at all. */
   private def shardedIncPrep(s: SparkSession, dir: String,
-                             k: Int): Unit = {
+                             k: Int,
+                             state: String = "shardinc_state"): Unit = {
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val digits = "0123456789"
     val docs = docsOf(s, dir)
@@ -530,7 +531,7 @@ object ScaleBench {
     val sharded = Dedup.simhash64FromTokens(tokenRows)
       .withColumn("shard", expr(s"doc_id div ${DocStride}"))
     graft.llm.ShardedNearDupIndex.seedShards(s,
-      s"$dir/shardinc_state", sharded, bits = 64)
+      s"$dir/$state", sharded, bits = 64)
     ()
   }
 
@@ -540,6 +541,24 @@ object ScaleBench {
       explode(TA.tokens(col("text"))).as("token"))
     graft.llm.ShardedNearDupIndex.addShard(s, s"$dir/shardinc_state",
       Dedup.simhash64FromTokens(tokenRows), bits = 64).count()
+  }
+
+  /** probeCap-ENABLED fold against a COMPACTED index (r19; VERDICT r18
+    * task #2's done-criterion): prep compacts the seeded bands so
+    * `probe_rk` is materialized, and the fold caps via the stored-rank
+    * FILTER + delta-only window. The claim under measurement: the
+    * capped fold's shuffle stays ∝ new shard as committed shards grow
+    * (the r18 form re-windowed the ENTIRE committed index per fold —
+    * shuffle ∝ index by construction). */
+  private def shardedIncrementalCapped(s: SparkSession,
+                                       dir: String): Long = {
+    val newShard = s.read.parquet(s"$dir/new_shard.parquet")
+    val tokenRows = newShard.select(col("doc_id"),
+      explode(TA.tokens(col("text"))).as("token"))
+    graft.llm.ShardedNearDupIndex.addShard(s,
+      s"$dir/shardinc_state_capped",
+      Dedup.simhash64FromTokens(tokenRows), bits = 64,
+      probeCap = Some(512)).count()
   }
 
   private def sessionTimers(s: SparkSession, dir: String): Long = {
@@ -756,7 +775,17 @@ object ScaleBench {
       (s, d, _) => shardedMerge(s, d)),
     Fam("sharded_incremental", Set("documents"), rep = false,
       (s, d, _) => shardedIncremental(s, d),
-      prep = Some(shardedIncPrep)),
+      prep = Some((s, d, k) => shardedIncPrep(s, d, k))),
+    Fam("sharded_incremental_capped", Set("documents"), rep = false,
+      (s, d, _) => shardedIncrementalCapped(s, d),
+      prep = Some((s, d, k) => {
+        // own state dir: sharing the uncapped family's would make this
+        // fold a replay of an already-merged shard, not a real fold
+        shardedIncPrep(s, d, k, state = "shardinc_state_capped")
+        graft.llm.ShardedNearDupIndex.compactBands(s,
+          s"$d/shardinc_state_capped")
+        ()
+      })),
     Fam("index_commit_days", Set("documents"), rep = false,
       (s, d, k) => indexCommitDays(s, d, k)),
     Fam("session_timers", Set("events"), rep = false,
