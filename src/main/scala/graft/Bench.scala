@@ -34,6 +34,14 @@ object Bench {
     val runId = f"pid${ProcessHandle.current().pid()}%d"
     val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    // Steal-immune per-query byte totals + /proc/stat steal sampling
+    // (r19 VERDICT tasks #2/#6): bytes detect plan regressions on noisy
+    // days; the steal pct of each MIN-achieving sample is the quietness
+    // evidence a committed floor needs. See tools/Measure.scala.
+    val stageMetrics = new tools.StageMetrics
+    spark.sparkContext.addSparkListener(stageMetrics)
+    val stealMaxPct = sys.env.get("SPARK_GRAFT_STEAL_MAX_PCT")
+      .map(_.toDouble).getOrElse(tools.Steal.DefaultMaxPct)
     // Warm the session (codegen, parquet footer reads, shuffle machinery)
     // so the first measured query doesn't absorb JVM init.
     SparkEntry.entry(spark).count()
@@ -65,24 +73,37 @@ object Bench {
       System.gc()
       Thread.sleep(200)
     }
+    // One measured sample: wall seconds + the sample's stage-byte
+    // totals + the steal pct over its window. Bytes snap AFTER a
+    // listener-bus drain so late-completing stages aren't dropped.
+    final case class S(sec: Double, shuffle: Long, out: Long,
+                       steal: Option[Double])
+    def measured(body: () => Unit): S = {
+      reclaim()
+      stageMetrics.reset()
+      val st0 = tools.Steal.sample()
+      val t0 = System.nanoTime()
+      try body() catch { case _: Throwable => () }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val st1 = tools.Steal.sample()
+      org.apache.spark.sql.graftinternal.ListenerBusDrain
+        .waitUntilEmpty(spark, 2000)
+      val (shuf, _, _, out) = stageMetrics.snap
+      S(sec, shuf, out, tools.Steal.pct(st0, st1))
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map {
       case (name, fn) =>
-        def sample(): Double = {
-          reclaim()
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
-        }
+        def sample(): S = measured(() => fn(spark, sfDir).count())
         var samples = (1 to reps).map(_ => sample())
         // Multi-second queries carry the most headline weight and the
         // most per-sample noise: take a third sample for them (judge
         // min-of-3 methodology) so one GC pause or compilation stall
         // cannot inflate the reported min.
-        while (samples.min > 1.5 && samples.size < 3)
+        while (samples.map(_.sec).min > 1.5 && samples.size < 3)
           samples = samples :+ sample()
-        name -> samples.min
+        name -> samples.minBy(_.sec)
     }
     // Mart-layer throughput, not just per-query latency: wall time of the
     // full reference ModelDag (every model materialized through the
@@ -96,8 +117,15 @@ object Bench {
     // refdemo_sf01_total — single-sample DAG wall time tracks VM noise,
     // not plans. A second in-harness rep bounds that the same way the
     // per-query rows got reps + adaptive third samples.
-    def minOf2(body: () => Double): Double =
-      math.min({ reclaim(); body() }, { reclaim(); body() })
+    def minOf2(body: () => Double): (Double, Option[Double]) = {
+      def rep(): (Double, Option[Double]) = {
+        reclaim()
+        val st0 = tools.Steal.sample()
+        val w = body()
+        (w, tools.Steal.pct(st0, tools.Steal.sample()))
+      }
+      Seq(rep(), rep()).minBy(_._1)
+    }
     // Returns (wall, per-model timings + _readback pseudo-model): the
     // refdemo_sf01 pass is BIMODAL under driver conditions (r15
     // VERDICT watch item — 135.0/171.9 s driver vs 71.0/65.9 s
@@ -119,31 +147,52 @@ object Bench {
           cat.timings + ("_readback" -> (tEnd - tDag) / 1e9))
       } finally queries.Q.deleteRecursively(wh)
     }
-    val refdemo: Option[Double] =
+    val refdemo: Option[(Double, Option[Double])] =
       if (only.forall(_.contains("refdemo_total")))
         Some(minOf2(() => dagRun(ref.RefFixtures.inputs(spark))._1))
       else None
     // Same DAG at testdata volume (RefFixturesScale): refdemo_total
     // tracks the sink/commit path, this key tracks model-plan
     // throughput (sf0.1: 600k order lines through every mart).
-    val refdemoSfRuns: Option[Seq[(Double, Map[String, Double])]] =
+    val refdemoSfRuns
+        : Option[Seq[(Double, Map[String, Double], Option[Double])]] =
       if (only.forall(_.contains("refdemo_sf01_total")))
         Some(Seq.fill(2) {
           reclaim()
-          dagRun(ref.RefFixturesScale.inputs(spark, sfDir))
+          val st0 = tools.Steal.sample()
+          val (w, times) = dagRun(ref.RefFixturesScale.inputs(spark, sfDir))
+          (w, times, tools.Steal.pct(st0, tools.Steal.sample()))
         })
       else None
-    val refdemoSf: Option[Double] = refdemoSfRuns.map(_.map(_._1).min)
-    val total = results.map(_._2).sum
+    val refdemoSf: Option[(Double, Option[Double])] =
+      refdemoSfRuns.map(_.map(r => (r._1, r._3)).minBy(_._1))
+    val total = results.map(_._2.sec).sum
+    // Quietness verdict over the MIN-achieving samples of every
+    // reported number (queries + both refdemo keys): the committed
+    // floor is refused when any reported min was taken under steal.
+    val (stealQuiet, stealWorst) = tools.Steal.verdict(
+      results.map(_._2.steal) ++ refdemo.map(_._2) ++ refdemoSf.map(_._2),
+      stealMaxPct)
     // Locale.ROOT: a comma decimal separator would corrupt the JSON.
     def sec(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + sec(v) }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + sec(v.sec) }
       .mkString("{", ",", "}")
+    // Steal-immune per-query plan signals (r19 task #2): shuffle and
+    // output MB of the min-achieving sample, plus that sample's steal
+    // pct — bytes are host-invariant for a fixed plan, so a
+    // round-over-round byte jump is a plan regression even when wall
+    // is noise.
+    def qmap(f: S => Double): String =
+      results.map { case (k, v) => s"\"" + k + "\":" + sec(f(v)) }
+        .mkString("{", ",", "}")
+    val qShuffle = qmap(_.shuffle / 1048576.0)
+    val qOut = qmap(_.out / 1048576.0)
+    val qSteal = qmap(_.steal.getOrElse(-1.0))
     // Slowest 10 models (plus wall + read-back) of EACH sf01 rep — the
     // per-model instrumentation the bimodality hunt needs (see dagRun).
     val refdemoSfModels = refdemoSfRuns.map { runs =>
-      runs.zipWithIndex.map { case ((wall, times), i) =>
+      runs.zipWithIndex.map { case ((wall, times, _), i) =>
         val top = times.toSeq.sortBy(-_._2).take(10)
           .map { case (m, v) => s"\"$m\":${sec(v)}" }
         s"\"rep${i + 1}\":{" +
@@ -151,8 +200,8 @@ object Bench {
       }.mkString("{", ",", "}")
     }
     val refdemoJson =
-      refdemo.map(v => s""""refdemo_total":${sec(v)},""").getOrElse("") +
-        refdemoSf.map(v => s""""refdemo_sf01_total":${sec(v)},""")
+      refdemo.map(v => s""""refdemo_total":${sec(v._1)},""").getOrElse("") +
+        refdemoSf.map(v => s""""refdemo_sf01_total":${sec(v._1)},""")
           .getOrElse("") +
         refdemoSfModels.map(m => s""""refdemo_sf01_models":$m,""")
           .getOrElse("")
@@ -164,18 +213,27 @@ object Bench {
     queries.Q.cleanupScratch() // last sample / refdemo fixtures
     spark.stop()
     val json =
-      s"""{"sf":"$sfDir","reps":$reps,"runner":"$runner","run_id":"$runId","queries":$qs,$refdemoJson"unit":"sec","metric":"total","value":${sec(total)}}"""
+      s"""{"sf":"$sfDir","reps":$reps,"runner":"$runner","run_id":"$runId","steal_quiet":$stealQuiet,"steal_worst_pct":${sec(stealWorst)},"steal_threshold_pct":${sec(stealMaxPct)},"queries":$qs,"query_shuffle_mb":$qShuffle,"query_output_mb":$qOut,"query_steal_pct":$qSteal,$refdemoJson"unit":"sec","metric":"total","value":${sec(total)}}"""
     // Self-contained artifact (judge r11 task #1): the driver keeps only
     // the last 2,000 chars of stdout, which truncates the per-query head
     // block out of BENCH_r{N}.json. Persist the FULL JSON in-repo so
     // round-over-round per-query comparison survives by artifact alone.
     // Full runs only — local subset iterations must not clobber the
-    // round's committed numbers.
+    // round's committed numbers. A run whose min-achieving samples were
+    // NOT quiet (steal over threshold) is refused the floor file and
+    // lands in BENCH_REJECTED.json instead (r19 task #6) — the r19
+    // committed floor carried 60–81 s of steal excess precisely because
+    // nothing enforced this.
     if (only.isEmpty) {
-      val out = repoRoot.resolve("bench/BENCH.json")
+      val name = if (stealQuiet) "bench/BENCH.json"
+                 else "bench/BENCH_REJECTED.json"
+      val out = repoRoot.resolve(name)
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out,
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (!stealQuiet) System.err.println(
+        f"[bench] STEAL REFUSAL: worst min-sample steal $stealWorst%.2f%% " +
+          f"> $stealMaxPct%.2f%% — floor NOT updated; wrote $name")
     }
     println(json)
   }

@@ -156,14 +156,27 @@ object Main {
         // table when it has committed versions at its own level.
         val level1 = fs.listStatus(idxRoot).toSeq.filter(_.isDirectory)
           .map(_.getPath)
-        val tables = level1.flatMap { p =>
-          if (AtomicTable.committedVersions(spark, p.toString).nonEmpty) Seq(p)
-          else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
-            .filter(c =>
-              AtomicTable.committedVersions(spark, c.toString).nonEmpty)
-        }.sortBy(_.toString)
-        tables.flatMap { p =>
+        // Nested tables report as "<index>/<labels|bands>" — a flat
+        // Path.getName made every sharded index's dirs surface as just
+        // "labels"/"bands", indistinguishable when two indexes live
+        // under warehouse/index (r19 ADVICE). Qualification is decided
+        // HERE, where nesting depth is known, not by path comparison.
+        val tables: Seq[(org.apache.hadoop.fs.Path, Option[String])] =
+          level1.flatMap { p =>
+            if (AtomicTable.committedVersions(spark, p.toString).nonEmpty)
+              Seq((p, None))
+            else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
+              .filter(c =>
+                AtomicTable.committedVersions(spark, c.toString).nonEmpty)
+              .map(c => (c, Some(p.getName)))
+          }.sortBy(_._1.toString)
+        tables.flatMap { case (p, parentName) =>
           val d = p.toString
+          def qualified(acts: Seq[Maintenance.Action])
+              : Seq[Maintenance.Action] =
+            parentName.fold(acts)(pn =>
+              acts.map(a => a.copy(table = s"$pn/${a.table}")))
+          qualified(
           if (p.getName == "labels" && AtomicTable.isDeltaLayout(spark, d)) {
             // labels dirs carry lab_v upsert rows: compact through the
             // last-writer-wins resolve (dead row VERSIONS disappear, not
@@ -182,7 +195,7 @@ object Main {
               graft.llm.ShardedNearDupIndex.compactBands(spark,
                 p.getParent.toString)
             acts
-          } else Maintenance.run(spark, d, Maintenance.Policy())
+          } else Maintenance.run(spark, d, Maintenance.Policy()))
         }
       }
     marts ++ indexes

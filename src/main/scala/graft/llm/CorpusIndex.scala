@@ -518,16 +518,57 @@ object PhashIndexAuto {
     if (expectedIndexRows * 4.0 / 65536.0 <= maxCandidatesPerProbe) 64
     else 128
 
-  /** Width an existing dir is committed at — sniffed from the merged
-    * schema (the two layouts share no hash column names); None when
-    * nothing is committed yet. */
+  /** Width cache: once a dir has a committed width it is pinned
+    * forever (see the width rules above), so the schema sniff needs to
+    * succeed ONCE per dir per JVM — `phashDedupSink` calls
+    * [[processBatch]] every micro-batch and the r19 form paid a full
+    * multi-path parquet schema inference each time (r19 ADVICE).
+    * Uncommitted dirs are never cached (the first commit decides). */
+  private val widthCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** Width an existing dir is committed at — sniffed from ONE
+    * committed file's schema (the two layouts share no hash column
+    * names), cached per dir thereafter; None when nothing is committed
+    * yet. */
   def committedWidth(spark: SparkSession, dir: String): Option[Int] =
-    AtomicTable.readMerged(spark, dir).map { df =>
-      if (df.columns.contains("hash_lo")) 64
-      else if (df.columns.contains("h0")) 128
-      else throw new IllegalStateException(
-        s"$dir holds neither phash layout (columns: " +
-          df.columns.mkString(", ") + ")")
+    Option(widthCache.get(dir)).map(_.intValue).orElse {
+      val w = AtomicTable.sampleCommittedSchema(spark, dir).map { sch =>
+        val cols = sch.fieldNames
+        if (cols.contains("hash_lo")) 64
+        else if (cols.contains("h0")) 128
+        else throw new IllegalStateException(
+          s"$dir holds neither phash layout (columns: " +
+            cols.mkString(", ") + ")")
+      }
+      w.foreach(b => widthCache.put(dir, Int.box(b)))
+      w
+    }
+
+  /** API-boundary payload-grid check (r19 ADVICE): decode ONE image
+    * driver-side and verify its dimensions match the grid the chosen
+    * width hashes (9×8 for 64-bit, 17×8 for 128-bit). Without this, a
+    * caller feeding pre-sized 9×8 payloads through an identity
+    * `toImages` while the policy selects the 128-bit layout (the
+    * fresh-dir DEFAULT) fails deep in `dHash128`'s executor-side
+    * `require("bad phash128 payload")` with no hint that a POLICY
+    * chose the width. One `head(1)` job; callers gate it to run once
+    * per stream, not per micro-batch. No-op on an empty batch. */
+  def validatePayloadGrid(images: DataFrame, bits: Int): Unit =
+    images.select("payload").head(1).foreach { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0)))
+      val w = if (bits == 64) Multimodal.phW else Multimodal.ph128W
+      require(img != null && img.getWidth == w &&
+        img.getHeight == Multimodal.phH,
+        s"phash payload grid mismatch: the width policy chose $bits-bit " +
+          s"hashing (grid ${w}x${Multimodal.phH}) but the first payload " +
+          s"decodes to ${if (img == null) "an unreadable image"
+            else s"${img.getWidth}x${img.getHeight}"}. Your `toImages` " +
+          "must resize to the grid the CHOSEN width needs — it receives " +
+          "the width as its second argument — or pass expectedIndexRows " +
+          "(≤ the 16,384-row crossover selects 64-bit) to pin the " +
+          "legacy 9x8 contract on a fresh index dir.")
     }
 
   /** One daily image batch through the policy-chosen width: committed

@@ -503,6 +503,24 @@ object AtomicTable {
     else Some(spark.read.parquet(paths.map(_.toString): _*))
   }
 
+  /** Schema of ONE committed piece (latest base if present, else the
+    * first committed delta with data files) — for callers that only
+    * need to sniff committed column names (e.g. the phash width
+    * policy): one directory listing + one footer read instead of
+    * [[readMerged]]'s multi-path scan over base + every delta per call
+    * (r19 ADVICE: that inference was paid per micro-batch in
+    * `phashDedupSink`). All pieces of one table share a schema by
+    * construction — commits go through the same writer. */
+  def sampleCommittedSchema(spark: SparkSession, dir: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val f = fs(spark, dir)
+    val one = (committedBases(spark, dir).lastOption
+        .map(b => baseDataPath(dir, b)).toSeq ++
+      committedVersions(spark, dir).map(v => dataPath(dir, v)))
+      .find(hasDataFiles(f, _))
+    one.map(p => spark.read.parquet(p.toString).schema)
+  }
+
   /** COMPACTION for the base+delta layout: fold the current merged view
     * into a new base covering every committed delta so far, then prune
     * the epoch BEFORE the previous base (retain-2 at epoch granularity —

@@ -107,22 +107,23 @@ object Ckpt {
     * sequential by nature; concurrency belongs between loops, not
     * inside one. */
   def durable(baseDir: String): DataFrame => DataFrame = {
-    var round = 0
-    var owner: Thread = null
+    val round = new java.util.concurrent.atomic.AtomicInteger(0)
+    val owner = new java.util.concurrent.atomic.AtomicReference[Thread](null)
     df => {
       // Enforce the one-loop/one-thread contract above (r19; the r18
       // ADVICE noted it was documented but unenforced): concurrent
       // callers — e.g. two ModelDag `par`-wave models sharing an
       // instance — would interleave round numbering and overwrite live
-      // round dirs. Fail fast instead.
+      // round dirs. Fail fast instead. CAS claims ownership atomically
+      // (r19 ADVICE: plain vars let two concurrent FIRST calls both see
+      // null and both proceed undetected).
       val t = Thread.currentThread()
-      if (owner == null) owner = t
-      else require(owner eq t,
+      val won = owner.compareAndSet(null, t)
+      if (!won) require(owner.get() eq t,
         s"Ckpt.durable($baseDir) serves ONE sequential loop: created " +
-          s"on thread '${owner.getName}' but called from " +
+          s"on thread '${owner.get().getName}' but called from " +
           s"'${t.getName}' — give each loop its own durable(dir)")
-      round += 1
-      val p = s"$baseDir/r$round"
+      val p = s"$baseDir/r${round.incrementAndGet()}"
       df.write.mode("overwrite").parquet(p)
       df.sparkSession.read.parquet(p)
     }

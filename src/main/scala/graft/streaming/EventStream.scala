@@ -279,23 +279,42 @@ object EventStream {
     * `autoPhashPolicy(expectedIndexRows)` — and the DEFAULT is the
     * scale-safe 128-bit layout, so a daily-crawl pipeline built on
     * defaults gets the non-saturating index. Pass the expected corpus
-    * size to opt down to 64-bit below the 16,384-row crossover. */
+    * size to opt down to 64-bit below the 16,384-row crossover.
+    *
+    * PAYLOAD-GRID CONTRACT (r19 ADVICE): `toImages(batch, bits)` MUST
+    * emit `(doc_id, payload)` rows whose payloads decode at the grid
+    * the CHOSEN width hashes — 9×8 for 64-bit, 17×8 for 128-bit; the
+    * default identity only suits payloads pre-sized for the width the
+    * policy will pick (which on a FRESH dir is 128-bit — the old
+    * "pre-sized 9×8 + defaults" contract now needs
+    * `expectedIndexRows` ≤ the crossover to pin 64-bit). The FIRST
+    * micro-batch of each run validates one decoded payload against
+    * the chosen grid and fails with the policy decision named
+    * ([[graft.llm.PhashIndexAuto.validatePayloadGrid]]) instead of
+    * dHash's executor-side `require`. */
   def phashDedupSink(stream: DataFrame, indexDir: String,
                      checkpoint: String,
                      toImages: (DataFrame, Int) => DataFrame = (b, _) => b,
                      expectedIndexRows: Long = Long.MaxValue,
                      compactEvery: Int = 16)
-      : DataStreamWriter[Row] =
+      : DataStreamWriter[Row] = {
+    val validated = new java.util.concurrent.atomic.AtomicBoolean(false)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.llm.PhashIndexAuto.processBatch(batch.sparkSession, indexDir,
-          bits => toImages(batch, bits),
+          bits => {
+            val imgs = toImages(batch, bits)
+            if (validated.compareAndSet(false, true))
+              graft.llm.PhashIndexAuto.validatePayloadGrid(imgs, bits)
+            imgs
+          },
           expectedIndexRows = expectedIndexRows,
           version = Some(batchId),
           writerId = Some(checkpoint), compactEvery = compactEvery)
         ()
       }
+  }
 
   /** TEXT sibling of [[phashDedupSink]] (r15 VERDICT stretch #8): each
     * micro-batch of (doc_id, text) rows runs the REAL

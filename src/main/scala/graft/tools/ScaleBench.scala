@@ -812,41 +812,9 @@ object ScaleBench {
       (s, d, _) => refMargin(s, d),
       prep = Some((s, d, _) => refMarginPrep(s, d))))
 
-  /** Per-sample stage-metric accumulator (registered once): total
-    * shuffle bytes (read+write), disk spill, and summed per-task peak
-    * execution memory — the "does the shuffle/state grow superlinearly"
-    * half of the measurement (a family whose TIME scales linearly but
-    * whose shuffle bytes scale quadratically is still a 100-TB bug). */
-  private final class StageMetrics
-      extends org.apache.spark.scheduler.SparkListener {
-    private var shuffleRead = 0L
-    private var shuffleWrite = 0L
-    private var spill = 0L
-    private var peakMem = 0L
-    private var outBytes = 0L
-    override def onStageCompleted(
-        sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
-        : Unit = synchronized {
-      val m = sc.stageInfo.taskMetrics
-      if (m != null) {
-        shuffleRead += m.shuffleReadMetrics.totalBytesRead
-        shuffleWrite += m.shuffleWriteMetrics.bytesWritten
-        spill += m.diskBytesSpilled
-        peakMem = math.max(peakMem, m.peakExecutionMemory)
-        // sink-output bytes (parquet/commit writes): the COMMIT-COST
-        // signal the index families measure — a write ∝ index instead
-        // of ∝ batch is invisible to shuffle bytes (r17)
-        outBytes += m.outputMetrics.bytesWritten
-      }
-    }
-    def reset(): Unit = synchronized {
-      shuffleRead = 0; shuffleWrite = 0; spill = 0; peakMem = 0
-      outBytes = 0
-    }
-    /** (shuffle bytes r+w, spill bytes, peak exec memory, output bytes). */
-    def snap: (Long, Long, Long, Long) =
-      synchronized((shuffleRead + shuffleWrite, spill, peakMem, outBytes))
-  }
+  // Per-sample stage metrics live in tools/Measure.scala (shared with
+  // Bench since r20 — bytes are the steal-immune half of every
+  // measurement here).
 
   /** Least-squares slope of ln(t) on ln(k). */
   private def alpha(pts: Seq[(Int, Double)]): Option[Double] = {
@@ -895,7 +863,7 @@ object ScaleBench {
     }
     final case class Pt(k: Int, sec: Double, rows: Long,
                         shuffle: Long, spill: Long, peakMem: Long,
-                        outBytes: Long)
+                        outBytes: Long, stealPct: Option[Double])
     val results = scala.collection.mutable.Map.empty[String,
       scala.collection.mutable.ArrayBuffer[Pt]]
     val skipped = scala.collection.mutable.Set.empty[String]
@@ -918,12 +886,14 @@ object ScaleBench {
             // a short post-run sleep drains this sample's tail before
             // the snapshot. Diagnostic-grade attribution only.
             metrics.reset()
+            val st0 = Steal.sample()
             val t0 = System.nanoTime()
             val n = f.run(spark, amp.toString, k)
             val sec = (System.nanoTime() - t0) / 1e9
+            val stealPct = Steal.pct(st0, Steal.sample())
             Thread.sleep(500)
             val (sh, sp, pm, ob) = metrics.snap
-            Pt(k, sec, n, sh, sp, pm, ob)
+            Pt(k, sec, n, sh, sp, pm, ob, stealPct)
           }
           val s1 = sample()
           val best =
@@ -932,7 +902,8 @@ object ScaleBench {
           println(f"[scale] ${f.name}%-22s ${k}%2dx  ${best.sec}%8.2f s" +
             f"  ${best.shuffle / 1048576.0}%9.1f MB shuffle" +
             f"  ${best.spill / 1048576.0}%7.1f MB spill" +
-            f"  (${best.rows}%d rows)")
+            f"  (${best.rows}%d rows)" +
+            best.stealPct.map(p => f"  st=$p%.1f%%").getOrElse(""))
           results.getOrElseUpdate(f.name,
             scala.collection.mutable.ArrayBuffer.empty) += best
           if (best.sec > cutoff) {
@@ -982,6 +953,11 @@ object ScaleBench {
       val spillJ = pts.map(_.spill).mkString("[", ",", "]")
       val peakJ = pts.map(_.peakMem).mkString("[", ",", "]")
       val outJ = pts.map(_.outBytes).mkString("[", ",", "]")
+      // steal pct per point (quietness evidence — r19 task #6): a wall
+      // tail cited from points with nonzero steal is suspect; -1 means
+      // the sample was unavailable (off-Linux).
+      val stealJ = pts.map(p => sec(p.stealPct.getOrElse(-1.0)))
+        .mkString("[", ",", "]")
       // per-family measurement metadata (sf/cpus/cutoff): subset runs
       // merge into a committed artifact whose top-level fields describe
       // only the LAST run — each family must carry the settings it was
@@ -990,6 +966,7 @@ object ScaleBench {
       s""""${f.name}":{"scales":$scalesJ,"secs":$secsJ,"rows":$rowsJ,""" +
         s""""shuffle_bytes":$shufJ,"spill_bytes":$spillJ,""" +
         s""""peak_exec_mem":$peakJ,"output_bytes":$outJ,""" +
+        s""""steal_pct":$stealJ,""" +
         s""""sf":"$sfDir","cpus":"$cpus","cutoff":$cutoff,""" +
         s""""alpha":${a.map(sec).getOrElse("null")},""" +
         s""""alpha_tail":${tail.map(sec).getOrElse("null")},""" +
