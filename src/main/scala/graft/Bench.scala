@@ -166,12 +166,68 @@ object Bench {
       else None
     val refdemoSf: Option[(Double, Option[Double])] =
       refdemoSfRuns.map(_.map(r => (r._1, r._3)).minBy(_._1))
+    // LLM-side end-to-end throughput (r19 VERDICT task #1): the
+    // governed corpus pipeline — curation → committed exact + sharded
+    // near-dup indexes → leakage-safe split → packing → shard export,
+    // through AtomicTable commits, manifests and fingerprints — run as
+    // seed (2/3 of documents) → one incremental batch fold (the last
+    // third) → one skip pass, against a fresh temp warehouse per rep.
+    // min-of-2 like the refdemo keys; per-phase walls reported from
+    // the min rep. Batch prep (writing the batch drops) is untimed.
+    final case class CorpusRep(total: Double, seed: Double, inc: Double,
+                               skip: Double, steal: Option[Double])
+    val corpusRuns: Option[Seq[CorpusRep]] =
+      if (only.forall(_.contains("corpus_total"))) Some {
+        val dataDir =
+          java.nio.file.Files.createTempDirectory("graft_bench_corpus")
+        val staged = dataDir.resolve("staged_batch_003")
+        val live = dataDir.resolve("batches/batch_003")
+        val docs = Tables.documents(spark, sfDir)
+          .selectExpr("doc_id", "text", "lang", "source")
+        (0 to 2).foreach { k =>
+          val target = if (k == 2) staged.toString
+                       else s"$dataDir/batches/batch_00${k + 1}"
+          docs.filter(s"pmod(doc_id, 3) = $k")
+            .write.mode("overwrite").parquet(target)
+        }
+        val out = Seq.fill(2) {
+          reclaim()
+          val wh = java.nio.file.Files
+            .createTempDirectory("graft_bench_corpus_wh")
+          try {
+            val st0 = tools.Steal.sample()
+            val t0 = System.nanoTime()
+            corpus.CorpusPipeline.run(spark, "seed", dataDir.toString,
+              wh.toString)
+            val t1 = System.nanoTime()
+            java.nio.file.Files.move(staged, live)
+            corpus.CorpusPipeline.run(spark, "incremental",
+              dataDir.toString, wh.toString)
+            val t2 = System.nanoTime()
+            corpus.CorpusPipeline.run(spark, "incremental",
+              dataDir.toString, wh.toString)
+            val t3 = System.nanoTime()
+            CorpusRep((t3 - t0) / 1e9, (t1 - t0) / 1e9,
+              (t2 - t1) / 1e9, (t3 - t2) / 1e9,
+              tools.Steal.pct(st0, tools.Steal.sample()))
+          } finally {
+            if (java.nio.file.Files.exists(live))
+              java.nio.file.Files.move(live, staged)
+            queries.Q.deleteRecursively(wh)
+          }
+        }
+        queries.Q.deleteRecursively(dataDir)
+        out
+      }
+      else None
+    val corpusMin: Option[CorpusRep] = corpusRuns.map(_.minBy(_.total))
     val total = results.map(_._2.sec).sum
     // Quietness verdict over the MIN-achieving samples of every
     // reported number (queries + both refdemo keys): the committed
     // floor is refused when any reported min was taken under steal.
     val (stealQuiet, stealWorst) = tools.Steal.verdict(
-      results.map(_._2.steal) ++ refdemo.map(_._2) ++ refdemoSf.map(_._2),
+      results.map(_._2.steal) ++ refdemo.map(_._2) ++
+        refdemoSf.map(_._2) ++ corpusMin.map(_.steal),
       stealMaxPct)
     // Locale.ROOT: a comma decimal separator would corrupt the JSON.
     def sec(v: Double): String =
@@ -204,6 +260,11 @@ object Bench {
         refdemoSf.map(v => s""""refdemo_sf01_total":${sec(v._1)},""")
           .getOrElse("") +
         refdemoSfModels.map(m => s""""refdemo_sf01_models":$m,""")
+          .getOrElse("") +
+        corpusMin.map(c =>
+          s""""corpus_total":${sec(c.total)},""" +
+            s""""corpus_phases":{"seed":${sec(c.seed)},""" +
+            s""""incremental":${sec(c.inc)},"skip":${sec(c.skip)}},""")
           .getOrElse("")
     // Stop Spark BEFORE printing so no executor-shutdown log line can land
     // after the JSON, and keep "metric"/"value" as the LAST keys: the

@@ -97,6 +97,36 @@ object Main {
       }
       r
     }
+    if (args.contains("--corpus")) {
+      // LLM-corpus pipeline driver (r19 VERDICT task #1) — same shapes
+      // as the reference DAG below: --data runs one governed pass;
+      // no --data runs the self-demo (seed → incremental → skip).
+      import graft.corpus.{CorpusDemoSource, CorpusPipeline}
+      dataArg match {
+        case Some(data) =>
+          require(seed || inc, "pass --seed or --incremental with --data")
+          printCorpus(CorpusPipeline.run(spark,
+            if (seed) "seed" else "incremental", data, wh))
+        case None =>
+          val dataP = Files.createTempDirectory("graft_corpus_demo")
+          CorpusDemoSource.write(spark, dataP, upTo = 2)
+          println(s"[cli] corpus demo batches at $dataP, warehouse at $wh")
+          printCorpus(CorpusPipeline.run(spark, "seed", dataP.toString, wh))
+          CorpusDemoSource.write(spark, dataP, upTo = 3) // next drop lands
+          printCorpus(CorpusPipeline.run(spark, "incremental",
+            dataP.toString, wh))
+          printCorpus(CorpusPipeline.run(spark, "incremental",
+            dataP.toString, wh)) // skip pass
+      }
+      if (args.contains("--maintain")) {
+        val actions = CorpusPipeline.maintain(spark, wh)
+        if (actions.isEmpty) println("[cli] maintenance: steady state")
+        else actions.foreach(a => println(
+          s"[cli] maintenance: ${a.table} ${a.action} (${a.detail})"))
+      }
+      spark.stop()
+      return
+    }
     dataArg match {
       case Some(data) =>
         require(seed || inc, "pass --seed or --incremental with --data")
@@ -117,6 +147,22 @@ object Main {
         s"[cli] maintenance: ${a.table} ${a.action} (${a.detail})"))
     }
     spark.stop()
+  }
+
+  private def printCorpus(r: graft.corpus.CorpusPipeline.Report): Unit = {
+    r.batches.foreach(b => println(
+      s"[cli] corpus batch ${b.batch} (ordinal ${b.ordinal}): " +
+        s"${b.status}, ${b.rowsIn} in, ${b.keptCurated} curated, " +
+        s"${b.keptExact} past exact dedup"))
+    val failed = r.quality.filterNot(_.passed)
+    val skipNote =
+      if (r.modelsSkipped.isEmpty) ""
+      else s" (${r.modelsSkipped.size} unchanged, served from cache)"
+    println(s"[cli] corpus ${r.mode}: ${r.models} models$skipNote, " +
+      s"${r.canonicalDocs} canonical docs, export " +
+      s"${if (r.exportRewritten) "rewritten" else "served"}, " +
+      s"${r.quality.size} quality checks (${failed.size} failed), " +
+      s"manifest seq ${r.manifestSeq} → ${r.overallStatus}")
   }
 
   /** POST-RUN TABLE SERVICES over the key marts (dbt's post-hook /
@@ -143,6 +189,16 @@ object Main {
       Maintenance.run(spark, s"$warehouseRoot/mart/$t",
         Maintenance.Policy(statsCols = keys))
     }
+    marts ++ maintainIndexes(spark, warehouseRoot)
+  }
+
+  /** Index-dir half of [[maintain]], shared with the corpus pipeline
+    * ([[graft.corpus.CorpusPipeline.maintain]] sweeps the same
+    * `warehouse/index/` layout its folds commit into — one production
+    * sweep, not per-driver copies). */
+  def maintainIndexes(spark: SparkSession, warehouseRoot: String)
+      : Seq[graft.operators.Maintenance.Action] = {
+    import graft.operators.Maintenance
     val idxRoot = new org.apache.hadoop.fs.Path(s"$warehouseRoot/index")
     val fs = idxRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     import graft.operators.AtomicTable
@@ -198,7 +254,7 @@ object Main {
           } else Maintenance.run(spark, d, Maintenance.Policy()))
         }
       }
-    marts ++ indexes
+    indexes
   }
 
   private def optValue(args: Array[String], flag: String): Option[String] =

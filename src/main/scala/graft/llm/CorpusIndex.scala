@@ -325,6 +325,21 @@ object ShardedNearDupIndex {
     loadLabels(spark, dir)
   }
 
+  /** Signature width (bits) the index's bands dir is committed at —
+    * sniffed from ONE committed file's schema (the packed word columns
+    * `h0..h{n-1}` count the width: 1 → 32-bit, 2 → 64, 4 → 128); None
+    * before the first commit. The width is a per-dir POLICY pin, like
+    * [[PhashIndexAuto.committedWidth]]: folds MUST reuse the committed
+    * width (the band layout is schema), so incremental drivers call
+    * this instead of re-running the sizing policy every batch. */
+  def committedBits(spark: SparkSession, dir: String): Option[Int] =
+    AtomicTable.sampleCommittedSchema(spark, bandsDir(dir)).map { sch =>
+      val words = sch.fieldNames.count(_.matches("h\\d+"))
+      require(words > 0, s"${bandsDir(dir)} holds no h* word columns " +
+        s"(columns: ${sch.fieldNames.mkString(", ")})")
+      32 * words
+    }
+
   /** Fold the bands delta chain into a base AND materialize the probe
     * rank (r19; VERDICT r18 task #2: `probeCap` used to run a
     * row_number window over the ENTIRE committed index on every fold —
@@ -570,6 +585,54 @@ object PhashIndexAuto {
           "(≤ the 16,384-row crossover selects 64-bit) to pin the " +
           "legacy 9x8 contract on a fresh index dir.")
     }
+
+  /** 64→128-BIT INDEX MIGRATION BACKFILL (r20; VERDICT r19 task #3):
+    * the code form of the width rule's "new dir + re-hash backfill".
+    * [[committedWidth]] locks a pre-policy 64-bit production dir out of
+    * the non-saturating layout forever — a dir that grows past the
+    * 16,384-row crossover would otherwise be stuck with the measured
+    * 1.32@100× probe-saturation tail with no escape but hand surgery.
+    *
+    * `images` is the ARCHIVE — the kept corpus the old index
+    * represents, re-supplied at the 17×8 grid (hashes of different
+    * grids are not convertible, so migration is a re-hash of source
+    * images by definition; the index itself stores no doc ids or
+    * payloads). The archive is re-hashed with [[Multimodal.dHash128]],
+    * its word-band rows committed as `newDir`'s version-0 delta and
+    * immediately compacted to a base (the backfill is one clean base,
+    * not a delta chain). Subsequent batches against `newDir` resolve
+    * width 128 from the committed schema — the policy front door stays
+    * the only write path.
+    *
+    * RECALL across the flip: exact re-crawls are Hamming 0 at every
+    * width, so the migrated index flags them identically; near-dups
+    * within Hamming ≤ 3 of their 17×8 hash keep the 4-band pigeonhole
+    * guarantee. Both are replayed cross-engine by the
+    * `dd_phash_migrate_chain` gate (64-bit day-2 decisions feed the
+    * archive, the twin replays BOTH grids' pixel math end to end).
+    *
+    * Returns the committed band-row count (distinct (band, key, words)
+    * grain — identical images collapse), the observable the gate pins.
+    * Scale shape: one codec `mapPartitions` pass + one distinct — the
+    * same cost class as seeding a fresh 128-bit index, ∝ archive, run
+    * once per migration. */
+  def migrate(spark: SparkSession, oldDir: String, newDir: String,
+              images: DataFrame): Long = {
+    val from = committedWidth(spark, oldDir)
+    require(from.contains(64),
+      s"migrate: $oldDir must be a committed 64-bit index (found " +
+        s"${from.fold("nothing committed")(_.toString + "-bit")})")
+    require(committedWidth(spark, newDir).isEmpty,
+      s"migrate: $newDir already holds a committed index")
+    val w = PhashWidth.W128
+    val bands = w.bandRows(w.hash(images))
+      .select((col("band") +: col("band_key") +: w.hashCols.map(col)): _*)
+      .distinct()
+    val delta = bands.repartition(CorpusIndex.deltaWriteTasks(bands))
+    AtomicTable.commitDelta(delta, newDir, 0L)
+    AtomicTable.compactToBase(spark, newDir)
+    Phash128Index.load(spark, newDir).count()
+  }
 
   /** One daily image batch through the policy-chosen width: committed
     * width wins, else [[autoPhashPolicy]](expectedIndexRows). The
