@@ -4428,6 +4428,97 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** 64→128-bit INDEX MIGRATION BACKFILL gate (r20; VERDICT r19 task
+    * #3): day 1 commits a 64-bit index (the policy's small-corpus
+    * choice), day 2 probes-and-folds against it — REAL 64-bit
+    * decisions, near-copies and all — then
+    * [[graft.llm.PhashIndexAuto.migrate]] re-hashes the resulting
+    * archive at the 17×8 grid into a NEW dir (one compacted 128-bit
+    * base), and day 3 folds against the MIGRATED dir through the
+    * policy front door (committed schema resolves width 128). The twin
+    * replays BOTH grids' full pixel math: the 9×8 chain decides the
+    * archive, the 17×8 chain builds the migrated index and judges the
+    * day-3 probes (exact re-crawls of archived docs must hit at
+    * Hamming 0 — width-invariant recall across the flip). `idx_rows`
+    * pins the migrated index's distinct band-row count; `band_bits`
+    * pins that day 3 really ran 128-bit. */
+  val ddPhashMigrateChain: Q = Q.sql(
+    "dd_phash_migrate_chain",
+    s"""${phashHashCtes(
+         "SELECT doc_id FROM documents WHERE doc_id % 3 < 2",
+         prefix = "a_")}, ${phash128HashCtes(
+         "SELECT doc_id FROM documents", prefix = "b_",
+         lead = false)}, bnd64 AS (
+      |  SELECT h.doc_id, h.hash_lo, h.hash_hi, bs.band,
+      |    CASE bs.band WHEN 0 THEN h.hash_lo % 65536
+      |                 WHEN 1 THEN h.hash_lo // 65536
+      |                 WHEN 2 THEN h.hash_hi % 65536
+      |                 ELSE h.hash_hi // 65536 END AS band_key
+      |  FROM a_h h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) bs
+      |), idx64 AS (
+      |  SELECT DISTINCT band, band_key, hash_lo, hash_hi
+      |  FROM bnd64 WHERE doc_id % 3 = 0
+      |), hits64 AS (
+      |  SELECT DISTINCT p.doc_id
+      |  FROM (SELECT * FROM bnd64 WHERE doc_id % 3 = 1) p
+      |  JOIN idx64 i ON i.band = p.band AND i.band_key = p.band_key
+      |  WHERE bit_count(xor(p.hash_lo, i.hash_lo))
+      |      + bit_count(xor(p.hash_hi, i.hash_hi)) <= 3
+      |), archive AS (
+      |  SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+      |  UNION
+      |  SELECT doc_id FROM documents WHERE doc_id % 3 = 1
+      |    AND doc_id NOT IN (SELECT doc_id FROM hits64)
+      |), bnd128 AS (
+      |  SELECT h.doc_id, h.h0, h.h1, h.h2, h.h3, bs.band,
+      |    CASE bs.band WHEN 0 THEN h.h0 WHEN 1 THEN h.h1
+      |                 WHEN 2 THEN h.h2 ELSE h.h3 END AS band_key
+      |  FROM b_h h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) bs
+      |), idx128 AS (
+      |  SELECT DISTINCT band, band_key, h0, h1, h2, h3
+      |  FROM bnd128 WHERE doc_id IN (SELECT doc_id FROM archive)
+      |), probe AS (
+      |  SELECT * FROM bnd128
+      |  WHERE doc_id % 3 = 2 OR doc_id % 9 = 0 OR doc_id % 9 = 1
+      |), hits AS (
+      |  SELECT DISTINCT p.doc_id
+      |  FROM probe p JOIN idx128 i
+      |    ON i.band = p.band AND i.band_key = p.band_key
+      |  WHERE bit_count(xor(p.h0, i.h0)) + bit_count(xor(p.h1, i.h1))
+      |      + bit_count(xor(p.h2, i.h2)) + bit_count(xor(p.h3, i.h3)) <= 3
+      |)
+      |SELECT p.doc_id,
+      |  p.doc_id IN (SELECT doc_id FROM hits) AS hit_index,
+      |  p.doc_id NOT IN (SELECT doc_id FROM hits) AS keep,
+      |  CAST(128 AS INTEGER) AS band_bits,
+      |  CAST((SELECT COUNT(*) FROM idx128) AS BIGINT) AS idx_rows
+      |FROM (SELECT DISTINCT doc_id FROM probe) p
+      |ORDER BY p.doc_id""".stripMargin) { (s, d) =>
+    import graft.llm.PhashIndexAuto
+    val ids = Tables.documents(s, d).select("doc_id")
+    val day1 = ids.filter(col("doc_id") % 3 === 0)
+    val day2 = ids.filter(col("doc_id") % 3 === 1)
+    val day3 = ids.filter(col("doc_id") % 3 === 2 ||
+      col("doc_id") % 9 === 0 || col("doc_id") % 9 === 1)
+    def toImages(day: org.apache.spark.sql.DataFrame)(bits: Int) =
+      if (bits == 64) Multimodal.asPhashImageTable(day)
+      else Multimodal.asPhash128ImageTable(day)
+    val oldDir = Q.tempDir("graft_phmig_old").toString
+    val newDir = Q.tempDir("graft_phmig_new").toString
+    val expected = Tables.documentsCount(s, d) // ≤ crossover → 64-bit
+    PhashIndexAuto.processBatch(s, oldDir, toImages(day1),
+      expectedIndexRows = expected)
+    val ann2 = PhashIndexAuto.processBatch(s, oldDir, toImages(day2),
+      expectedIndexRows = expected)
+    val archive = day1
+      .unionByName(ann2.filter(col("keep")).select("doc_id"))
+    val nIdx = PhashIndexAuto.migrate(s, oldDir, newDir,
+      Multimodal.asPhash128ImageTable(archive))
+    PhashIndexAuto.processBatch(s, newDir, toImages(day3))
+      .withColumn("idx_rows", lit(nIdx))
+      .orderBy("doc_id")
+  }
+
   /** Multimodal — audio FEATURE EXTRACTION over the real codec path:
     * WAV payloads decoded to per-frame PCM rows (`decodeAudioFrames`),
     * then fixed 16-frame windowed sum-of-squares energy, per-doc
@@ -4675,34 +4766,41 @@ object LlmQueries {
     * perturbed pixel of each near-copy doc, the 64 dHash comparison
     * bits, and the 2×32-bit packing. Ends at CTE `h(doc_id, hash_lo,
     * hash_hi)`; `phdocs` is the doc-id set to hash. */
+  /** `prefix` renames every CTE (`<p>h`, `<p>bits`, …) and `lead`
+    * drops the `WITH` keyword, so TWO hash families can coexist in one
+    * query (the migrate gate replays the 9×8 AND 17×8 grids). Defaults
+    * keep all existing callers semantically unchanged. */
   private def phashHashCtes(
-      phdocs: String = "SELECT doc_id FROM documents"): String = {
+      phdocs: String = "SELECT doc_id FROM documents",
+      prefix: String = "", lead: Boolean = true): String = {
     val h6 = TA.hex6Expr("md5('ph|' || b || '|' || x || '|' || y)")
-    s"""WITH phdocs AS ($phdocs), d AS (
+    val p = prefix
+    val w = if (lead) "WITH " else ""
+    s"""$w${p}phdocs AS ($phdocs), ${p}d AS (
       |  SELECT doc_id,
       |    CASE WHEN doc_id % 5 = 4 AND doc_id >= 4
       |         THEN doc_id - 3 ELSE doc_id END AS b
-      |  FROM phdocs
-      |), px AS (
+      |  FROM ${p}phdocs
+      |), ${p}px AS (
       |  SELECT d.doc_id, d.b, xs.x, ys.y
-      |  FROM d
+      |  FROM ${p}d d
       |  CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS x) xs
       |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y) ys
-      |), g0 AS (
+      |), ${p}g0 AS (
       |  SELECT doc_id, x, y, $h6 % 251 AS gray0,
       |    doc_id <> b AND x = doc_id % 9 AND y = (doc_id // 9) % 8 AS pert
-      |  FROM px
-      |), g AS (
+      |  FROM ${p}px
+      |), ${p}g AS (
       |  SELECT doc_id, x, y,
       |    CASE WHEN pert THEN (gray0 + 100) % 251 ELSE gray0 END AS gray
-      |  FROM g0
-      |), bits AS (
+      |  FROM ${p}g0
+      |), ${p}bits AS (
       |  SELECT a.doc_id, a.y * 8 + a.x AS pos,
       |    CASE WHEN bb.gray > a.gray THEN 1 ELSE 0 END AS bit
-      |  FROM g a JOIN g bb
+      |  FROM ${p}g a JOIN ${p}g bb
       |    ON bb.doc_id = a.doc_id AND bb.y = a.y AND bb.x = a.x + 1
       |  WHERE a.x < 8
-      |), h AS (
+      |), ${p}h AS (
       |  SELECT doc_id,
       |    CAST(SUM(CASE WHEN pos < 32
       |      THEN bit * CAST(POWER(2, pos) AS BIGINT) ELSE 0 END) AS BIGINT)
@@ -4710,7 +4808,7 @@ object LlmQueries {
       |    CAST(SUM(CASE WHEN pos >= 32
       |      THEN bit * CAST(POWER(2, pos - 32) AS BIGINT) ELSE 0 END) AS BIGINT)
       |      AS hash_hi
-      |  FROM bits GROUP BY 1
+      |  FROM ${p}bits GROUP BY 1
       |)""".stripMargin
   }
 
@@ -4720,40 +4818,43 @@ object LlmQueries {
     * 128 dHash bits, and the 4×32-bit word packing. Ends at CTE
     * `h(doc_id, h0, h1, h2, h3)`. */
   private def phash128HashCtes(
-      phdocs: String = "SELECT doc_id FROM documents"): String = {
+      phdocs: String = "SELECT doc_id FROM documents",
+      prefix: String = "", lead: Boolean = true): String = {
     val h6 = TA.hex6Expr("md5('ph|' || b || '|' || x || '|' || y)")
     val words = (0 until 4).map(w =>
       s"""CAST(SUM(CASE WHEN pos // 32 = $w
       |      THEN bit * CAST(POWER(2, pos % 32) AS BIGINT) ELSE 0 END)
       |      AS BIGINT) AS h$w""".stripMargin).mkString(",\n      |    ")
-    s"""WITH phdocs AS ($phdocs), d AS (
+    val p = prefix
+    val lw = if (lead) "WITH " else ""
+    s"""$lw${p}phdocs AS ($phdocs), ${p}d AS (
       |  SELECT doc_id,
       |    CASE WHEN doc_id % 5 = 4 AND doc_id >= 4
       |         THEN doc_id - 3 ELSE doc_id END AS b
-      |  FROM phdocs
-      |), px AS (
+      |  FROM ${p}phdocs
+      |), ${p}px AS (
       |  SELECT d.doc_id, d.b, xs.x, ys.y
-      |  FROM d
+      |  FROM ${p}d d
       |  CROSS JOIN (SELECT unnest(generate_series(0, 16)) AS x) xs
       |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y) ys
-      |), g0 AS (
+      |), ${p}g0 AS (
       |  SELECT doc_id, x, y, $h6 % 251 AS gray0,
       |    doc_id <> b AND x = doc_id % 17 AND y = (doc_id // 17) % 8 AS pert
-      |  FROM px
-      |), g AS (
+      |  FROM ${p}px
+      |), ${p}g AS (
       |  SELECT doc_id, x, y,
       |    CASE WHEN pert THEN (gray0 + 100) % 251 ELSE gray0 END AS gray
-      |  FROM g0
-      |), bits AS (
+      |  FROM ${p}g0
+      |), ${p}bits AS (
       |  SELECT a.doc_id, a.y * 16 + a.x AS pos,
       |    CASE WHEN bb.gray > a.gray THEN 1 ELSE 0 END AS bit
-      |  FROM g a JOIN g bb
+      |  FROM ${p}g a JOIN ${p}g bb
       |    ON bb.doc_id = a.doc_id AND bb.y = a.y AND bb.x = a.x + 1
       |  WHERE a.x < 16
-      |), h AS (
+      |), ${p}h AS (
       |  SELECT doc_id,
       |    $words
-      |  FROM bits GROUP BY 1
+      |  FROM ${p}bits GROUP BY 1
       |)""".stripMargin
   }
 
@@ -5271,5 +5372,5 @@ object LlmQueries {
     mmResize,
     mmFrameSample, mmDhash, mmPhashNearDup, mmAudioEnergy,
     ddPhashIndexChain, ddPhash128IndexChain,
-    ddPhashPolicySmall, ddPhashPolicyLarge)
+    ddPhashPolicySmall, ddPhashPolicyLarge, ddPhashMigrateChain)
 }
