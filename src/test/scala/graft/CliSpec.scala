@@ -258,8 +258,11 @@ class CliSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(resolvedBefore(1L) == 91L, "lab_v 9 wins before compaction")
     val acts = Main.maintain(spark, wh)
+    // nested actions are qualified <index>/<table> (r19 ADVICE: two
+    // sharded indexes under warehouse/index must stay distinguishable)
     assert(acts.map(a => (a.table, a.action)).toSet ==
-      Set("labels" -> "compact_to_base", "bands" -> "compact_to_base"),
+      Set("neardup_idx/labels" -> "compact_to_base",
+        "neardup_idx/bands" -> "compact_to_base"),
       s"expected both nested dirs compacted, got $acts")
     // labels: dead row versions gone (11 live ids from 20 committed
     // rows), resolved view unchanged, lab_v preserved in the base
