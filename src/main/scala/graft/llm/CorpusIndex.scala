@@ -467,7 +467,27 @@ private[llm] object PhashIndexCore {
                    w: PhashWidth, maxHamming: Int,
                    version: Option[Long], writerId: Option[String],
                    compactEvery: Int): DataFrame = {
-    val hashes = w.hash(images)
+    // ONE codec pass per batch (r20): the hash frame is the only
+    // consumer of the image payloads, and downstream re-references it
+    // three times inside the commit job alone — `bands` feeds both the
+    // probe join and the kept-rows delta, plus the decision join on
+    // `hashes` — with no exchange boundary between them, so exchange
+    // reuse never dedups the synthesize+decode mapPartitions subtree
+    // (the r07 "recompute beats materialization" rule assumed reuse
+    // applies; here it can't). Callers then consume the RETURNED
+    // decisions frame in separately-executed plans (the migrate gate
+    // re-ran day 2's entire 64-bit probe chain inside the archive
+    // re-hash; Bench re-runs the codec just to count rows). The
+    // checkpoint truncates all of that at a (doc_id, 1–4 BIGINT words)
+    // frame — batch-sized metadata, ~20 bytes/row — so the codec runs
+    // exactly once per batch. One-shot checkpoint, NOT in a loop →
+    // plain localCheckpoint keeps carried stats (Ckpt.truncated is for
+    // iterative bodies only). Measured r20 (min-of-3, identical subset
+    // harness, quiet): dd_phash_policy_large 12.29→7.35 s,
+    // dd_phash_migrate_chain 14.68→10.05, dd_phash_policy_small
+    // 8.24→4.55, dd_phash_index_chain 6.78→5.09; byte columns
+    // unchanged (plan-shape-only change).
+    val hashes = w.hash(images).localCheckpoint(true)
     val bands = w.bandRows(hashes)
     val idx = w.hashCols.foldLeft(load(spark, dir, w))((d, c) =>
       d.withColumnRenamed(c, s"idx_$c"))

@@ -668,24 +668,38 @@ object ScaleBench {
   }
 
   private def lpaPrep(s: SparkSession, dir: String): Unit = {
-    val (old, _) = lpaEdgeSplit(docsOf(s, dir))
-    graft.operators.GraphOps.labelPropagationRounds(old, iters = 3)
+    // Stage the edge split itself (r20): `lpaEdgeSplit`'s chain⋉nodes
+    // semi-join is harness PREP — the warehouse's edge tables exist on
+    // disk before the day starts, exactly like the committed rounds —
+    // and timing it inside the window let ITS broadcast→SMJ flip at
+    // 100× (nodes ∝ corpus ≈ 12 MB) masquerade as the operator's
+    // shuffle step: the r19 SCALE.md row blamed the overlay join, but
+    // pinning the overlay broadcast (GraphOps r20) left the step
+    // intact, and the step's bytes match the nodes side of this join.
+    val (old, batch) = lpaEdgeSplit(docsOf(s, dir))
+    old.write.mode("overwrite").parquet(s"$dir/lpa_old_edges.parquet")
+    batch.write.mode("overwrite").parquet(s"$dir/lpa_batch_edges.parquet")
+    graft.operators.GraphOps.labelPropagationRounds(
+        s.read.parquet(s"$dir/lpa_old_edges.parquet"), iters = 3)
       .zipWithIndex.foreach { case (r, i) =>
         r.write.mode("overwrite").parquet(s"$dir/lpa_round$i.parquet")
       }
   }
 
   private def lpaIncremental(s: SparkSession, dir: String): Long = {
-    val (old, batch) = lpaEdgeSplit(docsOf(s, dir))
     val rounds = (0 to 3).map(i => s.read.parquet(s"$dir/lpa_round$i.parquet"))
     graft.operators.GraphOps
-      .incrementalLabelPropagation(rounds, old, batch).count()
+      .incrementalLabelPropagation(rounds,
+        s.read.parquet(s"$dir/lpa_old_edges.parquet"),
+        s.read.parquet(s"$dir/lpa_batch_edges.parquet")).count()
   }
 
   private def lpaFull(s: SparkSession, dir: String): Long = {
-    val (old, batch) = lpaEdgeSplit(docsOf(s, dir))
     graft.operators.GraphOps
-      .labelPropagation(old.unionByName(batch), iters = 3).count()
+      .labelPropagation(
+        s.read.parquet(s"$dir/lpa_old_edges.parquet").unionByName(
+          s.read.parquet(s"$dir/lpa_batch_edges.parquet")),
+        iters = 3).count()
   }
 
   // ---- reference-mart spine (r19, VERDICT r18 task #4): the two
@@ -795,7 +809,8 @@ object ScaleBench {
     Fam("range_join_keyed", Set("events"), rep = true,
       (s, d, _) => rangeJoin(s, d, keyed = true)),
     Fam("lpa_full", Set("documents"), rep = true,
-      (s, d, _) => lpaFull(s, d)),
+      (s, d, _) => lpaFull(s, d),
+      prep = Some((s, d, _) => lpaPrep(s, d))),
     Fam("lpa_incremental", Set("documents"), rep = true,
       (s, d, _) => lpaIncremental(s, d),
       prep = Some((s, d, _) => lpaPrep(s, d))),
