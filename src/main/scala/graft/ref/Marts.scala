@@ -763,90 +763,62 @@ object Marts {
         when(col("actual_margin_amount").isNotNull &&
           col("product_service_quantity").isNotNull,
           col("actual_margin_amount") * col("product_service_quantity")))
-    // TWO structural defenses against the decimal-buffer ceiling, both
-    // value-identical by construction (the a13 oracle twin replays the
-    // original single-pass SQL and the hash gate pins it):
-    //
-    // 1. The two COUNT(DISTINCT ...) are aggregated APART from the wide
-    //    decimal battery and joined back at output grain (r17, wave-M2
-    //    ceiling): planned together, RewriteDistinctAggregates EXPANDS
-    //    every input row ×3 through the full-width row of 13
-    //    DECIMAL(38,6) buffers, and the distinct columns keep partial
-    //    aggs from shrinking the exchange.
-    //
-    // 2. The MONTHLY battery RE-AGGREGATES the committed DAILY battery
-    //    instead of re-scanning line grain (r20; VERDICT r19 task #4:
-    //    ScaleBench ref_margin wall-tail 1.15 at shuffle-tail 1.00 —
-    //    DECIMAL(38,6) aggregate-buffer pressure). Daily groups
-    //    partition exactly into monthly groups, decimal addition at a
-    //    fixed scale is associative, and each average is carried as its
-    //    EXACT (decimal sum, non-null count) pair, so
-    //    sum-of-daily-sums / sum-of-daily-counts is bit-identical to
-    //    the direct line-grain aggregate. One line-grain decimal
-    //    exchange instead of two; the monthly pass runs at
-    //    sku×day grain (orders of magnitude smaller). The distinct
-    //    pair CANNOT be re-aggregated (customers repeat across days) —
-    //    its two narrow line-grain passes stay.
-    val D = "decimal(38,6)"
-    // exact internal state per group: decimal sums + non-null counts
-    // (underscore-prefixed; never leaves this function)
-    def internalAgg(df: DataFrame, keys: Seq[Column]): DataFrame =
+    // The two COUNT(DISTINCT ...) are aggregated APART from the wide
+    // decimal battery and joined back at output grain (r17, wave-M2
+    // ceiling): planned together, RewriteDistinctAggregates EXPANDS
+    // every input row ×3 (one replica per distinct column + one for
+    // the regular aggregates) through the full-width row of 13
+    // DECIMAL(38,6) buffers — and because the distinct columns keep
+    // per-partition combos ≈ input rows, the partial aggregate can't
+    // shrink the exchange. Split, the decimal battery shuffles once at
+    // its real grain and the distinct pair shuffles a (keys, customer,
+    // order_number) projection; the join runs at OUTPUT grain
+    // (sku×period, orders of magnitude under line grain) and is
+    // null-safe because product_family/material_type/is_kit are
+    // nullable dimensions. Values are identical by construction —
+    // same rows, same aggregates, regrouped.
+    def grainAgg(df: DataFrame, keys: Seq[Column]): DataFrame = {
+      val nd = grainAggNonDistinct(df, keys)
+      val dd = df.groupBy(keys: _*)
+        .agg(countDistinct(col("customer")).as("unique_customers"),
+          countDistinct(col("order_number")).as("unique_orders"))
+      val keyNames = nd.columns.take(keys.length)
+      // resolve through the DataFrames' own apply, not col("nd.<name>")
+      // string paths: an unaliased expression key would get an
+      // auto-generated name with dots/parens that col() cannot parse
+      // (r17 ADVICE).
+      val joined = nd.join(dd,
+        keyNames.map(n => nd(n) <=> dd(n)).reduce(_ && _))
+      // original column order: keys, transaction_count, the two
+      // distinct counts, then the decimal battery
+      val ndCols = nd.columns.map(nd(_))
+      joined.select(
+        (ndCols.take(keys.length + 1) ++
+          Seq(dd("unique_customers"), dd("unique_orders")) ++
+          ndCols.drop(keys.length + 1)): _*)
+    }
+    def grainAggNonDistinct(df: DataFrame, keys: Seq[Column]): DataFrame =
       df.groupBy(keys: _*)
         .agg(
-          count(lit(1)).as("_cnt"),
-          sum(col("product_service_quantity").cast(D)).as("_s_qty"),
-          sum(col("total_units_sold").cast(D)).as("_s_units"),
-          sum(col("line_amount").cast(D)).as("_s_rev"),
-          sum(col("actual_unit_price").cast(D)).as("_s_uprice"),
-          count(col("actual_unit_price")).as("_c_uprice"),
-          sum(col("standard_sales_price").cast(D)).as("_s_sprice"),
-          count(col("standard_sales_price")).as("_c_sprice"),
-          sum(col("standard_purchase_cost").cast(D)).as("_s_pcost"),
-          count(col("standard_purchase_cost")).as("_c_pcost"),
-          sum(col("standard_margin_percentage").cast(D)).as("_s_smpct"),
-          count(col("standard_margin_percentage")).as("_c_smpct"),
-          sum(col("line_total_margin_amount").cast(D)).as("_s_marg"),
-          sum(col("actual_margin_amount").cast(D)).as("_s_umarg"),
-          count(col("actual_margin_amount")).as("_c_umarg"),
-          sum(col("actual_margin_percentage").cast(D)).as("_s_mpct"),
-          count(col("actual_margin_percentage")).as("_c_mpct"),
-          sum((col("price_discount_amount") *
-            col("product_service_quantity")).cast(D)).as("_s_disc"),
-          sum((col("actual_unit_price") *
-            col("product_service_quantity")).cast(D)).as("_s_avol"),
-          sum((col("standard_sales_price") *
-            col("product_service_quantity")).cast(D)).as("_s_svol"))
-    // monthly-from-daily: sums of sums, sums of counts — exact
-    def reAgg(dailyInt: DataFrame, keys: Seq[Column]): DataFrame = {
-      val sums = dailyInt.columns.filter(_.startsWith("_s_"))
-        .map(c => sum(col(c)).as(c))
-      val cnts = dailyInt.columns.filter(_.startsWith("_c"))
-        .map(c => sum(col(c)).as(c))
-      dailyInt.groupBy(keys: _*).agg((cnts ++ sums).head,
-        (cnts ++ sums).tail: _*)
-    }
-    // public battery from the internal state — same expressions the
-    // one-pass dsum/davg forms produced
-    def publicOf(int: DataFrame): DataFrame = {
-      def d(c: String) = col(c).cast("double")
-      val keys = int.columns.filterNot(c =>
-        c.startsWith("_s_") || c.startsWith("_c")).map(col)
-      int.select(keys ++ Seq[Column](
-        col("_cnt").as("transaction_count"),
-        d("_s_qty").as("total_quantity_sold"),
-        d("_s_units").as("total_units_sold"),
-        d("_s_rev").as("total_revenue"),
-        (d("_s_uprice") / col("_c_uprice")).as("avg_unit_price"),
-        (d("_s_sprice") / col("_c_sprice")).as("avg_standard_price"),
-        (d("_s_pcost") / col("_c_pcost")).as("avg_purchase_cost"),
-        (d("_s_smpct") / col("_c_smpct"))
-          .as("avg_standard_margin_percentage"),
-        d("_s_marg").as("total_margin_amount"),
-        (d("_s_umarg") / col("_c_umarg")).as("avg_unit_margin_amount"),
-        (d("_s_mpct") / col("_c_mpct")).as("avg_margin_percentage"),
-        d("_s_disc").as("total_discount_amount"),
-        d("_s_avol").as("actual_volume_revenue"),
-        d("_s_svol").as("standard_volume_revenue")): _*)
+          count(lit(1)).as("transaction_count"),
+          dsum(col("product_service_quantity")).as("total_quantity_sold"),
+          dsum(col("total_units_sold")).as("total_units_sold"),
+          dsum(col("line_amount")).as("total_revenue"),
+          davg(col("actual_unit_price")).as("avg_unit_price"),
+          davg(col("standard_sales_price")).as("avg_standard_price"),
+          davg(col("standard_purchase_cost")).as("avg_purchase_cost"),
+          davg(col("standard_margin_percentage"))
+            .as("avg_standard_margin_percentage"),
+          dsum(col("line_total_margin_amount")).as("total_margin_amount"),
+          davg(col("actual_margin_amount")).as("avg_unit_margin_amount"),
+          davg(col("actual_margin_percentage"))
+            .as("avg_margin_percentage"),
+          dsum(col("price_discount_amount") *
+            col("product_service_quantity")).as("total_discount_amount"),
+          dsum(col("actual_unit_price") * col("product_service_quantity"))
+            .as("actual_volume_revenue"),
+          dsum(col("standard_sales_price") *
+            col("product_service_quantity")).as("standard_volume_revenue"))
         .withColumn("volume_weighted_margin_percentage",
           when(col("total_revenue") > 0,
             round(col("total_margin_amount") / col("total_revenue") * 100,
@@ -856,50 +828,20 @@ object Marts {
             round((lit(1) - col("actual_volume_revenue") /
               col("standard_volume_revenue")) * 100, 2)))
         .drop("actual_volume_revenue", "standard_volume_revenue")
-    }
-    def joinDistinct(nd: DataFrame, dd: DataFrame,
-                     nKeys: Int): DataFrame = {
-      val keyNames = nd.columns.take(nKeys)
-      // resolve through the DataFrames' own apply, not col("nd.<name>")
-      // string paths: an unaliased expression key would get an
-      // auto-generated name with dots/parens that col() cannot parse
-      // (r17 ADVICE). Null-safe: the dims are nullable.
-      val joined = nd.join(dd,
-        keyNames.map(n => nd(n) <=> dd(n)).reduce(_ && _))
-      // original column order: keys, transaction_count, the two
-      // distinct counts, then the decimal battery
-      val ndCols = nd.columns.map(nd(_))
-      joined.select(
-        (ndCols.take(nKeys + 1) ++
-          Seq(dd("unique_customers"), dd("unique_orders")) ++
-          ndCols.drop(nKeys + 1)): _*)
-    }
-    def ddAgg(df: DataFrame, keys: Seq[Column]): DataFrame =
-      df.groupBy(keys: _*)
-        .agg(countDistinct(col("customer")).as("unique_customers"),
-          countDistinct(col("order_number")).as("unique_orders"))
-    val dailyKeys = Seq(col("product_service").as("sku"),
-      col("period_date"), col("product_family"), col("material_type"),
-      col("is_kit"))
-    val dailyBase = base.withColumn("period_date", col("order_date"))
-    val dailyInt = internalAgg(dailyBase, dailyKeys)
-    val monthlyInt = reAgg(dailyInt,
-      Seq(col("sku"),
-        date_trunc("month", col("period_date")).cast("date")
-          .as("period_date"),
+    val daily = grainAgg(base.withColumn("period_date", col("order_date")),
+      Seq(col("product_service").as("sku"), col("period_date"),
         col("product_family"), col("material_type"), col("is_kit")))
-    val daily = joinDistinct(publicOf(dailyInt),
-      ddAgg(dailyBase, dailyKeys), nKeys = 5)
       .withColumn("time_period", lit("daily"))
       .withColumn("order_date", col("period_date"))
       .withColumn("order_month",
         date_trunc("month", col("period_date")).cast("date"))
       .withColumn("order_year",
         date_trunc("year", col("period_date")).cast("date"))
-    val monthly = joinDistinct(publicOf(monthlyInt),
-      ddAgg(base.withColumn("period_date",
-          date_trunc("month", col("order_date")).cast("date")),
-        dailyKeys), nKeys = 5)
+    val monthly = grainAgg(
+      base.withColumn("period_date",
+        date_trunc("month", col("order_date")).cast("date")),
+      Seq(col("product_service").as("sku"), col("period_date"),
+        col("product_family"), col("material_type"), col("is_kit")))
       .withColumn("time_period", lit("monthly"))
       .withColumn("order_date", lit(null).cast("date"))
       .withColumn("order_month", col("period_date"))
