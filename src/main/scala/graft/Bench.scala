@@ -137,14 +137,30 @@ object Bench {
         : (Double, Map[String, Double]) = {
       val wh = java.nio.file.Files.createTempDirectory("graft_bench_wh")
       try {
+        // GC + peak-heap telemetry per rep (r21): the r20 driver drew
+        // refdemo_sf01 at 181 s / 32 cores vs 68.5 s / 8 cores the same
+        // morning, unreproducible on quiet same-tree runs (58–67 s at
+        // 32c, three runs) — so a slow draw must name its MECHANISM
+        // (GC thrash vs steal vs scheduling), not just its model.
+        import scala.jdk.CollectionConverters._
+        val pools = java.lang.management.ManagementFactory
+          .getMemoryPoolMXBeans.asScala
+          .filter(_.getType == java.lang.management.MemoryType.HEAP)
+        pools.foreach(_.resetPeakUsage())
+        def gcMs: Long = java.lang.management.ManagementFactory
+          .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+        val gc0 = gcMs
         val t0 = System.nanoTime()
         val cat = new ref.Catalog(spark, wh.toString)
         val out = ref.ModelDag.run(cat, inputs)
         val tDag = System.nanoTime()
         out.values.foreach(_.count())
         val tEnd = System.nanoTime()
+        val peakMb = pools.map(_.getPeakUsage.getUsed).sum / 1048576.0
         ((tEnd - t0) / 1e9,
-          cat.timings + ("_readback" -> (tEnd - tDag) / 1e9))
+          cat.timings + ("_readback" -> (tEnd - tDag) / 1e9) +
+            ("_gc_sec" -> (gcMs - gc0) / 1000.0) +
+            ("_peak_heap_mb" -> peakMb))
       } finally queries.Q.deleteRecursively(wh)
     }
     val refdemo: Option[(Double, Option[Double])] =
@@ -249,7 +265,10 @@ object Bench {
     // per-model instrumentation the bimodality hunt needs (see dagRun).
     val refdemoSfModels = refdemoSfRuns.map { runs =>
       runs.zipWithIndex.map { case ((wall, times, _), i) =>
-        val top = times.toSeq.sortBy(-_._2).take(10)
+        // telemetry keys (_-prefixed: readback, gc, peak heap) always
+        // ride along; the top-10 slots stay model walls
+        val (telemetry, models) = times.toSeq.partition(_._1.startsWith("_"))
+        val top = (telemetry.sortBy(_._1) ++ models.sortBy(-_._2).take(10))
           .map { case (m, v) => s"\"$m\":${sec(v)}" }
         s"\"rep${i + 1}\":{" +
           ((s"\"_total\":${sec(wall)}" +: top).mkString(",")) + "}"

@@ -20,6 +20,16 @@ object Sessions {
     SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Shuffle/spill codec, A/B-able per run (guide §2.3: "no
+      // universal answer — measure"). Default = Spark's own lz4; a
+      // bandwidth-constrained cluster flips to zstd via env.
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
+      // Scheduler mode for concurrent driver-thread jobs (the ModelDag
+      // waves): FAIR interleaves concurrent models' stages instead of
+      // FIFO head-of-line blocking (guide §2.6) — A/B-able per run.
+      .config("spark.scheduler.mode",
+        sys.env.getOrElse("SPARK_GRAFT_SCHEDULER", "FIFO"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

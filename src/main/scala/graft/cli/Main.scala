@@ -520,21 +520,26 @@ object Main {
     def on(name: String)(
         checks: DataFrame => Seq[Checks.Result]): Seq[Checks.Result] =
       out.get(name).map(checks).getOrElse(Nil)
+    // fct_orders' four tests and fct_companies' two run as ONE
+    // aggregate job per table (Checks.singlePass, r21) — names and
+    // violation counts identical to the individual checks
     on("mart.fct_orders") { o =>
-      Seq(Checks.unique(o, "fct_orders", "order_number"),
-        Checks.notNull(o, "fct_orders", "order_number"),
-        Checks.acceptedValues(o, "fct_orders", "sales_channel",
-          Seq("Amazon", "Website", "Invoice", "Other")),
-        Checks.acceptedValues(o, "fct_orders", "customer_segment",
-          Seq("OEM", "Distributor", "Export", "Direct")))
+      Checks.singlePass(o, "fct_orders",
+        uniqueCols = Seq("order_number"),
+        notNullCols = Seq("order_number"),
+        accepted = Seq(
+          "sales_channel" -> Seq("Amazon", "Website", "Invoice", "Other"),
+          "customer_segment" -> Seq("OEM", "Distributor", "Export",
+            "Direct"))).results
     } ++ on("mart.fct_products")(p =>
       Seq(Checks.unique(p, "fct_products", "product_name"))) ++
       on("mart.fct_company_orders")(c =>
         Seq(Checks.uniqueCombination(c, "fct_company_orders",
           Seq("company_domain_key", "order_number")))) ++
       on("mart.fct_companies")(c =>
-        Seq(Checks.nonEmpty(c, "fct_companies"),
-          Checks.unique(c, "fct_companies", "company_domain_key"))) ++
+        Checks.singlePass(c, "fct_companies",
+          uniqueCols = Seq("company_domain_key"),
+          checkNonEmpty = true).results) ++
       on("mart.dim_company_health")(h =>
         Seq(Checks.unique(h, "dim_company_health",
           "company_domain_key"))) ++

@@ -218,26 +218,45 @@ object CorpusPipeline {
         exportDir)
     }
 
-    // ---- 4. quality battery (non-fatal) ----
-    val quality = staged("quality") {
-    val leakViolations = split.groupBy(col("component"))
-      .agg(countDistinct(col("split")).as("n_splits"))
-      .filter(col("n_splits") > 1).count()
-    Checks.runAll(Seq(
-      Checks.nonEmpty(canonical, "canonical_docs"),
-      Checks.unique(canonical, "canonical_docs", "doc_id"),
-      Checks.notNull(split, "split_assignment", "split"),
-      Checks.acceptedValues(split, "split_assignment", "split",
-        Seq("train", "val", "test")),
-      // the t_leakage_safe_split invariant as a standing production
-      // check: no near-dup cluster straddles the train/test wall
+    // ---- 4. quality battery (non-fatal), SINGLE-PASS per table (r21;
+    //      VERDICT r20 task #6): the r20 form ran each check as its own
+    //      aggregate scan of committed parquet (8 jobs + the report's
+    //      final COUNT(*)); now canonical_docs' checks + the report
+    //      count are ONE job, split_assignment's three checks are ONE
+    //      two-level aggregate (per-component distinct-split counts and
+    //      the per-row null/accepted sums fold in the same pass), and
+    //      packed_train's uniqueness was already one job. Check names
+    //      and violation counts are byte-identical to the individual
+    //      Checks calls. ----
+    val (quality, canonicalRows) = staged("quality") {
+    val canon = Checks.singlePass(canonical, "canonical_docs",
+      uniqueCols = Seq("doc_id"), checkNonEmpty = true)
+    // the t_leakage_safe_split invariant as a standing production
+    // check: no near-dup cluster straddles the train/test wall —
+    // component-grain countDistinct rides the same job as the split
+    // column's null/accepted-value sums
+    val splitRow = split.groupBy(col("component"))
+      .agg(countDistinct(col("split")).as("_nsp"),
+        sum(when(col("split").isNull, 1L).otherwise(0L)).as("_nulls"),
+        sum(when(col("split").isNotNull &&
+          !col("split").isin("train", "val", "test"), 1L)
+          .otherwise(0L)).as("_bad"))
+      .agg(coalesce(sum(col("_nulls")), lit(0L)).as("_nulls"),
+        coalesce(sum(col("_bad")), lit(0L)).as("_bad"),
+        count(when(col("_nsp") > 1, lit(1))).as("_leak"))
+      .head()
+    (Checks.runAll(canon.results ++ Seq(
+      Checks.Result("not_null(split)", "split_assignment",
+        splitRow.getAs[Long]("_nulls")),
+      Checks.Result("accepted_values(split)", "split_assignment",
+        splitRow.getAs[Long]("_bad")),
       Checks.Result("leakage_free_split", "split_assignment",
-        leakViolations),
+        splitRow.getAs[Long]("_leak")),
       Checks.uniqueCombination(packed, "packed_train", Seq("doc_id")),
       Checks.snapshotDrift(spark, s"$warehouseDir/corpus/canonical_docs",
         "canonical_docs", maxRelDrift = 0.5),
       Checks.schemaDrift(spark, s"$warehouseDir/corpus/canonical_docs",
-        "canonical_docs")))
+        "canonical_docs"))), canon.rows)
     }
 
     // ---- 5. one snapshot manifest pinning everything this pass
@@ -262,7 +281,9 @@ object CorpusPipeline {
     Report(mode, batches, models = cat.commits.size, quality, overall,
       modelsSkipped = cat.skipped, manifestSeq = manifestSeq,
       exportRewritten = exportRewritten,
-      canonicalDocs = staged("final_count")(canonical.count()),
+      // rode the quality pass's canonical_docs aggregate (r21) — the
+      // r20 form paid a separate COUNT(*) job here
+      canonicalDocs = canonicalRows,
       lint = Some(lint), stageWalls = walls.toSeq)
   }
 
@@ -282,9 +303,12 @@ object CorpusPipeline {
     // the regex/quality battery (the r19 form re-evaluated it ~5× per
     // batch: decisions + upsert + simhash + two report counts).
     val decisions = decide(spark, cat, "seed", curate(raw), wh, 0L)
-    val curatedN = decisions.count()
+    // curated + kept counts in ONE aggregate job over the committed
+    // decisions model (r21; the r20 form paid one COUNT(*) each)
+    val cnt = decisions.agg(count(lit(1)).as("n"),
+      count(when(col("keep"), lit(1))).as("k")).head()
+    val (curatedN, keptN) = (cnt.getLong(0), cnt.getLong(1))
     val kept = keptDocs(decisions)
-    val keptN = kept.count()
     // width policy from the SHARD doc count — the autoBandPolicy
     // discipline (shard size, not corpus size, bounds bucket fill)
     val bits = Dedup.autoBandPolicy(
@@ -319,8 +343,11 @@ object CorpusPipeline {
       MergeUpsert.upsert(cat.load("corpus", "curated_docs"), kept,
         Seq("doc_id")))
     store.markDone(file)
-    BatchRun(file, ordinal, "folded", rowsIn, decisions.count(),
-      kept.count())
+    // one aggregate job for both report counts (r21), as in seedPass
+    val cnt = decisions.agg(count(lit(1)).as("n"),
+      count(when(col("keep"), lit(1))).as("k")).head()
+    BatchRun(file, ordinal, "folded", rowsIn, cnt.getLong(0),
+      cnt.getLong(1))
   }
 
   /** Exact-dedup decisions for one batch, committed BEFORE any index

@@ -280,9 +280,16 @@ object ShardedNearDupIndex {
                  maxBucketSize: Int = Dedup.DefaultBucketCap,
                  snapshotLabels: Boolean = false): DataFrame = {
     requireLabelLayout(spark, dir, snapshotLabels)
-    val labels = Dedup.shardedNearDupLabels(sharded, maxHamming,
+    // ONE simhash pass per seed (r21): `sharded` is the signature
+    // aggregation over the corpus's exploded tokens, and both the
+    // label chain and the bands delta below consume it in separately-
+    // executed plans — checkpoint the doc-grain (doc_id, words, shard)
+    // frame once. One-shot, outside any loop → plain localCheckpoint
+    // (Ckpt scaladoc rule).
+    val sh = sharded.localCheckpoint(true)
+    val labels = Dedup.shardedNearDupLabels(sh, maxHamming,
       maxBucketSize, bits).select(col("id"), col("component"))
-    val bands = Dedup.bandRows(sharded, bits, Nil)
+    val bands = Dedup.bandRows(sh, bits, Nil)
     AtomicTable.commitDelta(withNullRank(bands), bandsDir(dir), 0L)
     if (snapshotLabels)
       AtomicTable.commit(labels, labelsDir(dir), 0L)
@@ -316,12 +323,21 @@ object ShardedNearDupIndex {
     val m = Dedup.addShardNearDups(
       loadLabels(spark, dir), loadBands(spark, dir, bits),
       newShard, bits, maxHamming, maxBucketSize, probeCap)
-    AtomicTable.commitDelta(withNullRank(m.newBandRows), bandsDir(dir), v)
-    if (snapshotLabels)
+    if (snapshotLabels) {
+      AtomicTable.commitDelta(withNullRank(m.newBandRows), bandsDir(dir), v)
       AtomicTable.commit(m.labels, labelsDir(dir), v)
-    else
-      AtomicTable.commitDelta(m.labelsDelta.withColumn(LabV, lit(v)),
-        labelsDir(dir), v)
+    } else
+      // both delta writes staged CONCURRENTLY, markers in bands→labels
+      // order (r21): the fold's commit tail was two sequential
+      // single-purpose jobs — the r18 lesson's fixed job-count term —
+      // and the visibility order (hence the idempotency/crash contract
+      // in the object scaladoc) rides the MARKER order, which stays
+      // sequential inside commitDeltasStaged.
+      AtomicTable.commitDeltasStaged(spark, Seq(
+        AtomicTable.StagedDelta(withNullRank(m.newBandRows),
+          bandsDir(dir), v),
+        AtomicTable.StagedDelta(m.labelsDelta.withColumn(LabV, lit(v)),
+          labelsDir(dir), v)))
     loadLabels(spark, dir)
   }
 

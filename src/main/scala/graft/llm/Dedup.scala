@@ -525,9 +525,13 @@ object Dedup {
       keyCols = Seq("shard"))
     // endpoint-grain closure + isolated-doc join (r18): the within-CC
     // previously iterated with corpus-covering labels — see
-    // [[nearDupLabels]]
+    // [[nearDupLabels]]. Node ids come from the CHECKPOINTED band rows
+    // (r21), not from `simhashes` — the projection re-ran the simhash
+    // aggregation once per evaluation of the label frame (the
+    // cross-contraction references it twice, the final output once);
+    // bandRows emits every doc, so the distinct is the same id set.
     val shardLabels = nearDupLabels(
-      simhashes.select(col("doc_id").as("id")),
+      banded.select(col("doc_id").as("id")).distinct(),
       within.select(col("doc_a").as("src"), col("doc_b").as("dst")))
     val l = banded.select((col("band") +: col("band_key") +:
       col("shard").as("shard_a") +: col("doc_id").as("doc_a") +:
@@ -553,10 +557,7 @@ object Dedup {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(true)
-    val lnodes = contracted.select(col("src").as("id"))
-      .unionByName(contracted.select(col("dst").as("id")))
-      .distinct()
-    val merged = contractedClosure(lnodes, contracted)
+    val merged = contractedClosure(contracted)
     shardLabels
       .join(merged.select(col("id").as("component"),
         col("component").as("merged")), Seq("component"), "left")
@@ -695,7 +696,15 @@ object Dedup {
     // also derive the CHANGED-ROW delta (the full remap and the delta
     // must come from ONE cc frame — CC is iterative, rerunning it for
     // the delta would double the fold's dominant cost).
-    val newNodes = newShard.select(col("doc_id").as("id"))
+    // Node ids from the CHECKPOINTED band rows, not from `newShard`
+    // (r21): `newShard` is typically the simhash aggregation over the
+    // shard's exploded tokens — the fold's expensive per-row term —
+    // and this projection re-ran it once per separately-executed
+    // consumer of the label frames (allLabels feeds `updated`,
+    // `labelsDelta`'s newRows, and the caller's commits). bandRows
+    // emits every doc (4 band rows each, no filter), so the distinct
+    // over the checkpoint is the same id set at the same doc grain.
+    val newNodes = banded.select(col("doc_id").as("id")).distinct()
     // materialized once (r20): contractedClosure's internal checkpoint
     // re-ran the within+across probe lineage a second time without this
     val contracted = edges
@@ -708,10 +717,7 @@ object Dedup {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(true)
-    val cnodes = contracted.select(col("src").as("id"))
-      .unionByName(contracted.select(col("dst").as("id")))
-      .distinct()
-    val cc = contractedClosure(cnodes, contracted)
+    val cc = contractedClosure(contracted)
     val allLabels = committedLabels.unionByName(
       newNodes.join(committedLabels, Seq("id"), "left_anti")
         .select(col("id"), col("id").as("component")))
@@ -1018,17 +1024,25 @@ object Dedup {
     * This is the k-row-pull exception to the no-driver-loops rule, with
     * the same justification as the k-means centroid pulls: the data is
     * label-grain BY CONSTRUCTION, and the size check runs on the
-    * materialized frame before a single row is collected. */
-  private[llm] def contractedClosure(nodes: DataFrame, edges: DataFrame,
+    * materialized frame before a single row is collected.
+    *
+    * CONTRACT (r21): `edges` MUST already be materialized (all call
+    * sites localCheckpoint the contracted frame they pass in) and the
+    * closed node set IS the edge-ENDPOINT set — both were previously
+    * re-derived here (a redundant second checkpoint job plus, at every
+    * call site, an endpoints distinct + collect job whose ids the small
+    * path's own edge collect already carries). Isolated nodes are the
+    * CALLERS' left-join/coalesce fallback, unchanged. */
+  private[llm] def contractedClosure(edges: DataFrame,
                                      driverMaxEdges: Long = 500000L)
       : DataFrame = {
-    val spark = nodes.sparkSession
-    // one materialization serves the size check, the collect (small
-    // path) or the distributed loop's first pass (big path)
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
-    if (e.count() > driverMaxEdges) connectedComponents(nodes, e)
-    else {
-      val nodeIds = nodes.select(col("id")).collect().map(_.getLong(0))
+    val spark = edges.sparkSession
+    val e = edges.select(col("src"), col("dst"))
+    if (e.count() > driverMaxEdges) {
+      val nodes = e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct()
+      connectedComponents(nodes, e)
+    } else {
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -1039,14 +1053,17 @@ object Dedup {
         }
         r
       }
+      val nodeIds = new java.util.LinkedHashSet[java.lang.Long]()
       e.collect().foreach { row =>
-        val ra = find(row.getLong(0)); val rb = find(row.getLong(1))
+        val a = row.getLong(0); val b = row.getLong(1)
+        nodeIds.add(a); nodeIds.add(b)
+        val ra = find(a); val rb = find(b)
         if (ra != rb) {
           if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
         }
       }
       val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
-      nodeIds.foreach(id => rows.add(Row(id, find(id))))
+      nodeIds.forEach(id => rows.add(Row(id.longValue, find(id.longValue))))
       spark.createDataFrame(rows,
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("id",
@@ -1082,10 +1099,7 @@ object Dedup {
     // (min-of-3, identical subset harness, quiet): dd_cluster_canonical
     // 8.55→5.56 s, t_leakage_safe_split 8.97→4.40 s.
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
-    val endpoints = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id")))
-      .distinct()
-    val cc = contractedClosure(endpoints, e)
+    val cc = contractedClosure(e)
     nodes.join(cc.select(col("id"), col("component").as("_ndl_c")),
         Seq("id"), "left")
       .select(col("id"),
@@ -1128,10 +1142,7 @@ object Dedup {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(true)
-    val cnodes = contracted.select(col("src").as("id"))
-      .unionByName(contracted.select(col("dst").as("id")))
-      .distinct()
-    val cc = contractedClosure(cnodes, contracted)
+    val cc = contractedClosure(contracted)
     val allLabels = labels.unionByName(
       newNodes.join(labels, Seq("id"), "left_anti")
         .select(col("id"), col("id").as("component")))

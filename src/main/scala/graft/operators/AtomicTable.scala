@@ -480,6 +480,64 @@ object AtomicTable {
     f.create(markerPath(dir, version), true).close()
   }
 
+  /** Two-phase [[commitDelta]] for MULTI-TABLE folds (r21; VERDICT r20
+    * task #3 — the sharded fold's fixed job count): stage the parquet
+    * DATA of several deltas CONCURRENTLY (each write is its own Spark
+    * job submitted from a driver thread; overlapping them back-fills
+    * task slots while the other write's tail drains — guide §2.6), then
+    * create the commit markers SEQUENTIALLY in caller order. Marker
+    * creation is this protocol's single atomic visibility point, so
+    * ordering-dependent crash contracts (e.g. [[graft.llm.
+    * ShardedNearDupIndex]]'s "bands visible before labels, labels
+    * last") hold exactly as under sequential commits: a crash after a
+    * later table's DATA landed but before an earlier table's MARKER
+    * leaves only invisible orphan `v_<n>` dirs, which the replayed fold
+    * overwrites. Idempotency per (dir, version) is unchanged —
+    * already-committed entries are skipped before staging. */
+  final case class StagedDelta(df: DataFrame, dir: String, version: Long,
+                               writerId: Option[String] = None,
+                               adoptExisting: Boolean = false)
+
+  def commitDeltasStaged(spark: SparkSession,
+                         deltas: Seq[StagedDelta]): Unit = {
+    val pending = deltas.filter { d =>
+      bindWriter(spark, d.dir, d.writerId, d.adoptExisting)
+      // layout marker FIRST, as in commitDelta (guards must see the dir
+      // as base+delta even between a replayed batch's no-op commits)
+      fs(spark, d.dir)
+        .create(new Path(s"${d.dir}/$DeltaLayoutMarker"), true).close()
+      !isCommitted(spark, d.dir, d.version)
+    }
+    if (pending.isEmpty) return
+    if (pending.size == 1) {
+      val d = pending.head
+      d.df.write.mode("overwrite")
+        .parquet(dataPath(d.dir, d.version).toString)
+    } else {
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(pending.size)
+      try {
+        val futs = pending.map { d =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = d.df.write.mode("overwrite")
+              .parquet(dataPath(d.dir, d.version).toString)
+          })
+        }
+        futs.foreach { f =>
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          }
+        }
+      } finally pool.shutdown()
+    }
+    // visibility strictly in caller order — the crash-contract half
+    pending.foreach { d =>
+      fs(spark, d.dir).create(markerPath(d.dir, d.version), true).close()
+    }
+  }
+
   private def hasDataFiles(f: FileSystem, p: Path): Boolean =
     f.exists(p) && f.listStatus(p).exists { st =>
       val n = st.getPath.getName

@@ -220,6 +220,15 @@ object GraphOps {
     val dirs = edges.select(col("src").as("u"), col("dst").as("v"))
       .unionAll(edges.select(col("dst").as("u"), col("src").as("v")))
       .localCheckpoint(true)
+    // TWO-TIER broadcast policy (r21; VERDICT r20 task #7): every ball
+    // is a subset of `dirs`, so when the WHOLE union graph is under the
+    // bound the per-round exact ball count can never exceed it either —
+    // one count of the already-materialized checkpoint up front replaces
+    // `iters` per-round count jobs (the r20 form's disclosed −22 % local
+    // cost was exactly this per-round count+policy machinery at toy ball
+    // sizes). Past the bound the per-round exact count returns: a
+    // mega-batch's ball must be measured, not guessed.
+    val wholeGraphSmall = dirs.count() <= broadcastBallEdges
     val e0 = newEdges.select(col("src").as("node"))
       .unionByName(newEdges.select(col("dst").as("node")))
       .distinct().localCheckpoint(true)
@@ -242,7 +251,8 @@ object GraphOps {
       val ballDirs = Ckpt.truncated(dirs.join(
         broadcast(affected.select(col("node").as("u"))),
         Seq("u"), "left_semi"))
-      val ballSmall = ballDirs.count() <= broadcastBallEdges
+      val ballSmall = wholeGraphSmall ||
+        ballDirs.count() <= broadcastBallEdges
       // round-(t-1) labels of exactly the ball's neighbor set:
       // committed rows surviving a broadcast semi (scan-shaped, ball
       // output), minus delta-overridden nodes, plus the delta itself
@@ -261,7 +271,13 @@ object GraphOps {
       // set {u : (u,v) ∈ dirs, v ∈ ball} IS `nbrs` = {v : (u,v) ∈
       // dirs, u ∈ ball} — reusing the checkpointed ball edges removes
       // the third corpus-edge scan the r19 form paid per round.
-      affected = Ckpt.truncated(e0.unionByName(nbrs).distinct())
+      // NOT checkpointed (r21): `affected`'s lineage is bounded — one
+      // distinct over `e0` (checkpointed) ∪ `nbrs` (one level above the
+      // checkpointed ballDirs) — and its only consumer is the next
+      // round's ballDirs build, which checkpoints immediately; the r20
+      // per-round Ckpt here was a pure fixed-cost job (the lineage it
+      // truncated never compounds).
+      affected = e0.unionByName(nbrs).distinct()
     }
     // ONE corpus-wide overlay at the end — the output table itself;
     // a warehouse would MERGE the delta into the committed table here.

@@ -162,6 +162,69 @@ object Checks {
                   table: String): Result =
     Result("schema_drift", table, schemaChanges(spark, dir).size.toLong)
 
+  /** ONE-SCAN check battery over a single table (r21; guide §6 "one
+    * scan"): the dbt schema tests that each pay a full aggregate scan —
+    * [[unique]]/[[uniqueCombination]], [[notNull]], [[acceptedValues]],
+    * [[nonEmpty]] — computed together in ONE job: a two-level aggregate
+    * when a uniqueness key is present (per-key counts + per-row
+    * violation sums, then one global fold), a single global aggregate
+    * otherwise. Result rows are byte-identical (names and violation
+    * counts) to the individual checks', in the order: non_empty,
+    * unique, not_null (given order), accepted_values (given order).
+    * `rows` is the table's exact row count — free from the same pass —
+    * so callers drop their separate COUNT(*) jobs too. At warehouse
+    * scale this is the difference between one full-table scan per CHECK
+    * and one per TABLE per run. */
+  final case class SinglePass(results: Seq[Result], rows: Long)
+
+  def singlePass(df: DataFrame, table: String,
+                 uniqueCols: Seq[String] = Nil,
+                 combination: Boolean = false,
+                 checkNonEmpty: Boolean = false,
+                 notNullCols: Seq[String] = Nil,
+                 accepted: Seq[(String, Seq[String])] = Nil): SinglePass = {
+    val rowAggs: Seq[(String, org.apache.spark.sql.Column)] =
+      notNullCols.map(c => s"_nn_$c" ->
+        sum(when(col(c).isNull, 1L).otherwise(0L))) ++
+      accepted.map { case (c, vs) => s"_av_$c" ->
+        sum(when(col(c).isNotNull &&
+          !col(c).isin(vs.map(lit(_)): _*), 1L).otherwise(0L)) }
+    val row =
+      if (uniqueCols.nonEmpty) {
+        val aggs1 = count(lit(1)).as("_c") +:
+          rowAggs.map { case (n, a) => a.as(n) }
+        val grouped = df.groupBy(uniqueCols.map(col): _*)
+          .agg(aggs1.head, aggs1.tail: _*)
+        val aggs2 = coalesce(sum(col("_c")), lit(0L)).as("_rows") +:
+          count(when(col("_c") > 1, lit(1))).as("_dups") +:
+          rowAggs.map { case (n, _) =>
+            coalesce(sum(col(n)), lit(0L)).as(n) }
+        grouped.agg(aggs2.head, aggs2.tail: _*).head()
+      } else {
+        val aggs = count(lit(1)).as("_rows") +:
+          rowAggs.map { case (n, a) => coalesce(a, lit(0L)).as(n) }
+        df.agg(aggs.head, aggs.tail: _*).head()
+      }
+    val rows = row.getAs[Long]("_rows")
+    val uniqueRes = uniqueCols match {
+      case Nil => Nil
+      case cols =>
+        val name = if (combination)
+          s"unique_combination(${cols.mkString(",")})"
+        else s"unique(${cols.head})"
+        Seq(Result(name, table, row.getAs[Long]("_dups")))
+    }
+    val results =
+      (if (checkNonEmpty)
+        Seq(Result("non_empty", table, if (rows == 0) 1L else 0L))
+      else Nil) ++ uniqueRes ++
+      notNullCols.map(c =>
+        Result(s"not_null($c)", table, row.getAs[Long](s"_nn_$c"))) ++
+      accepted.map { case (c, _) =>
+        Result(s"accepted_values($c)", table, row.getAs[Long](s"_av_$c")) }
+    SinglePass(results, rows)
+  }
+
   def runAll(results: Seq[Result]): Seq[Result] = {
     results.filterNot(_.passed).foreach(r =>
       System.err.println(s"[quality] FAIL ${r.table}.${r.check}: " +

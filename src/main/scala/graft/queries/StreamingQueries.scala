@@ -299,11 +299,17 @@ object StreamingQueries {
     import graft.streaming.EventStream
     // transformWithState requires the RocksDB provider; scope it to
     // this run so the session keeps its default store (Verify/Bench
-    // run queries sequentially — no conf race).
+    // run queries sequentially — no conf race). State partitions by
+    // the EventStream.statePartitions policy, same scoping: one
+    // RocksDB instance per partition per batch is the fixed cost, and
+    // the emitted rows are partition-count-invariant (keyed state).
     val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val partKey = "spark.sql.shuffle.partitions"
     val prev = s.conf.getOption(provKey)
+    val prevParts = s.conf.get(partKey)
     s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
       "state.RocksDBStateStoreProvider")
+    s.conf.set(partKey, EventStream.statePartitions(s).toString)
     val out = Q.tempDir("st_rt_out")
       .resolve("emissions").toString
     val ckpt = Q.tempDir("st_rt_ckpt")
@@ -327,9 +333,12 @@ object StreamingQueries {
             df.write.mode("append").parquet(out); ()
         }.start()
       try q.processAllAvailable() finally q.stop()
-    } finally prev match {
-      case Some(v) => s.conf.set(provKey, v)
-      case None => s.conf.unset(provKey)
+    } finally {
+      s.conf.set(partKey, prevParts)
+      prev match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None => s.conf.unset(provKey)
+      }
     }
     // one cumulative emission per (user, batch-touched): keep the last
     s.read.parquet(out)
@@ -378,10 +387,16 @@ object StreamingQueries {
       |ORDER BY user_id, session_start_us""".stripMargin) { (s, d) =>
     import graft.streaming.EventStream
     import org.apache.spark.sql.types.LongType
+    // provider + state-partition policy scoped exactly as in
+    // st_running_totals; the resumed pass reads the count pinned in the
+    // checkpoint either way.
     val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val partKey = "spark.sql.shuffle.partitions"
     val prev = s.conf.getOption(provKey)
+    val prevParts = s.conf.get(partKey)
     s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
       "state.RocksDBStateStoreProvider")
+    s.conf.set(partKey, EventStream.statePartitions(s).toString)
     val landing = Q.tempDir("st_stm_land")
     val out = Q.tempDir("st_stm_out")
       .resolve("emissions").toString
@@ -430,9 +445,12 @@ object StreamingQueries {
       java.nio.file.Files.move(java.nio.file.Paths.get(part),
         landing.resolve("z_sentinel.parquet"))
       runPass()
-    } finally prev match {
-      case Some(v) => s.conf.set(provKey, v)
-      case None => s.conf.unset(provKey)
+    } finally {
+      s.conf.set(partKey, prevParts)
+      prev match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None => s.conf.unset(provKey)
+      }
     }
     s.read.parquet(out).filter(col("user_id") >= 0)
       .orderBy("user_id", "session_start_us")

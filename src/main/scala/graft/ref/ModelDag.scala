@@ -31,9 +31,14 @@ object ModelDag {
     * while one model's final single-task stages drain. Failures
     * propagate with the original cause; the pool is bounded so a wide
     * wave cannot flood the scheduler. */
+  /** Wave-pool width (dbt `--threads`). Overridable via
+    * `SPARK_GRAFT_DAG_THREADS` for A/B measurement. */
+  private[ref] def dagThreads: Int =
+    sys.env.get("SPARK_GRAFT_DAG_THREADS").map(_.toInt).getOrElse(8)
+
   private def par[A](thunks: (() => A)*): Seq[A] = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, math.min(thunks.size, 8)))
+      math.max(1, math.min(thunks.size, dagThreads)))
     try {
       val futs = thunks.map(t =>
         pool.submit(new java.util.concurrent.Callable[A] {

@@ -19,6 +19,26 @@ import org.apache.spark.sql.Row
   */
 object EventStream {
 
+  /** STATE-STORE partition policy for streaming passes (r21; VERDICT
+    * r20 task #8): a stateful micro-batch instantiates one state-store
+    * instance PER shuffle partition per stateful operator — with the
+    * RocksDB provider that is a native DB open + commit + checkpoint
+    * upload each batch, a FIXED cost ∝ partition count, not data.
+    * Leaving the count at the session default (= cores) therefore makes
+    * a toy-volume pass SLOWER with more cores — the driver's r20 bench
+    * measured st_session_timers at 8c/32c ratio 0.53 (8 cores beat 32).
+    * Production sizing is state-VOLUME-driven (target state bytes per
+    * partition: keys × bytes/key / ~1 GB per store instance), set via
+    * the conf override below and pinned in the checkpoint thereafter —
+    * by nature independent of how wide the submitting driver happens to
+    * be. Default: `spark.graft.streaming.statePartitions` when set,
+    * else min(cores, 8) — full parallelism below 8 cores, flat instance
+    * count above, so per-core bench comparisons measure the plan. */
+  def statePartitions(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.streaming.statePartitions")
+      .map(_.toInt)
+      .getOrElse(math.min(spark.sparkContext.defaultParallelism, 8))
+
   /** File-source stream of events with normalized timestamp. The
     * physical flavor of `ts` drifts across testdata generations
     * (INT64-nanos, TIMESTAMP_MICROS utc, TIMESTAMP_NTZ), so the stream

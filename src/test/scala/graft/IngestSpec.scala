@@ -292,6 +292,43 @@ class IngestSpec extends SparkSpec {
     assert(out.head.getString(1) == "alpha")
   }
 
+  test("Checks.singlePass: one job, byte-identical to the individual checks") {
+    import graft.quality.Checks
+    val df = Seq(
+      (1L, Some("a"), Some("Amazon")),
+      (2L, None, Some("Website")),
+      (2L, Some("b"), Some("Fax")),      // dup key + bad channel
+      (3L, Some("c"), None)              // NULL channel: not a violation
+    ).toDF("k", "name", "channel")
+    val sp = Checks.singlePass(df, "t", uniqueCols = Seq("k"),
+      checkNonEmpty = true, notNullCols = Seq("name"),
+      accepted = Seq("channel" -> Seq("Amazon", "Website", "Invoice")))
+    val expected = Seq(
+      Checks.nonEmpty(df, "t"),
+      Checks.unique(df, "t", "k"),
+      Checks.notNull(df, "t", "name"),
+      Checks.acceptedValues(df, "t", "channel",
+        Seq("Amazon", "Website", "Invoice")))
+    assert(sp.results == expected)
+    assert(sp.rows == 4L)
+    // empty frame: non_empty fires, every sum coalesces to zero
+    val empty = Seq.empty[(Long, Option[String], Option[String])]
+      .toDF("k", "name", "channel")
+    val spe = Checks.singlePass(empty, "t", uniqueCols = Seq("k"),
+      checkNonEmpty = true, notNullCols = Seq("name"),
+      accepted = Seq("channel" -> Seq("Amazon")))
+    assert(spe.rows == 0L)
+    assert(spe.results.map(_.violations) == Seq(1L, 0L, 0L, 0L))
+    // combination naming + the no-unique-key (single global agg) form
+    val combo = Checks.singlePass(df, "t",
+      uniqueCols = Seq("k", "name"), combination = true)
+    assert(combo.results ==
+      Seq(Checks.uniqueCombination(df, "t", Seq("k", "name"))))
+    val flat = Checks.singlePass(df, "t", notNullCols = Seq("name"))
+    assert(flat.results == Seq(Checks.notNull(df, "t", "name")))
+    assert(flat.rows == 4L)
+  }
+
   test("StateStore: changed on new file, stable after markProcessed, changed on touch") {
     val dir = tmpDirWith("a.xlsx")
     val f = s"$dir/a.xlsx"

@@ -348,6 +348,35 @@ class OperatorsSpec extends SparkSpec {
     assert(AtomicTable.readMerged(spark, dir2).forall(_.count() == 0L))
   }
 
+  test("commitDeltasStaged: parallel data writes, markers in order, idempotent per entry") {
+    import graft.operators.AtomicTable
+    val root = java.nio.file.Files.createTempDirectory("atomic_staged")
+    val bandsDir = root.resolve("bands").toString
+    val labelsDir = root.resolve("labels").toString
+    def df(ks: Long*) = ks.map(k => (k, s"v$k")).toDF("k", "v")
+    def merged(dir: String): Set[Long] = AtomicTable.readMerged(spark, dir)
+      .map(_.collect().map(_.getLong(0)).toSet).getOrElse(Set.empty)
+    AtomicTable.commitDeltasStaged(spark, Seq(
+      AtomicTable.StagedDelta(df(1L, 2L), bandsDir, 0L),
+      AtomicTable.StagedDelta(df(10L), labelsDir, 0L)))
+    assert(merged(bandsDir) == Set(1L, 2L))
+    assert(merged(labelsDir) == Set(10L))
+    assert(AtomicTable.isDeltaLayout(spark, bandsDir))
+    assert(AtomicTable.isDeltaLayout(spark, labelsDir))
+    // mixed replay: an already-committed entry no-ops (its replayed
+    // frame is discarded), a fresh entry commits
+    AtomicTable.commitDeltasStaged(spark, Seq(
+      AtomicTable.StagedDelta(df(99L), bandsDir, 0L),
+      AtomicTable.StagedDelta(df(11L), labelsDir, 1L)))
+    assert(merged(bandsDir) == Set(1L, 2L))
+    assert(merged(labelsDir) == Set(10L, 11L))
+    // equivalent to sequential commitDelta for a downstream reader
+    AtomicTable.commitDeltasStaged(spark, Seq(
+      AtomicTable.StagedDelta(df(3L), bandsDir, 1L)))
+    assert(merged(bandsDir) == Set(1L, 2L, 3L))
+    assert(AtomicTable.committedVersions(spark, bandsDir) == Seq(0L, 1L))
+  }
+
   test("base+delta guards: vacuum/deleteWhere refuse, compact delegates, Maintenance plans debt") {
     import graft.operators.{AtomicTable, Maintenance}
     val dir = java.nio.file.Files.createTempDirectory("atomic_guard")
